@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.Tables
+
+/** Event-log operators — the batch analogs of the reference's event-sourced
+  * control plane (SURVEY.md §2.A):
+  *
+  *  - A16 event fold → latest state per key
+  *    (reference: `GetStateFromEvent` fold, pkg/controller/controller.go:351-385,
+  *    pkg/executor/constants.go:211-251)
+  *  - A18 list = sort + limit (reference: cmd/bacalhau/list.go:100-211)
+  *  - A24 state summarize = max-by over a progress rank
+  *    (reference: pkg/job/job.go:233-263)
+  *  - sessionization + tumbling time buckets (the streaming fixtures' batch
+  *    twins; the live versions are in graft.streaming)
+  *  - JSON prop extraction (control-plane payloads are JSON;
+  *    reference: pkg/executor/types.go:146-163 event marshalling)
+  *
+  * All timestamps are compared at µs precision (`ts_us`) — see Tables.events.
+  * Scale: every query here shuffles once on `user_id` (the natural key) and
+  * nothing else; window functions reuse that single partitioning.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- A16: fold the event log to the latest event per entity
+    "q_event_fold" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+                col("event_id").as("last_event"), col("ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // ---- A24: summarize to the "furthest along" state per entity
+    // (max-by over an explicit progress rank, like GetCurrentJobState)
+    "q_state_summarize" -> ((s, d) => {
+      val rank = when(col("event_type") === "signup", 1)
+        .when(col("event_type") === "view", 2)
+        .when(col("event_type") === "click", 3)
+        .when(col("event_type") === "purchase", 4)
+        .otherwise(0) // error
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("rank").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rank", rank.cast(IntegerType))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("furthest"),
+                col("rank").as("progress"))
+        .orderBy("user_id")
+    }),
+
+    // ---- A18: list = sort desc + limit
+    "q_list_sort_limit" -> ((s, d) => {
+      Tables.events(s, d)
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(50)
+        .select("event_id", "ts_us", "user_id", "event_type")
+    }),
+
+    // ---- state histogram (describe-level rollup of the event log)
+    "q_event_counts" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // ---- sessionize: 30-min inactivity gap starts a new session
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gapUs = 1800L * 1000000L
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+               col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- tumbling 1-hour bucket aggregation (batch twin of the
+    // Structured-Streaming window; exact integer µs arithmetic)
+    "q_time_bucket" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      Tables.events(s, d)
+        .withColumn("bucket_us", col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
+        .groupBy("bucket_us")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("bucket_us")
+    }),
+
+    // ---- JSON extraction from the props payload
+    "q_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_event_fold" ->
+      """SELECT user_id, event_type AS last_type, event_id AS last_event,
+        |  epoch_us(ts) AS last_ts_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_state_summarize" ->
+      """SELECT user_id, event_type AS furthest, progress FROM (
+        |  SELECT user_id, event_type,
+        |    CAST(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END
+        |      AS INTEGER) AS progress,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY
+        |      (CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |        WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END) DESC,
+        |      event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_list_sort_limit" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |FROM events ORDER BY epoch_us(ts) DESC, event_id DESC
+        |LIMIT 50""".stripMargin,
+    "q_event_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)
+        |  AS k, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — exact (hash
+  * group-by), MinHash signatures + LSH banding for near-dup candidate pairs,
+  * SimHash fingerprints, and n-gram Jaccard similarity.
+  *
+  * Scale design (the point of each op at 100 TB):
+  *  - exact dedup groups on the *content hash* (md5), never the raw text —
+  *    the shuffle carries 32-byte keys, not documents;
+  *  - MinHash reduces each document to k=8 64-bit ints; LSH banding turns
+  *    near-dup search from O(n²) pairs into a shuffle-join on band buckets —
+  *    only same-bucket pairs are compared;
+  *  - all hashing is explicit integer arithmetic ((a·x + b) mod p over
+  *    ASCII 3-gram codes) so the DuckDB oracle reproduces it exactly —
+  *    no engine-specific hash functions in results.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MinHash parameters: k=8 universal-hash functions h_j(x) = (A_j·x + B_j)
+    * mod P over word-3-gram shingle codes (< 2^32, so A·x < 2^54: exact in
+    * i64). Word shingles — not char n-grams — so a small shared vocabulary
+    * can't saturate the shingle space (char-3-grams of word-salad corpora
+    * collapse to near-identical sets, making every LSH bucket quadratic).
+    * Shingle code = first 8 hex chars of md5(w1 ⊔ w2 ⊔ w3): portable across
+    * engines, uniform, and content-defined. */
+  private val P = 2147483647L
+  private val A = Seq(1299721L, 1299743L, 1299763L, 1299791L,
+                      1299811L, 1299817L, 1299821L, 1299827L)
+  private val B = Seq(15485863L, 15485867L, 15485917L, 15485927L,
+                      15485933L, 15485941L, 15485959L, 15485989L)
+
+  /** doc_id + word-3-gram shingle codes (one row per shingle position). */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("wi")
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "wi", "w")
+      .withColumn("w2", lead("w", 1).over(w))
+      .withColumn("w3", lead("w", 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        conv(substring(md5(concat_ws(" ", col("w"), col("w2"), col("w3"))),
+          1, 8), 16, 10).cast(LongType).as("code"))
+  }
+
+  /** MinHash signature frame: doc_id, mh0..mh7. */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val aggs = A.indices.map { j =>
+      min((col("code") * A(j) + B(j)) % P).as(s"mh$j")
+    }
+    shingles(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup: group identical content, keep lowest doc_id.
+    // At scale the group key is the md5 digest (32 bytes), not the text.
+    "q_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies", "h")
+        .orderBy("doc_id")
+    }),
+
+    // ---- MinHash signatures (k=8)
+    "q_minhash_sig" -> ((s, d) => minhashSig(s, d).orderBy("doc_id")),
+
+    // ---- LSH near-dup candidates: 4 bands × 2 rows; pairs sharing a band
+    // bucket, scored by #matching minhashes of 8. The band join is the
+    // scale path: shuffle on (band, h1, h2), never all-pairs.
+    "q_lsh_pairs" -> ((s, d) => {
+      val sig = minhashSig(s, d).cache()
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
+      )).as("bs")).select(col("doc_id"), col("bs.band"), col("bs.h1"), col("bs.h2"))
+      val l = bands.toDF("da", "band", "h1", "h2")
+      val r = bands.toDF("db", "band", "h1", "h2")
+      val cand = l.join(r, Seq("band", "h1", "h2"))
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      val sa = sig.toDF((Seq("da") ++ A.indices.map(j => s"a$j")): _*)
+      val sb = sig.toDF((Seq("db") ++ A.indices.map(j => s"b$j")): _*)
+      val nMatch = A.indices
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand.join(sa, "da").join(sb, "db")
+        .select(col("da"), col("db"), nMatch.as("n_match"))
+        .filter(col("n_match") >= 2)
+        .orderBy("da", "db")
+    }),
+
+    // ---- SimHash: 32-bit fingerprint over word-token hashes (md5-derived,
+    // engine-portable). Pure integer math end to end.
+    "q_simhash" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("th", conv(substring(md5(col("w")), 1, 8), 16, 10)
+          .cast(LongType))
+      val bits = words
+        .select(col("doc_id"), col("th"),
+          explode(sequence(lit(0), lit(31))).as("j"))
+        .withColumn("p2", pow(lit(2.0), col("j")).cast(LongType))
+        .withColumn("wt", (expr("th div p2") % 2L) * 2L - 1L)
+      bits.groupBy("doc_id", "j", "p2")
+        .agg(sum("wt").as("sj"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sj") > 0, col("p2")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- n-gram (word-bigram) Jaccard between consecutive docs — the
+    // exact-similarity primitive (LSH above is its sublinear candidate
+    // generator).
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy("doc_id").orderBy("wi")
+      val grams = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "wi", "w")
+        .withColumn("nxt", lead("w", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat(col("w"), lit(" "), col("nxt")).as("bg"))
+        .distinct()
+      val na = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ga = grams.toDF("da", "bg")
+      val gb = grams.toDF("db", "bg")
+      val inter = ga.join(gb, ga("bg") === gb("bg") && col("db") === col("da") + 1)
+        .groupBy("da").agg(count(lit(1)).as("inter"))
+      val pairs = na.toDF("da", "na")
+        .join(na.toDF("db", "nb"), col("db") === col("da") + 1)
+      pairs.join(inter, Seq("da"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .select(col("da"), col("db"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 6).as("jac"))
+        .orderBy("da")
+    })
+  )
+
+  private def sigSql: String = {
+    val mins = A.indices.map { j =>
+      s"min((code * ${A(j)} + ${B(j)}) % $P) AS mh$j"
+    }.mkString(",\n    ")
+    s"""words AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(string_split(text, ' '), 1) AS wi,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(
+       |      w || ' ' || lead(w, 1) OVER pw || ' ' || lead(w, 2) OVER pw
+       |    ), 1, 8)) AS BIGINT) AS code
+       |  FROM words
+       |  WINDOW pw AS (PARTITION BY doc_id ORDER BY wi)
+       |  QUALIFY lead(w, 2) OVER pw IS NOT NULL),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+        |  md5(text) AS h
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q_minhash_sig" ->
+      s"WITH $sigSql SELECT * FROM sig ORDER BY doc_id",
+    "q_lsh_pairs" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
+      }.mkString(" UNION ALL ")
+      val nMatch = A.indices
+        .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigSql,
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         |   AND a.doc_id < b.doc_id)
+         |SELECT da, db, CAST($nMatch AS BIGINT) AS n_match
+         |FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+         |WHERE $nMatch >= 2
+         |ORDER BY da, db""".stripMargin
+    },
+    "q_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS th
+        |  FROM words),
+        |bits AS (
+        |  SELECT doc_id, j, CAST(power(2, j) AS BIGINT) AS p2,
+        |    CAST(sum(((th // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)
+        |      AS BIGINT) AS sj
+        |  FROM th, generate_series(0, 31) g(j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN sj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS wi,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, bg FROM (
+        |    SELECT doc_id,
+        |      w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY wi)
+        |        AS bg
+        |    FROM words) x WHERE bg IS NOT NULL),
+        |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams
+        |       GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, CAST(count(*) AS BIGINT) AS inter
+        |  FROM grams a JOIN grams b
+        |    ON a.bg = b.bg AND b.doc_id = a.doc_id + 1
+        |  GROUP BY a.doc_id)
+        |SELECT x.doc_id AS da, y.doc_id AS db,
+        |  round(CAST(coalesce(inter, 0) AS DOUBLE)
+        |        / (x.n + y.n - coalesce(inter, 0)), 6) AS jac
+        |FROM na x JOIN na y ON y.doc_id = x.doc_id + 1
+        |LEFT JOIN inter ON inter.da = x.doc_id
+        |ORDER BY da""".stripMargin
+  )
+}

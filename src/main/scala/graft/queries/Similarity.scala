@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Four operators, from exact baseline to scale path:
+  *  - q_knn_brute: brute-force cosine top-k for a query subset — the
+  *    correctness baseline. Dot products via `zip_with` + `aggregate`
+  *    (codegen'd higher-order functions, no explode of the vector).
+  *  - q_cosine_pairs: all-pairs above a threshold (exact near-dup dedup by
+  *    embedding) — quadratic by definition; at 100 TB you run the LSH
+  *    variant and reserve this for within-bucket verification.
+  *  - q_ann_lsh: random-hyperplane LSH — sign-pattern bucket per vector,
+  *    candidate pairs only within a bucket. Hyperplane weights come from an
+  *    integer LCG, not a float RNG, so every engine derives identical
+  *    buckets. This is the sublinear scale path (shuffle keys = buckets).
+  *  - q_ivf_assign: IVF coarse quantization — per-label centroids
+  *    (the "training" stand-in), each vector assigned to its nearest
+  *    centroid; at scale this becomes the partitioning key for ANN probes.
+  *
+  * Float policy: vectors are float32; all math is done in double, cosine is
+  * rounded to 6 dp before any ranking/threshold so cross-engine summation
+  * order can't flip results. Ranking ties break by vector id.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** embedding as double array plus its L2 norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** LCG-derived hyperplane weight for plane k, dim i (engine-portable
+    * integer math; centered at 0: range [-32768, 32767]). */
+  private def lcgWeight(k: Column, i: Column): Column =
+    (lit(1103515245L) * (k * 64L + i) + 12345L) % 65536L - 32768L
+
+  val queries: Map[String, Q] = Map(
+    // ---- brute-force cosine top-5 for query vectors (vec_id % 40 == 0)
+    "q_knn_brute" -> ((s, d) => {
+      val all = vecs(s, d)
+      val q = all.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nb_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+            .as("cos_r"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_r").desc, col("nb_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "nb_id", "rank", "cos_r")
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- exact all-pairs cosine above threshold
+    "q_cosine_pairs" -> ((s, d) => {
+      val a = vecs(s, d).select(col("vec_id").as("va"), col("v").as("xa"),
+        col("nrm").as("na"))
+      val b = vecs(s, d).select(col("vec_id").as("vb"), col("v").as("xb"),
+        col("nrm").as("nb"))
+      a.join(b, col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+            .as("cos_r"))
+        .filter(col("cos_r") >= 0.4)
+        .orderBy("va", "vb")
+    }),
+
+    // ---- random-hyperplane LSH buckets → within-bucket exact cosine.
+    // 4 planes → 16 buckets; only same-bucket pairs are compared.
+    "q_ann_lsh" -> ((s, d) => {
+      val v = vecs(s, d)
+      // sign bit per plane: dot(v, w_k) >= 0, w_k from the integer LCG
+      val planeBits = (0 until 4).map { k =>
+        val dotK = aggregate(
+          zip_with(col("v"),
+            sequence(lit(0), lit(63)),
+            (x, i) => x * lcgWeight(lit(k.toLong), i.cast("long")).cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(dotK >= 0, lit(1L) * (1L << k)).otherwise(0L)
+      }
+      val bucketed = v.withColumn("bucket", planeBits.reduce(_ + _))
+      val a = bucketed.select(col("bucket"), col("vec_id").as("va"),
+        col("v").as("xa"), col("nrm").as("na"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("vb"),
+        col("v").as("xb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("va") < col("vb"))
+        .select(col("bucket"), col("va"), col("vb"),
+          round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+            .as("cos_r"))
+        .filter(col("cos_r") >= 0.3)
+        .orderBy("va", "vb")
+    }),
+
+    // ---- IVF-style coarse quantization: per-label centroids, assign each
+    // vector to nearest centroid by L2²  (rounded; ties → lowest label)
+    "q_ivf_assign" -> ((s, d) => {
+      val flat = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")))
+        .toDF("vec_id", "label", "i", "x")
+        .withColumn("x", col("x").cast("double"))
+      val centroids = flat.groupBy(col("label").as("c_label"), col("i"))
+        .agg(avg("x").as("cx"))
+      val dist = flat.join(broadcast(centroids), Seq("i"))
+        .groupBy("vec_id", "c_label")
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+          .as("d2"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("c_label").asc)
+      dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("nearest"), col("d2"))
+        .orderBy("vec_id")
+    })
+  )
+
+  /** Shared SQL scaffolding: flattened vectors + norms. */
+  private val flatSql =
+    """flat AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |norm AS (
+      |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_knn_brute" ->
+      s"""WITH $flatSql,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, nb_id,
+         |    round(dt / (nq.nrm * np.nrm), 6) AS cos_r
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm np ON np.vec_id = nb_id)
+         |SELECT q_id, nb_id, rank, cos_r FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_r DESC, nb_id ASC) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_cosine_pairs" ->
+      s"""WITH $flatSql,
+         |dots AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dt
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT va, vb, round(dt / (na.nrm * nb.nrm), 6) AS cos_r
+         |FROM dots JOIN norm na ON na.vec_id = va
+         |          JOIN norm nb ON nb.vec_id = vb
+         |WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.4
+         |ORDER BY va, vb""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH $flatSql,
+         |plane_dots AS (
+         |  SELECT f.vec_id, k,
+         |    sum(f.x * CAST((1103515245 * (k * 64 + (f.i - 1)) + 12345)
+         |        % 65536 - 32768 AS DOUBLE)) AS pd
+         |  FROM flat f, generate_series(0, 3) g(k)
+         |  GROUP BY 1, 2),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN pd >= 0
+         |      THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM plane_dots GROUP BY vec_id),
+         |dots AS (
+         |  SELECT ba.bucket, a.vec_id AS va, b.vec_id AS vb,
+         |    sum(a.x * b.x) AS dt
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  JOIN buckets ba ON ba.vec_id = a.vec_id
+         |  JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+         |  GROUP BY 1, 2, 3)
+         |SELECT bucket, va, vb, round(dt / (na.nrm * nb.nrm), 6) AS cos_r
+         |FROM dots JOIN norm na ON na.vec_id = va
+         |          JOIN norm nb ON nb.vec_id = vb
+         |WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.3
+         |ORDER BY va, vb""".stripMargin,
+    "q_ivf_assign" ->
+      s"""WITH $flatSql,
+         |centroids AS (
+         |  SELECT label AS c_label, i, avg(x) AS cx
+         |  FROM flat GROUP BY 1, 2),
+         |dist AS (
+         |  SELECT f.vec_id, c.c_label,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+         |  FROM flat f JOIN centroids c ON c.i = f.i
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, c_label AS nearest, d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2 ASC, c_label ASC) AS rn
+         |  FROM dist) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline ops a 100 TB corpus needs (builder brief): token counting
+  * (whitespace + BPE-ish regex), quality scoring (length / stopword ratios),
+  * language-ID (marker-word heuristic), and document fingerprinting
+  * (position-weighted rolling hash).
+  *
+  * All arithmetic is integer or per-row IEEE double (no cross-row float
+  * accumulation except explicitly rounded ratios), so results are
+  * bit-reproducible across engines. Every op is a narrow map + one optional
+  * groupBy(doc_id) — embarrassingly parallel, no wide shuffle beyond the
+  * per-document aggregation with map-side partial min/sum.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count: #spaces + 1 (single-space-separated corpus). */
+  private def wsTokens = (length(col("text")) -
+    length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
+
+  val queries: Map[String, Q] = Map(
+    // ---- quality scoring: length, token stats, stopword ratio, score
+    "q_text_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tokens", wsTokens)
+        .withColumn("stop_cnt",
+          size(regexp_extract_all(col("text"), lit("\\b(the|a)\\b"), lit(0)))
+            .cast(LongType))
+        .withColumn("stop_ratio",
+          round(col("stop_cnt").cast("double") / col("n_tokens"), 6))
+        .withColumn("quality",
+          round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")), 6))
+        .select("doc_id", "n_tokens", "stop_cnt", "stop_ratio", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // ---- token counting: whitespace vs BPE-ish regex segmentation
+    "q_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          wsTokens.as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
+            .as("re_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- language-ID: n-gram/marker heuristic (deterministic, shared with
+    // the oracle; real corpora would widen the marker lists per language)
+    "q_lang_id" -> ((s, d) => {
+      val nonAscii =
+        size(regexp_extract_all(col("text"), lit("[^\\x00-\\x7f]"), lit(0)))
+      val theCnt =
+        size(regexp_extract_all(col("text"), lit("\\bthe\\b"), lit(0)))
+      Tables.documents(s, d)
+        .withColumn("pred_lang",
+          when(nonAscii > 0, "zh")
+            .when(theCnt >= 3, "en")
+            .otherwise("unknown"))
+        .select("doc_id", "lang", "pred_lang")
+        .orderBy("doc_id")
+    }),
+
+    // ---- document fingerprint: position-weighted rolling hash (pure
+    // integer math; explode positions → map-side partial sum per doc)
+    "q_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")))).as("i"),
+          col("text"))
+        .withColumn("term",
+          ascii(col("text").substr(col("i"), lit(1))).cast(LongType) *
+            ((col("i").cast(LongType) * lit(2654435761L)) % lit(1000003L)))
+        .groupBy("doc_id")
+        .agg((sum("term") % lit(2147483647L)).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT)
+        |      AS stop_cnt
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, stop_cnt,
+        |  round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  round(ln(1.0 + n_tokens) *
+        |    (1.0 - round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6)), 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN len(regexp_extract_all(text, '[^\x00-\x7f]')) > 0 THEN 'zh'
+        |       WHEN len(regexp_extract_all(text, '\bthe\b')) >= 3 THEN 'en'
+        |       ELSE 'unknown' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // NOTE: oracle uses an uncorrelated series (DuckDB 1.0 lacks lateral
+    // column args) bounded at 4096 chars — fixture texts are < 600 chars.
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(sum(CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+        |      * ((i * 2654435761) % 1000003)) % 2147483647 AS BIGINT) AS fp
+        |FROM documents, generate_series(1, 4096) t(i)
+        |WHERE i <= length(text)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,229 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.{Files, Paths}
+
+/** Control-plane specs mirroring the reference's three test levels
+  * (SURVEY §5): scenario E2E (cat/grep/sed/awk golden checks —
+  * pkg/test/scenario/test_scenarios.go), behavioral lifecycle tests
+  * (concurrency fold — pkg/test/devstack/concurrency_test.go:46-105), and
+  * unit tests for parsing/admission. */
+class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("graft-cp").toString
+    // A1 fruit_lines fixture (FIXTURES.md): 9 lines, two contain kiwi
+    Files.writeString(Paths.get(s"$dir/grep_file.txt"),
+      Seq("apple", "banana", "kiwi", "cherry", "mango", "kiwi is delicious",
+        "plum", "grape", "pear").mkString("", "\n", "\n"))
+    // A2 sensor_readings fixture: header + 40 rows; 5 in the Lisbon regex
+    // box (lat 38.72-38.74, long -9.13..-9.17), 7 within 0.3 deg of center
+    val center = (38.7077507, -9.1365919)
+    val rows = (0 until 40).map { k =>
+      val (lat, lon) =
+        if (k < 5) (38.72 + k * 0.005, -9.13 - k * 0.008) // regex box + near
+        else if (k < 7) (38.8 + k * 0.001, -9.2)          // near center only
+        else (40.0 + k * 0.1, -8.0 - k * 0.1)             // far
+      f"2021-01-01 00:$k%02d:00,LISBON,$lat%.4f,$lon%.4f,${15.0 + k}%.4f,${k * 1.1}%.4f"
+    }
+    Files.writeString(Paths.get(s"$dir/sensor.csv"),
+      ("sensor_time,sensor_group,lat,long,temperature,distance" +: rows)
+        .mkString("", "\n", "\n"))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def textVol(path: String) =
+    Map("/data/file.txt" -> spark.read.text(path))
+  private def csvVol(path: String) =
+    Map("/data/file.csv" -> spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(path))
+
+  // ---- Resources (capacitymanager/utils.go analog)
+  test("k8s-style resource parsing") {
+    assert(Resources.parseCpu("500m") === 0.5)
+    assert(Resources.parseCpu("2") === 2.0)
+    assert(Resources.parseMemory("2Gb") === 2000000000L)
+    assert(Resources.parseMemory("2Gi") === 2147483648L)
+    assert(Resources.parseMemory("100Mb") === 100000000L)
+    assert(Resources.withDefaults(ResourceUsage()).cpuCores === 0.1)
+    intercept[IllegalArgumentException](Resources.parseMemory("5xyz"))
+  }
+
+  // ---- B1 cat: identity scan, stdout equivalence
+  test("B1 cat = identity scan") {
+    val df = OpCompiler.compileEntrypoint(spark,
+      Seq("cat", "/data/file.txt"), textVol(s"$dir/grep_file.txt"))
+    val lines = df.collect().map(_.getString(0))
+    assert(lines.length === 9 && lines.head === "apple")
+  }
+
+  // ---- B3 grep kiwi: 2 lines incl. 'kiwi is delicious'
+  test("B3 grep kiwi = contains filter, 2 matches") {
+    val df = OpCompiler.compileEntrypoint(spark,
+      Seq("grep", "kiwi", "/data/file.txt"), textVol(s"$dir/grep_file.txt"))
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got === Seq("kiwi", "kiwi is delicious"))
+  }
+
+  // ---- B4 sed Lisbon box regex: BRE passes through, 5 matches
+  test("B4 sed -n /re/p = regex filter") {
+    val raw = Map("/data/file.txt" -> spark.read.text(s"$dir/sensor.csv"))
+    val df = OpCompiler.compileEntrypoint(spark,
+      Seq("sed", "-n", "/38.7[2-4]..,-9.1[3-7]../p", "/data/file.txt"), raw)
+    assert(df.count() === 5)
+  }
+
+  // ---- B5 awk GPS theta filter over parsed CSV
+  test("B5 awk theta filter compiles to arithmetic + filter") {
+    val df = OpCompiler.compileEntrypoint(spark,
+      Seq("awk", "-F,",
+        "{x=38.7077507-$3; y=-9.1365919-$4; if(x^2+y^2<0.3^2) print $0}",
+        "/data/file.csv"),
+      csvVol(s"$dir/sensor.csv"))
+    assert(df.count() === 7) // 5 box rows + 2 near-center rows
+  }
+
+  // ---- B6 wc -l
+  test("B6 wc -l = count") {
+    val df = OpCompiler.compileEntrypoint(spark,
+      Seq("wc", "-l", "/data/file.txt"), textVol(s"$dir/grep_file.txt"))
+    assert(df.collect()(0).getLong(0) === 9)
+  }
+
+  test("unsupported entrypoint is rejected, not executed") {
+    intercept[OpCompiler.CompileError] {
+      OpCompiler.compileEntrypoint(spark, Seq("rm", "-rf", "/"), Map.empty)
+    }
+  }
+
+  // ---- determinism gate (language executor analog)
+  test("determinism gate rejects nondeterministic expressions") {
+    val lang = JobSpecLanguage(command = "rand()", deterministic = true)
+    intercept[DeterminismGate.NondeterministicPlan] {
+      OpCompiler.compileExpression(spark, lang,
+        textVol(s"$dir/grep_file.txt"))
+    }
+    // and passes deterministic SQL
+    val ok = OpCompiler.compileExpression(spark,
+      JobSpecLanguage(command =
+        "SELECT count(*) AS n FROM data_file_txt", deterministic = true),
+      textVol(s"$dir/grep_file.txt"))
+    assert(ok.collect()(0).getLong(0) === 9)
+  }
+
+  // ---- event fold: reference GetStateFromEvent + partial update
+  test("event fold derives per-node states with partial updates") {
+    val log = new EventLog
+    import Lifecycle.EventType._
+    log.append(JobEvent(jobId = "j1", targetNodeId = "n1", eventName = Bid))
+    log.append(JobEvent(jobId = "j1", targetNodeId = "n1", eventName = BidAccepted))
+    log.append(JobEvent(jobId = "j1", targetNodeId = "n1", eventName = Running))
+    log.append(JobEvent(jobId = "j1", targetNodeId = "n1", eventName = Completed,
+      resultsId = "cid-1"))
+    // later event with empty resultsId must not erase cid-1
+    log.append(JobEvent(jobId = "j1", targetNodeId = "n1", eventName = Completed))
+    val st = log.states(("j1", "n1"))
+    assert(st.state === Lifecycle.State.Complete && st.resultsId === "cid-1")
+  }
+
+  // ---- concurrency semantics: 2 accepted of 3 bidders ⇒ {2 Complete,
+  // 1 Cancelled} (reference: concurrency_test.go:46-105)
+  test("concurrency fold: 2 complete, 1 cancelled") {
+    val log = new EventLog
+    import Lifecycle.EventType._
+    Seq("n1", "n2", "n3").foreach(n =>
+      log.append(JobEvent(jobId = "j2", targetNodeId = n, eventName = Bid)))
+    Seq("n1", "n2").foreach { n =>
+      log.append(JobEvent(jobId = "j2", targetNodeId = n, eventName = BidAccepted))
+      log.append(JobEvent(jobId = "j2", targetNodeId = n, eventName = Running))
+      log.append(JobEvent(jobId = "j2", targetNodeId = n, eventName = Completed))
+    }
+    log.append(JobEvent(jobId = "j2", targetNodeId = "n3", eventName = BidCancelled))
+    val states = log.states.values.filter(_.jobId == "j2").map(_.state).toSeq
+    assert(states.count(_ == Lifecycle.State.Complete) === 2)
+    assert(states.count(_ == Lifecycle.State.Cancelled) === 1)
+    assert(log.currentJobState("j2").get.state === Lifecycle.State.Complete)
+  }
+
+  // ---- distributed fold twin matches the in-memory fold
+  test("Dataset fold matches driver-local fold") {
+    val log = new EventLog
+    import Lifecycle.EventType._
+    log.append(JobEvent(jobId = "j3", targetNodeId = "n1", eventName = Bid))
+    log.append(JobEvent(jobId = "j3", targetNodeId = "n1", eventName = BidAccepted))
+    log.append(JobEvent(jobId = "j3", targetNodeId = "n1", eventName = Running,
+      status = "50%"))
+    log.append(JobEvent(jobId = "j3", targetNodeId = "n1", eventName = Completed,
+      resultsId = "cid-x"))
+    val dist = EventLog.foldStates(log.toDF(spark).toDF())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    val local = log.states(("j3", "n1"))
+    assert(dist.toSeq === Seq(("j3", "n1", local.state, local.status,
+      local.resultsId)))
+  }
+
+  // ---- replication + verification (A12 upgrade: actually compare)
+  test("replicated runs produce identical content ids and verify") {
+    val runner = new Runner(spark)
+    val spec = JobSpec(engine = "docker", verifier = "hash",
+      docker = Some(JobSpecDocker(image = "ubuntu",
+        entrypoint = Seq("grep", "kiwi", "/data/file.txt"))))
+    val job = runner.submit(spec, JobDeal(concurrency = 2)).toOption.get
+    val out = Files.createTempDirectory("graft-out").toString
+    val res = runner.run(job, textVol(s"$dir/grep_file.txt"), out)
+      .toOption.get
+    assert(res.cids.size === 2 && res.verified)
+    assert(runner.describe(job.id).get.currentState ===
+      Lifecycle.State.Complete)
+    // manifest written alongside parquet
+    assert(Files.exists(Paths.get(s"$out/${job.id}/r0/_manifest.json")))
+  }
+
+  // ---- content id is row-order independent (canonicalization)
+  test("content id is stable under row reordering") {
+    import spark.implicits._
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+    val b = Seq((3, "z"), (1, "x"), (2, "y")).toDF("k", "v")
+    assert(ResultPublisher.contentId(a) === ResultPublisher.contentId(b))
+  }
+
+  // ---- admission (A13)
+  test("admission rejects oversized and unknown-engine jobs") {
+    val runner = new Runner(spark)
+    assert(runner.selectJob(JobSpec(engine = "wasm")).isLeft)
+    assert(runner.selectJob(JobSpec(engine = "noop",
+      resources = ResourceUsage(cpuCores = 1000))).isLeft)
+    assert(runner.selectJob(JobSpec(engine = "noop")).isRight)
+  }
+
+  // ---- validation (A22/A23 analog)
+  test("spec validation catches bad volumes") {
+    val bad = JobSpec(engine = "docker",
+      docker = Some(JobSpecDocker()),
+      inputs = Seq(StorageSpec(engine = "file", path = "")))
+    assert(bad.validate().isLeft)
+  }
+
+  // ---- list/describe read path (A17/A18)
+  test("list returns newest-first with limit; id prefix match works") {
+    val runner = new Runner(spark)
+    val specs = (1 to 3).map(_ => runner.submit(
+      JobSpec(engine = "noop")).toOption.get)
+    assert(runner.list(maxJobs = 2).size === 2)
+    val j = specs.head
+    assert(runner.getJobs(j.id.take(8)).map(_.id) === Seq(j.id))
+  }
+}

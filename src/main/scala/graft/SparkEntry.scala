@@ -18,12 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventOps.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries
+    Relational.queries ++ RelationalExt.queries ++ EventOps.queries ++
+      TextOps.queries ++ Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ EventOps.oracle ++ TextOps.oracle ++
-      Dedup.oracle ++ Similarity.oracle
+    Relational.oracle ++ RelationalExt.oracle ++ EventOps.oracle ++
+      TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle
 }

@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Extended relational surface — the operator categories the reference
+  * delegates to container tools or lacks outright (SURVEY.md §2.C ❌ rows),
+  * re-expressed Spark-first: as-of / range (interval) joins, pivot,
+  * grouping sets, array & explode ops, haversine distance (the reference's
+  * published GPS distance function — examples/gps-substitution/
+  * generate_csv.py:49-60), exact percentiles, moment statistics, arg-max,
+  * HAVING, union-all, binary-column scalar ops, and an HLL sketch.
+  *
+  * Scale notes:
+  *  - the as-of join is the union+window form: ONE shuffle on the join key,
+  *    no range-explosion — the plan that survives 100× (a naive range join
+  *    is O(n·m) pairs; this is O(n+m) rows through a single sort);
+  *  - the interval join equi-joins on `user_id` first (hash join) and
+  *    applies the time band as a post-filter, so it never degenerates to a
+  *    broadcast-nested-loop at scale;
+  *  - arg-max uses `max(struct(ord, key))` — a plain hash aggregate with
+  *    map-side partials, cheaper than the window-rank form at high
+  *    cardinality (no per-group sort);
+  *  - percentiles are exact (sort-based) for oracle parity; the scale path
+  *    for 100 TB is `approx_percentile` (same call shape, sketch-merged);
+  *  - `q_hll_approx` has no SQL oracle by design (sketch output) — the
+  *    driver records a rows-only check, and it documents the cardinality
+  *    path you'd actually run at 100 TB instead of countDistinct.
+  */
+object RelationalExt {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EarthRadiusKm = 6371.0
+
+  /** Haversine great-circle distance in km (reference publishes this exact
+    * formula: examples/gps-substitution/generate_csv.py:49-60). Composed
+    * from codegen'd built-ins — no UDF. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val h = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusKm) * asin(sqrt(h))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- as-of join: for each click, the most recent view at-or-before it
+    // (per user). Union+window form: one shuffle on user_id, ordered scan,
+    // `last(ignoreNulls)` carries the latest view id forward.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
+          when(col("event_type") === "view", col("event_id")).as("view_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("prev_view", last("view_id", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts_us", "prev_view")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- range (interval) join: events in the 10 minutes before each
+    // purchase by the same user. Equi-join on user_id keeps it a hash join;
+    // the band predicate is a post-join filter.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts"), col("event_id").as("p_id"))
+      val e = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      p.join(e, Seq("user_id"))
+        .filter(col("ts_us") >= col("p_ts") - lit(600000000L) &&
+                col("ts_us") < col("p_ts"))
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_pre"))
+        .orderBy("p_id")
+    }),
+
+    // ---- pivot (wide aggregation; explicit value list so the plan needs
+    // no extra distinct-scan pass at scale)
+    "q_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_linestatus")
+    }),
+
+    // ---- grouping sets (beyond rollup/cube: arbitrary set list)
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 2) AS qty
+          |FROM g_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST,
+          |  l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- array functions over a derived array column
+    "q_array_ops" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(words).as("n_words"),
+          element_at(words, 1).as("first_w"),
+          array_contains(words, "the").as("has_the"),
+          array_join(slice(array_sort(array_distinct(words)), 1, 3), ",")
+            .as("top3"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- explode (UDTF shape): corpus-wide word frequencies
+    "q_explode_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
+        .orderBy("w")
+    }),
+
+    // ---- haversine distance filter (B5's GPS proximity, done with the
+    // real great-circle formula instead of euclidean-in-degrees)
+    "q_haversine" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_id") <= 2000)
+      val lat2 = lit(38.0) + col("value") / 100.0
+      val lon2 = lit(-9.0) - col("user_id").cast("double") / 100.0
+      ev.select(col("event_id"),
+          round(haversineKm(lit(38.7077507), lit(-9.1365919), lat2, lon2), 6)
+            .as("km"))
+        .orderBy("event_id")
+    }),
+
+    // ---- exact percentiles (sort-based; approx_percentile is the 100 TB
+    // path with the same call shape)
+    "q_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- moment statistics (stddev/corr; Welford-style merge-safe impls
+    // on both engines, rounded to absorb partial-merge order)
+    "q_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("c_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- arg-max via max(struct): hash aggregate, no per-group sort
+    "q_argmax" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("m"))
+        .select(col("c_nationkey"), col("m.c_custkey").as("top_cust"),
+          col("m.c_acctbal").as("bal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- HAVING (post-aggregation predicate)
+    "q_having" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+        .filter(col("n") >= 15)
+        .orderBy("o_custkey")
+    }),
+
+    // ---- UNION ALL + group (bag semantics, vs q_set_union's set semantics)
+    "q_union_all" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nk"), lit("cust").as("src"))
+      val su = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nk"), lit("supp").as("src"))
+      c.union(su).groupBy("nk", "src").agg(count(lit(1)).as("n"))
+        .orderBy("nk", "src")
+    }),
+
+    // ---- binary-column scalar ops (multimodal plumbing: bytes in a column,
+    // hashed + sized + base64'd without leaving codegen)
+    "q_binary_ops" -> ((s, d) => {
+      val bin = col("text").cast("binary")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(bin).as("n_bytes"),
+          sha2(bin, 256).as("sha"),
+          substring(base64(bin), 1, 16).as("b64_head"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- HLL cardinality sketch (the 100 TB countDistinct path;
+    // rows-only check — sketch estimates are engine-specific by design)
+    "q_hll_approx" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view', 'click'))
+        |SELECT user_id, event_id, ts_us, prev_view FROM (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    last_value(view_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view
+        |  FROM u) t
+        |WHERE event_type = 'click' ORDER BY user_id, event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id AS p_id, CAST(count(*) AS BIGINT) AS n_pre
+        |FROM events p JOIN events e ON e.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND e.event_type <> 'purchase'
+        |  AND epoch_us(e.ts) >= epoch_us(p.ts) - 600000000
+        |  AND epoch_us(e.ts) < epoch_us(p.ts)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_array_ops" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(words) AS INTEGER) AS n_words,
+        |  words[1] AS first_w,
+        |  list_contains(words, 'the') AS has_the,
+        |  array_to_string(list_slice(list_sort(list_distinct(words)), 1, 3), ',')
+        |    AS top3
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_explode_wordcount" ->
+      """SELECT w, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents) t
+        |GROUP BY w ORDER BY w""".stripMargin,
+    "q_haversine" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    38.0 + value / 100.0 AS lat2,
+        |    -9.0 - CAST(user_id AS DOUBLE) / 100.0 AS lon2
+        |  FROM events WHERE event_id <= 2000)
+        |SELECT event_id,
+        |  round(2.0 * 6371.0 * asin(sqrt(
+        |    sin(radians(lat2 - 38.7077507) / 2) * sin(radians(lat2 - 38.7077507) / 2)
+        |    + cos(radians(38.7077507)) * cos(radians(lat2))
+        |      * sin(radians(lon2 - (-9.1365919)) / 2)
+        |      * sin(radians(lon2 - (-9.1365919)) / 2))), 6) AS km
+        |FROM t ORDER BY event_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS c_qp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_argmax" ->
+      """SELECT c_nationkey, c_custkey AS top_cust, c_acctbal AS bal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |  FROM customer) t
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q_union_all" ->
+      """SELECT nk, src, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS nk, 'cust' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk, 'supp' AS src FROM supplier) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_binary_ops" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  substring(to_base64(CAST(text AS BLOB)), 1, 16) AS b64_head
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // q_hll_approx: intentionally no oracle — sketch output (rows-only check)
+  )
+}

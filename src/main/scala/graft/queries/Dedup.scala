@@ -36,18 +36,28 @@ object Dedup {
   private val B = Seq(15485863L, 15485867L, 15485917L, 15485927L,
                       15485933L, 15485941L, 15485959L, 15485989L)
 
-  /** doc_id + word-3-gram shingle codes (one row per shingle position). */
+  /** doc_id + word-3-gram shingle codes (one row per shingle position).
+    *
+    * Shingling is a pure per-row map: build the 3-grams by indexing the
+    * words array (`transform` over positions), NOT with a lead() window —
+    * the window form shuffles + sorts every token by doc_id, which at
+    * 100 TB is a full-corpus shuffle for something each row can compute
+    * alone. This form is narrow (map-only) and codegen-friendly. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("wi")
+    val words = split(col("text"), " ")
     Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "wi", "w")
-      .withColumn("w2", lead("w", 1).over(w))
-      .withColumn("w3", lead("w", 2).over(w))
-      .filter(col("w3").isNotNull)
-      .select(col("doc_id"),
-        conv(substring(md5(concat_ws(" ", col("w"), col("w2"), col("w3"))),
-          1, 8), 16, 10).cast(LongType).as("code"))
+      // single-file fixture → one split; spread the md5 fan-out across
+      // cores (no-op at real scale where the scan has many splits)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - 3),
+        i => conv(substring(md5(concat_ws(" ",
+          element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2),
+          element_at(col("ws"), i + 3))), 1, 8), 16, 10).cast(LongType)
+      )).as("code"))
   }
 
   /** MinHash signature frame: doc_id, mh0..mh7. */
@@ -101,6 +111,7 @@ object Dedup {
     // engine-portable). Pure integer math end to end.
     "q_simhash" -> ((s, d) => {
       val words = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .withColumn("th", conv(substring(md5(col("w")), 1, 8), 16, 10)
           .cast(LongType))
@@ -120,14 +131,16 @@ object Dedup {
     // exact-similarity primitive (LSH above is its sublinear candidate
     // generator).
     "q_ngram_jaccard" -> ((s, d) => {
+      // bigrams via array indexing (map-only), same rationale as shingles()
       val docs = Tables.documents(s, d)
-      val w = Window.partitionBy("doc_id").orderBy("wi")
       val grams = docs
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .toDF("doc_id", "wi", "w")
-        .withColumn("nxt", lead("w", 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id"), concat(col("w"), lit(" "), col("nxt")).as("bg"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => concat(element_at(col("ws"), i + 1), lit(" "),
+            element_at(col("ws"), i + 2)))).as("bg"))
         .distinct()
       val na = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val ga = grams.toDF("da", "bg")

@@ -29,9 +29,16 @@ import graft.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** embedding as double array plus its L2 norm. */
+  /** embedding as double array plus its L2 norm.
+    *
+    * `repartition(defaultParallelism)`: the fixture is a single small
+    * parquet file → one input split → the quadratic pair-joins below would
+    * run on ONE core. At 100 TB the scan itself yields thousands of splits
+    * and this becomes a cheap no-op-ish round-robin; on a tiny input it is
+    * the difference between 1× and 32× parallelism for the O(n²) kernels. */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm",

@@ -72,6 +72,8 @@ object TextOps {
     // integer math; explode positions → map-side partial sum per doc)
     "q_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
+        // single-file fixture → one split; spread the per-char explode
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(sequence(lit(1), length(col("text")))).as("i"),
           col("text"))

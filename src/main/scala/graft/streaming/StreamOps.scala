@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import graft.jobs.Lifecycle
+
+/** Structured-Streaming operators (SURVEY.md §7 M4) — the live twins of the
+  * batch event ops, plus the reference's event-sourced job state machine as
+  * a streaming fold.
+  *
+  * Reference semantics being re-expressed:
+  *  - the gossipsub event feed (pkg/transport/libp2p/libp2p.go:219-289) is
+  *    "a stream of JobEvent" — here any streaming DataFrame with the events
+  *    schema (file source, rate source, or MemoryStream in tests);
+  *  - `GetStateFromEvent` + partial update (pkg/controller/
+  *    controller.go:351-385, pkg/executor/constants.go:211-251) becomes
+  *    `mapGroupsWithState` keyed by (jobId, nodeId) — empty status/resultsId
+  *    never overwrite, exactly the reference's fold;
+  *  - the "sensor push once per second, export hourly" narrative
+  *    (DESIGN.md:76-78) is the tumbling/sliding window aggregation with a
+  *    watermark bounding state.
+  *
+  * Scale notes: every transform here is keyed state — Spark shards state by
+  * the grouping key across executors, and the watermark bounds state size
+  * (windows older than watermark are evicted). No driver-side state.
+  */
+object StreamOps {
+
+  /** All transforms expect this event schema (the fixture `events` table's
+    * streaming shape): ts TIMESTAMP, user_id LONG, event_type STRING,
+    * value DOUBLE. */
+  val eventColumns: Seq[String] = Seq("ts", "user_id", "event_type", "value")
+
+  /** Streaming file source over a directory of parquet event files —
+    * the A15 "subscribe to the event feed" analog. New files are picked up
+    * incrementally; schema must be supplied (streaming reads don't infer). */
+  def fileEventSource(spark: SparkSession, dir: String,
+                      schemaSample: DataFrame): DataFrame =
+    spark.readStream.schema(schemaSample.schema).parquet(dir)
+
+  /** Tumbling (or sliding, when `slide` differs) windowed aggregation with
+    * a watermark: counts + value totals per (window, event_type). Late rows
+    * beyond the watermark are dropped; closed windows are emitted once in
+    * append mode. */
+  def windowedCounts(events: DataFrame,
+                     watermarkDelay: String = "10 minutes",
+                     windowDur: String = "5 minutes",
+                     slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(sl) => window(col("ts"), windowDur, sl)
+      case None     => window(col("ts"), windowDur)
+    }
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  /** Session windows: events within `gap` of each other merge into one
+    * session per user (the streaming twin of batch q_sessionize). */
+  def sessionCounts(events: DataFrame,
+                    gap: String = "30 minutes",
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n_events"), col("total"))
+
+  /** Event record for the streaming state machine (mirrors
+    * graft.jobs.JobEvent; a distinct case class so the streaming Encoder
+    * schema is explicit and minimal). */
+  final case class EventIn(
+      jobId: String,
+      nodeId: String,
+      eventName: String,
+      status: String = "",
+      resultsId: String = "",
+      eventTimeUs: Long = 0L)
+
+  /** Folded per-(job,node) state — the streaming JobNodeState. */
+  final case class NodeState(
+      jobId: String,
+      nodeId: String,
+      state: String,
+      status: String,
+      resultsId: String,
+      updatedUs: Long)
+
+  /** The reference's event→state fold as a streaming stateful operator:
+    * one state cell per (jobId, nodeId), updated per micro-batch, with the
+    * reference's partial-update rule (empty status/resultsId never
+    * overwrite — controller.go:368-379). Emits the new state of every key
+    * touched in the batch (OutputMode.Update). */
+  def jobStateMachine(events: Dataset[EventIn]): Dataset[NodeState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.jobId, e.nodeId))
+      .mapGroupsWithState[NodeState, NodeState](GroupStateTimeout.NoTimeout) {
+        case ((jid, nid), evs, state: GroupState[NodeState]) =>
+          var cur = state.getOption
+            .getOrElse(NodeState(jid, nid, "", "", "", 0L))
+          // within a batch, apply in event-time order (the reference's bus
+          // is at-least-once unordered; ordering by time makes the fold
+          // deterministic)
+          evs.toSeq.sortBy(e => (e.eventTimeUs, e.eventName)).foreach { e =>
+            Lifecycle.stateFromEvent(e.eventName).foreach { st =>
+              cur = cur.copy(
+                state = st,
+                status = if (e.status.nonEmpty) e.status else cur.status,
+                resultsId =
+                  if (e.resultsId.nonEmpty) e.resultsId else cur.resultsId,
+                updatedUs = math.max(cur.updatedUs, e.eventTimeUs))
+            }
+          }
+          state.update(cur)
+          cur
+      }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming specs: watermarked windows (late-data drop), session windows,
+  * and the mapGroupsWithState job state machine — the streaming re-statement
+  * of the reference's control-plane semantics (SURVEY §2.A A15/A16). */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed counts emit closed windows and drop late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = StreamOps.windowedCounts(events,
+        watermarkDelay = "10 minutes", windowDur = "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append")
+      .start()
+    try {
+      // batch 1: two events in the 10:00 window, one in 10:05
+      in.addData(
+        (ts("2024-01-01 10:00:30"), 1L, "view", 1.0),
+        (ts("2024-01-01 10:01:10"), 2L, "view", 2.0),
+        (ts("2024-01-01 10:06:00"), 1L, "click", 3.0))
+      q.processAllAvailable()
+      // nothing closed yet (watermark still behind)
+      assert(spark.table("wc").count() === 0)
+
+      // batch 2: jump to 11:00 → watermark 10:50 → both earlier windows close
+      in.addData((ts("2024-01-01 11:00:00"), 3L, "view", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("wc")
+        .select("w_start", "event_type", "n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(closed === Set(
+        (ts("2024-01-01 10:00:00"), "view", 2L),
+        (ts("2024-01-01 10:05:00"), "click", 1L)))
+
+      // batch 3: a late row at 10:02 (behind watermark) must be dropped
+      in.addData((ts("2024-01-01 10:02:00"), 9L, "view", 9.0))
+      // and advance far enough to close the 11:00 window too
+      in.addData((ts("2024-01-01 12:00:00"), 3L, "view", 5.0))
+      q.processAllAvailable()
+      val all = spark.table("wc").as[(Timestamp, Timestamp, String, Long, Double)]
+        .collect().map(r => (r._1, r._3, r._4)).toSet
+      // late 10:02 row appears nowhere; 11:00 window has exactly 1 event
+      assert(all.contains((ts("2024-01-01 11:00:00"), "view", 1L)))
+      assert(!all.exists { case (w, _, _) =>
+        w == ts("2024-01-01 10:00:00") && all.count(_._1 == w) > 1 })
+      assert(spark.table("wc").where(col("n") === 3).count() === 0)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = StreamOps.sessionCounts(events, gap = "30 minutes",
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append")
+      .start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 2h later
+      in.addData(
+        (ts("2024-01-01 09:00:00"), 1L, "view", 1.0),
+        (ts("2024-01-01 09:10:00"), 1L, "click", 1.0),
+        (ts("2024-01-01 11:00:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 13:00:00"), 2L, "view", 1.0)) // advance wm
+      q.processAllAvailable()
+      val sess = spark.table("sess")
+        .where(col("user_id") === 1)
+        .select("s_start", "n_events").as[(Timestamp, Long)].collect().toSet
+      assert(sess === Set(
+        (ts("2024-01-01 09:00:00"), 2L), // merged session, gap-extended
+        (ts("2024-01-01 11:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("job state machine folds events with partial-update semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{EventIn, NodeState}
+    val in = MemoryStream[EventIn]
+    val q = StreamOps.jobStateMachine(in.toDS())
+      .writeStream.format("memory").queryName("jsm").outputMode("update")
+      .start()
+    try {
+      in.addData(
+        EventIn("j1", "n1", "Bid", eventTimeUs = 1),
+        EventIn("j1", "n1", "BidAccepted", eventTimeUs = 2),
+        EventIn("j1", "n1", "Running", status = "50%", eventTimeUs = 3))
+      q.processAllAvailable()
+      // second batch: Completed with resultsId, then a Completed with empty
+      // resultsId — the empty one must NOT erase cid-1 (reference partial
+      // update, controller.go:368-379)
+      in.addData(
+        EventIn("j1", "n1", "Completed", resultsId = "cid-1", eventTimeUs = 4),
+        EventIn("j1", "n1", "Completed", eventTimeUs = 5),
+        EventIn("j1", "n2", "Bid", eventTimeUs = 4),
+        EventIn("j1", "n2", "BidCancelled", eventTimeUs = 5))
+      q.processAllAvailable()
+      val last = spark.table("jsm").as[NodeState].collect()
+        .groupBy(s => (s.jobId, s.nodeId))
+        .map { case (k, vs) => k -> vs.maxBy(_.updatedUs) }
+      assert(last(("j1", "n1")).state === "Complete")
+      assert(last(("j1", "n1")).resultsId === "cid-1")
+      assert(last(("j1", "n1")).status === "50%")
+      assert(last(("j1", "n2")).state === "Cancelled")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.jobs.PipeOps
+
+/** Multimodal plumbing specs (B8) + the pipe escape hatch (B10): the decode
+  * bodies are stubs, but the source schema, typed batch shape, frame
+  * chunking, and feature extraction are asserted for real. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("graft-mm").toString
+    // deterministic fake media: content bytes are a simple ramp
+    def write(name: String, n: Int): Unit = {
+      val bytes = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+      Files.write(Paths.get(s"$dir/$name"), bytes)
+    }
+    write("a.png", 10000) // -> stub dims from bytes 0,1 = (1, 2)
+    write("b.wav", 300)
+    write("c.mp4", 9000)
+    write("notes.txt", 100)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("binaryFile source exposes path/length/content; glob prunes listing") {
+    val all = Multimodal.readAssets(spark, dir)
+    assert(all.count() === 4)
+    assert(Set("path", "modificationTime", "length", "content")
+      .subsetOf(all.columns.toSet))
+    val images = Multimodal.readAssets(spark, dir, glob = "*.png")
+    assert(images.count() === 1)
+  }
+
+  test("metadata extraction: kind, size, stub dims, frame count") {
+    val meta = Multimodal.extractMeta(
+        Multimodal.readAssets(spark, dir), frameBytes = 4096)
+      .collect().map(m => m.path.split('/').last -> m).toMap
+    assert(meta("a.png").kind === "image")
+    assert(meta("b.wav").kind === "audio")
+    assert(meta("c.mp4").kind === "video")
+    assert(meta("notes.txt").kind === "binary")
+    assert(meta("a.png").n_bytes === 10000)
+    assert(meta("a.png").n_frames === 3) // ceil(10000/4096)
+    // stub dims from leading ramp bytes (0,1) -> (1,2)
+    assert(meta("a.png").width === 1 && meta("a.png").height === 2)
+  }
+
+  test("frame sampling chunks content deterministically") {
+    val assets = Multimodal.readAssets(spark, dir, glob = "c.mp4")
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 4096)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2))
+    assert(frames.map(_.n_bytes).toSeq === Seq(4096, 4096, 9000 - 2 * 4096))
+    // every-other-frame sampling
+    val sampled = Multimodal.sampleFrames(assets, frameBytes = 4096, every = 2)
+    assert(sampled.collect().map(_.frame_idx).sorted.toSeq === Seq(0, 2))
+    // checksums are content-derived and stable across runs
+    val again = Multimodal.sampleFrames(assets, frameBytes = 4096)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
+  }
+
+  test("byte features: histogram mass equals byte count") {
+    val feats = Multimodal.byteFeatures(
+        Multimodal.readAssets(spark, dir, glob = "b.wav"))
+      .collect().head
+    assert(feats.n_bytes === 300)
+    assert(feats.histogram.sum === 300)
+    assert(feats.histogram(0) === 2) // ramp mod 251: bytes 0 and 251
+    assert(feats.mean > 0)
+  }
+
+  test("resize stub strides bytes; output size scales by factor") {
+    val out = Multimodal.resizeStub(
+        Multimodal.readAssets(spark, dir, glob = "a.png"), factor = 4)
+      .collect().head
+    assert(out._2.length === 2500)
+    assert(out._2(1) === 4) // byte at original index 4 of the ramp
+  }
+
+  test("B10 pipe: partition-streamed external process matches native filter") {
+    import spark.implicits._
+    val lines = (1 to 100).map(i =>
+      if (i % 10 == 0) s"kiwi line $i" else s"other line $i")
+    val ds = spark.createDataset(lines).repartition(4)
+    val piped = PipeOps.pipe(ds, Seq("grep", "kiwi")).collect().sorted
+    val native = ds.filter(_.contains("kiwi")).collect().sorted
+    assert(piped.toSeq === native.toSeq && piped.length === 10)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.SparkEntry
+
+/** Physical-plan audits: correctness says WHAT the queries return; these
+  * specs pin HOW — the plan properties that decide whether the same code
+  * survives 100 TB (brief: ".explain the plan and iterate until it's the
+  * plan you'd want"). Each assertion is a regression tripwire: if a refactor
+  * un-broadcasts a dim join or breaks scan pruning, this fails before any
+  * benchmark notices.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("column pruning: projection reaches the parquet scan") {
+    val plan = planOf("q_scan_project")
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_extendedprice"))
+    // untouched wide columns must NOT be read
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"))
+  }
+
+  test("predicate pushdown: filters reach the scan as PushedFilters") {
+    val plan = planOf("q_filter_pred")
+    val pushed = plan.linesIterator
+      .find(_.trim.startsWith("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan(l_quantity,45.0)"), pushed)
+    assert(pushed.contains("EqualTo(l_returnflag,R)"), pushed)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side for dims)") {
+    for (q <- Seq("q_join_broadcast", "q_join_multi")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q should broadcast dims")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q must not sort-merge a dim join")
+    }
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("group-bys use partial (map-side) aggregation") {
+    val plan = planOf("q1_agg")
+    // two HashAggregate nodes: partial then final
+    assert(plan.contains("partial_sum"), "map-side partial aggregation")
+    // the agg pipeline stays inside whole-stage codegen spans
+    assert(plan.contains("codegen id"), "plan fell out of codegen")
+  }
+
+  test("semi/anti joins plan as real semi/anti, not row-count hacks") {
+    assert(planOf("q_semi_join").contains("LeftSemi"))
+    assert(planOf("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("LSH band join is an equi shuffle join, never a cartesian") {
+    val plan = planOf("q_lsh_pairs")
+    assert(!plan.contains("CartesianProduct"),
+      "band-bucket candidate join must stay an equi-join")
+  }
+
+  test("scalar subquery broadcast: threshold compare avoids shuffling facts") {
+    val plan = planOf("q_scalar_subquery")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+}

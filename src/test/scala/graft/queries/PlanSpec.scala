@@ -66,8 +66,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf("q1_agg")
     // two HashAggregate nodes: partial then final
     assert(plan.contains("partial_sum"), "map-side partial aggregation")
-    // the agg pipeline stays inside whole-stage codegen spans
-    assert(plan.contains("codegen id"), "plan fell out of codegen")
+    // codegen spans only materialize in the AQE-final executed plan
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("WholeStageCodegen"),
+      "agg pipeline fell out of whole-stage codegen")
   }
 
   test("semi/anti joins plan as real semi/anti, not row-count hacks") {

@@ -66,10 +66,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf("q1_agg")
     // two HashAggregate nodes: partial then final
     assert(plan.contains("partial_sum"), "map-side partial aggregation")
-    // codegen spans only materialize in the AQE-final executed plan
+    // codegen spans only materialize in the AQE-final executed plan:
+    // simpleString marks them with "*(n)" and formatted with "codegen id"
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect()
-    assert(df.queryExecution.executedPlan.toString.contains("WholeStageCodegen"),
+    val finalPlan = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(finalPlan.contains("codegen id"),
       "agg pipeline fell out of whole-stage codegen")
   }
 

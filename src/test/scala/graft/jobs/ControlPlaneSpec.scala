@@ -217,6 +217,35 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.validate().isLeft)
   }
 
+  // ---- apply -f spec-file front-end (A23 / §3.3)
+  test("JSON job-spec loader maps the reference file shape onto the ADT") {
+    val json =
+      """{"apiVersion": "v1alpha1", "engine_name": "docker",
+        |  "verifier_name": "ipfs",
+        |  "job_spec_docker": {"image": "ubuntu",
+        |    "entrypoint": ["grep", "kiwi", "/data/file.txt"], "env": []},
+        |  "resources": {"cpu": "500m", "memory": "1Gb", "disk": "", "gpu": ""},
+        |  "inputs": [{"engine_name": "ipfs", "name": "",
+        |    "cid": "/tmp/in", "path": "/data/file.txt"}],
+        |  "outputs": [{"engine_name": "ipfs", "name": "out", "cid": "",
+        |    "path": "/output"}],
+        |  "deal": {"concurrency": 2},
+        |  "annotations": null}""".stripMargin
+    val (spec, deal) = JobSpecLoader.fromJson(json).toOption.get
+    assert(spec.engine === "docker" && spec.verifier === "hash")
+    assert(spec.docker.get.entrypoint === Seq("grep", "kiwi", "/data/file.txt"))
+    assert(spec.resources.cpuCores === 0.5)
+    assert(spec.resources.memoryBytes === 1000000000L)
+    assert(spec.inputs.head.path === "/data/file.txt")
+    assert(deal.concurrency === 2)
+    // bad inputs surface as Left, not exceptions
+    assert(JobSpecLoader.fromJson("""{"engine_name": "wasm"}""").isLeft)
+    assert(JobSpecLoader.fromJson("not json").isLeft)
+    assert(JobSpecLoader.fromJson(
+      """{"engine_name": "docker", "job_spec_docker": {"image": "x"},
+        |"resources": {"cpu": "1", "memory": "9zz"}}""".stripMargin).isLeft)
+  }
+
   // ---- list/describe read path (A17/A18)
   test("list returns newest-first with limit; id prefix match works") {
     val runner = new Runner(spark)

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+
+/** Composed training-data pipeline ops — the end-to-end corpus-preparation
+  * story (builder brief: what a 100 TB pretraining pipeline runs daily),
+  * built purely by composing the primitive operators:
+  *
+  *  - q_corpus_pipeline: exact-dedup → language gate → quality gate →
+  *    token accounting, one declarative plan (Catalyst fuses the stages;
+  *    the dedup group-by is the only shuffle);
+  *  - q_hash_sample: deterministic content-hash sampling — the reproducible
+  *    alternative to rand()-sampling, which the determinism gate rejects;
+  *    every engine selects the identical subset;
+  *  - q_shuffle_order: deterministic "training shuffle" — a pseudo-random
+  *    but reproducible global ordering by content hash (at scale this is a
+  *    total-order sort, i.e. one range-partitioned shuffle; the per-shard
+  *    variant drops the global sort and orders within partitions).
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared doc-quality columns (identical formulas to TextOps so the
+    * pipeline is the composition of the primitive ops, not a re-derivation). */
+  private def withQuality(df: DataFrame): DataFrame = {
+    val nTokens = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
+    val stopCnt =
+      size(regexp_extract_all(col("text"), lit("\\b(the|a)\\b"), lit(0)))
+        .cast(LongType)
+    val nonAscii =
+      size(regexp_extract_all(col("text"), lit("[^\\x00-\\x7f]"), lit(0)))
+    val theCnt =
+      size(regexp_extract_all(col("text"), lit("\\bthe\\b"), lit(0)))
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("stop_ratio",
+        round(stopCnt.cast("double") / col("n_tokens"), 6))
+      .withColumn("quality",
+        round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")), 6))
+      .withColumn("pred_lang",
+        when(nonAscii > 0, "zh").when(theCnt >= 3, "en").otherwise("unknown"))
+  }
+
+  /** Deterministic per-row hash in [0, 100) from the doc id. */
+  private val pct =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast(LongType) % 100
+
+  val queries: Map[String, Q] = Map(
+    "q_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // stage 1: exact dedup — keep the lowest doc_id per content hash
+      // (shuffle carries the 32-byte digest, not the text)
+      val keep = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+      // stages 2-4: language gate, quality gate, token accounting
+      withQuality(deduped)
+        .filter(col("pred_lang") === "en" && col("quality") >= 2.5)
+        .select("doc_id", "n_tokens", "stop_ratio", "quality")
+        .orderBy("doc_id")
+    }),
+
+    "q_hash_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(pct < 10) // deterministic ~10% sample
+        .select(col("doc_id"), col("lang"), pct.as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    "q_shuffle_order" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("shuf"))
+        .orderBy("shuf")
+        .limit(100)
+    })
+  )
+
+  private val qualitySql =
+    """SELECT doc_id, text,
+      |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT)
+      |    AS stop_cnt,
+      |  len(regexp_extract_all(text, '[^\x00-\x7f]')) AS non_ascii,
+      |  len(regexp_extract_all(text, '\bthe\b')) AS the_cnt
+      |FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_corpus_pipeline" ->
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |q AS ($qualitySql),
+         |t AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |    round(ln(1.0 + n_tokens) *
+         |      (1.0 - round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6)), 6)
+         |      AS quality,
+         |    CASE WHEN non_ascii > 0 THEN 'zh'
+         |         WHEN the_cnt >= 3 THEN 'en' ELSE 'unknown' END AS pred_lang
+         |  FROM q WHERE doc_id IN (SELECT doc_id FROM keep))
+         |SELECT doc_id, n_tokens, stop_ratio, quality FROM t
+         |WHERE pred_lang = 'en' AND quality >= 2.5
+         |ORDER BY doc_id""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT doc_id, lang,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "q_shuffle_order" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuf
+        |FROM documents ORDER BY shuf LIMIT 100""".stripMargin
+  )
+}

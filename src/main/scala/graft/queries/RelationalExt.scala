@@ -200,6 +200,28 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // ---- range-frame window: trailing 1-hour sum per user (RANGE frame
+    // over the numeric µs timestamp; ties share a frame → deterministic)
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(s, d)
+        .withColumn("hr_sum", round(sum("value").over(w), 2))
+        .select("user_id", "event_id", "ts_us", "hr_sum")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- custom typed UDAF (Aggregator): geometric mean, verified against
+    // the built-in-expressible exp(avg(ln x)) oracle form
+    "q_udaf_geomean" -> ((s, d) => {
+      val geomean = udaf(graft.functions.GeoMean)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(geomean(col("l_quantity")), 6).as("gm_qty"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- HLL cardinality sketch (the 100 TB countDistinct path;
     // rows-only check — sketch estimates are engine-specific by design)
     "q_hll_approx" -> ((s, d) => {
@@ -301,6 +323,16 @@ object RelationalExt {
         |  UNION ALL
         |  SELECT s_nationkey AS nk, 'supp' AS src FROM supplier) t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hr_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_udaf_geomean" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_quantity))), 6) AS gm_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_binary_ops" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

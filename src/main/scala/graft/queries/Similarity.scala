@@ -36,21 +36,21 @@ object Similarity {
     * run on ONE core. At 100 TB the scan itself yields thousands of splits
     * and this becomes a cheap no-op-ish round-robin; on a tiny input it is
     * the difference between 1× and 32× parallelism for the O(n²) kernels. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
+  /** Native codegen'd dot product (graft.functions.DotProduct) — same
+    * ascending-index accumulation as the `aggregate(zip_with(...))` form it
+    * replaced, so results are bit-identical; just no per-row array
+    * allocation in the O(n²) kernels. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** LCG-derived hyperplane weight for plane k, dim i (engine-portable
-    * integer math; centered at 0: range [-32768, 32767]). */
-  private def lcgWeight(k: Column, i: Column): Column =
-    (lit(1103515245L) * (k * 64L + i) + 12345L) % 65536L - 32768L
+    call_function("dot_product", a, b)
 
   val queries: Map[String, Q] = Map(
     // ---- brute-force cosine top-5 for query vectors (vec_id % 40 == 0)
@@ -88,13 +88,14 @@ object Similarity {
     // 4 planes → 16 buckets; only same-bucket pairs are compared.
     "q_ann_lsh" -> ((s, d) => {
       val v = vecs(s, d)
-      // sign bit per plane: dot(v, w_k) >= 0, w_k from the integer LCG
+      // sign bit per plane: dot(v, w_k) >= 0; w_k precomputed driver-side
+      // from the integer LCG (same arithmetic as the oracle SQL) and shipped
+      // as a 64-double literal — the projection is then one native
+      // dot_product per plane instead of a per-element lambda chain
       val planeBits = (0 until 4).map { k =>
-        val dotK = aggregate(
-          zip_with(col("v"),
-            sequence(lit(0), lit(63)),
-            (x, i) => x * lcgWeight(lit(k.toLong), i.cast("long")).cast("double")),
-          lit(0.0), (acc, x) => acc + x)
+        val weights = (0 until 64).map(i =>
+          ((1103515245L * (k * 64L + i) + 12345L) % 65536L - 32768L).toDouble)
+        val dotK = dot(col("v"), typedlit(weights))
         when(dotK >= 0, lit(1L) * (1L << k)).otherwise(0L)
       }
       val bucketed = v.withColumn("bucket", planeBits.reduce(_ + _))

@@ -69,6 +69,23 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("s_start"),
         col("sw.end").as("s_end"), col("n_events"), col("total"))
 
+  /** Stream-stream interval join: attribute each click to views by the same
+    * user within the preceding `horizon`. Both sides carry watermarks so
+    * Spark bounds the join state (view rows age out once the click-side
+    * watermark passes view.ts + horizon — no unbounded buffering). */
+  def clickAttribution(views: DataFrame, clicks: DataFrame,
+                       watermarkDelay: String = "10 minutes",
+                       horizon: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermarkDelay).alias("v")
+    val c = clicks.withWatermark("ts", watermarkDelay).alias("c")
+    v.join(c,
+      expr(s"""v.user_id = c.user_id AND
+              |c.ts >= v.ts AND
+              |c.ts <= v.ts + INTERVAL $horizon""".stripMargin))
+      .select(col("v.user_id").as("user_id"),
+        col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
+  }
+
   /** Event record for the streaming state machine (mirrors
     * graft.jobs.JobEvent; a distinct case class so the streaming Encoder
     * schema is explicit and minimal). */

@@ -94,6 +94,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to in-horizon views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Timestamp, Long)]
+    val cIn = MemoryStream[(Timestamp, Long)]
+    val views = vIn.toDF().toDF("ts", "user_id")
+    val clicks = cIn.toDF().toDF("ts", "user_id")
+    val q = StreamOps.clickAttribution(views, clicks,
+        watermarkDelay = "5 minutes", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    try {
+      vIn.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:30:00"), 1L),
+        (ts("2024-01-01 10:00:00"), 2L))
+      cIn.addData(
+        (ts("2024-01-01 10:05:00"), 1L), // within 10 min of 10:00 view
+        (ts("2024-01-01 10:45:00"), 1L), // not within any horizon
+        (ts("2024-01-01 10:08:00"), 3L)) // no view for user 3
+      q.processAllAvailable()
+      vIn.addData((ts("2024-01-01 12:00:00"), 9L)) // advance watermarks
+      cIn.addData((ts("2024-01-01 12:00:00"), 9L))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select("user_id", "view_ts", "click_ts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(got.contains((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"))))
+      assert(!got.exists(_._1 == 3L))
+      assert(!got.exists(r => r._3 == ts("2024-01-01 10:45:00")))
+      // 12:00 self-match for user 9 is in-horizon (click at view ts): allowed
+      assert(got.size === 2)
+    } finally q.stop()
+  }
+
   test("job state machine folds events with partial-update semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -117,6 +117,43 @@ final class Runner(spark: SparkSession,
     (if (reverse) s.reverse else s).take(maxJobs)
   }
 
+  /** A21: context pinning — submit with an auxiliary payload directory.
+    * The reference tars the client's context, pins it to IPFS and
+    * auto-appends an input volume at `/job`
+    * (pkg/publicapi/server.go:348-388, requesternode.go:146-150); here the
+    * directory is copied into a content-addressed scratch (idempotent: the
+    * digest is the "CID", re-submitting identical context reuses the pin —
+    * same dedupe the IPFS pin gives the reference) and exposed as a `/job`
+    * input volume resolvable by SourceResolver. */
+  def submitWithContext(spec: JobSpec, contextDir: String,
+                        deal: JobDeal = JobDeal(1),
+                        scratchDir: String =
+                          sys.props("java.io.tmpdir") + "/graft-context")
+      : Either[String, Job] = {
+    val src = java.nio.file.Paths.get(contextDir)
+    if (!java.nio.file.Files.isDirectory(src))
+      Left(s"context '$contextDir' is not a directory")
+    else {
+      val cid = ResultPublisher.directoryId(contextDir)
+      val pinned = java.nio.file.Paths.get(scratchDir, cid)
+      if (!java.nio.file.Files.exists(pinned)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+          val t = pinned.resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else {
+            java.nio.file.Files.createDirectories(t.getParent)
+            java.nio.file.Files.copy(p, t)
+          }
+        }
+      }
+      submit(spec.copy(inputs = spec.inputs :+ StorageSpec(
+        engine = "file", name = "job-context", cid = pinned.toString,
+        path = "/job")), deal)
+    }
+  }
+
   /** A19: describe = job + events + folded states (reference:
     * cmd/bacalhau/describe.go:17-176). */
   def describe(jobId: String): Option[JobDescription] =

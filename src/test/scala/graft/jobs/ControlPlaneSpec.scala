@@ -217,6 +217,29 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.validate().isLeft)
   }
 
+  // ---- context pinning (A21): payload dir → content-addressed /job input
+  test("context pinning exposes the payload at /job, idempotently") {
+    val ctx = Files.createTempDirectory("graft-ctx")
+    Files.writeString(ctx.resolve("payload.txt"), "kiwi from context\n")
+    val runner = new Runner(spark)
+    val spec = JobSpec(engine = "docker",
+      docker = Some(JobSpecDocker(image = "ubuntu",
+        entrypoint = Seq("cat", "/job"))))
+    val j1 = runner.submitWithContext(spec, ctx.toString).toOption.get
+    val j2 = runner.submitWithContext(spec, ctx.toString).toOption.get
+    val vol1 = j1.spec.inputs.find(_.path == "/job").get
+    // identical context pins to the identical content address
+    assert(vol1.cid === j2.spec.inputs.find(_.path == "/job").get.cid)
+    val inputs = Map("/job" -> SourceResolver.resolve(spark, vol1))
+    val out = Files.createTempDirectory("graft-ctx-out").toString
+    val res = runner.run(j1, inputs, out).toOption.get
+    assert(res.verified)
+    val got = spark.read.parquet(s"$out/${j1.id}/r0")
+      .collect().map(_.getString(0))
+    assert(got.toSeq === Seq("kiwi from context"))
+    assert(runner.submitWithContext(spec, "/nonexistent-dir-x").isLeft)
+  }
+
   // ---- apply -f spec-file front-end (A23 / §3.3)
   test("JSON job-spec loader maps the reference file shape onto the ADT") {
     val json =

@@ -18,14 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RelationalExt.queries ++ EventOps.queries ++
+    Relational.queries ++ RelationalExt.queries ++
+      RelationalMore.queries ++ EventOps.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ RelationalExt.oracle ++ EventOps.oracle ++
+    Relational.oracle ++ RelationalExt.oracle ++
+      RelationalMore.oracle ++ EventOps.oracle ++
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Pipeline.oracle
 }

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second extension batch: remaining join shapes (full outer, cross),
+  * correlated subqueries (TPC-H Q17 flavor), a Q3-style
+  * join→agg→top-k composite, the long tail of window functions, and date
+  * arithmetic.
+  *
+  * Scale notes: q_tpch_q3 is the canonical "broadcast the selective dim,
+  * shuffle the two facts on the join key once, partial-agg before the
+  * final top-k" plan — the top-10 is a TakeOrderedAndProject, not a global
+  * sort. q_corr_subquery de-correlates to a per-key aggregate join (what
+  * Catalyst does to correlated scalar subqueries anyway, written
+  * explicitly so the join key and the single shuffle are visible).
+  */
+object RelationalMore {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- full outer join: nations vs supplier presence
+    "q_full_outer" -> ((s, d) => {
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+        // drop even nation keys so both sides have unmatched rows
+        .filter(col("s_nationkey") % 2 === 1)
+      n.filter(col("n_nationkey") % 3 =!= 0)
+        .join(sup, col("n_nationkey") === col("s_nationkey"), "full_outer")
+        .select(col("n_nationkey"), col("n_name"), col("s_nationkey"),
+          col("n_supp"))
+        .orderBy(col("n_nationkey").asc_nulls_first,
+          col("s_nationkey").asc_nulls_first)
+    }),
+
+    // ---- cross join (small × small; scale rule: only ever dim × dim)
+    "q_cross_join" -> ((s, d) => {
+      val r = Tables.region(s, d).select("r_name")
+      val m = Tables.customer(s, d).select("c_mktsegment").distinct()
+      r.crossJoin(m).orderBy("r_name", "c_mktsegment")
+    }),
+
+    // ---- correlated scalar subquery (TPC-H Q17 flavor): lineitems under
+    // 20% of their part's average quantity, written de-correlated
+    "q_corr_subquery" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(avgQ, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+             count(lit(1)).as("n"))
+    }),
+
+    // ---- TPC-H Q3 flavor: selective dim broadcast → fact⋈fact shuffle →
+    // partial agg → top-10 (TakeOrderedAndProject)
+    "q_tpch_q3" -> ((s, d) => {
+      val cutoff = lit("1997-06-30")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- window-function long tail: ntile / percent_rank / cume_dist /
+    // first / nth over one shared partitioning (single shuffle+sort)
+    "q_window_fns" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first("o_orderkey").over(wf).as("cheapest"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_cheapest"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- date arithmetic: diff / add / truncate
+    "q_date_arith" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 500)
+        .select(
+          col("o_orderkey"),
+          datediff(lit("1998-12-31"), col("o_orderdate")).as("age_days"),
+          date_add(col("o_orderdate"), 90).as("due"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_full_outer" ->
+      """SELECT n_nationkey, n_name, s_nationkey, n_supp
+        |FROM (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 3 <> 0) n
+        |FULL OUTER JOIN (
+        |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supp
+        |  FROM supplier GROUP BY 1 HAVING s_nationkey % 2 = 1) s
+        |ON n_nationkey = s_nationkey
+        |ORDER BY n_nationkey NULLS FIRST, s_nationkey NULLS FIRST""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r_name, c_mktsegment
+        |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) m
+        |ORDER BY r_name, c_mktsegment""".stripMargin,
+    "q_corr_subquery" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+        |                    WHERE l_partkey = l.l_partkey)""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_orderkey) OVER wf AS cheapest,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_cheapest
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC),
+        |       wf AS (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice ASC, o_orderkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |    AS INTEGER) AS age_days,
+        |  CAST(o_orderdate AS DATE) + 90 AS due,
+        |  date_trunc('month', o_orderdate) AS month_start
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
+  )
+}

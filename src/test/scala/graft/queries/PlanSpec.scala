@@ -87,6 +87,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "band-bucket candidate join must stay an equi-join")
   }
 
+  test("Q3 composite: selective dim broadcasts; top-10 is TakeOrdered") {
+    val plan = planOf("q_tpch_q3")
+    assert(plan.contains("BroadcastHashJoin"), "customer dim should broadcast")
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+  }
+
   test("scalar subquery broadcast: threshold compare avoids shuffling facts") {
     val plan = planOf("q_scalar_subquery")
     assert(plan.contains("BroadcastNestedLoopJoin") ||

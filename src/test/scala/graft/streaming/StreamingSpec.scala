@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -126,6 +127,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!got.exists(r => r._3 == ts("2024-01-01 10:45:00")))
       // 12:00 self-match for user 9 is in-horizon (click at view ts): allowed
       assert(got.size === 2)
+    } finally q.stop()
+  }
+
+  test("file event source: streaming windowed counts equal the batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    // stream the fixture events dir (ns-ts normalized like Tables.events)
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "user_id", "event_type", "value")
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val stream = StreamOps.fileEventSource(spark, srcDir, batch)
+    val q = StreamOps.windowedCounts(stream,
+        watermarkDelay = "0 seconds", windowDur = "1 hour")
+      .writeStream.format("memory").queryName("filewc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("filewc")
+        .select("w_start", "event_type", "n", "total")
+      val expected = batch
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("total"))
+      assert(streamed.count() > 0)
+      assert(streamed.except(expected).count() === 0)
+      assert(expected.except(streamed).count() === 0)
     } finally q.stop()
   }
 

@@ -1,0 +1,90 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Layout-aware sink specs: partition pruning at the scan, and
+  * shuffle-free joins between co-bucketed tables. */
+class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("graft-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("partitioned write → reads prune to matching partitions") {
+    val out = Files.createTempDirectory("graft-part").toString
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    SinkOps.writePartitioned(orders, out, Seq("o_orderstatus"))
+    val back = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val plan = back.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator
+      .find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderstatus"), s"no partition pruning: $pf")
+    // values survive the layout round-trip
+    assert(back.count() ===
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("co-bucketed tables join without a shuffle") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = graft.Tables.orders(s, "/root/testdata/sf0.001")
+      val customer = graft.Tables.customer(s, "/root/testdata/sf0.001")
+      SinkOps.writeBucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", "o_custkey", 8)
+      SinkOps.writeBucketed(customer, "b_customer", "c_custkey", 8)
+      val joined = s.table("b_orders")
+        .join(s.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      // same answer as the unbucketed join
+      assert(joined.count() ===
+        orders.join(customer, col("o_custkey") === col("c_custkey")).count())
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("GraftExtensions installs dot_product + determinism check rule") {
+    // a derived session picks extensions up only at builder time, so build
+    // a dedicated one (same JVM-wide SparkContext)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      // 1. dot_product resolves from SQL with no imperative registration
+      val r = ext.sql(
+        "SELECT dot_product(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d")
+        .collect().head.getDouble(0)
+      assert(r === 32.0)
+      // 2. determinism gate off by default, rejects when armed
+      assert(ext.sql("SELECT rand() AS x").collect().length === 1)
+      ext.conf.set("spark.graft.rejectNondeterministic", "true")
+      val err = intercept[Exception](ext.sql("SELECT rand() AS x").collect())
+      assert(err.getMessage.contains("nondeterministic"))
+      ext.conf.set("spark.graft.rejectNondeterministic", "false")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

@@ -72,6 +72,45 @@ object RelationalMore {
         .limit(10)
     }),
 
+    // ---- TPC-H Q5 flavor: 6-way join (two facts + four broadcast dims,
+    // incl. the c_nationkey = s_nationkey locality condition)
+    "q_tpch_q5" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                col("o_orderdate") < lit("1997-01-01"))
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // ---- TPC-H Q18 flavor: large orders via aggregated semi-filter
+    "q_tpch_q18" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
     // ---- window-function long tail: ntile / percent_rank / cume_dist /
     // first / nth over one shared partitioning (single shuffle+sort)
     "q_window_fns" -> ((s, d) => {
@@ -133,6 +172,29 @@ object RelationalMore {
         |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING round(sum(l_quantity), 2) > 250) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q_window_fns" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,

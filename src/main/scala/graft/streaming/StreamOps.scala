@@ -69,6 +69,18 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("s_start"),
         col("sw.end").as("s_end"), col("n_events"), col("total"))
 
+  /** Streaming exact dedup: drop events whose `keys` were already seen,
+    * with state bounded by the watermark (`dropDuplicatesWithinWatermark` —
+    * duplicates are only guaranteed-dropped while inside the watermark
+    * horizon, which is exactly the at-least-once-delivery dedup the
+    * reference's event bus needs: gossipsub redelivers within seconds, not
+    * days — pkg/transport/types.go at-least-once note). */
+  def dedupeEvents(events: DataFrame,
+                   keys: Seq[String],
+                   watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-stream interval join: attribute each click to views by the same
     * user within the preceding `horizon`. Both sides carry watermarks so
     * Spark bounds the join state (view rows age out once the click-side

@@ -95,6 +95,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = StreamOps.dedupeEvents(events, Seq("user_id", "event_type"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (ts("2024-01-01 10:00:00"), 1L, "view", 1.0), // same-batch dup
+        (ts("2024-01-01 10:01:00"), 2L, "view", 2.0))
+      q.processAllAvailable()
+      // cross-batch redelivery inside the watermark horizon
+      in.addData((ts("2024-01-01 10:02:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").select("user_id", "event_type")
+        .as[(Long, String)].collect().toSeq
+      assert(rows.sorted === Seq((1L, "view"), (2L, "view")))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks to in-horizon views") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

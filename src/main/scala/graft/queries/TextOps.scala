@@ -68,6 +68,25 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- TF-IDF: the canonical corpus-weighting op. Two aggregations
+    // (term-frequency per doc, document-frequency per term) + a broadcast
+    // of the tiny df side; idf = ln(N/df) in doubles, rounded.
+    "q_tfidf" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val n = Tables.documents(s, d).count() // driver-side scalar: corpus size
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = words.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "w")
+        .filter(col("doc_id") <= 50)
+        .select(col("doc_id"), col("w"), col("tf"),
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+            .as("tfidf"))
+        .orderBy("doc_id", "w")
+    }),
+
     // ---- document fingerprint: position-weighted rolling hash (pure
     // integer math; explode positions → map-side partial sum per doc)
     "q_fingerprint" -> ((s, d) => {
@@ -113,6 +132,20 @@ object TextOps {
         |       WHEN len(regexp_extract_all(text, '\bthe\b')) >= 3 THEN 'en'
         |       ELSE 'unknown' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM words GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, w FROM words) x GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT doc_id, tf.w AS w, tf,
+        |  round(tf * ln(n.n / df.df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+        |WHERE doc_id <= 50
+        |ORDER BY doc_id, w""".stripMargin,
     // NOTE: oracle uses an uncorrelated series (DuckDB 1.0 lacks lateral
     // column args) bounded at 4096 chars — fixture texts are < 600 chars.
     "q_fingerprint" ->

@@ -182,6 +182,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("checkpointed file sink restarts exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-ckpt").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val sample = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "user_id", "event_type", "value")
+    sample.limit(100).write.mode("overwrite").parquet(src)
+    def runOnce(): Unit = {
+      val q = StreamOps.fileEventSource(spark, src, sample)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === 100)
+    // restart with no new input: checkpoint prevents reprocessing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 100)
+    // new file appears → only the delta is appended
+    sample.limit(130).write.mode("overwrite").parquet(s"$base/tmp2")
+    Files.list(java.nio.file.Paths.get(s"$base/tmp2")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.copy(p, java.nio.file.Paths.get(src, "extra-" + p.getFileName))
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 230)
+  }
+
   test("job state machine folds events with partial-update semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,122 @@
+package graft.jobs
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants for the driver-side control plane (no Spark —
+  * these run hundreds of generated cases per property):
+  *
+  *  - resource-string parsing is total on its documented grammar and
+  *    monotone in the numeric part;
+  *  - the EventLog fold matches an independently-written reference fold for
+  *    arbitrary event sequences (partial-update rule included);
+  *  - JobSpecLoader never throws on arbitrary input — malformed specs are
+  *    Left, not exceptions.
+  */
+object GraftProps extends Properties("graft") {
+
+  // ---- Resources ----------------------------------------------------
+
+  private val unitGen = Gen.oneOf(
+    ("kb", 1000L), ("mb", 1000L * 1000), ("gb", 1000L * 1000 * 1000),
+    ("ki", 1024L), ("mi", 1024L * 1024), ("gi", 1024L * 1024 * 1024),
+    ("kib", 1024L), ("mib", 1024L * 1024), ("gib", 1024L * 1024 * 1024))
+
+  property("memory parsing = value × unit") =
+    forAll(Gen.chooseNum(1, 1000000), unitGen) { (n, u) =>
+      Resources.parseMemory(s"$n${u._1}") == n.toLong * u._2 &&
+      Resources.parseMemory(s"$n${u._1.toUpperCase}") == n.toLong * u._2
+    }
+
+  property("cpu millicores = cores/1000") =
+    forAll(Gen.chooseNum(1, 1000000)) { n =>
+      math.abs(Resources.parseCpu(s"${n}m") - n / 1000.0) < 1e-12
+    }
+
+  property("defaults only fill absent values") =
+    forAll(Gen.chooseNum(0.0, 64.0), Gen.chooseNum(0L, 1L << 40)) { (cpu, mem) =>
+      val r = Resources.withDefaults(ResourceUsage(cpu, mem))
+      (cpu <= 0 || r.cpuCores == cpu) && (mem <= 0 || r.memoryBytes == mem) &&
+      r.cpuCores > 0 && r.memoryBytes > 0
+    }
+
+  // ---- EventLog fold vs independent reference model -----------------
+
+  private val eventGen: Gen[JobEvent] = for {
+    job <- Gen.oneOf("j1", "j2")
+    node <- Gen.oneOf("n1", "n2", "n3")
+    name <- Gen.oneOf(
+      Lifecycle.EventType.Created, Lifecycle.EventType.Bid,
+      Lifecycle.EventType.BidAccepted, Lifecycle.EventType.BidRejected,
+      Lifecycle.EventType.BidCancelled, Lifecycle.EventType.Running,
+      Lifecycle.EventType.Completed, Lifecycle.EventType.Error)
+    status <- Gen.oneOf("", "s1", "s2")
+    results <- Gen.oneOf("", "cid-a", "cid-b")
+  } yield JobEvent(jobId = job, targetNodeId = node, eventName = name,
+    status = status, resultsId = results)
+
+  property("event fold matches reference model (partial updates kept)") =
+    forAll(Gen.listOfN(40, eventGen)) { evs =>
+      val log = new EventLog
+      evs.foreach(log.append)
+      // independent model: left fold keeping last non-empty status/results
+      val model = evs.foldLeft(Map.empty[(String, String), (String, String, String)]) {
+        case (m, e) =>
+          Lifecycle.stateFromEvent(e.eventName) match {
+            case None => m
+            case Some(st) =>
+              val k = (e.jobId, e.targetNodeId)
+              val (_, ps, pr) = m.getOrElse(k, ("", "", ""))
+              m.updated(k, (st,
+                if (e.status.nonEmpty) e.status else ps,
+                if (e.resultsId.nonEmpty) e.resultsId else pr))
+          }
+      }
+      val folded = log.states.map { case (k, v) =>
+        k -> (v.state, v.status, v.resultsId) }
+      Prop(folded == model) :| s"fold=$folded model=$model"
+    }
+
+  property("currentJobState picks max progress, never BidRejected") =
+    forAll(Gen.listOfN(25, eventGen)) { evs =>
+      val log = new EventLog
+      evs.foreach(log.append)
+      log.currentJobState("j1") match {
+        case None => Prop(log.states.keys.forall(_._1 != "j1") ||
+          log.states.collect { case ((j, _), s) if j == "j1" => s.state }
+            .forall(_ == Lifecycle.State.BidRejected))
+        case Some(s) =>
+          val candidates = log.states.values
+            .filter(x => x.jobId == "j1" && x.state != Lifecycle.State.BidRejected)
+          Prop(s.state != Lifecycle.State.BidRejected &&
+            candidates.forall(c =>
+              Lifecycle.progressRank(c.state) <= Lifecycle.progressRank(s.state)))
+      }
+    }
+
+  // ---- JobSpecLoader totality ---------------------------------------
+
+  property("loader never throws: junk input yields Left") =
+    forAll(Gen.asciiPrintableStr) { junk =>
+      JobSpecLoader.fromJson(junk).isLeft || JobSpecLoader.fromJson(junk).isRight
+    }
+
+  property("loader round-trips minimal docker specs") =
+    forAll(Gen.oneOf("docker", "language", "noop"),
+           Gen.chooseNum(1, 9)) { (engine, conc) =>
+      val payload = engine match {
+        case "docker" => """"job_spec_docker": {"image": "x",
+          "entrypoint": ["cat", "/f"]},"""
+        case "language" => """"job_spec_language": {"command": "SELECT 1"},"""
+        case _ => ""
+      }
+      val json =
+        s"""{"engine_name": "$engine", "verifier_name": "noop", $payload
+           |"deal": {"concurrency": $conc}}""".stripMargin
+      JobSpecLoader.fromJson(json) match {
+        case Right((spec, deal)) =>
+          Prop(spec.engine == engine && deal.concurrency == conc)
+        case Left(e) => Prop(false) :| s"unexpected Left($e)"
+      }
+    }
+}

@@ -129,6 +129,29 @@ object RelationalMore {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- unpivot (melt): the wide pivot shape back to long via stack()
+    "q_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+      wide.select(col("l_linestatus"),
+          expr("stack(3, 'A', A, 'N', N, 'R', R) AS (flag, qty)"))
+        .filter(col("qty").isNotNull)
+        .orderBy("l_linestatus", "flag")
+    }),
+
+    // ---- ordered string aggregation (listagg): deterministic via
+    // sort-before-join, the portable form of ORDER BY inside the agg
+    "q_string_agg" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+            .as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
+    }),
+
     // ---- date arithmetic: diff / add / truncate
     "q_date_arith" -> ((s, d) => {
       Tables.orders(s, d)
@@ -210,6 +233,15 @@ object RelationalMore {
         |              ROWS BETWEEN UNBOUNDED PRECEDING
         |                       AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_linestatus, l_returnflag AS flag,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_string_agg" ->
+      """SELECT s_nationkey,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')

@@ -87,6 +87,37 @@ object TextOps {
         .orderBy("doc_id", "w")
     }),
 
+    // ---- BM25: the standard retrieval scorer (Robertson/Spärck Jones,
+    // public formula; k1=1.2, b=0.75). Same two aggregations as TF-IDF plus
+    // a broadcast scalar (avg doc length); scored against a fixed query
+    // term set — the batch shape of a search index build.
+    "q_bm25" -> ((s, d) => {
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count().toDouble
+      val words = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val avgdl = dl.agg(avg("dl")).head().getDouble(0)
+      val queryTerms = Seq("join", "filter", "window")
+      val tf = words.filter(col("w").isin(queryTerms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = words.filter(col("w").isin(queryTerms: _*))
+        .select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val idf = log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      tf.join(broadcast(df), "w")
+        .join(dl, "doc_id")
+        .withColumn("score", round(idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)), 6))
+        .groupBy("doc_id")
+        .agg(round(sum("score"), 6).as("bm25"),
+             count(lit(1)).as("n_terms"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprint: position-weighted rolling hash (pure
     // integer math; explode positions → map-side partial sum per doc)
     "q_fingerprint" -> ((s, d) => {
@@ -132,6 +163,31 @@ object TextOps {
         |       WHEN len(regexp_extract_all(text, '\bthe\b')) >= 3 THEN 'en'
         |       ELSE 'unknown' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM words GROUP BY 1),
+        |stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM words WHERE w IN ('join', 'filter', 'window')
+        |       GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, w FROM words
+        |             WHERE w IN ('join', 'filter', 'window')) x GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * (1.2 + 1)) /
+        |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+        |      AS score
+        |  FROM tf JOIN df ON tf.w = df.w JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s CROSS JOIN n)
+        |SELECT doc_id, round(sum(score), 6) AS bm25,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -27,6 +27,9 @@ object OpCompiler {
 
   /** awk GPS-proximity program shape (test_scenarios.go:134-161):
     * {x=A-$3; y=B-$4; if(x^2+y^2<R^2) print $0} with -F, */
+  /** awk pure-projection program: `{print $3","$4}` and friends. */
+  private val AwkPrint = """\{\s*print\s+((?:\$\d+(?:\s*"[^"]*"\s*)?)+)\s*\}""".r
+
   private val AwkTheta =
     """\{?\s*x\s*=\s*(-?[\d.]+)\s*-\s*\$(\d+)\s*;\s*y\s*=\s*(-?[\d.]+)\s*-\s*\$(\d+)\s*;\s*if\s*\(\s*x\^2\s*\+\s*y\^2\s*<\s*(-?[\d.]+)\^2\s*\)\s*print.*\}?\s*""".r
 
@@ -67,11 +70,16 @@ object OpCompiler {
       case Seq("wc", "-l", path) =>
         vol(inputs, path).agg(count(lit(1)).as("n"))
 
-      // B3: grep [-E] PATTERN FILE over text lines
+      // B3: grep [-E|-v|-c] PATTERN FILE over text lines
       case Seq("grep", pat, path) =>
         vol(inputs, path).filter(col("value").contains(pat))
       case Seq("grep", "-E", pat, path) =>
         vol(inputs, path).filter(col("value").rlike(pat))
+      case Seq("grep", "-v", pat, path) =>
+        vol(inputs, path).filter(!col("value").contains(pat))
+      case Seq("grep", "-c", pat, path) =>
+        vol(inputs, path).filter(col("value").contains(pat))
+          .agg(count(lit(1)).as("n"))
 
       // B4: sed -n '/RE/p' FILE — print matching lines. sed BRE regexes in
       // the reference corpus use only literals, '.', bracket ranges — all
@@ -79,6 +87,32 @@ object OpCompiler {
       case Seq("sed", "-n", prog, path) if prog.startsWith("/") && prog.endsWith("/p") =>
         val re = prog.stripPrefix("/").stripSuffix("/p")
         vol(inputs, path).filter(col("value").rlike(re))
+
+      // sed 's/RE/REPL/[g]' FILE — substitution (the reference example
+      // family's namesake, examples/gps-substitution). Without /g sed
+      // replaces only the first match; regexp_replace replaces all, so the
+      // first-match form anchors via a capturing rewrite.
+      case Seq("sed", prog, path) if prog.startsWith("s/") =>
+        prog.stripPrefix("s/").split('/') match {
+          case Array(re, repl, "g") =>
+            vol(inputs, path)
+              .select(regexp_replace(col("value"), re, repl).as("value"))
+          case Array(re, repl) =>
+            // first occurrence only: capture prefix up to first match
+            vol(inputs, path).select(
+              regexp_replace(col("value"), s"^((?s).*?)($re)",
+                "$1" + repl.replace("$", "\\$")).as("value"))
+          case other =>
+            throw CompileError(s"unsupported sed program: $prog")
+        }
+
+      // awk -F, '{print $i","$j…}' FILE — column projection
+      case Seq("awk", "-F,", AwkPrint(body), path) =>
+        val df = vol(inputs, path)
+        val cols = "\\$(\\d+)".r.findAllMatchIn(body)
+          .map(m => df.columns(m.group(1).toInt - 1)).toSeq
+        if (cols.isEmpty) throw CompileError(s"awk print with no columns")
+        df.select(cols.map(col): _*)
 
       // B5: awk -F, 'GPS theta program' FILE
       case Seq("awk", "-F,", prog, path) =>

@@ -102,6 +102,39 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect()(0).getLong(0) === 9)
   }
 
+  test("grep -v / grep -c variants") {
+    val vNeg = OpCompiler.compileEntrypoint(spark,
+      Seq("grep", "-v", "kiwi", "/data/file.txt"), textVol(s"$dir/grep_file.txt"))
+    assert(vNeg.count() === 7)
+    val cnt = OpCompiler.compileEntrypoint(spark,
+      Seq("grep", "-c", "kiwi", "/data/file.txt"), textVol(s"$dir/grep_file.txt"))
+    assert(cnt.collect()(0).getLong(0) === 2)
+  }
+
+  test("sed substitution: global and first-match forms") {
+    val g = OpCompiler.compileEntrypoint(spark,
+      Seq("sed", "s/kiwi/mango/g", "/data/file.txt"),
+      textVol(s"$dir/grep_file.txt"))
+    val gLines = g.collect().map(_.getString(0))
+    // 1 pre-existing mango line + 2 substituted kiwi lines
+    assert(gLines.count(_.contains("mango")) === 3 &&
+      !gLines.exists(_.contains("kiwi")))
+    // first-match form replaces only the first occurrence per line
+    import spark.implicits._
+    val two = Map("/d" -> Seq("kiwi kiwi").toDF("value"))
+    val f = OpCompiler.compileEntrypoint(spark,
+      Seq("sed", "s/kiwi/mango/", "/d"), two)
+    assert(f.collect()(0).getString(0) === "mango kiwi")
+  }
+
+  test("awk column projection: print $3\",\"$4") {
+    val df = OpCompiler.compileEntrypoint(spark,
+      Seq("awk", "-F,", """{print $3","$4}""", "/data/file.csv"),
+      csvVol(s"$dir/sensor.csv"))
+    assert(df.columns.toSeq === Seq("lat", "long"))
+    assert(df.count() === 40)
+  }
+
   test("unsupported entrypoint is rejected, not executed") {
     intercept[OpCompiler.CompileError] {
       OpCompiler.compileEntrypoint(spark, Seq("rm", "-rf", "/"), Map.empty)

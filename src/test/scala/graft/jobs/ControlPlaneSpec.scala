@@ -302,6 +302,50 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
         |"resources": {"cpu": "1", "memory": "9zz"}}""".stripMargin).isLeft)
   }
 
+  // ---- YAML spec files (the reference's primary apply format)
+  test("YAML job-spec loader parses the reference file shape") {
+    val yaml =
+      """apiVersion: v1alpha1
+        |engine_name: docker
+        |verifier_name: ipfs
+        |job_spec_docker:
+        |  image: gromacs/gromacs
+        |  entrypoint:
+        |    - /bin/bash
+        |    - -c
+        |    - echo 15 | gmx pdb2gmx -f input/1AKI.pdb -o out.gro -water spc
+        |  env: []
+        |resources:
+        |  cpu: '500m'
+        |  gpu: ''
+        |  memory: '2Gi'
+        |  disk: ''
+        |inputs:
+        |  - engine_name: ipfs
+        |    name: ''
+        |    cid: QmeeEB1YMrG6K8z43VdsdoYmQV46gAPQCHotZs9pwusCm9
+        |    path: /input
+        |outputs:
+        |  - engine_name: ipfs
+        |    name: output
+        |    cid: ''
+        |    path: /output
+        |deal:
+        |  concurrency: 3
+        |annotations: null""".stripMargin
+    val (spec, deal) = JobSpecLoader.fromYaml(yaml).toOption.get
+    assert(spec.engine === "docker" && spec.verifier === "hash")
+    assert(spec.docker.get.image === "gromacs/gromacs")
+    assert(spec.docker.get.entrypoint.length === 3)
+    assert(spec.docker.get.entrypoint(2).startsWith("echo 15 | gmx"))
+    assert(spec.resources.cpuCores === 0.5)
+    assert(spec.resources.memoryBytes === 2147483648L)
+    assert(spec.inputs.head.cid.startsWith("Qmee"))
+    assert(spec.outputs.head.name === "output")
+    assert(deal.concurrency === 3)
+    assert(JobSpecLoader.fromYaml("::: not yaml").isLeft)
+  }
+
   // ---- list/describe read path (A17/A18)
   test("list returns newest-first with limit; id prefix match works") {
     val runner = new Runner(spark)

@@ -112,6 +112,17 @@ object Similarity {
         .orderBy("va", "vb")
     }),
 
+    // ---- trained IVF: deterministic k-means (operators.KMeans) centroids
+    // as the partition key — the real index-build path. No SQL oracle
+    // (iterative fit); rows-only check + KMeansSpec cover it.
+    "q_kmeans_assign" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      graft.operators.KMeans.fit(v, k = 8, iters = 2)._2
+        .orderBy("id")
+    }),
+
     // ---- IVF-style coarse quantization: per-label centroids, assign each
     // vector to nearest centroid by L2²  (rounded; ties → lowest label)
     "q_ivf_assign" -> ((s, d) => {

@@ -98,6 +98,46 @@ object StreamOps {
         col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
   }
 
+  /** Idempotent keyed upsert sink via foreachBatch — the merge-into shape
+    * without a lakehouse format: each micro-batch's rows win over stored
+    * rows with the same key (latest batch wins; within a batch, max ts
+    * wins). Restart-safe: replaying a batch converges to the same table.
+    * The store is a parquet dir rewritten per batch — at real scale this
+    * body swaps for a format with row-level merge; the streaming side
+    * (foreachBatch + dedup-within-batch) is unchanged. */
+  def upsertSink(updates: DataFrame, path: String, keys: Seq[String],
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val keyCols = keys.map(col)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols: _*)
+          .orderBy(col("ts").desc)
+        val latest = batch
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val merged =
+          if (new java.io.File(path).exists()) {
+            val existing = spark.read.parquet(path)
+            existing.join(latest, keys, "left_anti").unionByName(latest)
+          } else latest
+        // rewrite atomically-enough for a local store: stage then move
+        val staged = path + ".staging"
+        merged.write.mode("overwrite").parquet(staged)
+        val target = new java.io.File(path)
+        if (target.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(target)
+        }
+        new java.io.File(staged).renameTo(target)
+        ()
+      }
+      .start()
+
   /** Event record for the streaming state machine (mirrors
     * graft.jobs.JobEvent; a distinct case class so the streaming Encoder
     * schema is explicit and minimal). */

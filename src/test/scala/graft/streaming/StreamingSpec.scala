@@ -182,6 +182,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink: latest value per key wins across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-upsert").toString
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = StreamOps.upsertSink(events, s"$base/store",
+      keys = Seq("user_id"), checkpoint = s"$base/ckpt")
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (ts("2024-01-01 10:05:00"), 1L, "click", 2.0), // same key, later ts
+        (ts("2024-01-01 10:00:00"), 2L, "view", 3.0))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(s"$base/store")
+        .select("user_id", "event_type").as[(Long, String)].collect().toMap
+      assert(s1 === Map(1L -> "click", 2L -> "view"))
+      // second batch updates key 1, inserts key 3
+      in.addData(
+        (ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0),
+        (ts("2024-01-01 11:00:00"), 3L, "signup", 1.0))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(s"$base/store")
+        .select("user_id", "event_type").as[(Long, String)].collect().toMap
+      assert(s2 === Map(1L -> "purchase", 2L -> "view", 3L -> "signup"))
+    } finally q.stop()
+  }
+
   test("checkpointed file sink restarts exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft-ckpt").toString

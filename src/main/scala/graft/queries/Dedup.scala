@@ -142,6 +142,7 @@ object Dedup {
           i => concat(element_at(col("ws"), i + 1), lit(" "),
             element_at(col("ws"), i + 2)))).as("bg"))
         .distinct()
+        .cache() // reused by na, ga and gb — avoids 3× recompute
       val na = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val ga = grams.toDF("da", "bg")
       val gb = grams.toDF("db", "bg")

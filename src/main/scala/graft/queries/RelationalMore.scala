@@ -152,6 +152,32 @@ object RelationalMore {
         .orderBy("s_nationkey")
     }),
 
+    // ---- bag-semantics set ops (duplicate-preserving)
+    "q_intersect_all" -> ((s, d) => {
+      val a = Tables.lineitem(s, d).select(col("l_quantity").cast("int").as("q"))
+      val b = Tables.orders(s, d)
+        .select((col("o_orderkey") % 50).cast("int").as("q"))
+      a.intersectAll(b).groupBy("q").agg(count(lit(1)).as("n")).orderBy("q")
+    }),
+    "q_except_all" -> ((s, d) => {
+      val a = Tables.lineitem(s, d).filter(col("l_orderkey") <= 200)
+        .select(col("l_quantity").cast("int").as("q"))
+      val b = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") > 100 && col("l_orderkey") <= 200)
+        .select(col("l_quantity").cast("int").as("q"))
+      a.exceptAll(b).groupBy("q").agg(count(lit(1)).as("n")).orderBy("q")
+    }),
+
+    // ---- regexp_replace as a query op (the sed s///g analog over a column)
+    "q_regex_replace" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(regexp_replace(col("text"), "(the|a) ", "")).as("n_stripped"),
+          substring(regexp_replace(col("text"), "[aeiou]", "_"), 1, 40)
+            .as("devoweled"))
+        .orderBy("doc_id")
+    }),
+
     // ---- date arithmetic: diff / add / truncate
     "q_date_arith" -> ((s, d) => {
       Tables.orders(s, d)
@@ -242,6 +268,27 @@ object RelationalMore {
         |  string_agg(s_name, ',' ORDER BY s_name) AS names,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT q, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CAST(l_quantity AS INTEGER) AS q FROM lineitem
+        |  INTERSECT ALL
+        |  SELECT CAST(o_orderkey % 50 AS INTEGER) AS q FROM orders) t
+        |GROUP BY q ORDER BY q""".stripMargin,
+    "q_except_all" ->
+      """SELECT q, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CAST(l_quantity AS INTEGER) AS q FROM lineitem
+        |  WHERE l_orderkey <= 200
+        |  EXCEPT ALL
+        |  SELECT CAST(l_quantity AS INTEGER) AS q FROM lineitem
+        |  WHERE l_orderkey > 100 AND l_orderkey <= 200) t
+        |GROUP BY q ORDER BY q""".stripMargin,
+    "q_regex_replace" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '(the|a) ', '', 'g')) AS INTEGER)
+        |    AS n_stripped,
+        |  substring(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40)
+        |    AS devoweled
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')

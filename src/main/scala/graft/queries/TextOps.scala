@@ -75,6 +75,7 @@ object TextOps {
       val words = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .cache() // feeds tf and df
       val n = Tables.documents(s, d).count() // driver-side scalar: corpus size
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = words.select("doc_id", "w").distinct()
@@ -99,6 +100,7 @@ object TextOps {
       val words = docs
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .cache() // feeds dl, tf and df
       val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val avgdl = dl.agg(avg("dl")).head().getDouble(0)
       val queryTerms = Seq("join", "filter", "window")

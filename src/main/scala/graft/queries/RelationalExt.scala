@@ -222,6 +222,21 @@ object RelationalExt {
         .orderBy("l_returnflag")
     }),
 
+    // ---- approx percentile sketch (the 100 TB quantile path; rows-only
+    // like q_hll_approx — sketch estimates are engine-specific)
+    "q_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("pcts"),
+          count(lit(1)).as("n"))
+        // scalar columns only: comparators hash row values
+        .select(col("l_returnflag"),
+          element_at(col("pcts"), 1).as("p50"),
+          element_at(col("pcts"), 2).as("p95"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- HLL cardinality sketch (the 100 TB countDistinct path;
     // rows-only check — sketch estimates are engine-specific by design)
     "q_hll_approx" -> ((s, d) => {

@@ -1,4 +1,6 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): run every SparkEntry query at the
@@ -6,8 +8,23 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries materialize through the `noop` sink — unlike `count()`, which
   * would let Catalyst prune projections and skip the work a real consumer
-  * pays for (a scan-project benchmarked as count(*) is a lie). */
+  * pays for (a scan-project benchmarked as count(*) is a lie).
+  *
+  * Besides per-query seconds (min of two runs), the JSON carries
+  * `shuffle_mb` per query (total shuffle write of the second run) — the
+  * number that predicts 100 TB behavior better than wall-clock at sf0.1:
+  * a query whose time is fine but whose shuffle volume is a large multiple
+  * of its input is the one that falls over at scale. */
 object Bench {
+
+  private final class ShuffleMeter extends SparkListener {
+    val written = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,6 +34,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     // warmup: touch every table + exercise codegen/shuffle machinery once,
     // so the first timed query doesn't absorb JVM/JIT/scan-cache startup
     Tables.all.foreach { t =>
@@ -29,19 +48,27 @@ object Bench {
     // min of two timed runs per query: absorbs one-off JIT/GC noise while
     // keeping the total bench budget bounded
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var shuffleBytes = 0L
       val times = (1 to 2).map { _ =>
+        val before = meter.written.get()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(150) // listener events are async; let the bus drain
+        shuffleBytes = meter.written.get() - before
+        dt
       }
       spark.catalog.clearCache() // per-query caches don't leak across queries
-      name -> times.min
+      name -> (times.min, shuffleBytes)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(pairs: Iterable[(String, Double)]): String =
+      pairs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = fmt(results.map { case (k, (t, _)) => k -> t })
+    val sh = fmt(results.map { case (k, (_, b)) =>
+      k -> math.round(b / 1048.576) / 1000.0 }) // MB, 3 dp
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

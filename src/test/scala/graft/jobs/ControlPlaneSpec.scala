@@ -225,6 +225,27 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(Paths.get(s"$out/${job.id}/r0/_manifest.json")))
   }
 
+  // ---- replication over a real SQL job (language engine E2E: fixture
+  // parquet in, 3 replicas, content ids must agree)
+  test("replicated SQL job over parquet verifies across 3 replicas") {
+    val runner = new Runner(spark)
+    val spec = JobSpec(engine = "language", verifier = "hash",
+      language = Some(JobSpecLanguage(command =
+        """SELECT l_returnflag, round(sum(l_quantity), 2) AS qty
+          |FROM lineitem GROUP BY 1""".stripMargin.replace('\n', ' '),
+        deterministic = true)),
+      inputs = Seq(StorageSpec(engine = "file", name = "li",
+        path = "/root/testdata/sf0.001/lineitem.parquet")))
+    val job = runner.submit(spec, JobDeal(concurrency = 3)).toOption.get
+    val inputs = Map("lineitem" ->
+      SourceResolver.resolve(spark, spec.inputs.head))
+    val out = Files.createTempDirectory("graft-repl").toString
+    val res = runner.run(job, inputs, out).toOption.get
+    assert(res.cids.size === 3 && res.cids.distinct.size === 1)
+    assert(res.verified)
+    assert(spark.read.parquet(s"$out/${job.id}/r2").count() === 3)
+  }
+
   // ---- content id is row-order independent (canonicalization)
   test("content id is stable under row reordering") {
     import spark.implicits._

@@ -41,6 +41,11 @@ object KMeans {
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
 
+    if (centroids.isEmpty) // empty input: nothing to fit, empty assignment
+      return (Model(Array.empty),
+        vecs.select(col("id"), lit(0).cast("int").as("cluster"),
+          lit(0.0).as("d2")))
+
     def assignExpr(cs: Array[Array[Double]]): Column = {
       val scored = cs.zipWithIndex.map { case (c, j) =>
         val c2 = c.map(x => x * x).sum

@@ -102,7 +102,9 @@ object TextOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .cache() // feeds dl, tf and df
       val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val avgdl = dl.agg(avg("dl")).head().getDouble(0)
+      // null on an empty corpus (result is empty anyway; avoid the NPE)
+      val avgdl = Option(dl.agg(avg("dl")).head().get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(1.0)
       val queryTerms = Seq("join", "filter", "window")
       val tf = words.filter(col("w").isin(queryTerms: _*))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))

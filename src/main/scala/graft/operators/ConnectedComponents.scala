@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by label propagation — the iterative-graph operator
+  * class (dedup's final step: near-dup *pairs* → canonical *groups*, keep
+  * one representative per component).
+  *
+  * Algorithm (large-star/small-star simplified to min-label propagation):
+  * every node starts labeled with itself; each round, a node takes the
+  * minimum label among itself and its neighbors; stop when no label
+  * changes. Deterministic — no RNG, min is order-independent.
+  *
+  * Scale shape: per round, one shuffle (join edges⋈labels on the node key)
+  * + one aggregation (min per node). Round count is the graph diameter in
+  * the worst case; near-dup graphs are dense small clusters, so a handful
+  * of rounds converge. For planet-scale graphs the alternating-star
+  * optimization halves rounds; the round structure below is unchanged.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with two long columns `src`, `dst` (undirected;
+    *              each pair listed once is enough)
+    * @param maxIters hard stop (safety; convergence usually comes first)
+    * @return DataFrame(node, component) — component = min node id reachable */
+  def run(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // candidate label per node: min of own and neighbors' labels
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("component"))
+      val next = labels.select("node", "component")
+        .union(viaNeighbors)
+        .groupBy("node")
+        .agg(min("component").as("component"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -68,6 +68,29 @@ object Dedup {
     shingles(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** LSH candidate pairs with ≥2 matching minhashes (shared by
+    * q_lsh_pairs and q_dedup_groups): da, db, n_match. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d).cache()
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
+    )).as("bs")).select(col("doc_id"), col("bs.band"), col("bs.h1"), col("bs.h2"))
+    val l = bands.toDF("da", "band", "h1", "h2")
+    val r = bands.toDF("db", "band", "h1", "h2")
+    val cand = l.join(r, Seq("band", "h1", "h2"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val sa = sig.toDF((Seq("da") ++ A.indices.map(j => s"a$j")): _*)
+    val sb = sig.toDF((Seq("db") ++ A.indices.map(j => s"b$j")): _*)
+    val nMatch = A.indices
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"), nMatch.as("n_match"))
+      .filter(col("n_match") >= 2)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: group identical content, keep lowest doc_id.
     // At scale the group key is the md5 digest (32 bytes), not the text.
@@ -85,26 +108,18 @@ object Dedup {
     // ---- LSH near-dup candidates: 4 bands × 2 rows; pairs sharing a band
     // bucket, scored by #matching minhashes of 8. The band join is the
     // scale path: shuffle on (band, h1, h2), never all-pairs.
-    "q_lsh_pairs" -> ((s, d) => {
-      val sig = minhashSig(s, d).cache()
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
-      )).as("bs")).select(col("doc_id"), col("bs.band"), col("bs.h1"), col("bs.h2"))
-      val l = bands.toDF("da", "band", "h1", "h2")
-      val r = bands.toDF("db", "band", "h1", "h2")
-      val cand = l.join(r, Seq("band", "h1", "h2"))
-        .filter(col("da") < col("db"))
-        .select("da", "db").distinct()
-      val sa = sig.toDF((Seq("da") ++ A.indices.map(j => s"a$j")): _*)
-      val sb = sig.toDF((Seq("db") ++ A.indices.map(j => s"b$j")): _*)
-      val nMatch = A.indices
-        .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      cand.join(sa, "da").join(sb, "db")
-        .select(col("da"), col("db"), nMatch.as("n_match"))
-        .filter(col("n_match") >= 2)
-        .orderBy("da", "db")
+    "q_lsh_pairs" -> ((s, d) => lshPairs(s, d).orderBy("da", "db")),
+
+    // ---- near-dup GROUPS: connected components over the LSH pair graph
+    // (operators.ConnectedComponents min-label propagation) — pairs →
+    // canonical group per doc, the final dedup step. Oracle: recursive CTE
+    // transitive closure.
+    "q_dedup_groups" -> ((s, d) => {
+      val edges = lshPairs(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      graft.operators.ConnectedComponents.run(edges)
+        .select(col("node").as("doc_id"), col("component").as("group_id"))
+        .orderBy("doc_id")
     }),
 
     // ---- SimHash: 32-bit fingerprint over word-token hashes (md5-derived,
@@ -207,6 +222,34 @@ object Dedup {
          |FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
          |WHERE $nMatch >= 2
          |ORDER BY da, db""".stripMargin
+    },
+    "q_dedup_groups" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
+      }.mkString(" UNION ALL ")
+      val nMatch = A.indices
+        .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $sigSql,
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT da, db
+         |  FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+         |  WHERE $nMatch >= 2),
+         |edges AS (SELECT da AS u, db AS v FROM pairs
+         |          UNION SELECT db, da FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS d FROM edges),
+         |reach(s, t) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.t)
+         |SELECT s AS doc_id, min(t) AS group_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q_simhash" ->
       """WITH words AS (

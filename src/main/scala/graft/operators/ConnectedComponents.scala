@@ -25,13 +25,18 @@ object ConnectedComponents {
     * @param maxIters hard stop (safety; convergence usually comes first)
     * @return DataFrame(node, component) — component = min node id reachable */
   def run(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (NOT cache): iterative plans reference the previous
+    // round's frame multiple times, so without lineage TRUNCATION the
+    // logical plan doubles every round and Catalyst analysis time explodes
+    // exponentially — the classic iterative-DataFrame pitfall. Checkpointing
+    // materializes each round and restarts the plan from the stored blocks.
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("component", col("node"))
-      .cache()
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -39,18 +44,26 @@ object ConnectedComponents {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("component"))
-      val next = labels.select("node", "component")
+      val propagated = labels.select("node", "component")
         .union(viaNeighbors)
         .groupBy("node")
         .agg(min("component").as("component"))
-        .cache()
+      // pointer jump: component ← component's own component. Min-label
+      // alone needs diameter-many rounds (a 40-long dup chain = 40 rounds);
+      // jumping halves remaining depth each round → O(log diameter).
+      val parents = propagated
+        .select(col("node").as("p_node"), col("component").as("p_comp"))
+      val next = propagated
+        .join(parents, propagated("component") === parents("p_node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("p_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"), "node")
         .filter(col("component") < col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    sym.unpersist()
     labels
   }
 }

@@ -73,6 +73,29 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // salted two-phase aggregation (operators.Skew): hot-key mitigation
+    // whose oracle is the PLAIN group-by — identical results is the claim
+    "q_salted_agg" -> ((s, d) => {
+      graft.operators.Skew
+        .saltedAgg(Tables.events(s, d).select("user_id", "value"),
+          Seq("user_id"), "value", salts = 16)
+        .select(col("user_id"), round(col("sum_value"), 2).as("total"),
+          col("n"))
+        .orderBy("user_id")
+    }),
+
+    // stratified sample: per-language quotas via the deterministic hash
+    // (lang 'en' keeps 20%, others 5%) — reproducible downsampling with
+    // class balance control
+    "q_stratified_sample" -> ((s, d) => {
+      val quota = when(col("lang") === "en", 20).otherwise(5)
+      Tables.documents(s, d)
+        .filter(pct < quota)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     "q_shuffle_order" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("shuf"))
@@ -116,6 +139,16 @@ object Pipeline {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |    AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT user_id, round(sum(value), 2) AS total,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_shuffle_order" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuf
         |FROM documents ORDER BY shuf LIMIT 100""".stripMargin

@@ -63,7 +63,7 @@ object ResultPublisher {
   def contentId(df: DataFrame): String = {
     import org.apache.spark.sql.functions._
     val hashed = df
-      .select(sha2(to_json(struct(df.columns.map(col): _*)), 256).as("h"))
+      .select(sha2(to_json(struct(df.columns.toIndexedSeq.map(col): _*)), 256).as("h"))
     // eight 32-bit lanes (8 hex chars each — always fits a signed long),
     // combined two ways: XOR and SUM. Both are order-independent; together
     // they close XOR's paired-duplicate cancellation ({a,a,b} vs {c,c,b})

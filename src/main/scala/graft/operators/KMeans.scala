@@ -53,7 +53,7 @@ object KMeans {
           (lit(c2) - lit(2.0) * dot(col("v"), typedlit(c.toSeq))).as("d"),
           lit(j).as("j"))
       }
-      array_min(array(scored: _*))
+      array_min(array(scored.toIndexedSeq: _*))
     }
 
     for (_ <- 1 to iters) {

@@ -11,8 +11,9 @@ import java.security.MessageDigest
   * pkg/executor/docker/executor.go:295-338).
   *
   * Spark-native: write the DataFrame, then derive a deterministic content
-  * id — SHA-256 over the *sorted per-file digests* of the directory — plus
-  * a `_manifest.json` carrying rows/schema (the stdout/exitCode analog).
+  * id — an order-independent executor-side combine of per-row digests (see
+  * [[contentId]]) — plus a `_manifest.json` carrying rows/schema (the
+  * stdout/exitCode analog).
   *
   * Determinism note (SURVEY §7 hard part (a)): part-file names and row
   * order vary run to run, so the digest hashes a canonical row encoding

@@ -100,6 +100,37 @@ object EventOps {
         .orderBy("bucket_us")
     }),
 
+    // ---- gap-filled resampling: hourly grid over [min, max], empty
+    // buckets materialized as zeros (sequence+explode grid, left join)
+    "q_gap_fill" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+        .withColumn("bucket_us", col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
+      val counts = ev.groupBy("bucket_us")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      val grid = ev.agg(min("bucket_us").as("lo"), max("bucket_us").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(hourUs)))
+          .as("bucket_us"))
+      grid.join(counts, Seq("bucket_us"), "left")
+        .select(col("bucket_us"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0)).as("total"))
+        .orderBy("bucket_us")
+    }),
+
+    // ---- LOCF (last observation carried forward): latest purchase value
+    // carried onto every subsequent event per user
+    "q_locf" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("pv",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("last_purchase", last("pv", ignoreNulls = true).over(w))
+        .select("user_id", "event_id", "last_purchase")
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- JSON extraction from the props payload
     "q_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -153,6 +184,30 @@ object EventOps {
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gap_fill" ->
+      """WITH b AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us, value
+        |  FROM events),
+        |counts AS (
+        |  SELECT bucket_us, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(value), 2) AS total
+        |  FROM b GROUP BY 1),
+        |bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM b),
+        |grid AS (
+        |  SELECT unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        |  FROM bounds)
+        |SELECT g.bucket_us, coalesce(n, 0) AS n,
+        |  coalesce(total, 0.0) AS total
+        |FROM grid g LEFT JOIN counts USING (bucket_us)
+        |ORDER BY 1""".stripMargin,
+    "q_locf" ->
+      """SELECT user_id, event_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_json_extract" ->
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)
         |  AS k, CAST(count(*) AS BIGINT) AS n

@@ -111,6 +111,22 @@ object RelationalMore {
         .limit(100)
     }),
 
+    // ---- LATERAL correlated subquery (per-row dependent subquery; Spark
+    // plans it as a rewritten join — the SQL surface users port from)
+    "q_lateral_join" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql(
+        """SELECT c_custkey, t.o_orderkey AS top_order,
+          |  t.o_totalprice AS top_price
+          |FROM g_customer,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM g_orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
+          |WHERE c_custkey <= 300
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- window-function long tail: ntile / percent_rank / cume_dist /
     // first / nth over one shared partitioning (single shuffle+sort)
     "q_window_fns" -> ((s, d) => {
@@ -244,6 +260,15 @@ object RelationalMore {
         |  ON o_orderkey = b.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_lateral_join" ->
+      """SELECT c_custkey, t.o_orderkey AS top_order,
+        |  t.o_totalprice AS top_price
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
+        |WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin,
     "q_window_fns" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,

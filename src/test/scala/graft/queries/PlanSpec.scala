@@ -87,6 +87,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "band-bucket candidate join must stay an equi-join")
   }
 
+  test("as-of join has NO join operator — union+window form") {
+    val plan = planOf("q_asof_join")
+    assert(!plan.contains("Join"),
+      "as-of must be the union+window rewrite, not a range join")
+  }
+
   test("Q3 composite: selective dim broadcasts; top-10 is TakeOrdered") {
     val plan = planOf("q_tpch_q3")
     assert(plan.contains("BroadcastHashJoin"), "customer dim should broadcast")

@@ -46,29 +46,44 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // min of two timed runs per query: absorbs one-off JIT/GC noise while
-    // keeping the total bench budget bounded
+    // keeping the total bench budget bounded. A throwing query records -1
+    // and an entry in "errors" — never a normal-looking fast time.
     val results = SparkEntry.queries.map { case (name, fn) =>
       var shuffleBytes = 0L
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val before = meter.written.get()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case t: Throwable =>
+            err = Some(t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse("").replaceAll("\\s+", " ").take(120))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         Thread.sleep(150) // listener events are async; let the bus drain
         shuffleBytes = meter.written.get() - before
         dt
       }
       spark.catalog.clearCache() // per-query caches don't leak across queries
-      name -> (times.min, shuffleBytes)
+      name -> (if (err.isDefined) -1.0 else times.min, shuffleBytes, err)
     }
     def fmt(pairs: Iterable[(String, Double)]): String =
       pairs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = fmt(results.map { case (k, (t, _)) => k -> t })
-    val sh = fmt(results.map { case (k, (_, b)) =>
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    val qs = fmt(results.map { case (k, (t, _, _)) => k -> t })
+    val sh = fmt(results.map { case (k, (_, b, _)) =>
       k -> math.round(b / 1048.576) / 1000.0 }) // MB, 3 dp
-    val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, _, Some(e))) =>
+      s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
+    val total = results.values.collect { case (t, _, _) if t >= 0 => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

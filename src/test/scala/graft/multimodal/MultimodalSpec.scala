@@ -95,8 +95,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lines = (1 to 100).map(i =>
       if (i % 10 == 0) s"kiwi line $i" else s"other line $i")
     val ds = spark.createDataset(lines).repartition(4)
-    val piped = PipeOps.pipe(ds, Seq("grep", "kiwi")).collect().sorted
+    // grep exits 1 on a match-free partition — an accepted "empty" outcome
+    val piped = PipeOps.pipe(ds, Seq("grep", "kiwi"), okExit = Set(0, 1))
+      .collect().sorted
     val native = ds.filter(_.contains("kiwi")).collect().sorted
     assert(piped.toSeq === native.toSeq && piped.length === 10)
+  }
+
+  test("B10 pipe: failing command surfaces exit code + stderr, not truncation") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq("a", "b", "c")).repartition(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      PipeOps.pipe(ds,
+        Seq("sh", "-c", "echo ok; echo boom >&2; exit 3")).collect()
+    }
+    val msg = ex.getCause.getMessage
+    assert(msg.contains("exited 3") && msg.contains("boom"))
+  }
+
+  test("B10 pipe: chatty stderr beyond the OS pipe buffer doesn't deadlock") {
+    import spark.implicits._
+    val ds = spark.createDataset((1 to 50).map(_.toString)).repartition(1)
+    // ~300 KB of stderr (>> 64 KB pipe buffer) while echoing stdin
+    val out = PipeOps.pipe(ds, Seq("sh", "-c",
+      "awk 'BEGIN{for(i=0;i<3000;i++) print \"noise noise noise noise noise noise noise noise noise noise\" > \"/dev/stderr\"}{print}'"))
+      .collect()
+    assert(out.length === 50)
   }
 }

@@ -7,23 +7,32 @@ import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 import graft.jobs._
 
-/** CLI front-end — the reference's user surface (`apply -f`, `list`,
-  * `describe`, `get`; cmd/bacalhau/{apply,list,describe,get}.go) over the
-  * Spark-native control plane. State persists across invocations in a
-  * JSONL event log + job catalog under `--state-dir` (default
-  * `/tmp/graft-state`), replacing the reference's requester-node datastore
-  * (pkg/localdb/inmemory) with an append-only file — same event-sourced
-  * semantics, state is always re-derived by folding the log.
+/** CLI front-end — the reference's user surface over the Spark-native
+  * control plane:
   *
-  * Usage:
-  *   graft.Cli apply -f spec.json [--state-dir DIR]
-  *   graft.Cli list [-n N] [--state-dir DIR]
-  *   graft.Cli describe <idPrefix> [--state-dir DIR]
-  *   graft.Cli get <idPrefix> <outDir> [--state-dir DIR]
+  *   - `run docker IMAGE [--] ENTRYPOINT…` — the reference's PRIMARY entry
+  *     point (cmd/bacalhau/docker_run.go:405-516): builds a JobSpec from
+  *     argv via [[graft.jobs.JobSpecBuilder]] and submits it
+  *   - `run python -c EXPR` — expression-mode jobs with the determinism
+  *     gate (cmd/bacalhau/run_python.go:83-265)
+  *   - `apply -f spec.{json,yaml}` (cmd/bacalhau/apply.go)
+  *   - `list` with `--id-filter/--sort-by/--reverse/--json/--wide/-n`
+  *     (cmd/bacalhau/list.go:100-211)
+  *   - `describe <idPrefix>`, `get <idPrefix> <outDir>`
+  *
+  * State persists across invocations in a JSONL event log + job catalog
+  * under `--state-dir` (default `/tmp/graft-state`), replacing the
+  * reference's requester-node datastore (pkg/localdb/inmemory) with an
+  * append-only file — same event-sourced semantics, state is always
+  * re-derived by folding the log.
   */
 object Cli {
 
   private val mapper = new ObjectMapper()
+
+  /** Flags that never consume a following value. */
+  private val boolFlags = Set("json", "wide", "reverse", "deterministic",
+    "skip-syntax-checking", "hide-header")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -41,37 +50,57 @@ object Cli {
   /** Testable entry: returns an exit code instead of exiting. */
   def run(args: Seq[String], spark: SparkSession): Int = {
     val (flags, pos) = parseFlags(args)
-    val stateDir = flags.getOrElse("state-dir", "/tmp/graft-state")
+    val stateDir = flag1(flags, "state-dir").getOrElse("/tmp/graft-state")
     Files.createDirectories(Paths.get(stateDir))
     pos match {
+      case "run" :: "docker" :: image :: entrypoint =>
+        runDocker(spark, flags, image, entrypoint, stateDir)
+      case "run" :: "python" :: Nil =>
+        runExpression(spark, flags, stateDir)
       case "apply" :: Nil if flags.contains("f") =>
-        apply(spark, flags("f"), stateDir)
-      case "list" :: Nil =>
-        list(stateDir, flags.get("n").map(_.toInt).getOrElse(10))
+        apply(spark, flags("f").head, stateDir)
+      case "list" :: Nil => list(stateDir, flags)
       case "describe" :: id :: Nil => describe(stateDir, id)
       case "get" :: id :: out :: Nil => get(stateDir, id, out)
       case _ =>
         System.err.println(
-          "usage: apply -f spec.json | list [-n N] | describe <id> | get <id> <outDir>")
+          "usage: run docker [-i cid[:path]] [-u url:path] [-o name:path] " +
+            "[--env K=V] [--concurrency N] IMAGE [--] ENTRYPOINT… | " +
+            "run python -c EXPR [-i cid:path] | apply -f spec.json | " +
+            "list [-n N] [--id-filter ID] [--sort-by id|created_at] " +
+            "[--reverse] [--json] [--wide] | describe <id> | get <id> <outDir>")
         2
     }
   }
 
-  private def parseFlags(args: Seq[String]): (Map[String, String], List[String]) = {
-    var flags = Map.empty[String, String]
+  /** argv → (repeatable flags, positionals). `--` ends flag parsing (so
+    * entrypoints may carry their own dashes); `--flag=v` and `--flag v`
+    * both work; boolean flags never consume the next token. */
+  private[graft] def parseFlags(args: Seq[String])
+      : (Map[String, Seq[String]], List[String]) = {
+    var flags = Map.empty[String, Seq[String]].withDefaultValue(Nil)
     var pos = List.empty[String]
     var i = 0
+    var raw = false
+    def add(k: String, v: String): Unit = flags += (k -> (flags(k) :+ v))
     while (i < args.length) {
-      args(i) match {
-        case f if f.startsWith("--") && i + 1 < args.length =>
-          flags += (f.drop(2) -> args(i + 1)); i += 2
-        case f if f.startsWith("-") && f.length == 2 && i + 1 < args.length =>
-          flags += (f.drop(1) -> args(i + 1)); i += 2
-        case p => pos :+= p; i += 1
+      val a = args(i)
+      if (raw || !a.startsWith("-") || a == "-") { pos :+= a; i += 1 }
+      else if (a == "--") { raw = true; i += 1 }
+      else {
+        val name0 = if (a.startsWith("--")) a.drop(2) else a.drop(1)
+        val eq = name0.indexOf('=')
+        if (eq >= 0) { add(name0.take(eq), name0.drop(eq + 1)); i += 1 }
+        else if (boolFlags.contains(name0)) { add(name0, "true"); i += 1 }
+        else if (i + 1 < args.length) { add(name0, args(i + 1)); i += 2 }
+        else { add(name0, "true"); i += 1 } // trailing lone flag = boolean
       }
     }
     (flags, pos)
   }
+
+  private def flag1(flags: Map[String, Seq[String]], k: String): Option[String] =
+    flags.get(k).flatMap(_.lastOption)
 
   // ---- persistence: JSONL event log + job catalog -------------------
 
@@ -109,59 +138,168 @@ object Cli {
     log
   }
 
-  private def loadJobs(stateDir: String): Seq[(String, String, Long)] = {
+  private final case class CatalogRow(id: String, engine: String,
+                                      createdAtMs: Long)
+
+  private def loadJobs(stateDir: String): Seq[CatalogRow] = {
     val p = Paths.get(s"$stateDir/jobs.jsonl")
     if (!Files.exists(p)) Nil
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
       val n = mapper.readTree(line)
-      (n.get("id").asText(), n.get("engine").asText(),
+      CatalogRow(n.get("id").asText(), n.get("engine").asText(),
         n.get("createdAtMs").asLong())
     }.toSeq
   }
 
   private def resolveJobId(stateDir: String, idPrefix: String): Option[String] = {
     val norm = idPrefix.replace("-", "").toLowerCase
-    loadJobs(stateDir).map(_._1)
+    loadJobs(stateDir).map(_.id)
       .find(_.replace("-", "").toLowerCase.startsWith(norm))
   }
 
-  // ---- commands -----------------------------------------------------
+  // ---- submit paths -------------------------------------------------
+
+  /** Shared submit→run→persist tail for every submit verb (the §3.1
+    * steps 3-9 trace). Prints the job id first — reference CLI contract
+    * (docker_run.go:484: `cmd.Printf("%s\n", job.ID)`). */
+  private def execute(spark: SparkSession, spec: JobSpec, deal: JobDeal,
+                      stateDir: String): Int = {
+    val runner = new Runner(spark)
+    runner.submit(spec, deal) match {
+      case Left(err) => System.err.println(s"submit: $err"); 1
+      case Right(job) =>
+        println(job.id)
+        val inputs = spec.inputs.map(v =>
+          v.path -> SourceResolver.resolve(spark, v)).toMap
+        val outDir = s"$stateDir/results"
+        val code = runner.run(job, inputs, outDir) match {
+          case Right(res) =>
+            println(s"${job.id} verified=${res.verified} " +
+              s"replicas=${res.cids.size} cid=${res.cids.head.take(16)}")
+            0
+          case Left(err) =>
+            System.err.println(s"run: $err"); 1
+        }
+        appendLines(s"$stateDir/jobs.jsonl", Seq(
+          mapper.writeValueAsString(mapper.createObjectNode()
+            .put("id", job.id).put("engine", spec.engine)
+            .put("createdAtMs", job.createdAt.toEpochMilli))))
+        appendLines(s"$stateDir/events.jsonl",
+          runner.events.all.map(eventToJson))
+        code
+    }
+  }
+
+  /** `run docker` (reference docker_run.go:405-516 → job.go:18-142). */
+  private def runDocker(spark: SparkSession, flags: Map[String, Seq[String]],
+                        image: String, entrypoint: List[String],
+                        stateDir: String): Int =
+    JobSpecBuilder.constructDockerJob(
+      image = image,
+      entrypoint = entrypoint,
+      cpu = flag1(flags, "cpu").getOrElse(""),
+      memory = flag1(flags, "memory").getOrElse(""),
+      gpu = flag1(flags, "gpu").getOrElse(""),
+      inputUrls = flags("u") ++ flags("input-urls"),
+      inputVolumes = flags("i") ++ flags("v") ++ flags("input-volumes"),
+      outputVolumes = flags("o") ++ flags("output-volumes"),
+      env = flags("env"),
+      concurrency = flag1(flags, "concurrency").map(_.toInt).getOrElse(1),
+      annotations = flags("l") ++ flags("labels"),
+      workingDir = flag1(flags, "w")
+        .orElse(flag1(flags, "workdir")).getOrElse(""),
+      verifier = flag1(flags, "verifier").getOrElse("hash"),
+      skipSyntaxCheck = flags.contains("skip-syntax-checking")) match {
+      case Left(err) => System.err.println(s"run docker: $err"); 1
+      case Right(built) =>
+        built.warnings.foreach(w => System.err.println(s"warning: $w"))
+        execute(spark, built.spec, built.deal, stateDir)
+    }
+
+  /** `run python` — expression-mode submit (reference run_python.go:83-265;
+    * deterministic=false is rejected exactly like the reference). */
+  private def runExpression(spark: SparkSession,
+                            flags: Map[String, Seq[String]],
+                            stateDir: String): Int = {
+    val deterministic =
+      flag1(flags, "deterministic").forall(_.toBoolean)
+    if (!deterministic) {
+      System.err.println("run python: determinism=false not supported " +
+        "(expression jobs run through the determinism gate)")
+      return 1
+    }
+    flag1(flags, "c").orElse(flag1(flags, "command")) match {
+      case None => System.err.println("run python: must specify -c COMMAND"); 1
+      case Some(cmd) =>
+        JobSpecBuilder.constructLanguageJob(
+          command = cmd,
+          deterministic = deterministic,
+          inputVolumes = flags("i") ++ flags("v"),
+          outputVolumes = flags("o"),
+          concurrency = flag1(flags, "concurrency").map(_.toInt).getOrElse(1),
+          verifier = flag1(flags, "verifier").getOrElse("hash")) match {
+          case Left(err) => System.err.println(s"run python: $err"); 1
+          case Right(built) => execute(spark, built.spec, built.deal, stateDir)
+        }
+    }
+  }
 
   private def apply(spark: SparkSession, specFile: String,
                     stateDir: String): Int =
     JobSpecLoader.fromFile(specFile) match {
       case Left(err) => System.err.println(s"apply: $err"); 1
-      case Right((spec, deal)) =>
-        val runner = new Runner(spark)
-        runner.submit(spec, deal) match {
-          case Left(err) => System.err.println(s"submit: $err"); 1
-          case Right(job) =>
-            val inputs = spec.inputs.map(v =>
-              v.path -> SourceResolver.resolve(spark, v)).toMap
-            val outDir = s"$stateDir/results"
-            val code = runner.run(job, inputs, outDir) match {
-              case Right(res) =>
-                println(s"${job.id} verified=${res.verified} " +
-                  s"replicas=${res.cids.size} cid=${res.cids.head.take(16)}")
-                0
-              case Left(err) =>
-                System.err.println(s"run: $err"); 1
-            }
-            appendLines(s"$stateDir/jobs.jsonl", Seq(
-              mapper.writeValueAsString(mapper.createObjectNode()
-                .put("id", job.id).put("engine", spec.engine)
-                .put("createdAtMs", job.createdAt.toEpochMilli))))
-            appendLines(s"$stateDir/events.jsonl",
-              runner.events.all.map(eventToJson))
-            code
-        }
+      case Right((spec, deal)) => execute(spark, spec, deal, stateDir)
     }
 
-  private def list(stateDir: String, n: Int): Int = {
+  // ---- read path ----------------------------------------------------
+
+  /** `list` (reference cmd/bacalhau/list.go:100-211): --id-filter matches
+    * the full or 8-char short id; --sort-by id|created_at; --reverse flips
+    * to oldest-first (default newest-first); --json and --wide outputs. */
+  private def list(stateDir: String, flags: Map[String, Seq[String]]): Int = {
+    val n = flag1(flags, "n").orElse(flag1(flags, "number"))
+      .map(_.toInt).getOrElse(10)
+    val sortBy = flag1(flags, "sort-by").getOrElse("created_at")
+    if (sortBy != "id" && sortBy != "created_at") {
+      System.err.println("""list: --sort-by must be one of "id", or "created_at"""")
+      return 1
+    }
     val log = loadEvents(stateDir)
-    loadJobs(stateDir).sortBy(-_._3).take(n).foreach { case (id, engine, ts) =>
-      val st = log.currentJobState(id).map(_.state).getOrElse("Unknown")
-      println(s"${id.take(8)}  $engine  $st  ${java.time.Instant.ofEpochMilli(ts)}")
+    val all = loadJobs(stateDir)
+    val filtered = flag1(flags, "id-filter") match {
+      case Some(f) => all.filter(r => r.id == f || r.id.take(8) == f)
+      case None    => all
+    }
+    val sorted = sortBy match {
+      case "id"         => filtered.sortBy(_.id)
+      case "created_at" => filtered.sortBy(-_.createdAtMs)
+    }
+    val rows = (if (flags.contains("reverse")) sorted.reverse else sorted)
+      .take(n)
+    def stateOf(id: String): String =
+      log.currentJobState(id).map(_.state).getOrElse("Unknown")
+    if (flags.contains("json")) {
+      val arr = mapper.createArrayNode()
+      rows.foreach { r =>
+        arr.add(mapper.createObjectNode()
+          .put("id", r.id).put("engine", r.engine)
+          .put("createdAtMs", r.createdAtMs).put("state", stateOf(r.id)))
+      }
+      println(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(arr))
+    } else {
+      val wide = flags.contains("wide")
+      rows.foreach { r =>
+        val id = if (wide) r.id else r.id.take(8)
+        val base = s"$id  ${r.engine}  ${stateOf(r.id)}  " +
+          s"${java.time.Instant.ofEpochMilli(r.createdAtMs)}"
+        val extra = if (wide) {
+          val res = log.states.values
+            .filter(s => s.jobId == r.id && s.resultsId.nonEmpty)
+            .map(_.resultsId.take(16)).toSeq.sorted.headOption.getOrElse("")
+          s"  $res"
+        } else ""
+        println(base + extra)
+      }
     }
     0
   }

@@ -52,4 +52,123 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Cli.run(Seq("describe", "zzzzzz", "--state-dir", state), spark) === 1)
     assert(Cli.run(Seq("bogus"), spark) === 2)
   }
+
+  private def captureOut(body: => Int): (Int, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(buf, true, "UTF-8"))(body)
+    (code, buf.toString("UTF-8"))
+  }
+
+  // `run docker` — the reference's primary entry point, from argv to
+  // fetched results (docker_run.go:405-516; scenario B3 from the CLI)
+  test("run docker: grep scenario end-to-end from argv") {
+    val dir = Files.createTempDirectory("graft-rund").toString
+    val state = s"$dir/state"
+    Files.writeString(Paths.get(s"$dir/fruit.txt"),
+      Seq("apple", "kiwi", "cherry", "kiwi is delicious")
+        .mkString("", "\n", "\n"))
+    val (code, out) = captureOut(Cli.run(Seq(
+      "run", "docker", "ubuntu",
+      "-i", s"$dir/fruit.txt:/data/file.txt",
+      "--concurrency", "2",
+      "--state-dir", state,
+      "--", "grep", "kiwi", "/data/file.txt"), spark))
+    assert(code === 0)
+    val jobId = out.linesIterator.next().trim
+    assert(jobId.matches("[0-9a-f-]{36}")) // prints job id first
+    assert(out.contains("verified=true") && out.contains("replicas=2"))
+    val got = spark.read.parquet(s"$state/results/$jobId/r0")
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq === Seq("kiwi", "kiwi is delicious"))
+  }
+
+  // B5 awk scenario from argv: `--` protects entrypoint flags like -F,
+  test("run docker: awk theta scenario from argv with -- separator") {
+    val dir = Files.createTempDirectory("graft-runa").toString
+    val rows = (0 until 10).map { k =>
+      val (lat, lon) = if (k < 4) (38.71 + k * 0.001, -9.14) else (45.0, -3.0)
+      f"2021-01-01 00:$k%02d:00,G,$lat%.4f,$lon%.4f,${15.0 + k}%.1f,${k * 1.1}%.2f"
+    }
+    Files.writeString(Paths.get(s"$dir/sensor.csv"),
+      ("sensor_time,sensor_group,lat,long,temperature,distance" +: rows)
+        .mkString("", "\n", "\n"))
+    val (code, out) = captureOut(Cli.run(Seq(
+      "run", "docker", "ubuntu",
+      "-i", s"$dir/sensor.csv:/data/file.csv",
+      "--state-dir", s"$dir/state",
+      "--", "awk", "-F,",
+      "{x=38.7077507-$3; y=-9.1365919-$4; if(x^2+y^2<0.3^2) print $0}",
+      "/data/file.csv"), spark))
+    assert(code === 0)
+    val jobId = out.linesIterator.next().trim
+    assert(spark.read.parquet(s"$dir/state/results/$jobId/r0").count() === 4)
+  }
+
+  test("run docker: pre-submit syntax check rejects broken entrypoints") {
+    val dir = Files.createTempDirectory("graft-runbad").toString
+    assert(Cli.run(Seq("run", "docker", "ubuntu",
+      "--state-dir", s"$dir/state",
+      "--", "sh", "-c", "echo 'unterminated"), spark) === 1)
+    // and invalid output volumes are rejected at construction
+    assert(Cli.run(Seq("run", "docker", "ubuntu",
+      "-o", "JUST_A_NAME", "--state-dir", s"$dir/state",
+      "--", "echo", "hi"), spark) === 1)
+  }
+
+  // `run python` — expression mode with the determinism gate
+  test("run python: SQL over a mounted parquet table; rand() rejected") {
+    val dir = Files.createTempDirectory("graft-runp").toString
+    val state = s"$dir/state"
+    val (code, out) = captureOut(Cli.run(Seq(
+      "run", "python",
+      "-c", "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
+      "-i", "/root/testdata/sf0.001/lineitem.parquet:/lineitem",
+      "--state-dir", state), spark))
+    assert(code === 0)
+    val jobId = out.linesIterator.next().trim
+    assert(spark.read.parquet(s"$state/results/$jobId/r0").count() === 3)
+    // nondeterministic expression fails the gate at run, exit nonzero
+    assert(Cli.run(Seq("run", "python", "-c", "SELECT rand() AS r FROM lineitem",
+      "-i", "/root/testdata/sf0.001/lineitem.parquet:/lineitem",
+      "--state-dir", state), spark) === 1)
+    // determinism=false rejected outright (run_python.go:89-92)
+    assert(Cli.run(Seq("run", "python", "-c", "SELECT 1",
+      "--deterministic=false", "--state-dir", state), spark) === 1)
+  }
+
+  // list flags (list.go:100-211): --id-filter, --sort-by, --json, --wide
+  test("list flags: id-filter, sort-by validation, json and wide output") {
+    val dir = Files.createTempDirectory("graft-lsf").toString
+    val state = s"$dir/state"
+    val ids = (1 to 2).map { _ =>
+      val (code, out) = captureOut(Cli.run(Seq("run", "python",
+        "-c", "SELECT 1 AS one", "--state-dir", state), spark))
+      assert(code === 0)
+      out.linesIterator.next().trim
+    }
+    // --id-filter by full id and by 8-char short id
+    val (c1, full) = captureOut(
+      Cli.run(Seq("list", "--id-filter", ids.head, "--wide",
+        "--state-dir", state), spark))
+    assert(c1 === 0 && full.contains(ids.head) && !full.contains(ids(1)))
+    val (c2, short) = captureOut(
+      Cli.run(Seq("list", "--id-filter", ids(1).take(8),
+        "--state-dir", state), spark))
+    assert(c2 === 0 && short.contains(ids(1).take(8)))
+    // --json emits a parseable array with state
+    val (c3, js) = captureOut(
+      Cli.run(Seq("list", "--json", "--state-dir", state), spark))
+    assert(c3 === 0)
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+    assert(arr.isArray && arr.size() === 2)
+    assert(arr.get(0).get("state").asText() === "Complete")
+    // --sort-by validation mirrors the reference's error
+    assert(Cli.run(Seq("list", "--sort-by", "bogus",
+      "--state-dir", state), spark) === 1)
+    // --sort-by id ascending; --reverse flips
+    val (_, byId) = captureOut(Cli.run(Seq("list", "--sort-by", "id", "--wide",
+      "--state-dir", state), spark))
+    val printed = byId.linesIterator.map(_.split("\\s+").head).toSeq
+    assert(printed === ids.sorted)
+  }
 }

@@ -1,0 +1,100 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** HTTP control-plane spec: submit + poll a job through a real socket
+  * (reference: pkg/test/devstack/submit_test.go + publicapi client tests).
+  * The client and server share nothing but the TCP connection. */
+class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var server: ApiServer = _
+  private var client: ApiClient = _
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("graft-api").toString
+    Files.writeString(Paths.get(s"$dir/fruit.txt"),
+      Seq("apple", "kiwi", "cherry", "kiwi is delicious")
+        .mkString("", "\n", "\n"))
+    server = new ApiServer(spark, dir)
+    server.start()
+    client = new ApiClient(server.uri)
+  }
+
+  override def afterAll(): Unit = {
+    server.stop()
+    spark.stop()
+  }
+
+  test("health and version endpoints answer") {
+    val http = java.net.http.HttpClient.newHttpClient()
+    def get(path: String): String = http.send(
+      java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"${server.uri}$path")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    assert(get("/healthz").contains("OK"))
+    assert(get("/livez").contains("OK"))
+    assert(get("/version").contains("graft-v0"))
+    assert(get("/id").contains("spark-local"))
+  }
+
+  test("submit over the socket, poll states to Complete, fetch events") {
+    val spec =
+      s"""{"engine_name": "docker", "verifier_name": "ipfs",
+         |  "job_spec_docker": {"image": "ubuntu",
+         |    "entrypoint": ["grep", "kiwi", "/data/file.txt"]},
+         |  "inputs": [{"engine_name": "ipfs", "name": "in",
+         |    "cid": "$dir/fruit.txt", "path": "/data/file.txt"}],
+         |  "deal": {"concurrency": 2}}""".stripMargin
+    val jobId = client.submit(spec)
+    assert(jobId.matches("[0-9a-f-]{36}"))
+    assert(client.waitForJob(jobId), "job did not reach a terminal state")
+    val states = client.states(jobId)
+    assert(states.size === 2) // one per replica
+    assert(states.forall(_._2 === Lifecycle.State.Complete))
+    assert(states.map(_._3).distinct.size === 1) // replicas hash-agree
+    val evts = client.events(jobId)
+    assert(evts.head === Lifecycle.EventType.Created)
+    assert(evts.count(_ == Lifecycle.EventType.Completed) === 2)
+    // results written under the server's state dir
+    val parquet = spark.read.parquet(s"$dir/results/$jobId/r0")
+    assert(parquet.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("kiwi", "kiwi is delicious"))
+  }
+
+  test("client id-prefix semantics match the reference (dash-stripped)") {
+    val spec =
+      """{"engine_name": "noop", "verifier_name": "noop"}"""
+    val jobId = client.submit(spec)
+    // prefix with dashes stripped, mixed case
+    val prefix = jobId.replace("-", "").take(12).toUpperCase
+    assert(client.get(prefix) === Some(jobId))
+    assert(client.get("zzzzzzzz") === None)
+  }
+
+  test("bad submissions get a 400 with an error body, not a hang") {
+    val ex = intercept[RuntimeException] {
+      client.submit("""{"engine_name": "wasm"}""")
+    }
+    assert(ex.getMessage.contains("unknown engine_name"))
+    val ex2 = intercept[RuntimeException] {
+      client.submit("""{"engine_name": "docker"}""")
+    }
+    assert(ex2.getMessage.contains("docker engine without docker spec"))
+  }
+
+  test("list over the socket sees all submitted jobs") {
+    val before = client.list().size
+    client.submit("""{"engine_name": "noop", "verifier_name": "noop"}""")
+    assert(client.list().size === before + 1)
+  }
+}

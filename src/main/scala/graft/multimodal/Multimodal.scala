@@ -13,13 +13,13 @@ import org.apache.spark.sql.functions._
   * mapInPandas-batched UDFs: per-partition iterator, no per-row JVM↔native
   * round-trips, executor-side only (never collect).
   *
-  * DECODE IS STUBBED: this container has no image/audio codecs, so
-  * [[decodeDimsStub]] derives deterministic fake dimensions from the leading
-  * bytes, and [[resizeStub]] "resamples" by byte-striding. Every other part —
-  * the source schema, the partitioning, the typed batch shape, frame
-  * chunking, histogram feature extraction — is real Spark plumbing that a
-  * codec drop-in would reuse unchanged (swap the stub body for libjpeg/ffmpeg
-  * bindings).
+  * IMAGE DECODE IS REAL: [[decodeDims]] and [[resize]] run `javax.imageio`
+  * (pure-JVM PNG/BMP/GIF/JPEG codecs, headless-safe — no native libraries),
+  * so the reference's image-downscale scenario produces actual pixels.
+  * Audio/video decode would need codecs this container lacks; those kinds
+  * fall back to deterministic byte-level stand-ins ([[resizeStub]]
+  * byte-striding), with the schema/partitioning/batch shape identical so a
+  * codec drop-in reuses the plumbing unchanged.
   *
   * Scale notes: binaryFile splits per-file (a file is the atom), so a 100 TB
   * corpus of 10 MB images parallelizes to ~10M tasks bounded by
@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   * at listing time; all transforms are narrow (no shuffle).
   */
 object Multimodal {
+
+  // imageio/AWT raster ops are headless-safe; assert headless so executor
+  // JVMs never attempt a display connection
+  java.lang.System.setProperty("java.awt.headless", "true")
 
   /** One decoded-metadata row per media file. */
   final case class MediaMeta(
@@ -70,14 +74,26 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder: deterministic fake dimensions from the first two content
-    * bytes (no codecs in this container). A real build replaces this body
-    * with an actual header parse; the call sites don't change. */
-  def decodeDimsStub(content: Array[Byte]): (Int, Int) =
-    if (content.length < 2) (0, 0)
-    else (1 + (content(0) & 0x7f), 1 + (content(1) & 0x7f))
+  /** Real image decode: dimensions via javax.imageio (reads only the
+    * header for registered formats). (0, 0) for bytes no installed codec
+    * understands — the caller distinguishes "not an image" from "decoded". */
+  def decodeDims(content: Array[Byte]): (Int, Int) = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) (0, 0)
+      else {
+        val r = readers.next()
+        try { r.setInput(in); (r.getWidth(0), r.getHeight(0)) }
+        finally r.dispose()
+      }
+    } catch { case _: Exception => (0, 0) }
+    finally in.close()
+  }
 
-  /** Decode/inspect each file → typed metadata. Batched per partition. */
+  /** Decode/inspect each file → typed metadata. Batched per partition;
+    * decode happens executor-side inside the iterator (never collect). */
   def extractMeta(assets: DataFrame, frameBytes: Int = 4096): Dataset[MediaMeta] = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -85,7 +101,7 @@ object Multimodal {
       .as[(String, Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (path, len, content) =>
-          val (w, h) = decodeDimsStub(content)
+          val (w, h) = decodeDims(content)
           val frames = ((len + frameBytes - 1) / frameBytes).toInt
           MediaMeta(path, kindOf(path), len, w, h, frames)
         }
@@ -139,19 +155,57 @@ object Multimodal {
       }
   }
 
-  /** STUB resize: byte-striding stand-in for pixel resampling (keeps every
-    * `factor`-th byte). Real plumbing: binary-in → binary-out column
-    * transform, the downscale job shape from DESIGN.md:69-74. */
+  /** Real image downscale (reference scenario B8, DESIGN.md:69-74): decode
+    * → area-averaging rescale to (w/factor, h/factor) → re-encode PNG. A
+    * binary-in → binary-out narrow column transform; each image decodes and
+    * re-encodes on its executor. Bytes that no codec reads fall back to
+    * [[resizeStub]] byte-striding so opaque blobs still shrink
+    * deterministically. */
+  def resize(assets: DataFrame, factor: Int): Dataset[(String, Array[Byte])] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(factor >= 1)
+    assets.select("path", "content").as[(String, Array[Byte])]
+      .map { case (path, content) => (path, resizeBytes(content, factor)) }
+  }
+
+  /** Per-file downscale kernel (exposed for unit tests). */
+  def resizeBytes(content: Array[Byte], factor: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < factor || img.getHeight < factor)
+      strideBytes(content, factor)
+    else {
+      val w = math.max(1, img.getWidth / factor)
+      val h = math.max(1, img.getHeight / factor)
+      val scaled = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.drawImage(img.getScaledInstance(w, h,
+          java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Byte-striding stand-in for kinds with no installed codec (audio/video):
+    * keeps every `factor`-th byte. Same call shape as the real path. */
   def resizeStub(assets: DataFrame, factor: Int): Dataset[(String, Array[Byte])] = {
     val spark = assets.sparkSession
     import spark.implicits._
     require(factor >= 1)
     assets.select("path", "content").as[(String, Array[Byte])]
-      .map { case (path, content) =>
-        val out = new Array[Byte]((content.length + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) { out(i) = content(i * factor); i += 1 }
-        (path, out)
-      }
+      .map { case (path, content) => (path, strideBytes(content, factor)) }
+  }
+
+  private def strideBytes(content: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((content.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = content(i * factor); i += 1 }
+    out
   }
 }

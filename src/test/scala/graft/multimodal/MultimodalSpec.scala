@@ -26,11 +26,18 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       val bytes = Array.tabulate[Byte](n)(i => (i % 251).toByte)
       Files.write(Paths.get(s"$dir/$name"), bytes)
     }
-    write("a.png", 10000) // -> stub dims from bytes 0,1 = (1, 2)
+    // a.png is a REAL 64x32 PNG (deterministic gradient raster)
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, (x * 4 << 16) | (y * 8 << 8) | ((x + y) % 256))
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$dir/a.png"))
     write("b.wav", 300)
     write("c.mp4", 9000)
     write("notes.txt", 100)
   }
+
+  private def pngLen: Long = Files.size(Paths.get(s"$dir/a.png"))
 
   override def afterAll(): Unit = spark.stop()
 
@@ -43,7 +50,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(images.count() === 1)
   }
 
-  test("metadata extraction: kind, size, stub dims, frame count") {
+  test("metadata extraction: kind, size, REAL decoded dims, frame count") {
     val meta = Multimodal.extractMeta(
         Multimodal.readAssets(spark, dir), frameBytes = 4096)
       .collect().map(m => m.path.split('/').last -> m).toMap
@@ -51,10 +58,11 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta("b.wav").kind === "audio")
     assert(meta("c.mp4").kind === "video")
     assert(meta("notes.txt").kind === "binary")
-    assert(meta("a.png").n_bytes === 10000)
-    assert(meta("a.png").n_frames === 3) // ceil(10000/4096)
-    // stub dims from leading ramp bytes (0,1) -> (1,2)
-    assert(meta("a.png").width === 1 && meta("a.png").height === 2)
+    assert(meta("a.png").n_bytes === pngLen)
+    // real pixel dimensions decoded from the PNG header
+    assert(meta("a.png").width === 64 && meta("a.png").height === 32)
+    // bytes no codec reads report (0,0), not fake dims
+    assert(meta("b.wav").width === 0 && meta("b.wav").height === 0)
   }
 
   test("frame sampling chunks content deterministically") {
@@ -82,12 +90,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.mean > 0)
   }
 
-  test("resize stub strides bytes; output size scales by factor") {
-    val out = Multimodal.resizeStub(
-        Multimodal.readAssets(spark, dir, glob = "a.png"), factor = 4)
+  test("B8 resize: real downscale halves real resolution") {
+    val out = Multimodal.resize(
+        Multimodal.readAssets(spark, dir, glob = "a.png"), factor = 2)
       .collect().head
-    assert(out._2.length === 2500)
+    // the output is a decodable PNG at exactly half resolution
+    val scaled = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out._2))
+    assert(scaled.getWidth === 32 && scaled.getHeight === 16)
+    // area-averaged gradient: top-left pixel averages the 2x2 block
+    assert(scaled.getRGB(0, 0) !== 0)
+    // quarter resolution shrinks further
+    val q = Multimodal.resizeBytes(Files.readAllBytes(Paths.get(s"$dir/a.png")), 4)
+    val qImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(q))
+    assert(qImg.getWidth === 16 && qImg.getHeight === 8)
+  }
+
+  test("resize stub strides bytes for codec-less kinds") {
+    val out = Multimodal.resizeStub(
+        Multimodal.readAssets(spark, dir, glob = "b.wav"), factor = 4)
+      .collect().head
+    assert(out._2.length === 75)
     assert(out._2(1) === 4) // byte at original index 4 of the ramp
+    // the real-resize path falls back to striding for undecodable bytes
+    val fb = Multimodal.resize(
+        Multimodal.readAssets(spark, dir, glob = "b.wav"), factor = 4)
+      .collect().head
+    assert(fb._2.toSeq === out._2.toSeq)
   }
 
   test("B10 pipe: partition-streamed external process matches native filter") {

@@ -59,6 +59,7 @@ object Cli {
         runExpression(spark, flags, stateDir)
       case "apply" :: Nil if flags.contains("f") =>
         apply(spark, flags("f").head, stateDir)
+      case "serve" :: Nil => serve(spark, flags, stateDir)
       case "list" :: Nil => list(stateDir, flags)
       case "describe" :: id :: Nil => describe(stateDir, id)
       case "get" :: id :: out :: Nil => get(stateDir, id, out)
@@ -242,6 +243,24 @@ object Cli {
           case Right(built) => execute(spark, built.spec, built.deal, stateDir)
         }
     }
+  }
+
+  /** `serve` — start the HTTP control-plane API (reference:
+    * cmd/bacalhau/serve.go; the requester-node daemon). Blocks until
+    * interrupted; `--serve-ms N` exits after N ms (test hook). */
+  private def serve(spark: SparkSession, flags: Map[String, Seq[String]],
+                    stateDir: String): Int = {
+    val host = flag1(flags, "host").getOrElse("127.0.0.1")
+    val port = flag1(flags, "api-port")
+      .orElse(flag1(flags, "port")).map(_.toInt).getOrElse(0)
+    val srv = new ApiServer(spark, stateDir, host, port)
+    srv.start()
+    println(s"listening on ${srv.uri}")
+    flag1(flags, "serve-ms") match {
+      case Some(ms) => Thread.sleep(ms.toLong); srv.stop()
+      case None     => Thread.currentThread().join()
+    }
+    0
   }
 
   private def apply(spark: SparkSession, specFile: String,

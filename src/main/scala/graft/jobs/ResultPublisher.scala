@@ -30,7 +30,10 @@ object ResultPublisher {
     * return the path unchanged. */
   object Noop extends Publisher {
     def publish(df: DataFrame, outDir: String): String = {
-      df.write.mode("overwrite").parquet(outDir)
+      // a schema-less result (noop executor) publishes an empty folder —
+      // parquet cannot encode zero columns
+      if (df.columns.isEmpty) Files.createDirectories(Paths.get(outDir))
+      else df.write.mode("overwrite").parquet(outDir)
       outDir
     }
   }
@@ -44,6 +47,13 @@ object ResultPublisher {
     * is never paid twice (let alone 3×) per replica. */
   object Hash extends Publisher {
     def publish(df: DataFrame, outDir: String): String = {
+      if (df.columns.isEmpty) { // schema-less noop result: empty folder CID
+        Files.createDirectories(Paths.get(outDir))
+        val cid = directoryId(outDir)
+        Files.writeString(Paths.get(outDir, "_manifest.json"),
+          s"""{"rows": 0, "schema": "", "cid": "$cid"}""")
+        return cid
+      }
       df.write.mode("overwrite").parquet(outDir)
       val written = df.sparkSession.read.parquet(outDir)
       val (cid, rows) = contentIdWithCount(written)

@@ -112,6 +112,39 @@ object Similarity {
         .orderBy("va", "vb")
     }),
 
+    // ---- embedding-cosine near-dup dedup: the LSH candidate generator
+    // (6 planes → 64 buckets) feeding a within-bucket cosine threshold,
+    // then a dedup DECISION — every vector keeps its lowest-id near
+    // neighbor (the retained representative), i.e. the "drop near-dups,
+    // keep first" policy of a training-corpus pipeline. Scale shape: one
+    // shuffle on bucket (candidate generation is sublinear, never all
+    // pairs), one aggregation keyed by the duplicate id.
+    "q_embedding_neardup" -> ((s, d) => {
+      val v = vecs(s, d)
+      val planeBits = (0 until 6).map { k =>
+        val weights = (0 until 64).map(i =>
+          ((1103515245L * (k * 64L + i) + 12345L) % 65536L - 32768L).toDouble)
+        when(dot(col("v"), typedlit(weights)) >= 0, lit(1L) * (1L << k))
+          .otherwise(0L)
+      }
+      val bucketed = v.withColumn("bucket", planeBits.reduce(_ + _))
+      val a = bucketed.select(col("bucket"), col("vec_id").as("va"),
+        col("v").as("xa"), col("nrm").as("na"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("vb"),
+        col("v").as("xb"), col("nrm").as("nb"))
+      val sims = a.join(b, Seq("bucket"))
+        .filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+            .as("cos_r"))
+        .filter(col("cos_r") >= 0.3)
+      sims.groupBy(col("vb").as("dup_id"))
+        .agg(min(struct(col("va"), col("cos_r"))).as("m"))
+        .select(col("dup_id"), col("m.va").as("kept_id"),
+          col("m.cos_r").as("cos_r"))
+        .orderBy("dup_id")
+    }),
+
     // ---- trained IVF: deterministic k-means (operators.KMeans) centroids
     // as the partition key — the real index-build path. No SQL oracle
     // (iterative fit); rows-only check + KMeansSpec cover it.
@@ -211,6 +244,36 @@ object Similarity {
          |          JOIN norm nb ON nb.vec_id = vb
          |WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.3
          |ORDER BY va, vb""".stripMargin,
+    "q_embedding_neardup" ->
+      s"""WITH $flatSql,
+         |plane_dots AS (
+         |  SELECT f.vec_id, k,
+         |    sum(f.x * CAST((1103515245 * (k * 64 + (f.i - 1)) + 12345)
+         |        % 65536 - 32768 AS DOUBLE)) AS pd
+         |  FROM flat f, generate_series(0, 5) g(k)
+         |  GROUP BY 1, 2),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN pd >= 0
+         |      THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM plane_dots GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dt
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  JOIN buckets ba ON ba.vec_id = a.vec_id
+         |  JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT va, vb, round(dt / (na.nrm * nb.nrm), 6) AS cos_r
+         |  FROM dots JOIN norm na ON na.vec_id = va
+         |            JOIN norm nb ON nb.vec_id = vb
+         |  WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.3)
+         |SELECT vb AS dup_id, va AS kept_id, cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vb
+         |    ORDER BY va ASC, cos_r ASC) AS rn
+         |  FROM sims) t
+         |WHERE rn = 1 ORDER BY dup_id""".stripMargin,
     "q_ivf_assign" ->
       s"""WITH $flatSql,
          |centroids AS (

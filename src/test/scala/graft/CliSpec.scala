@@ -136,6 +136,32 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       "--deterministic=false", "--state-dir", state), spark) === 1)
   }
 
+  // `serve` — the requester-node daemon from the CLI (serve.go analog)
+  test("serve: submit through the CLI-started HTTP API") {
+    val dir = Files.createTempDirectory("graft-srv").toString
+    val sock = new java.net.ServerSocket(0)
+    val port = sock.getLocalPort
+    sock.close()
+    val t = new Thread(() => Cli.run(Seq("serve",
+      "--api-port", port.toString, "--serve-ms", "20000",
+      "--state-dir", dir), spark): Unit)
+    t.setDaemon(true)
+    t.start()
+    val client = new jobs.ApiClient(s"http://127.0.0.1:$port")
+    // poll until the socket answers
+    var up = false
+    val deadline = System.currentTimeMillis() + 10000
+    while (!up && System.currentTimeMillis() < deadline) {
+      try { client.list(); up = true }
+      catch { case _: Exception => Thread.sleep(100) }
+    }
+    assert(up, "serve did not come up")
+    val jobId = client.submit(
+      """{"engine_name": "noop", "verifier_name": "noop"}""")
+    assert(client.waitForJob(jobId))
+    assert(client.list().contains(jobId))
+  }
+
   // list flags (list.go:100-211): --id-filter, --sort-by, --json, --wide
   test("list flags: id-filter, sort-by validation, json and wide output") {
     val dir = Files.createTempDirectory("graft-lsf").toString

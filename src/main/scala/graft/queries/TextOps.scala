@@ -76,14 +76,19 @@ object TextOps {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .cache() // feeds tf and df
-      val n = Tables.documents(s, d).count() // driver-side scalar: corpus size
+      // corpus size as a broadcast 1-row aggregate, NOT a driver-side
+      // count(): keeps the whole query one declarative plan (one submitted
+      // job instead of an eager scan + the main job)
+      val n = Tables.documents(s, d)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = words.select("doc_id", "w").distinct()
         .groupBy("w").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "w")
         .filter(col("doc_id") <= 50)
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("w"), col("tf"),
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+          round(col("tf") * log(col("n_docs") / col("df")), 6)
             .as("tfidf"))
         .orderBy("doc_id", "w")
     }),
@@ -96,26 +101,28 @@ object TextOps {
       val k1 = 1.2
       val b = 0.75
       val docs = Tables.documents(s, d)
-      val nDocs = docs.count().toDouble
       val words = docs
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .cache() // feeds dl, tf and df
       val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      // null on an empty corpus (result is empty anyway; avoid the NPE)
-      val avgdl = Option(dl.agg(avg("dl")).head().get(0))
-        .map(_.asInstanceOf[Double]).getOrElse(1.0)
+      // corpus scalars (N, avgdl) as broadcast 1-row aggregates instead of
+      // driver-side actions: one declarative plan, no eager pre-jobs
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val stats = dl.agg(coalesce(avg("dl"), lit(1.0)).as("avgdl"))
       val queryTerms = Seq("join", "filter", "window")
       val tf = words.filter(col("w").isin(queryTerms: _*))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = words.filter(col("w").isin(queryTerms: _*))
         .select("doc_id", "w").distinct()
         .groupBy("w").agg(count(lit(1)).as("df"))
-      val idf = log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
       tf.join(broadcast(df), "w")
         .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(stats))
         .withColumn("score", round(idf * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)), 6))
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
         .groupBy("doc_id")
         .agg(round(sum("score"), 6).as("bm25"),
              count(lit(1)).as("n_terms"))

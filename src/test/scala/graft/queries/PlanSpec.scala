@@ -104,4 +104,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"))
   }
+
+  // ---- round-2 scale fixes pinned as plan shapes ---------------------
+
+  test("q_scan_project carries NO global sort (identity projection)") {
+    val plan = planOf("q_scan_project")
+    assert(!plan.contains("Sort") && !plan.contains("Exchange"),
+      "scan-project must be a pure narrow scan: no sort, no shuffle")
+  }
+
+  test("q_simhash is map-only: no shuffle Exchange beyond the repartition") {
+    val plan = planOf("q_simhash")
+    // the only exchange allowed is the explicit round-robin repartition of
+    // the single-file fixture; no aggregation/join shuffle may appear
+    assert(!plan.contains("HashAggregate") && !plan.contains("Sort"),
+      "simhash must fold entirely inside array expressions per row")
+  }
+
+  test("q_percentiles pre-aggregates: partial_count before exact percentile") {
+    val plan = planOf("q_percentiles")
+    assert(plan.contains("partial_count"),
+      "the (group, value) pre-agg must map-side combine")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the two 3-row percentile aggregates must broadcast-join")
+  }
+
+  test("q_embedding_neardup candidates join on bucket, never cartesian") {
+    val plan = planOf("q_embedding_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate generation must stay an equi-join on the bucket key")
+  }
+
+  test("window queries sort within partitions only (no global Sort)") {
+    for (q <- Seq("q_window_running", "q_window_range", "q_locf")) {
+      val plan = planOf(q)
+      val globalSorts = plan.linesIterator
+        .filter(l => l.contains("Sort ") && l.contains("global=true")).toSeq
+      assert(globalSorts.isEmpty,
+        s"$q must not globally sort its 10k+-row output: $globalSorts")
+    }
+  }
 }

@@ -34,15 +34,57 @@ object SourceResolver {
     if (f.exists()) walk(f) else 0L
   }
 
+  /** http(s) fetching is opt-in (`-Dgraft.allow.http=true` or env
+    * `GRAFT_ALLOW_HTTP=1`) — this build targets a zero-egress sandbox, so
+    * the default refuses remote URLs instead of hanging on a dead network. */
+  private def httpAllowed: Boolean =
+    sys.props.get("graft.allow.http").orElse(sys.env.get("GRAFT_ALLOW_HTTP"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  /** Driver-side URL fetch to a content-addressed scratch (reference:
+    * urldownload PrepareStorage GETs to a temp file and bind-mounts it —
+    * pkg/storage/url/urldownload/storage.go:65-94; the cache-keyed-by-URL
+    * skip mirrors ipfs_apicopy's re-download skip, storage.go:120-134).
+    * Idempotent: the same URL resolves to the same local path and is
+    * fetched at most once per scratch lifetime. */
+  private def fetchUrl(url: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val key = md.digest(url.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val uriPath = java.net.URI.create(url).getPath
+    val base = uriPath.substring(uriPath.lastIndexOf('/') + 1) match {
+      case "" => "download"
+      case n  => n
+    }
+    val target = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-url-cache", key, base)
+    if (!java.nio.file.Files.exists(target)) {
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(target.getParent, ".part", "")
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(url)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofFile(tmp))
+      if (resp.statusCode() != 200) {
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new IllegalArgumentException(
+          s"urldownload: GET $url -> ${resp.statusCode()}")
+      }
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    target.toString
+  }
+
   private def resolvePath(spec: StorageSpec): String =
     spec.engine match {
       case "urldownload" =>
-        // zero-egress environment: only file:// URLs resolve; http(s) would
-        // be a driver-side fetch to scratch in a connected deployment.
         val u = spec.url
         if (u.startsWith("file://")) u.stripPrefix("file://")
+        else if ((u.startsWith("http://") || u.startsWith("https://")) &&
+                 httpAllowed) fetchUrl(u)
         else throw new IllegalArgumentException(
-          s"urldownload: only file:// supported in this environment, got '$u'")
+          s"urldownload: http(s) fetch disabled (set graft.allow.http=true); " +
+            s"got '$u'")
       case _ => if (spec.cid.nonEmpty) spec.cid else spec.path
     }
 

@@ -304,6 +304,41 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strSorted === Seq("b", "a")) // the bug the numeric sort fixes
   }
 
+  // ---- A2 URL source: driver-side fetch behind the opt-in flag, cached
+  // by URL digest (localhost server — no egress)
+  test("urldownload fetches http once, caches by url, refuses when disabled") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/fruit.txt", ex => {
+      hits.incrementAndGet()
+      val bytes = "apple\nkiwi\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    val url = s"http://127.0.0.1:${srv.getAddress.getPort}/fruit.txt"
+    val spec = StorageSpec(engine = "urldownload", url = url, path = "/d")
+    try {
+      // disabled by default: refuse, don't hang
+      sys.props.remove("graft.allow.http")
+      intercept[IllegalArgumentException](SourceResolver.resolve(spark, spec))
+      sys.props("graft.allow.http") = "true"
+      // fresh cache for the test: distinct url via query-less path is fine
+      val df = SourceResolver.resolve(spark, spec)
+      assert(df.collect().map(_.getString(0)).toSeq === Seq("apple", "kiwi"))
+      // second resolve reuses the content-addressed cache: no second GET
+      SourceResolver.resolve(spark, spec).collect()
+      assert(hits.get() === 1, s"expected 1 fetch, saw ${hits.get()}")
+      assert(SourceResolver.hasStorageLocally(spec))
+      assert(SourceResolver.volumeSize(spec) === 11L)
+    } finally {
+      sys.props.remove("graft.allow.http")
+      srv.stop(0)
+    }
+  }
+
   // ---- content id is row-order independent (canonicalization)
   test("content id is stable under row reordering") {
     import spark.implicits._

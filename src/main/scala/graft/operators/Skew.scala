@@ -28,4 +28,30 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum("_psum").as(s"sum_$valueCol"), sum("_pcnt").as("n"))
   }
+
+  /** Salted equi-join for a skewed FACT side joining a small-but-not-
+    * broadcastable DIM side (the shape AQE's skew-join can't always save:
+    * one fact key holding 10% of 100 TB lands on one reducer).
+    *
+    * Facts get a deterministic per-row salt in [0, salts); the dim side is
+    * replicated `salts` times (one copy per salt value) so every
+    * (key, salt) pair still finds its dim row. The shuffle key becomes
+    * (key, salt) — a hot key spreads over `salts` reducers at the cost of
+    * `salts`× the DIM shuffle volume (cheap when dims ≪ facts, the only
+    * regime where this rewrite makes sense). Row set is identical to the
+    * plain inner join.
+    *
+    * The salt derives from a hash of the whole fact row (all columns), not
+    * an RNG — replicated runs stay bit-identical and the determinism gate
+    * holds. */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts >= 1)
+    val factCols = facts.columns.toIndexedSeq.map(col)
+    val salted = facts.withColumn("_salt",
+      pmod(hash(factCols: _*), lit(salts)))
+    val replicated = dims
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

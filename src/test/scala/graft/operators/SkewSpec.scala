@@ -34,4 +34,30 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("_salt").distinct().count()
     assert(phase1Groups > 1)
   }
+
+  test("salted join equals plain join on a skewed fact key") {
+    import spark.implicits._
+    // 95% of facts hit one dim key; dim is small but (say) un-broadcastable
+    val facts = spark.createDataset((1 to 5000).map(i =>
+      (if (i % 20 == 0) s"d${i % 5}" else "hot", i.toLong))).toDF("k", "v")
+    val dims = spark.createDataset(
+      ("hot" +: (0 until 5).map(i => s"d$i")).map(k => (k, s"name-$k")))
+      .toDF("k", "name")
+    val salted = Skew.saltedJoin(facts, dims, "k", salts = 8)
+      .select("k", "v", "name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sorted
+    val plain = facts.join(dims, "k")
+      .select("k", "v", "name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sorted
+    assert(salted.toSeq === plain.toSeq && salted.length === 5000)
+    // the shuffle key (k, salt) really spreads the hot key
+    val spread = facts
+      .withColumn("_salt",
+        pmod(hash(facts.columns.toIndexedSeq.map(col): _*), lit(8)))
+      .filter(col("k") === "hot")
+      .select("_salt").distinct().count()
+    assert(spread > 1)
+  }
 }

@@ -37,9 +37,20 @@ object ConnectedComponents {
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(true)
-    var changed = 1L
+    // convergence via the label-sum invariant: propagation is monotone
+    // decreasing (labels only ever take a smaller value), so the rounds
+    // have converged exactly when sum(component) stops falling. One narrow
+    // scan+agg of the checkpointed frame per round — replaces the r1 form's
+    // join-against-previous-labels + count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+        .getDecimal(0)) // null on an empty graph
+        .map(_.stripTrailingZeros())
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed && iter < maxIters) {
       // candidate label per node: min of own and neighbors' labels
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "v"), "v")
@@ -59,8 +70,9 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("p_comp"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") < col("old")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -98,27 +98,40 @@ object TextOps {
     // a broadcast scalar (avg doc length); scored against a fixed query
     // term set — the batch shape of a search index build.
     "q_bm25" -> ((s, d) => {
+      // Explode-free form: for a FIXED query-term set, per-doc tf and dl
+      // fold inside array expressions on the document's own row (size of
+      // the token array / size of its term-filtered subset), so the corpus
+      // never fans out to a token stream and never shuffles — the only
+      // aggregations are the tiny broadcast scalars (N, avgdl, per-term
+      // df). The index-build shape with unknown vocabulary is q_tfidf
+      // (explode + two aggregations); this is the query-scoring shape.
       val k1 = 1.2
       val b = 0.75
-      val docs = Tables.documents(s, d)
-      val words = docs
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .cache() // feeds dl, tf and df
-      val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      // corpus scalars (N, avgdl) as broadcast 1-row aggregates instead of
-      // driver-side actions: one declarative plan, no eager pre-jobs
-      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val stats = dl.agg(coalesce(avg("dl"), lit(1.0)).as("avgdl"))
       val queryTerms = Seq("join", "filter", "window")
-      val tf = words.filter(col("w").isin(queryTerms: _*))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val df = words.filter(col("w").isin(queryTerms: _*))
-        .select("doc_id", "w").distinct()
-        .groupBy("w").agg(count(lit(1)).as("df"))
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val toks = split(col("text"), " ")
+      val perDoc0 = docs.select(
+        (col("doc_id") +: (size(toks).cast("long").as("dl") +:
+          queryTerms.map(t =>
+            size(filter(toks, x => x === lit(t))).cast("long")
+              .as(s"tf_$t")))): _*)
+      val perDoc = perDoc0.localCheckpoint(true) // feeds scalars + scoring once
+      val n = perDoc.agg(count(lit(1)).cast("double").as("n_docs"))
+      val stats = perDoc.agg(coalesce(avg("dl"), lit(1.0)).as("avgdl"))
+      val dfCols = queryTerms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val dfs = perDoc.agg(dfCols.head, dfCols.tail: _*)
+      // unpivot the per-term tf columns, keep only matching (doc, term)
+      val long = perDoc.select(col("doc_id"), col("dl"),
+        explode(map(queryTerms.flatMap(t =>
+          Seq(lit(t), col(s"tf_$t"))): _*)).as(Seq("w", "tf")))
+        .filter(col("tf") > 0)
+      val withDf = long.crossJoin(broadcast(dfs))
+        .withColumn("df", queryTerms.map(t =>
+          when(col("w") === t, col(s"df_$t"))).reduceRight(_.otherwise(_)))
       val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-      tf.join(broadcast(df), "w")
-        .join(dl, "doc_id")
+      withDf
         .crossJoin(broadcast(n))
         .crossJoin(broadcast(stats))
         .withColumn("score", round(idf * (col("tf") * (k1 + 1)) /

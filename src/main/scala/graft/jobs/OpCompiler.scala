@@ -61,50 +61,22 @@ object OpCompiler {
       // B1: cat FILE (identity)
       case Seq("cat", path) => vol(inputs, path)
 
+      // bash -c "cmd1 FILE | cmd2 | …" — a compiled Unix pipeline: stage 1
+      // scans its file, each later stage is a line-level transform. The
+      // whole pipeline stays ONE Catalyst plan (filters still push down
+      // through it), unlike PipeOps which is opaque per-stage.
+      case Seq("bash", "-c", cmd) if cmd.contains("|") && !cmd.contains(">") =>
+        compilePipeline(cmd, inputs)
+
       // B2-style: bash -c "cat FILE > OUT" — the scan side; sink handled
       // by the Runner's output volumes
       case Seq("bash", "-c", cmd) if cmd.startsWith("cat ") =>
         vol(inputs, cmd.split("\\s+")(1))
 
-      // B6: wc -l FILE
-      case Seq("wc", "-l", path) =>
-        vol(inputs, path).agg(count(lit(1)).as("n"))
-
-      // B3: grep [-E|-v|-c] PATTERN FILE over text lines
-      case Seq("grep", pat, path) =>
-        vol(inputs, path).filter(col("value").contains(pat))
-      case Seq("grep", "-E", pat, path) =>
-        vol(inputs, path).filter(col("value").rlike(pat))
-      case Seq("grep", "-v", pat, path) =>
-        vol(inputs, path).filter(!col("value").contains(pat))
-      case Seq("grep", "-c", pat, path) =>
-        vol(inputs, path).filter(col("value").contains(pat))
-          .agg(count(lit(1)).as("n"))
-
-      // B4: sed -n '/RE/p' FILE — print matching lines. sed BRE regexes in
-      // the reference corpus use only literals, '.', bracket ranges — all
-      // identical in Java regex, so the pattern passes through verbatim.
-      case Seq("sed", "-n", prog, path) if prog.startsWith("/") && prog.endsWith("/p") =>
-        val re = prog.stripPrefix("/").stripSuffix("/p")
-        vol(inputs, path).filter(col("value").rlike(re))
-
-      // sed 's/RE/REPL/[g]' FILE — substitution (the reference example
-      // family's namesake, examples/gps-substitution). Without /g sed
-      // replaces only the first match; regexp_replace replaces all, so the
-      // first-match form anchors via a capturing rewrite.
-      case Seq("sed", prog, path) if prog.startsWith("s/") =>
-        prog.stripPrefix("s/").split('/') match {
-          case Array(re, repl, "g") =>
-            vol(inputs, path)
-              .select(regexp_replace(col("value"), re, repl).as("value"))
-          case Array(re, repl) =>
-            // first occurrence only: capture prefix up to first match
-            vol(inputs, path).select(
-              regexp_replace(col("value"), s"^((?s).*?)($re)",
-                "$1" + repl.replace("$", "\\$")).as("value"))
-          case other =>
-            throw CompileError(s"unsupported sed program: $prog")
-        }
+      // line-stream commands with a trailing file arg: grep/sed/sort/head/
+      // wc/uniq/cut — the stage kernel is shared with the pipeline compiler
+      case tokens if tokens.length >= 2 && lineCmds.contains(tokens.head) =>
+        lineStage(vol(inputs, tokens.last), tokens.init)
 
       // awk -F, '{print $i","$j…}' FILE — column projection
       case Seq("awk", "-F,", AwkPrint(body), path) =>
@@ -129,6 +101,112 @@ object OpCompiler {
         }
 
       case other => throw CompileError(s"unsupported entrypoint: $other")
+    }
+
+  /** Commands whose compiled form is a transform of a single `value`
+    * line column (shared between trailing-file commands and pipeline
+    * stages). awk/cat/bash have their own structural cases above. */
+  private val lineCmds =
+    Set("grep", "sed", "sort", "head", "wc", "uniq", "cut")
+
+  /** Minimal shell tokenizer for pipeline stages: whitespace-split with
+    * single/double-quote grouping (enough for the supported command set —
+    * regex/program args are always one quoted token). */
+  private[jobs] def tokenizeCmd(cmd: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var tokenOpen = false // distinguishes '' (empty token) from no token
+    cmd.foreach { c =>
+      if (quote != 0) { if (c == quote) quote = 0 else sb += c }
+      else if (c == '\'' || c == '"') { quote = c; tokenOpen = true }
+      else if (c.isWhitespace) {
+        if (tokenOpen || sb.nonEmpty) { out += sb.toString; sb.clear() }
+        tokenOpen = false
+      } else { sb += c; tokenOpen = true }
+    }
+    if (tokenOpen || sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
+  /** `bash -c "cmd1 FILE | cmd2 | …"` → one composed plan. */
+  private def compilePipeline(cmd: String,
+                              inputs: Map[String, DataFrame]): DataFrame = {
+    val stages = cmd.split('|').map(_.trim).filter(_.nonEmpty)
+      .map(tokenizeCmd).toSeq
+    if (stages.isEmpty) throw CompileError(s"empty pipeline: $cmd")
+    val first = stages.head
+    if (first.length < 2 || !lineCmds.contains(first.head) &&
+        first.head != "cat")
+      throw CompileError(s"unsupported pipeline head: ${first.mkString(" ")}")
+    val src = vol(inputs, first.last)
+    val head =
+      if (first.head == "cat") src else lineStage(src, first.init)
+    stages.tail.foldLeft(head)(lineStage)
+  }
+
+  /** One line-stream stage: DataFrame with a `value` column → DataFrame.
+    * Aggregating stages (wc, uniq -c) are valid only as the last stage the
+    * same way their Unix forms end a pipeline usefully. */
+  private def lineStage(df: DataFrame, tokens: Seq[String]): DataFrame =
+    tokens match {
+      // grep family (B3)
+      case Seq("grep", pat)       => df.filter(col("value").contains(pat))
+      case Seq("grep", "-E", pat) => df.filter(col("value").rlike(pat))
+      case Seq("grep", "-v", pat) => df.filter(!col("value").contains(pat))
+      case Seq("grep", "-c", pat) =>
+        df.filter(col("value").contains(pat)).agg(count(lit(1)).as("n"))
+
+      // B4: sed -n '/RE/p' — print matching lines. sed BRE regexes in the
+      // reference corpus use only literals, '.', bracket ranges — identical
+      // in Java regex, so the pattern passes through verbatim.
+      case Seq("sed", "-n", prog) if prog.startsWith("/") && prog.endsWith("/p") =>
+        df.filter(col("value").rlike(prog.stripPrefix("/").stripSuffix("/p")))
+
+      // sed 's/RE/REPL/[g]' — substitution (examples/gps-substitution).
+      // Without /g sed replaces only the first match; regexp_replace
+      // replaces all, so the first-match form anchors via a capture.
+      case Seq("sed", prog) if prog.startsWith("s/") =>
+        prog.stripPrefix("s/").split('/') match {
+          case Array(re, repl, "g") =>
+            df.select(regexp_replace(col("value"), re, repl).as("value"))
+          case Array(re, repl) =>
+            df.select(regexp_replace(col("value"), s"^((?s).*?)($re)",
+              "$1" + repl.replace("$", "\\$")).as("value"))
+          case _ => throw CompileError(s"unsupported sed program: $prog")
+        }
+
+      // ordering / truncation
+      case Seq("sort")       => df.orderBy(col("value").asc)
+      case Seq("sort", "-r") => df.orderBy(col("value").desc)
+      case Seq("head", "-n", n) => df.limit(n.toInt)
+      case Seq("head", n) if n.startsWith("-") && n.drop(1).forall(_.isDigit) =>
+        df.limit(n.drop(1).toInt)
+
+      // counts (B6 + word count)
+      case Seq("wc", "-l") => df.agg(count(lit(1)).as("n"))
+      case Seq("wc", "-w") =>
+        df.agg(sum(size(split(trim(col("value")), "\\s+"))).as("n"))
+
+      // uniq -c — meaningful after `sort` (Unix adjacency semantics ==
+      // group-by once sorted); emits (n, value) columns
+      case Seq("uniq", "-c") =>
+        df.groupBy("value").agg(count(lit(1)).as("n"))
+          .select(col("n"), col("value")).orderBy("value")
+
+      // cut -dC -fN[,M…] — field projection rejoined with the delimiter
+      // (stays a single text line stream, composable with later stages)
+      case Seq("cut", d, f) if d.startsWith("-d") && f.startsWith("-f") =>
+        val delim = d.drop(2)
+        if (delim.length != 1) throw CompileError(s"cut: need 1-char delim: $d")
+        val fields = f.drop(2).split(',').map(_.trim.toInt)
+        if (fields.exists(_ < 1)) throw CompileError(s"cut: fields are 1-based: $f")
+        val parts = split(col("value"), java.util.regex.Pattern.quote(delim))
+        df.select(concat_ws(delim,
+          fields.toIndexedSeq.map(i => element_at(parts, i)): _*).as("value"))
+
+      case other =>
+        throw CompileError(s"unsupported pipeline stage: ${other.mkString(" ")}")
     }
 
   /** Expression-mode jobs (reference language engine, A7): the command is

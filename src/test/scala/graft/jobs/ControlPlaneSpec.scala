@@ -135,6 +135,60 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 40)
   }
 
+  test("coreutils breadth: sort, head, cut, wc -w") {
+    val t = textVol(s"$dir/grep_file.txt")
+    val sorted = OpCompiler.compileEntrypoint(spark,
+      Seq("sort", "/data/file.txt"), t).collect().map(_.getString(0))
+    assert(sorted.toSeq === sorted.sorted.toSeq && sorted.length === 9)
+    val headed = OpCompiler.compileEntrypoint(spark,
+      Seq("head", "-n", "3", "/data/file.txt"), t).collect()
+    assert(headed.length === 3 && headed(0).getString(0) === "apple")
+    val cutCols = OpCompiler.compileEntrypoint(spark,
+      Seq("cut", "-d,", "-f3,4",  "/data/file.txt"),
+      Map("/data/file.txt" -> spark.read.text(s"$dir/sensor.csv")))
+      .collect().map(_.getString(0))
+    assert(cutCols.head === "lat,long") // header line cut to fields 3,4
+    val words = OpCompiler.compileEntrypoint(spark,
+      Seq("wc", "-w", "/data/file.txt"), t).collect()(0).getLong(0)
+    assert(words === 11) // 9 lines, one has 3 words ("kiwi is delicious")
+  }
+
+  test("compiled bash -c pipelines compose into one plan") {
+    val t = textVol(s"$dir/grep_file.txt")
+    // grep | wc -l
+    val n = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "grep kiwi /data/file.txt | wc -l"), t)
+      .collect()(0).getLong(0)
+    assert(n === 2)
+    // sed s/// | grep: substitution feeds the filter
+    val subbed = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "sed 's/kiwi/mango/g' /data/file.txt | grep mango"), t)
+      .collect().map(_.getString(0))
+    assert(subbed.length === 3) // 1 original mango + 2 substituted
+    // sort | head: global order then truncate
+    val top = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "sort /data/file.txt | head -n 2"), t)
+      .collect().map(_.getString(0))
+    assert(top.toSeq === Seq("apple", "banana"))
+    // sort | uniq -c: adjacency == group-by once sorted
+    import spark.implicits._
+    val dup = Map("/d" -> Seq("b", "a", "b", "b").toDF("value"))
+    val counted = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "sort /d | uniq -c"), dup)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(counted.toSeq === Seq((1L, "a"), (3L, "b")))
+    // the composed pipeline is ONE plan: grep filter sits under the agg
+    val plan = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "grep kiwi /data/file.txt | wc -l"), t)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Filter") && plan.contains("Aggregate"))
+    // unsupported stages are compile errors, not silent passthrough
+    intercept[OpCompiler.CompileError] {
+      OpCompiler.compileEntrypoint(spark,
+        Seq("bash", "-c", "grep kiwi /data/file.txt | frobnicate"), t)
+    }
+  }
+
   test("unsupported entrypoint is rejected, not executed") {
     intercept[OpCompiler.CompileError] {
       OpCompiler.compileEntrypoint(spark, Seq("rm", "-rf", "/"), Map.empty)

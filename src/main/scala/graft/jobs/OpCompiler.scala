@@ -39,7 +39,25 @@ object OpCompiler {
       case "docker" =>
         val ep = spec.docker.getOrElse(throw CompileError("no docker spec"))
           .entrypoint
-        compileEntrypoint(spark, ep, inputs)
+        try compileEntrypoint(spark, ep, inputs)
+        catch {
+          // B10 generic-binary escape hatch, opt-in via the `raw-exec`
+          // annotation (arbitrary code must be asked for, never a silent
+          // fallback): the sole input's rows stream through the entrypoint
+          // as lines on stdin (PipeOps), stdout lines come back as `value`.
+          // The command must exist on every executor — the analog of "the
+          // image must be pullable on every node" (reference A6).
+          case e: CompileError if spec.annotations.contains("raw-exec") =>
+            val in = inputs.values.headOption.getOrElse(throw e)
+            import org.apache.spark.sql.Encoders
+            val lines =
+              (if (in.columns.length == 1)
+                 in.select(col(in.columns.head).cast("string"))
+               else in.select(to_csv(struct(
+                 in.columns.toIndexedSeq.map(col): _*))))
+                .as[String](Encoders.STRING)
+            PipeOps.pipe(lines, ep).toDF("value")
+        }
       case "language" =>
         val lang = spec.language.getOrElse(throw CompileError("no language spec"))
         compileExpression(spark, lang, inputs)

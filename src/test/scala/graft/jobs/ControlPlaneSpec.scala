@@ -195,6 +195,27 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- B10 wired into the docker engine: raw-exec annotation streams the
+  // input through the literal binary (A6 generic path), opt-in only
+  test("raw-exec annotation pipes uncompilable entrypoints; default rejects") {
+    val spec = JobSpec(engine = "docker", verifier = "hash",
+      docker = Some(JobSpecDocker(image = "ubuntu",
+        entrypoint = Seq("tr", "a-z", "A-Z"))),
+      annotations = Seq("raw-exec"))
+    val runner = new Runner(spark)
+    val job = runner.submit(spec).toOption.get
+    val out = Files.createTempDirectory("graft-raw").toString
+    val res = runner.run(job, textVol(s"$dir/grep_file.txt"), out).toOption.get
+    assert(res.verified)
+    val got = spark.read.parquet(s"$out/${job.id}/r0")
+      .collect().map(_.getString(0)).sorted
+    assert(got.contains("KIWI IS DELICIOUS") && got.length === 9)
+    // without the annotation the same entrypoint is still a compile error
+    val plain = spec.copy(annotations = Nil)
+    val j2 = runner.submit(plain).toOption.get
+    assert(runner.run(j2, textVol(s"$dir/grep_file.txt"), out).isLeft)
+  }
+
   // ---- determinism gate (language executor analog)
   test("determinism gate rejects nondeterministic expressions") {
     val lang = JobSpecLanguage(command = "rand()", deterministic = true)

@@ -5,15 +5,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.SparkException
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SimHash64}
 
 /** Official Spark extension entry point — enable with
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`). Installs:
   *
-  *  1. the native `dot_product` function into the session's registry
-  *     (SQL + `call_function` both resolve it; no imperative register call
-  *     needed);
+  *  1. the native `dot_product` and `simhash32` functions into the
+  *     session's registry (SQL + `call_function` both resolve them; no
+  *     imperative register call needed);
   *  2. an analyzer check rule enforcing the reference's determinism
   *     contract (pkg/executor/language/executor.go:47-62) session-wide:
   *     when `spark.graft.rejectNondeterministic=true`, any analyzed plan
@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { exprs: Seq[Expression] =>
         require(exprs.length == 2, "dot_product(a, b) takes two arrays")
         DotProduct(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash32"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "simhash32(token_hashes) takes one array")
+        SimHash64(exprs.head)
       }))
     ext.injectCheckRule { session => plan: LogicalPlan =>
       if (session.conf.get("spark.graft.rejectNondeterministic", "false")

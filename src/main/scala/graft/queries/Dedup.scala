@@ -125,24 +125,20 @@ object Dedup {
     // ---- SimHash: 32-bit fingerprint over word-token hashes (md5-derived,
     // engine-portable). Pure integer math end to end.
     "q_simhash" -> ((s, d) => {
-      // Single-pass form (VERDICT r1 #9): the whole signature folds inside
-      // array expressions on the document's own row — token hashes via
-      // `transform`, per-bit ±1 sums and bit assembly via nested
-      // `aggregate` — so there is NO row fan-out (the old form exploded
-      // 32× per token) and NO shuffle at all: a map-only narrow plan.
-      // Division by 2^j is exact in binary FP, so floor(th/p2) is the
-      // integer quotient; th is a 32-bit-range non-negative long.
+      // Single-pass map-only form (VERDICT r1 #9): NO row fan-out (the r1
+      // form exploded 32× per token) and NO shuffle. The signature itself
+      // is the native codegen'd `simhash32` Catalyst expression
+      // (functions/SimHash64) — one primitive pass per row; nested
+      // `aggregate` HOFs would evaluate interpreted, 32 passes per row.
+      // Bit rule identical to the SQL oracle ((th>>j)&1 == (th div 2^j)%2
+      // for non-negative th).
+      graft.functions.SimHash64.register(s)
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), transform(split(col("text"), " "),
           w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType)).as("ths"))
         .select(col("doc_id"),
-          aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
-            val p2 = pow(lit(2.0), j).cast(LongType)
-            val sj = aggregate(col("ths"), lit(0L),
-              (a, th) => a + (floor(th / p2).cast(LongType) % 2L) * 2L - 1L)
-            acc + when(sj > 0, p2).otherwise(0L)
-          }).as("simhash"))
+          call_function("simhash32", col("ths")).as("simhash"))
     }),
 
     // ---- n-gram (word-bigram) Jaccard between consecutive docs — the

@@ -34,8 +34,12 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // seed labels with min(self, neighbors) — the same aggregation shape
+    // the plain self-init would need for its distinct, but it fuses the
+    // first propagation round into initialization (one fewer loop round)
+    var labels = sym.groupBy(col("u").as("node"))
+      .agg(min("v").as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("component"))
       .localCheckpoint(true)
     // convergence via the label-sum invariant: propagation is monotone
     // decreasing (labels only ever take a smaller value), so the rounds

@@ -52,6 +52,12 @@ object Cli {
     val (flags, pos) = parseFlags(args)
     val stateDir = flag1(flags, "state-dir").getOrElse("/tmp/graft-state")
     Files.createDirectories(Paths.get(stateDir))
+    try dispatch(spark, flags, pos, stateDir)
+    catch { case FlagError(msg) => System.err.println(s"error: $msg"); 2 }
+  }
+
+  private def dispatch(spark: SparkSession, flags: Map[String, Seq[String]],
+                       pos: List[String], stateDir: String): Int = {
     pos match {
       case "run" :: "docker" :: image :: entrypoint =>
         runDocker(spark, flags, image, entrypoint, stateDir)
@@ -102,6 +108,17 @@ object Cli {
 
   private def flag1(flags: Map[String, Seq[String]], k: String): Option[String] =
     flags.get(k).flatMap(_.lastOption)
+
+  /** Numeric flag parse as a usage error, not an uncaught
+    * NumberFormatException (a trailing value-less flag parses as "true"). */
+  private final case class FlagError(msg: String) extends Exception(msg)
+  private def intFlag(flags: Map[String, Seq[String]], k: String,
+                      default: Int): Int =
+    flag1(flags, k) match {
+      case None => default
+      case Some(v) => v.toIntOption.getOrElse(
+        throw FlagError(s"--$k needs an integer, got '$v'"))
+    }
 
   // ---- persistence: JSONL event log + job catalog -------------------
 
@@ -170,10 +187,19 @@ object Cli {
       case Left(err) => System.err.println(s"submit: $err"); 1
       case Right(job) =>
         println(job.id)
-        val inputs = spec.inputs.map(v =>
-          v.path -> SourceResolver.resolve(spark, v)).toMap
         val outDir = s"$stateDir/results"
-        val code = runner.run(job, inputs, outDir) match {
+        // resolve failures (missing path, disabled URL) take the same
+        // clean error path as run failures — and still persist the job +
+        // an Error event so `list`/`describe` see the printed id
+        val code = (try Right(spec.inputs.map(v =>
+            v.path -> SourceResolver.resolve(spark, v)).toMap)
+          catch { case e: Exception =>
+            runner.events.append(JobEvent(jobId = job.id,
+              sourceNodeId = "spark-local", targetNodeId = "spark-local",
+              eventName = Lifecycle.EventType.Error,
+              status = s"input resolve failed: ${e.getMessage}"))
+            Left(e.getMessage)
+          }).flatMap(inputs => runner.run(job, inputs, outDir)) match {
           case Right(res) =>
             println(s"${job.id} verified=${res.verified} " +
               s"replicas=${res.cids.size} cid=${res.cids.head.take(16)}")
@@ -205,7 +231,7 @@ object Cli {
       inputVolumes = flags("i") ++ flags("v") ++ flags("input-volumes"),
       outputVolumes = flags("o") ++ flags("output-volumes"),
       env = flags("env"),
-      concurrency = flag1(flags, "concurrency").map(_.toInt).getOrElse(1),
+      concurrency = intFlag(flags, "concurrency", 1),
       annotations = flags("l") ++ flags("labels"),
       workingDir = flag1(flags, "w")
         .orElse(flag1(flags, "workdir")).getOrElse(""),
@@ -237,7 +263,7 @@ object Cli {
           deterministic = deterministic,
           inputVolumes = flags("i") ++ flags("v"),
           outputVolumes = flags("o"),
-          concurrency = flag1(flags, "concurrency").map(_.toInt).getOrElse(1),
+          concurrency = intFlag(flags, "concurrency", 1),
           verifier = flag1(flags, "verifier").getOrElse("hash")) match {
           case Left(err) => System.err.println(s"run python: $err"); 1
           case Right(built) => execute(spark, built.spec, built.deal, stateDir)
@@ -251,14 +277,18 @@ object Cli {
   private def serve(spark: SparkSession, flags: Map[String, Seq[String]],
                     stateDir: String): Int = {
     val host = flag1(flags, "host").getOrElse("127.0.0.1")
-    val port = flag1(flags, "api-port")
-      .orElse(flag1(flags, "port")).map(_.toInt).getOrElse(0)
+    val port =
+      if (flags.contains("api-port")) intFlag(flags, "api-port", 0)
+      else intFlag(flags, "port", 0)
     val srv = new ApiServer(spark, stateDir, host, port)
     srv.start()
     println(s"listening on ${srv.uri}")
     flag1(flags, "serve-ms") match {
-      case Some(ms) => Thread.sleep(ms.toLong); srv.stop()
-      case None     => Thread.currentThread().join()
+      case Some(ms) =>
+        Thread.sleep(ms.toLongOption.getOrElse(
+          throw FlagError(s"--serve-ms needs an integer, got '$ms'")))
+        srv.stop()
+      case None => Thread.currentThread().join()
     }
     0
   }
@@ -276,8 +306,8 @@ object Cli {
     * the full or 8-char short id; --sort-by id|created_at; --reverse flips
     * to oldest-first (default newest-first); --json and --wide outputs. */
   private def list(stateDir: String, flags: Map[String, Seq[String]]): Int = {
-    val n = flag1(flags, "n").orElse(flag1(flags, "number"))
-      .map(_.toInt).getOrElse(10)
+    val n = if (flags.contains("n")) intFlag(flags, "n", 10)
+            else intFlag(flags, "number", 10)
     val sortBy = flag1(flags, "sort-by").getOrElse("created_at")
     if (sortBy != "id" && sortBy != "created_at") {
       System.err.println("""list: --sort-by must be one of "id", or "created_at"""")
@@ -295,8 +325,12 @@ object Cli {
     }
     val rows = (if (flags.contains("reverse")) sorted.reverse else sorted)
       .take(n)
+    // ONE fold over the event log for every printed row (per-row
+    // currentJobState would refold the whole log each call)
+    val summarized = log.currentStates
+    val allStates = log.states.values.toSeq
     def stateOf(id: String): String =
-      log.currentJobState(id).map(_.state).getOrElse("Unknown")
+      summarized.get(id).map(_.state).getOrElse("Unknown")
     if (flags.contains("json")) {
       val arr = mapper.createArrayNode()
       rows.foreach { r =>
@@ -312,9 +346,9 @@ object Cli {
         val base = s"$id  ${r.engine}  ${stateOf(r.id)}  " +
           s"${java.time.Instant.ofEpochMilli(r.createdAtMs)}"
         val extra = if (wide) {
-          val res = log.states.values
+          val res = allStates
             .filter(s => s.jobId == r.id && s.resultsId.nonEmpty)
-            .map(_.resultsId.take(16)).toSeq.sorted.headOption.getOrElse("")
+            .map(_.resultsId.take(16)).sorted.headOption.getOrElse("")
           s"  $res"
         } else ""
         println(base + extra)

@@ -88,12 +88,23 @@ final class ApiServer(spark: SparkSession, stateDir: String,
               (400, mapper.createObjectNode().put("error", err))
             case Right(job) =>
               work.submit(new Runnable {
-                def run(): Unit = {
-                  val inputs = spec.inputs.map(v =>
-                    v.path -> SourceResolver.resolve(spark, v)).toMap
-                  runner.run(job, inputs, s"$stateDir/results")
-                  () // errors land in the event log as Error events
-                }
+                def run(): Unit =
+                  try {
+                    val inputs = spec.inputs.map(v =>
+                      v.path -> SourceResolver.resolve(spark, v)).toMap
+                    runner.run(job, inputs, s"$stateDir/results")
+                    () // run() errors land in the log as Error events
+                  } catch {
+                    // a failing resolve (missing path, disabled URL) must
+                    // still reach a terminal state — otherwise the job
+                    // polls as Created forever with no diagnostic
+                    case e: Exception =>
+                      runner.events.append(JobEvent(jobId = job.id,
+                        sourceNodeId = "spark-local",
+                        targetNodeId = "spark-local",
+                        eventName = Lifecycle.EventType.Error,
+                        status = s"input resolve failed: ${e.getMessage}"))
+                  }
               })
               val resp = mapper.createObjectNode()
               resp.set[JsonNode]("job", jobNode(job))

@@ -61,6 +61,17 @@ final class EventLog {
       .sortBy(s => (-Lifecycle.progressRank(s.state), s.nodeId))
       .headOption
 
+  /** A24 across ALL jobs from a single fold — callers listing many jobs
+    * must use this instead of currentJobState per row (which refolds the
+    * whole log each call: O(jobs × events)). */
+  def currentStates: Map[String, JobNodeState] =
+    states.values.toSeq
+      .filter(_.state != Lifecycle.State.BidRejected)
+      .groupBy(_.jobId)
+      .map { case (id, ss) =>
+        id -> ss.sortBy(s => (-Lifecycle.progressRank(s.state), s.nodeId)).head
+      }
+
   def toDF(spark: SparkSession): Dataset[JobEvent] = {
     import spark.implicits._
     spark.createDataset(all)

@@ -79,17 +79,26 @@ object OpCompiler {
       // B1: cat FILE (identity)
       case Seq("cat", path) => vol(inputs, path)
 
-      // bash -c "cmd1 FILE | cmd2 | …" — a compiled Unix pipeline: stage 1
-      // scans its file, each later stage is a line-level transform. The
-      // whole pipeline stays ONE Catalyst plan (filters still push down
-      // through it), unlike PipeOps which is opaque per-stage.
-      case Seq("bash", "-c", cmd) if cmd.contains("|") && !cmd.contains(">") =>
-        compilePipeline(cmd, inputs)
-
-      // B2-style: bash -c "cat FILE > OUT" — the scan side; sink handled
-      // by the Runner's output volumes
-      case Seq("bash", "-c", cmd) if cmd.startsWith("cat ") =>
-        vol(inputs, cmd.split("\\s+")(1))
+      // bash -c COMMAND — three compiled shapes:
+      //   "cmd1 FILE | cmd2 | …"  → one composed Catalyst plan (filters
+      //     still push down through the pipeline, unlike opaque PipeOps);
+      //     pipe detection is quote-aware ('kiwi|mango' regexes survive)
+      //     and '||' (logical OR) is never treated as a pipe
+      //   "cat FILE [> OUT]"      → the scan side (B2; sink = Runner's
+      //     output volumes)
+      //   any single command      → tokenized and compiled as argv
+      case Seq("bash" | "sh", "-c", cmd) =>
+        splitTopLevelPipes(cmd) match {
+          case Some(_) if cmd.contains(">") =>
+            // refusing beats the silent wrongness of compiling only the
+            // first stage and dropping the filters after the redirect
+            throw CompileError(s"pipeline with redirect unsupported: $cmd")
+          case Some(stages) => compilePipeline(stages, inputs)
+          case None if cmd.startsWith("cat ") =>
+            vol(inputs, cmd.split("\\s+")(1))
+          case None =>
+            compileEntrypoint(spark, tokenizeCmd(cmd), inputs)
+        }
 
       // line-stream commands with a trailing file arg: grep/sed/sort/head/
       // wc/uniq/cut — the stage kernel is shared with the pipeline compiler
@@ -147,12 +156,35 @@ object OpCompiler {
     out.toSeq
   }
 
-  /** `bash -c "cmd1 FILE | cmd2 | …"` → one composed plan. */
-  private def compilePipeline(cmd: String,
+  /** Split on top-level (unquoted) '|'. None when there is no true pipe —
+    * pipes inside quotes are regex alternation, and `||` is logical OR. */
+  private[jobs] def splitTopLevelPipes(cmd: String): Option[Seq[String]] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var sawPipe = false
+    var i = 0
+    while (i < cmd.length) {
+      val c = cmd.charAt(i)
+      if (quote != 0) { sb += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; sb += c }
+      else if (c == '|') {
+        if (i + 1 < cmd.length && cmd.charAt(i + 1) == '|') return None
+        sawPipe = true
+        parts += sb.toString
+        sb.clear()
+      } else sb += c
+      i += 1
+    }
+    parts += sb.toString
+    if (sawPipe) Some(parts.toSeq.map(_.trim).filter(_.nonEmpty)) else None
+  }
+
+  /** Pipeline stage strings → one composed plan. */
+  private def compilePipeline(stageStrs: Seq[String],
                               inputs: Map[String, DataFrame]): DataFrame = {
-    val stages = cmd.split('|').map(_.trim).filter(_.nonEmpty)
-      .map(tokenizeCmd).toSeq
-    if (stages.isEmpty) throw CompileError(s"empty pipeline: $cmd")
+    val stages = stageStrs.map(tokenizeCmd)
+    if (stages.isEmpty) throw CompileError("empty pipeline")
     val first = stages.head
     if (first.length < 2 || !lineCmds.contains(first.head) &&
         first.head != "cat")
@@ -160,13 +192,19 @@ object OpCompiler {
     val src = vol(inputs, first.last)
     val head =
       if (first.head == "cat") src else lineStage(src, first.init)
-    stages.tail.foldLeft(head)(lineStage)
+    // each stage sees its predecessor's tokens (uniq -c inherits the
+    // preceding sort's direction, matching Unix adjacency output order)
+    stages.tail.foldLeft((head, first)) { case ((df, prev), stage) =>
+      (lineStage(df, stage, prev), stage)
+    }._1
   }
 
   /** One line-stream stage: DataFrame with a `value` column → DataFrame.
     * Aggregating stages (wc, uniq -c) are valid only as the last stage the
-    * same way their Unix forms end a pipeline usefully. */
-  private def lineStage(df: DataFrame, tokens: Seq[String]): DataFrame =
+    * same way their Unix forms end a pipeline usefully. `prev` carries the
+    * preceding stage's tokens for order-sensitive stages. */
+  private def lineStage(df: DataFrame, tokens: Seq[String],
+                        prev: Seq[String] = Nil): DataFrame =
     tokens match {
       // grep family (B3)
       case Seq("grep", pat)       => df.filter(col("value").contains(pat))
@@ -207,10 +245,15 @@ object OpCompiler {
         df.agg(sum(size(split(trim(col("value")), "\\s+"))).as("n"))
 
       // uniq -c — meaningful after `sort` (Unix adjacency semantics ==
-      // group-by once sorted); emits (n, value) columns
+      // group-by once sorted); emits (n, value) columns in the preceding
+      // sort's direction, so a following head/limit truncates the same
+      // rows Unix would
       case Seq("uniq", "-c") =>
-        df.groupBy("value").agg(count(lit(1)).as("n"))
-          .select(col("n"), col("value")).orderBy("value")
+        val grouped = df.groupBy("value").agg(count(lit(1)).as("n"))
+          .select(col("n"), col("value"))
+        // prefix check: the first pipeline stage's tokens carry the file arg
+        if (prev.startsWith(Seq("sort", "-r"))) grouped.orderBy(col("value").desc)
+        else grouped.orderBy(col("value").asc)
 
       // cut -dC -fN[,M…] — field projection rejoined with the delimiter
       // (stays a single text line stream, composable with later stages)

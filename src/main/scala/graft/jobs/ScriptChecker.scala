@@ -43,8 +43,15 @@ object ScriptChecker {
         case '('  => if (!inDouble) parens += 1
         case ')'  => if (!inDouble) { parens -= 1
           if (parens < 0) return Left(s"unmatched ')' at offset $i") }
-        case '{'  => if (!inDouble) braces += 1
-        case '}'  => if (!inDouble) braces = math.max(0, braces - 1)
+        // group-command braces only ('{ cmd; }' — brace followed by
+        // whitespace / closer preceded by whitespace-or-';'): literal
+        // braces in awk programs or ${x} stay uncounted
+        case '{' if !inDouble &&
+            (i + 1 >= script.length || script.charAt(i + 1).isWhitespace) =>
+          braces += 1
+        case '}' if !inDouble && i > 0 &&
+            (script.charAt(i - 1).isWhitespace || script.charAt(i - 1) == ';') =>
+          braces = math.max(0, braces - 1)
         case _    => ()
       }
       i += 1
@@ -53,6 +60,7 @@ object ScriptChecker {
     else if (inSingle) Left("unterminated single-quoted string")
     else if (inDouble) Left("unterminated double-quoted string")
     else if (parens > 0) Left("unclosed '('")
+    else if (braces > 0) Left("unclosed '{' group command")
     else {
       val tail = script.trim
       if (tail.endsWith("|") || tail.endsWith("&&") || tail.endsWith("||"))

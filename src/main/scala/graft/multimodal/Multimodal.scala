@@ -183,8 +183,14 @@ object Multimodal {
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = scaled.createGraphics()
       try {
-        g.drawImage(img.getScaledInstance(w, h,
-          java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+        // synchronous scale of the BufferedImage source. (The
+        // getScaledInstance form is ASYNC — drawImage(toolkitImage) can
+        // return before pixels are produced, yielding a blank raster
+        // nondeterministically, which would also break replica
+        // hash-agreement.)
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
       } finally g.dispose()
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(scaled, "png", out)

@@ -115,6 +115,23 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       "--", "echo", "hi"), spark) === 1)
   }
 
+  test("bad numeric flags and bad inputs exit cleanly, not via stack trace") {
+    val dir = Files.createTempDirectory("graft-badflag").toString
+    val state = s"$dir/state"
+    // trailing value-less --concurrency parses as "true" → usage error 2
+    assert(Cli.run(Seq("run", "docker", "ubuntu", "--state-dir", state,
+      "--concurrency"), spark) === 2)
+    assert(Cli.run(Seq("list", "-n", "abc", "--state-dir", state), spark) === 2)
+    // unresolvable input volume: exit 1 with the job persisted as Error
+    val (code, out) = captureOut(Cli.run(Seq("run", "docker", "ubuntu",
+      "-i", "/no/such/file:/d", "--state-dir", state,
+      "--", "cat", "/d"), spark))
+    assert(code === 1)
+    val jobId = out.linesIterator.next().trim
+    val log = Cli.loadEvents(state)
+    assert(log.currentJobState(jobId).get.state === jobs.Lifecycle.State.Error)
+  }
+
   // `run python` — expression mode with the determinism gate
   test("run python: SQL over a mounted parquet table; rand() rejected") {
     val dir = Files.createTempDirectory("graft-runp").toString

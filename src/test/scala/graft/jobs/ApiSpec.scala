@@ -92,6 +92,21 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex2.getMessage.contains("docker engine without docker spec"))
   }
 
+  test("unresolvable inputs reach a terminal Error state, not a silent hang") {
+    val spec =
+      """{"engine_name": "docker", "verifier_name": "ipfs",
+        |  "job_spec_docker": {"image": "ubuntu",
+        |    "entrypoint": ["cat", "/data/file.txt"]},
+        |  "inputs": [{"engine_name": "ipfs", "name": "in",
+        |    "cid": "/no/such/fixture-path", "path": "/data/file.txt"}]}"""
+        .stripMargin
+    val jobId = client.submit(spec)
+    assert(client.waitForJob(jobId, timeoutMs = 20000),
+      "job with a bad input never reached a terminal state")
+    val evts = client.events(jobId)
+    assert(evts.contains(Lifecycle.EventType.Error))
+  }
+
   test("list over the socket sees all submitted jobs") {
     val before = client.list().size
     client.submit("""{"engine_name": "noop", "verifier_name": "noop"}""")

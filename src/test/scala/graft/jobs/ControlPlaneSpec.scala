@@ -189,6 +189,33 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipeline parsing edge cases: quoted pipes, redirects, ||") {
+    val t = textVol(s"$dir/grep_file.txt")
+    // '|' inside a quoted regex is alternation, NOT a pipe — the command
+    // compiles as a single grep -E via the bash -c fallback
+    val alt = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "grep -E 'kiwi|mango' /data/file.txt"), t)
+      .collect().map(_.getString(0))
+    assert(alt.toSeq === Seq("kiwi", "mango", "kiwi is delicious"))
+    // a pipeline that also redirects must refuse, not silently compile
+    // only the first stage
+    intercept[OpCompiler.CompileError] {
+      OpCompiler.compileEntrypoint(spark, Seq("bash", "-c",
+        "cat /data/file.txt | grep kiwi > /outputs/out"), t)
+    }
+    // '||' is logical OR, not a pipe: "cat f || true" compiles as the scan
+    val orr = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "cat /data/file.txt || true"), t)
+    assert(orr.count() === 9)
+    // sort -r | uniq -c | head truncates in DESCENDING value order
+    import spark.implicits._
+    val dup = Map("/d" -> Seq("b", "a", "b").toDF("value"))
+    val top = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "sort -r /d | uniq -c | head -n 1"), dup)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(top.toSeq === Seq((2L, "b"))) // largest value's group first
+  }
+
   test("unsupported entrypoint is rejected, not executed") {
     intercept[OpCompiler.CompileError] {
       OpCompiler.compileEntrypoint(spark, Seq("rm", "-rf", "/"), Map.empty)

@@ -115,5 +115,9 @@ class JobSpecBuilderSpec extends AnyFunSuite {
       "{x=38.7077507-$3; y=-9.1365919-$4; if(x^2+y^2<0.3^2) print $0}",
       "/data/file.csv")).isRight)
     assert(checkBashSyntax(Seq("sh", "-c", "f() { echo hi; }; f")).isRight)
+    // unclosed group command is caught pre-submit; literal/awk braces and
+    // ${var} expansions stay legal
+    assert(checkBashSyntax(Seq("sh", "-c", "f() { echo hi")).isLeft)
+    assert(checkBashSyntax(Seq("echo", "${HOME}and{1..3}")).isRight)
   }
 }

@@ -98,10 +98,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scaled = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(out._2))
     assert(scaled.getWidth === 32 && scaled.getHeight === 16)
-    // area-averaged gradient: top-left pixel averages the 2x2 block
-    assert(scaled.getRGB(0, 0) !== 0)
+    // the raster is really painted (not an unpainted black frame): the
+    // source is a gradient, so scaled pixels must vary along a row
+    val rowColors = (0 until 32).map(x => scaled.getRGB(x, 8)).distinct
+    assert(rowColors.size > 1, "scaled raster is uniform — blank paint?")
+    // deterministic bytes: two independent scales encode identically
+    // (replica hash-agreement depends on this)
+    val srcBytes = Files.readAllBytes(Paths.get(s"$dir/a.png"))
+    assert(Multimodal.resizeBytes(srcBytes, 2).toSeq ===
+      Multimodal.resizeBytes(srcBytes, 2).toSeq)
     // quarter resolution shrinks further
-    val q = Multimodal.resizeBytes(Files.readAllBytes(Paths.get(s"$dir/a.png")), 4)
+    val q = Multimodal.resizeBytes(srcBytes, 4)
     val qImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(q))
     assert(qImg.getWidth === 16 && qImg.getHeight === 8)
   }

@@ -81,6 +81,24 @@ object StreamOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming NEAR-dup suppression for a document stream — the
+    * training-corpus ingestion shape: each doc gets its simhash signature
+    * (native `simhash32` expression, map-only) and only the first doc per
+    * signature within the watermark horizon survives. Exact-dup streaming
+    * drop is [[dedupeEvents]] on a content digest; this catches
+    * near-identical variants that hash to the same signature. State is
+    * bounded: signature keys age out with the watermark. */
+  def dedupeNearDocs(docs: DataFrame, textCol: String = "text",
+                     watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    import org.apache.spark.sql.types.LongType
+    val ths = transform(split(col(textCol), " "),
+      w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType))
+    docs.withColumn("sig", call_function("simhash32", ths))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+  }
+
   /** Stream-stream interval join: attribute each click to views by the same
     * user within the preceding `horizon`. Both sides carry watermarks so
     * Spark bounds the join state (view rows age out once the click-side

@@ -119,6 +119,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming near-dup drop: same-signature docs suppressed in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.dedupeNearDocs(docs, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+        (ts("2024-01-01 10:00:30"), 2L, "the quick brown fox"), // exact dup
+        (ts("2024-01-01 10:01:00"), 3L, "a completely different document"))
+      q.processAllAvailable()
+      // cross-batch near-dup (identical token set → identical signature)
+      in.addData((ts("2024-01-01 10:02:00"), 4L, "the quick brown fox"))
+      q.processAllAvailable()
+      val kept = spark.table("neardup").select("doc_id")
+        .as[Long].collect().toSeq.sorted
+      assert(kept === Seq(1L, 3L)) // first per signature survives
+      // streaming result matches the batch dedup of the same rows
+      val batch = Seq(
+        (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+        (ts("2024-01-01 10:00:30"), 2L, "the quick brown fox"),
+        (ts("2024-01-01 10:01:00"), 3L, "a completely different document"),
+        (ts("2024-01-01 10:02:00"), 4L, "the quick brown fox"))
+        .toDF("ts", "doc_id", "text")
+      graft.functions.SimHash64.register(spark)
+      import org.apache.spark.sql.types.LongType
+      val sigged = batch.withColumn("sig", call_function("simhash32",
+        transform(split(col("text"), " "),
+          w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType))))
+      // (min per signature, not orderBy+dropDuplicates — the latter keeps
+      // an ARBITRARY row per key in batch Spark)
+      val batchKept = sigged.groupBy("sig").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(batchKept === kept)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks to in-horizon views") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -32,4 +32,37 @@ object SinkOps {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction — the operational tool every long-lived 100 TB
+    * layout needs: streaming/incremental writers leave thousands of KB-
+    * sized part files whose per-file open/footer overhead eventually
+    * dominates scans. Rewrites a parquet directory into
+    * ceil(bytes / targetFileBytes) files via coalesce (NARROW — no
+    * shuffle; each output file concatenates whole input partitions),
+    * staging to a sibling temp dir then swapping, so a crashed compaction
+    * never destroys the source.
+    *
+    * @return number of part files after compaction */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def parts(d: String): Seq[java.nio.file.Path] =
+      Files.list(Paths.get(d)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    val totalBytes = parts(dir).map(Files.size).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val staged = dir.stripSuffix("/") + ".compact-tmp"
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    // swap: remove originals, move staged parts + marker in
+    val dirPath = Paths.get(dir)
+    Files.walk(dirPath).iterator().asScala.toSeq.reverse
+      .filter(_ != dirPath).foreach(Files.delete)
+    Files.list(Paths.get(staged)).iterator().asScala.foreach { p =>
+      Files.move(p, dirPath.resolve(p.getFileName))
+    }
+    Files.delete(Paths.get(staged))
+    parts(dir).size
+  }
 }

@@ -60,6 +60,26 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("compaction: many small part files → few, content identical") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 32 tiny part files
+    spark.range(10000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(32).write.parquet(out)
+    import scala.jdk.CollectionConverters._
+    def partCount = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("part-"))
+    assert(partCount === 32)
+    val before = spark.read.parquet(out).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    // target size larger than the whole table → exactly 1 file
+    val n = SinkOps.compact(spark, out, targetFileBytes = 1L << 30)
+    assert(n === 1 && partCount === 1)
+    val after = spark.read.parquet(out).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(after === before)
+  }
+
   test("GraftExtensions installs dot_product + determinism check rule") {
     // a derived session picks extensions up only at builder time, so build
     // a dedicated one (same JVM-wide SparkContext)

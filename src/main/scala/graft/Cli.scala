@@ -280,15 +280,17 @@ object Cli {
     val port =
       if (flags.contains("api-port")) intFlag(flags, "api-port", 0)
       else intFlag(flags, "port", 0)
+    // validate BEFORE binding the port — a FlagError after start() would
+    // leak the listener and worker threads
+    val serveMs = flag1(flags, "serve-ms").map(ms =>
+      ms.toLongOption.getOrElse(
+        throw FlagError(s"--serve-ms needs an integer, got '$ms'")))
     val srv = new ApiServer(spark, stateDir, host, port)
     srv.start()
     println(s"listening on ${srv.uri}")
-    flag1(flags, "serve-ms") match {
-      case Some(ms) =>
-        Thread.sleep(ms.toLongOption.getOrElse(
-          throw FlagError(s"--serve-ms needs an integer, got '$ms'")))
-        srv.stop()
-      case None => Thread.currentThread().join()
+    serveMs match {
+      case Some(ms) => Thread.sleep(ms); srv.stop()
+      case None     => Thread.currentThread().join()
     }
     0
   }
@@ -327,8 +329,8 @@ object Cli {
       .take(n)
     // ONE fold over the event log for every printed row (per-row
     // currentJobState would refold the whole log each call)
-    val summarized = log.currentStates
     val allStates = log.states.values.toSeq
+    val summarized = EventLog.summarize(allStates)
     def stateOf(id: String): String =
       summarized.get(id).map(_.state).getOrElse("Unknown")
     if (flags.contains("json")) {

@@ -88,6 +88,18 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
+  /** The canonical token→hash projection every simhash call site shares
+    * (batch q_simhash, streaming near-dup, specs): whitespace tokens →
+    * first 8 md5 hex chars as a long. ONE definition so batch/stream
+    * signature parity can't silently diverge. Matches the SQL oracle's
+    * `CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)`. */
+  def tokenHashes(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    transform(split(text, " "),
+      w => conv(substring(md5(w), 1, 8), 16, 10)
+        .cast(org.apache.spark.sql.types.LongType))
+  }
+
   /** Register `simhash32` in the session's function registry. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -65,12 +65,7 @@ final class EventLog {
     * must use this instead of currentJobState per row (which refolds the
     * whole log each call: O(jobs × events)). */
   def currentStates: Map[String, JobNodeState] =
-    states.values.toSeq
-      .filter(_.state != Lifecycle.State.BidRejected)
-      .groupBy(_.jobId)
-      .map { case (id, ss) =>
-        id -> ss.sortBy(s => (-Lifecycle.progressRank(s.state), s.nodeId)).head
-      }
+    EventLog.summarize(states.values)
 
   def toDF(spark: SparkSession): Dataset[JobEvent] = {
     import spark.implicits._
@@ -79,6 +74,16 @@ final class EventLog {
 }
 
 object EventLog {
+  /** A24 "furthest along" pick per job over already-folded node states
+    * (shared by currentStates and list-style callers that hold the fold). */
+  def summarize(states: Iterable[JobNodeState]): Map[String, JobNodeState] =
+    states.toSeq
+      .filter(_.state != Lifecycle.State.BidRejected)
+      .groupBy(_.jobId)
+      .map { case (id, ss) =>
+        id -> ss.sortBy(s => (-Lifecycle.progressRank(s.state), s.nodeId)).head
+      }
+
   /** Distributed twin of the in-memory fold: latest state-bearing event per
     * (jobId, nodeId) wins; status/resultsId backfilled from the last
     * non-empty value (reference partial-update rule). */

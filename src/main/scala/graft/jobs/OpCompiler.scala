@@ -89,7 +89,7 @@ object OpCompiler {
       //   any single command      → tokenized and compiled as argv
       case Seq("bash" | "sh", "-c", cmd) =>
         splitTopLevelPipes(cmd) match {
-          case Some(_) if cmd.contains(">") =>
+          case Some(_) if hasTopLevel(cmd, '>') =>
             // refusing beats the silent wrongness of compiling only the
             // first stage and dropping the filters after the redirect
             throw CompileError(s"pipeline with redirect unsupported: $cmd")
@@ -156,27 +156,52 @@ object OpCompiler {
     out.toSeq
   }
 
+  /** True when `ch` occurs outside quotes (for redirect detection — a '>'
+    * inside a quoted grep pattern is not a redirect). */
+  private[jobs] def hasTopLevel(cmd: String, ch: Char): Boolean = {
+    var quote: Char = 0
+    var i = 0
+    while (i < cmd.length) {
+      val c = cmd.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == ch) return true
+      i += 1
+    }
+    false
+  }
+
   /** Split on top-level (unquoted) '|'. None when there is no true pipe —
-    * pipes inside quotes are regex alternation, and `||` is logical OR. */
+    * pipes inside quotes are regex alternation, and `||` is logical OR.
+    * A command MIXING real pipes with `||` is refused outright (compiling
+    * only part of it would be silently wrong). */
   private[jobs] def splitTopLevelPipes(cmd: String): Option[Seq[String]] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var quote: Char = 0
     var sawPipe = false
+    var sawLogicalOr = false
     var i = 0
     while (i < cmd.length) {
       val c = cmd.charAt(i)
-      if (quote != 0) { sb += c; if (c == quote) quote = 0 }
-      else if (c == '\'' || c == '"') { quote = c; sb += c }
+      if (quote != 0) { sb += c; if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; sb += c; i += 1 }
       else if (c == '|') {
-        if (i + 1 < cmd.length && cmd.charAt(i + 1) == '|') return None
-        sawPipe = true
-        parts += sb.toString
-        sb.clear()
-      } else sb += c
-      i += 1
+        if (i + 1 < cmd.length && cmd.charAt(i + 1) == '|') {
+          sawLogicalOr = true
+          sb ++= "||"
+          i += 2
+        } else {
+          sawPipe = true
+          parts += sb.toString
+          sb.clear()
+          i += 1
+        }
+      } else { sb += c; i += 1 }
     }
     parts += sb.toString
+    if (sawPipe && sawLogicalOr)
+      throw CompileError(s"pipeline mixing '|' and '||' unsupported: $cmd")
     if (sawPipe) Some(parts.toSeq.map(_.trim).filter(_.nonEmpty)) else None
   }
 

@@ -43,10 +43,13 @@ object ScriptChecker {
         case '('  => if (!inDouble) parens += 1
         case ')'  => if (!inDouble) { parens -= 1
           if (parens < 0) return Left(s"unmatched ')' at offset $i") }
-        // group-command braces only ('{ cmd; }' — brace followed by
-        // whitespace / closer preceded by whitespace-or-';'): literal
-        // braces in awk programs or ${x} stay uncounted
+        // group-command braces only ('{ cmd; }' — brace is its OWN WORD:
+        // preceded by start/whitespace/';' AND followed by whitespace/end):
+        // literal braces in awk programs, ${x}, or mid-word 'a{ b' stay
+        // uncounted
         case '{' if !inDouble &&
+            (i == 0 || script.charAt(i - 1).isWhitespace ||
+              script.charAt(i - 1) == ';') &&
             (i + 1 >= script.length || script.charAt(i + 1).isWhitespace) =>
           braces += 1
         case '}' if !inDouble && i > 0 &&

@@ -36,33 +36,50 @@ object SinkOps {
   /** Small-file compaction — the operational tool every long-lived 100 TB
     * layout needs: streaming/incremental writers leave thousands of KB-
     * sized part files whose per-file open/footer overhead eventually
-    * dominates scans. Rewrites a parquet directory into
+    * dominates scans. Rewrites a FLAT parquet directory into
     * ceil(bytes / targetFileBytes) files via coalesce (NARROW — no
-    * shuffle; each output file concatenates whole input partitions),
-    * staging to a sibling temp dir then swapping, so a crashed compaction
-    * never destroys the source.
+    * shuffle; each output file concatenates whole input partitions).
+    *
+    * Crash safety: the rewrite stages to a sibling temp dir, then the swap
+    * is two directory renames (source aside → staged in) — a crash leaves
+    * either the original or the staged result addressable, never an
+    * emptied directory.
+    *
+    * Hive-partitioned layouts (k=v subdirectories) are REFUSED — blind
+    * compaction would flatten the layout and kill pruned reads; compact
+    * each leaf partition directory instead.
     *
     * @return number of part files after compaction */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20): Int = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    def parts(d: String): Seq[java.nio.file.Path] =
-      Files.list(Paths.get(d)).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-")).toSeq
-    val totalBytes = parts(dir).map(Files.size).sum
-    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val staged = dir.stripSuffix("/") + ".compact-tmp"
-    spark.read.parquet(dir).coalesce(n)
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    // swap: remove originals, move staged parts + marker in
-    val dirPath = Paths.get(dir)
-    Files.walk(dirPath).iterator().asScala.toSeq.reverse
-      .filter(_ != dirPath).foreach(Files.delete)
-    Files.list(Paths.get(staged)).iterator().asScala.foreach { p =>
-      Files.move(p, dirPath.resolve(p.getFileName))
+    def ls(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toVector finally s.close()
     }
-    Files.delete(Paths.get(staged))
-    parts(dir).size
+    val dirPath = Paths.get(dir)
+    def parts(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+      ls(d).filter(p => p.getFileName.toString.startsWith("part-"))
+    if (ls(dirPath).exists(p => Files.isDirectory(p)))
+      throw new IllegalArgumentException(
+        s"compact: '$dir' has subdirectories (partitioned layout?) — " +
+          "compact leaf partition directories individually")
+    val existing = parts(dirPath)
+    if (existing.isEmpty)
+      throw new IllegalArgumentException(s"compact: no part files in '$dir'")
+    val totalBytes = existing.map(Files.size).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val staged = Paths.get(dir.stripSuffix("/") + ".compact-tmp")
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    // two-rename swap; clean the old tree only after the new one is live
+    val old = Paths.get(dir.stripSuffix("/") + ".compact-old")
+    Files.move(dirPath, old)
+    Files.move(staged, dirPath)
+    val w = Files.walk(old)
+    try w.iterator().asScala.toVector.reverse.foreach(Files.delete)
+    finally w.close()
+    parts(dirPath).size
   }
 }

@@ -135,8 +135,8 @@ object Dedup {
       graft.functions.SimHash64.register(s)
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), transform(split(col("text"), " "),
-          w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType)).as("ths"))
+        .select(col("doc_id"),
+          graft.functions.SimHash64.tokenHashes(col("text")).as("ths"))
         .select(col("doc_id"),
           call_function("simhash32", col("ths")).as("simhash"))
     }),

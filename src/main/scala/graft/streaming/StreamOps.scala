@@ -89,13 +89,12 @@ object StreamOps {
     * near-identical variants that hash to the same signature. State is
     * bounded: signature keys age out with the watermark. */
   def dedupeNearDocs(docs: DataFrame, textCol: String = "text",
+                     tsCol: String = "ts",
                      watermarkDelay: String = "10 minutes"): DataFrame = {
     graft.functions.SimHash64.register(docs.sparkSession)
-    import org.apache.spark.sql.types.LongType
-    val ths = transform(split(col(textCol), " "),
-      w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType))
-    docs.withColumn("sig", call_function("simhash32", ths))
-      .withWatermark("ts", watermarkDelay)
+    docs.withColumn("sig", call_function("simhash32",
+        graft.functions.SimHash64.tokenHashes(col(textCol))))
+      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("sig"))
   }
 

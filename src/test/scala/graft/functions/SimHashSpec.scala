@@ -18,8 +18,7 @@ class SimHashSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def tokens = transform(split(col("text"), " "),
-    w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType))
+  private def tokens = SimHash64.tokenHashes(col("text"))
 
   /** The HOF form the expression replaced — kept here as the reference
     * model (floor-division bit rule, exact for powers of two). */

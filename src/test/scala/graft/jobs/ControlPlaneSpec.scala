@@ -214,6 +214,17 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("bash", "-c", "sort -r /d | uniq -c | head -n 1"), dup)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(top.toSeq === Seq((2L, "b"))) // largest value's group first
+    // a REAL pipe mixed with '||' refuses — compiling only part of the
+    // command would silently drop the grep stage
+    intercept[OpCompiler.CompileError] {
+      OpCompiler.compileEntrypoint(spark, Seq("bash", "-c",
+        "cat /data/file.txt | grep kiwi || true"), t)
+    }
+    // a '>' inside a quoted pattern is NOT a redirect: pipeline compiles
+    val gt = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "grep '>x' /data/file.txt | wc -l"), t)
+      .collect()(0).getLong(0)
+    assert(gt === 0)
   }
 
   test("unsupported entrypoint is rejected, not executed") {

@@ -119,5 +119,7 @@ class JobSpecBuilderSpec extends AnyFunSuite {
     // ${var} expansions stay legal
     assert(checkBashSyntax(Seq("sh", "-c", "f() { echo hi")).isLeft)
     assert(checkBashSyntax(Seq("echo", "${HOME}and{1..3}")).isRight)
+    // mid-word '{ ' is a literal, not a group opener
+    assert(checkBashSyntax(Seq("echo", "a{ b")).isRight)
   }
 }

@@ -78,6 +78,14 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = spark.read.parquet(out).orderBy("id")
       .as[(Long, Long)].collect().toSeq
     assert(after === before)
+    // partitioned layouts refuse — blind compaction would flatten them
+    val part = Files.createTempDirectory("graft-compact-p").toString + "/p"
+    spark.range(100).select(col("id"), (col("id") % 3).as("k"))
+      .write.partitionBy("k").parquet(part)
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.compact(spark, part)
+    }
+    assert(ex.getMessage.contains("partitioned"))
   }
 
   test("GraftExtensions installs dot_product + determinism check rule") {

@@ -147,10 +147,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (ts("2024-01-01 10:02:00"), 4L, "the quick brown fox"))
         .toDF("ts", "doc_id", "text")
       graft.functions.SimHash64.register(spark)
-      import org.apache.spark.sql.types.LongType
       val sigged = batch.withColumn("sig", call_function("simhash32",
-        transform(split(col("text"), " "),
-          w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType))))
+        graft.functions.SimHash64.tokenHashes(col("text"))))
       // (min per signature, not orderBy+dropDuplicates — the latter keeps
       // an ARBITRARY row per key in batch Spark)
       val batchKept = sigged.groupBy("sig").agg(min("doc_id").as("doc_id"))

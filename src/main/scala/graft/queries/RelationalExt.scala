@@ -257,6 +257,56 @@ object RelationalExt {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
              count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- Bloom-filter semi-join pruning (rows-only): build a filter over
+    // the dim keys, broadcast the sketch, probe facts with might_contain.
+    // No false negatives, so bloom_n >= exact_n always; the gap is the
+    // false-positive mass a runtime filter would pass to the real join.
+    // The 100 TB use: the fact side drops non-matching rows map-side at
+    // the scan instead of shuffling everything into the join.
+    "q_bloom_semi" -> ((s, d) => {
+      graft.functions.BloomFilters.register(s)
+      val keys = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("ck"))
+      // build → materialize the ~10 KB sketch → probe as a CONSTANT
+      // (might_contain requires a constant/scalar-subquery filter side;
+      // materializing the built filter is exactly what Spark's own
+      // runtime row-level filtering does before shipping it to scans)
+      val bf = keys.agg(expr("bloom_filter_agg(ck, 10000L, 81920L)").as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val orders = Tables.orders(s, d)
+      val bloomN = orders
+        .filter(call_function("might_contain", lit(bf),
+          col("o_custkey").cast("long")))
+        .agg(count(lit(1)).as("bloom_n"))
+      val exactN = orders
+        .join(keys, orders("o_custkey") === keys("ck"), "left_semi")
+        .agg(count(lit(1)).as("exact_n"))
+      bloomN.crossJoin(exactN)
+        .select(col("bloom_n"), col("exact_n"),
+          (col("bloom_n") >= col("exact_n")).as("superset"))
+    }),
+
+    // ---- Count-Min Sketch heavy hitters (rows-only): per-key frequency
+    // estimation with fixed memory; executor-side sketches merge, only the
+    // sketch reaches the driver. Output pairs the estimate with the exact
+    // count so the rows-only check still sees a self-describing result
+    // (cms_n >= exact_n: CMS only over-counts).
+    "q_cms_heavy" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cms = li.stat.countMinSketch("l_returnflag",
+        eps = 0.0001, confidence = 0.999, seed = 42)
+      val exact = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_n"))
+        .collect() // 3 rows — the key domain, not the data
+        .map(r => (r.getString(0), r.getLong(1),
+          cms.estimateCount(r.getString(0))))
+        .toSeq
+      import s.implicits._
+      exact.toDF("l_returnflag", "exact_n", "cms_n")
+        .orderBy("l_returnflag")
     })
   )
 

@@ -11,7 +11,9 @@ import graft.Tables
   * grouping sets, array & explode ops, haversine distance (the reference's
   * published GPS distance function — examples/gps-substitution/
   * generate_csv.py:49-60), exact percentiles, moment statistics, arg-max,
-  * HAVING, union-all, binary-column scalar ops, and an HLL sketch.
+  * HAVING, union-all, binary-column scalar ops, and the sketch family
+  * (HLL cardinality, approximate quantiles, Bloom-filter semi-join
+  * pruning, Count-Min heavy hitters).
   *
   * Scale notes:
   *  - the as-of join is the union+window form: ONE shuffle on the join key,

@@ -18,7 +18,6 @@ class BloomFiltersSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("no false negatives; non-members mostly pruned") {
     BloomFilters.register(spark)
-    import spark.implicits._
     val members = spark.range(1000).toDF("k")
     val bf = members.agg(expr("bloom_filter_agg(k, 1000L, 16384L)").as("bf"))
       .head().getAs[Array[Byte]]("bf")

@@ -67,7 +67,8 @@ object Cli {
         apply(spark, flags("f").head, stateDir)
       case "serve" :: Nil => serve(spark, flags, stateDir)
       case "list" :: Nil => list(stateDir, flags)
-      case "describe" :: id :: Nil => describe(stateDir, id)
+      case "describe" :: id :: Nil =>
+        describe(stateDir, id, flags.contains("json"))
       case "get" :: id :: out :: Nil => get(stateDir, id, out)
       case _ =>
         System.err.println(
@@ -359,9 +360,29 @@ object Cli {
     0
   }
 
-  private def describe(stateDir: String, idPrefix: String): Int =
+  private def describe(stateDir: String, idPrefix: String,
+                       asJson: Boolean = false): Int =
     resolveJobId(stateDir, idPrefix) match {
       case None => System.err.println(s"describe: no job $idPrefix"); 1
+      case Some(id) if asJson =>
+        val log = loadEvents(stateDir)
+        val root = mapper.createObjectNode()
+        root.put("id", id)
+        root.put("state",
+          log.currentJobState(id).map(_.state).getOrElse("Unknown"))
+        val nodes = mapper.createArrayNode()
+        log.states.values.filter(_.jobId == id).toSeq.sortBy(_.nodeId)
+          .foreach(s => nodes.add(mapper.createObjectNode()
+            .put("node_id", s.nodeId).put("state", s.state)
+            .put("results_id", s.resultsId)))
+        root.set[com.fasterxml.jackson.databind.JsonNode]("nodes", nodes)
+        val evts = mapper.createArrayNode()
+        log.forJob(id).foreach(e => evts.add(mapper.createObjectNode()
+          .put("event_name", e.eventName).put("status", e.status)
+          .put("event_time_us", e.eventTimeUs)))
+        root.set[com.fasterxml.jackson.databind.JsonNode]("events", evts)
+        println(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+        0
       case Some(id) =>
         val log = loadEvents(stateDir)
         println(s"job: $id")

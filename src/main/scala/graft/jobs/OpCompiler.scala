@@ -134,7 +134,22 @@ object OpCompiler {
     * line column (shared between trailing-file commands and pipeline
     * stages). awk/cat/bash have their own structural cases above. */
   private val lineCmds =
-    Set("grep", "sed", "sort", "head", "wc", "uniq", "cut")
+    Set("grep", "sed", "sort", "head", "wc", "uniq", "cut", "tr")
+
+  /** Expand tr-style `a-z` ranges into literal charsets ("a-c1" → "abc1").
+    * A leading/trailing '-' stays literal, matching tr. */
+  private[jobs] def expandTrRanges(set: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < set.length) {
+      if (i + 2 < set.length && set.charAt(i + 1) == '-' &&
+          set.charAt(i + 2) >= set.charAt(i)) {
+        (set.charAt(i) to set.charAt(i + 2)).foreach(sb += _)
+        i += 3
+      } else { sb += set.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Minimal shell tokenizer for pipeline stages: whitespace-split with
     * single/double-quote grouping (enough for the supported command set —
@@ -264,10 +279,18 @@ object OpCompiler {
       case Seq("head", n) if n.startsWith("-") && n.drop(1).forall(_.isDigit) =>
         df.limit(n.drop(1).toInt)
 
-      // counts (B6 + word count)
+      // counts (B6 + word/byte counts)
       case Seq("wc", "-l") => df.agg(count(lit(1)).as("n"))
       case Seq("wc", "-w") =>
         df.agg(sum(size(split(trim(col("value")), "\\s+"))).as("n"))
+      case Seq("wc", "-c") => // bytes incl. each line's newline
+        df.agg(sum(octet_length(col("value")) + 1).as("n"))
+
+      // tr SET1 SET2 — character translation; a-z style ranges expand to
+      // their literal charsets for Spark's translate()
+      case Seq("tr", from, to) =>
+        df.select(translate(col("value"),
+          expandTrRanges(from), expandTrRanges(to)).as("value"))
 
       // uniq -c — meaningful after `sort` (Unix adjacency semantics ==
       // group-by once sorted); emits (n, value) columns in the preceding

@@ -92,6 +92,7 @@ object SourceResolver {
     val path = resolvePath(spec)
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) spark.read.parquet(path)
+    else if (lower.endsWith(".orc")) spark.read.orc(path)
     else if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else if (lower.endsWith(".json")) spark.read.json(path)

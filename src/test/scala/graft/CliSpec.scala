@@ -43,6 +43,14 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.currentJobState(jobId).get.state === jobs.Lifecycle.State.Complete)
     assert(Cli.run(Seq("describe", jobId.take(8), "--state-dir", state),
       spark) === 0)
+    // describe --json is machine-parseable with per-node states
+    val (dc, dj) = captureOut(Cli.run(Seq("describe", jobId.take(8),
+      "--json", "--state-dir", state), spark))
+    assert(dc === 0)
+    val dn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(dj)
+    assert(dn.get("id").asText() === jobId)
+    assert(dn.get("state").asText() === "Complete")
+    assert(dn.get("nodes").size() === 2) // concurrency=2 replicas
     assert(Cli.run(Seq("get", jobId.take(8), s"$dir/fetched",
       "--state-dir", state), spark) === 0)
     val fetched = spark.read.parquet(s"$dir/fetched/$jobId/r0")

@@ -151,6 +151,18 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val words = OpCompiler.compileEntrypoint(spark,
       Seq("wc", "-w", "/data/file.txt"), t).collect()(0).getLong(0)
     assert(words === 11) // 9 lines, one has 3 words ("kiwi is delicious")
+    val bytes = OpCompiler.compileEntrypoint(spark,
+      Seq("wc", "-c", "/data/file.txt"), t).collect()(0).getLong(0)
+    assert(bytes === Files.size(Paths.get(s"$dir/grep_file.txt")))
+    // tr with range expansion, standalone and as a pipeline stage
+    val upper = OpCompiler.compileEntrypoint(spark,
+      Seq("tr", "a-z", "A-Z", "/data/file.txt"), t)
+      .collect().map(_.getString(0))
+    assert(upper.contains("KIWI IS DELICIOUS"))
+    val piped = OpCompiler.compileEntrypoint(spark,
+      Seq("bash", "-c", "grep kiwi /data/file.txt | tr a-z A-Z | wc -l"), t)
+      .collect()(0).getLong(0)
+    assert(piped === 2)
   }
 
   test("compiled bash -c pipelines compose into one plan") {

@@ -119,4 +119,69 @@ object GraftProps extends Properties("graft") {
         case Left(e) => Prop(false) :| s"unexpected Left($e)"
       }
     }
+
+  // ---- entrypoint command parsing (OpCompiler) ----------------------
+
+  private val plainToken: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('.', '/', '-')))
+      .map(_.mkString)
+
+  property("tokenizeCmd on quote-free input = whitespace split") =
+    forAll(Gen.nonEmptyListOf(plainToken)) { tokens =>
+      OpCompiler.tokenizeCmd(tokens.mkString(" ")) == tokens
+    }
+
+  property("tokenizeCmd strips single quotes, preserving inner spaces") =
+    forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(plainToken)
+      .map(_.mkString(" ")))) { quoted =>
+      val cmd = quoted.map(q => s"'$q'").mkString(" ")
+      OpCompiler.tokenizeCmd(cmd) == quoted
+    }
+
+  property("splitTopLevelPipes round-trips unquoted stage lists") =
+    forAll(Gen.chooseNum(2, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.nonEmptyListOf(plainToken).map(_.mkString(" "))))) {
+      stages =>
+        OpCompiler.splitTopLevelPipes(stages.mkString(" | "))
+          .contains(stages)
+    }
+
+  property("pipes inside single quotes never split") =
+    forAll(plainToken, plainToken) { (a, b) =>
+      OpCompiler.splitTopLevelPipes(s"grep '$a|$b' /f").isEmpty
+    }
+
+  // ---- tr range expansion -------------------------------------------
+
+  property("expandTrRanges: range-free strings pass through") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)) { s =>
+      OpCompiler.expandTrRanges(s) == s
+    }
+
+  property("expandTrRanges covers every char of an a-b range") =
+    forAll(Gen.alphaLowerChar, Gen.alphaLowerChar) { (x, y) =>
+      val (lo, hi) = if (x <= y) (x, y) else (y, x)
+      val out = OpCompiler.expandTrRanges(s"$lo-$hi")
+      (lo to hi).forall(out.contains(_)) && out.length == (hi - lo + 1)
+    }
+
+  // ---- directory digest (ResultPublisher) ---------------------------
+
+  property("directoryId is layout-content determined, creation-order free") =
+    forAll(Gen.chooseNum(1, 6), Gen.chooseNum(0L, 1000000L)) { (nFiles, seed) =>
+      import java.nio.file.{Files, Paths}
+      val names = (0 until nFiles).map(i => s"sub$i/f$i.txt")
+      def mk(order: Seq[Int]): String = {
+        val root = Files.createTempDirectory("graft-prop-dir")
+        order.foreach { i =>
+          val p = root.resolve(names(i))
+          Files.createDirectories(p.getParent)
+          Files.writeString(p, s"content-$seed-$i")
+        }
+        root.toString
+      }
+      val fwd = mk(0 until nFiles)
+      val rev = mk((0 until nFiles).reverse)
+      ResultPublisher.directoryId(fwd) == ResultPublisher.directoryId(rev)
+    }
 }

@@ -68,8 +68,9 @@ object Bench {
       spark.catalog.clearCache() // per-query caches don't leak across queries
       name -> (if (err.isDefined) -1.0 else times.min, shuffleBytes, err)
     }
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def fmt(pairs: Iterable[(String, Double)]): String =
-      pairs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      pairs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -77,13 +78,41 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val qs = fmt(results.map { case (k, (t, _, _)) => k -> t })
-    val sh = fmt(results.map { case (k, (_, b, _)) =>
-      k -> math.round(b / 1048.576) / 1000.0 }) // MB, 3 dp
     val errs = results.collect { case (k, (_, _, Some(e))) =>
       s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val total = results.values.collect { case (t, _, _) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errs,"sf":"$sfDir"}""")
+    val shuffleTotalMb = results.values.map(_._2).sum / 1048576.0
+
+    // Full per-query detail (time + shuffle MB for every query) goes to a
+    // file — the driver's stdout tail holds only ~2000 chars, and a 93-entry
+    // JSON line overflows it (BENCH_r01/r02 both recorded parsed:null). The
+    // stdout line stays compact: headline queries + the slowest eight + any
+    // errored ones, with the total over ALL queries.
+    val detail = results.map { case (k, (t, b, e)) =>
+      s"${jstr(k)}:{" + s""""sec":${r3(t)},"shuffle_mb":${r3(b / 1048576.0)}""" +
+        e.map(m => s""","err":${jstr(m)}""").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"shuffle_mb_total":${r3(shuffleTotalMb)},"queries":$detail,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
+    try java.nio.file.Files.writeString(detailPath, detailJson)
+    catch { case _: Throwable => () }
+
+    val headline = Set(
+      "q1_agg", "q_scan_project", "q_grep_contains", "q_regex_filter",
+      "q_theta_filter", "q_count_star", "q_join_broadcast", "q_tpch_q3",
+      "q_tpch_q5", "q_tpch_q18", "q_window_rank", "q_window_range",
+      "q_asof_join", "q_percentiles", "q_dedup_exact", "q_minhash_sig",
+      "q_lsh_pairs", "q_dedup_groups", "q_simhash", "q_ngram_jaccard",
+      "q_knn_brute", "q_ann_lsh", "q_ivf_assign", "q_embedding_neardup",
+      "q_tfidf", "q_bm25", "q_lang_id", "q_corpus_pipeline", "q_locf",
+      "q_sessionize", "q_salted_agg", "q_explode_wordcount")
+    val slowest = results.toSeq.sortBy(-_._2._1).take(8).map(_._1).toSet
+    val errored = results.collect { case (k, (_, _, Some(_))) => k }.toSet
+    val shown = results.filter { case (k, _) =>
+      headline(k) || slowest(k) || errored(k) }
+    val qs = fmt(shown.map { case (k, (t, _, _)) => k -> t })
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"shuffle_mb_total":${r3(shuffleTotalMb)},"errors":$errs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.Tables
+
+/** Corpus-preparation operators a 100 TB training-data pipeline needs beyond
+  * dedup/similarity (builder brief): repetition-based quality signals (the
+  * published Gopher/MassiveText rules use duplicate n-gram fractions), token-
+  * budget shard packing, benchmark decontamination by n-gram overlap, PII
+  * scrubbing with redaction accounting, per-class embedding centroids, and
+  * int8 scalar quantization of embedding columns (the ANN-index build step).
+  *
+  * Scale shapes: every op is explode → hash-aggregate (map-side partial
+  * combine) or a broadcast join against a tiny derived side; the one window
+  * (shard packing) partitions by a deterministic content-hash bucket so the
+  * cumulative sum parallelizes across buckets instead of forming one global
+  * sequential prefix sum.
+  */
+object CorpusOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** doc_id, ws(array of tokens) — shared pre-projection, map-only. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+
+  /** Word n-grams via array indexing (map-only, no window shuffle). */
+  private def grams(df: DataFrame, n: Int): DataFrame =
+    df.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => concat_ws(" ", (0 until n).map(k =>
+          element_at(col("ws"), i + k + 1)): _*))).as("g"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- repetition signals (Gopher-style): most-frequent-unigram fraction
+    // and duplicate word-trigram fraction per document. One explode feeding
+    // two hash aggregations; shuffle carries (doc_id, term) counts.
+    "q_repetition" -> ((s, d) => {
+      val t = toks(s, d)
+      val uni = t.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), max("c").as("top1"))
+      val tri = grams(t, 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n3"), count_distinct(col("g")).as("d3"))
+      uni.join(tri, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("top1").cast("double") / col("n_tokens"), 6)
+            .as("top1_frac"),
+          round(coalesce(lit(1.0) -
+            col("d3").cast("double") / col("n3"), lit(0.0)), 6)
+            .as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token-budget shard packing: assign docs to training shards of
+    // ~5000 tokens each. The cumulative sum runs PER content-hash bucket
+    // (not one global ordering), so at 100 TB each bucket's prefix sum is an
+    // independent window — parallel across buckets, sequential only within.
+    "q_shard_pack" -> ((s, d) => {
+      val nTokens = (length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
+      val bucket = (conv(substring(md5(col("text")), 1, 4), 16, 10)
+        .cast(LongType) % 8).cast(IntegerType)
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), nTokens.as("n_tokens"), bucket.as("bucket"))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+      t.withColumn("cum", sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("bucket"),
+          (col("bucket").cast(LongType) * 1000 +
+            floor(col("cum").cast("double") / 5000)).as("shard"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination: flag corpus docs sharing any word
+    // trigram with the held-out benchmark subset (doc_id % 97 == 0 stands in
+    // for an eval set; real pipelines use 8-13-gram overlap, n is a dial).
+    // The benchmark gram set is tiny → broadcast; the corpus side stays
+    // map-only until the per-doc count aggregation.
+    "q_decontam" -> ((s, d) => {
+      val g = grams(toks(s, d), 3)
+      val bench = g.filter(col("doc_id") % 97 === 0)
+        .select("g").distinct()
+      g.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("g")).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII scrub: redact digit runs from event payloads, with per-event
+    // redaction accounting and a digest of the scrubbed payload (the
+    // verify-what-you-scrubbed shape). Map-only — no shuffle at all.
+    "q_pii_scrub" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") <= 2000)
+        .select(col("event_id"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .cast(LongType).as("n_redacted"),
+          md5(regexp_replace(col("props"), "[0-9]+", "#")).as("scrub_md5"))
+        .orderBy("event_id")
+    }),
+
+    // ---- per-label embedding centroids: posexplode to (label, pos, v) and
+    // hash-aggregate — the class-prototype / clustering-seed build. Vectors
+    // never leave executors un-exploded; output is labels × dims rows.
+    "q_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("v").cast("double")), 4).as("c"))
+        .orderBy("label", "pos")
+    }),
+
+    // ---- int8 scalar quantization: per-dimension min/max over the corpus
+    // (64-row broadcast side), then q = round(255·(v-min)/(max-min)) per
+    // element. The index-build primitive that shrinks a float32 corpus 4×
+    // before ANN search; sampled to vec_id <= 20 for the fixture output.
+    "q_vec_quantize" -> ((s, d) => {
+      val pe = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val stats = pe.groupBy("pos")
+        .agg(min("v").as("lo"), max("v").as("hi"))
+      pe.filter(col("vec_id") <= 20)
+        .join(broadcast(stats), "pos")
+        .select(col("vec_id"), col("pos"),
+          when(col("hi") > col("lo"),
+            round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255))
+            .otherwise(0.0).cast(IntegerType).as("q"))
+        .orderBy("vec_id", "pos")
+    })
+  )
+
+  private val tokSql =
+    "SELECT doc_id, string_split(text, ' ') AS ws FROM documents"
+
+  /** DuckDB word n-grams: generate_subscripts in the SELECT list (DuckDB
+    * 1.0 rejects lateral column args to generate_series — same workaround
+    * as the q_minhash_sig oracle), then a 1-based index slice. */
+  private def gramSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, $parts AS g
+       |FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM t)
+       |WHERE i <= len(ws) - ${n - 1}""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_repetition" ->
+      s"""WITH t AS ($tokSql),
+         |uni AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(max(c) AS BIGINT) AS top1
+         |  FROM (SELECT doc_id, w, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |tri AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n3,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS d3
+         |  FROM (${gramSql(3)})
+         |  GROUP BY 1)
+         |SELECT uni.doc_id, n_tokens,
+         |  round(CAST(top1 AS DOUBLE) / n_tokens, 6) AS top1_frac,
+         |  round(coalesce(1.0 - CAST(d3 AS DOUBLE) / n3, 0.0), 6)
+         |    AS dup3_frac
+         |FROM uni LEFT JOIN tri ON uni.doc_id = tri.doc_id
+         |ORDER BY 1""".stripMargin,
+    "q_shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(CAST('0x' || substring(md5(text), 1, 4) AS BIGINT) % 8
+        |      AS INTEGER) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, bucket,
+        |  CAST(bucket * 1000 + floor(
+        |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+        |      - n_tokens AS DOUBLE) / 5000) AS BIGINT) AS shard
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_decontam" ->
+      s"""WITH t AS ($tokSql),
+         |g AS (${gramSql(3)}),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+         |SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+         |FROM g JOIN bench USING (g)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+        |    AS n_redacted,
+        |  md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS scrub_md5
+        |FROM events WHERE event_id <= 2000 ORDER BY 1""".stripMargin,
+    "q_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c
+        |FROM (SELECT label, embedding,
+        |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vec_quantize" ->
+      """WITH pe AS (
+        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |stats AS (
+        |  SELECT pos, min(v) AS lo, max(v) AS hi FROM pe GROUP BY 1)
+        |SELECT vec_id, pe.pos,
+        |  CAST(CASE WHEN hi > lo
+        |    THEN round((v - lo) / (hi - lo) * 255) ELSE 0 END AS INTEGER)
+        |    AS q
+        |FROM pe JOIN stats ON pe.pos = stats.pos
+        |WHERE vec_id <= 20 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.queries ++ RelationalExt.queries ++
       RelationalMore.queries ++ EventOps.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Pipeline.queries ++ CorpusOps.queries
+      Pipeline.queries ++ CorpusOps.queries ++ GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
     Relational.oracle ++ RelationalExt.oracle ++
       RelationalMore.oracle ++ EventOps.oracle ++
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Pipeline.oracle ++ CorpusOps.oracle
+      Pipeline.oracle ++ CorpusOps.oracle ++ GraphOps.oracle
 }

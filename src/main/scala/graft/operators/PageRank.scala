@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank by power iteration — the second iterative-graph operator class
+  * (after [[ConnectedComponents]]): rank quality scoring over a link graph,
+  * the web-corpus filtering signal a training pipeline derives before
+  * sampling (high-rank pages are kept preferentially).
+  *
+  * Simplified formulation (no dangling-mass redistribution; nodes without
+  * in-links settle at (1-d)/N): r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/out(u).
+  * Deterministic — pure double arithmetic, order-independent up to FP
+  * rounding (callers round the published rank).
+  *
+  * Scale shape: out-degrees are computed once; each round is one
+  * shuffle-join of edges⋈ranks on src plus one aggregation by dst —
+  * the same per-round cost as connected components. Fixed iteration count
+  * keeps the plan finite; lineage is truncated per round (localCheckpoint)
+  * so Catalyst analysis stays O(1) per round instead of doubling.
+  */
+object PageRank {
+
+  /** @param edges DataFrame with two long columns `src`, `dst` (directed,
+    *              pre-deduplicated)
+    * @param iters fixed power-iteration count
+    * @param d     damping factor
+    * @return DataFrame(node, rank) — unrounded doubles */
+  def run(edges: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outdeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - d) / n) + lit(d) * coalesce(col("c"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -118,6 +118,37 @@ object CorpusOps {
         .orderBy("label", "pos")
     }),
 
+    // ---- bigram language-model statistics: KenLM-style conditional
+    // probabilities P(w2|w1) = c(w1,w2)/c(w1·) from one explode over the
+    // corpus. Output is bounded by vocabulary², not corpus size — the
+    // classic count-then-normalize shape with map-side partial combine on
+    // both aggregations and a broadcast of the context-count side.
+    "q_bigram_lm" -> ((s, d) => {
+      val bg = toks(s, d)
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+            element_at(col("ws"), i + 2).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      c12.join(broadcast(c1), "w1")
+        .select(col("w1"), col("w2"), col("c12"),
+          round(col("c12").cast("double") / col("c1"), 6).as("p"))
+        .orderBy("w1", "w2")
+    }),
+
+    // ---- document-length histogram: fixed-width bucketing — the corpus
+    // profiling pass that sizes the length filters. Pure map + one tiny agg.
+    "q_length_hist" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(floor(col("n_chars") / 50).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("bucket")
+    }),
+
     // ---- int8 scalar quantization: per-dimension min/max over the corpus
     // (64-row broadcast side), then q = round(255·(v-min)/(max-min)) per
     // element. The index-build primitive that shrinks a float32 corpus 4×
@@ -192,6 +223,25 @@ object CorpusOps {
          |FROM g JOIN bench USING (g)
          |WHERE doc_id % 97 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bigram_lm" ->
+      s"""WITH t AS ($tokSql),
+         |bg AS (
+         |  SELECT ws[i] AS w1, ws[i+1] AS w2
+         |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM t)
+         |  WHERE i <= len(ws) - 1),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |       FROM bg GROUP BY 1)
+         |SELECT c12.w1, w2, c12,
+         |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
+         |FROM c12 JOIN c1 ON c12.w1 = c1.w1
+         |ORDER BY 1, 2""".stripMargin,
+    "q_length_hist" ->
+      """SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pii_scrub" ->
       """SELECT event_id,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)

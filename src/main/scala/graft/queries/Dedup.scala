@@ -145,27 +145,30 @@ object Dedup {
     // exact-similarity primitive (LSH above is its sublinear candidate
     // generator).
     "q_ngram_jaccard" -> ((s, d) => {
-      // bigrams via array indexing (map-only), same rationale as shingles()
+      // Per-doc DISTINCT bigram SET as one array column (map-only: array
+      // indexing + array_distinct, no explode, no gram-level shuffle), then
+      // a single doc-level self-join on the adjacency predicate with
+      // array_intersect for |A∩B|. Replaces the exploded gram-level join —
+      // the shuffle carries one row per DOC (array payload bounded by doc
+      // length) instead of one row per gram, ~3× faster at sf0.1 and the
+      // same plan shape a within-LSH-bucket verifier wants at 100 TB.
       val docs = Tables.documents(s, d)
-      val grams = docs
+      val gsets = docs
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(transform(
+        .select(col("doc_id"), array_distinct(transform(
           sequence(lit(0), size(col("ws")) - 2),
           i => concat(element_at(col("ws"), i + 1), lit(" "),
-            element_at(col("ws"), i + 2)))).as("bg"))
-        .distinct()
-        .cache() // reused by na, ga and gb — avoids 3× recompute
-      val na = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ga = grams.toDF("da", "bg")
-      val gb = grams.toDF("db", "bg")
-      val inter = ga.join(gb, ga("bg") === gb("bg") && col("db") === col("da") + 1)
-        .groupBy("da").agg(count(lit(1)).as("inter"))
-      val pairs = na.toDF("da", "na")
-        .join(na.toDF("db", "nb"), col("db") === col("da") + 1)
-      pairs.join(inter, Seq("da"), "left")
-        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+            element_at(col("ws"), i + 2)))).as("gs"))
+      val a = gsets.select(col("doc_id").as("da"), col("gs").as("ga"))
+      val b = gsets.select(col("doc_id").as("db"), col("gs").as("gb"))
+      a.join(b, col("db") === col("da") + 1)
+        .select(col("da"), col("db"),
+          size(array_intersect(col("ga"), col("gb"))).cast(LongType)
+            .as("inter"),
+          size(col("ga")).cast(LongType).as("na"),
+          size(col("gb")).cast(LongType).as("nb"))
         .select(col("da"), col("db"),
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")), 6).as("jac"))

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * IMAGE DECODE IS REAL: [[decodeDims]] and [[resize]] run `javax.imageio`
   * (pure-JVM PNG/BMP/GIF/JPEG codecs, headless-safe — no native libraries),
   * so the reference's image-downscale scenario produces actual pixels.
-  * Audio/video decode would need codecs this container lacks; those kinds
-  * fall back to deterministic byte-level stand-ins ([[resizeStub]]
-  * byte-striding), with the schema/partitioning/batch shape identical so a
-  * codec drop-in reuses the plumbing unchanged.
+  * WAV/AIFF/AU AUDIO DECODE IS REAL TOO: [[decodeAudioMeta]],
+  * [[audioWindows]] (per-window RMS/peak features over decoded PCM) and
+  * [[decimateWav]] (sample-dropping downsample, re-encoded WAV) run
+  * `javax.sound.sampled` — also pure-JVM. Compressed audio (mp3/flac/ogg)
+  * and video would need codecs this container lacks; those kinds fall back
+  * to deterministic byte-level stand-ins ([[resizeStub]] byte-striding),
+  * with the schema/partitioning/batch shape identical so a codec drop-in
+  * reuses the plumbing unchanged.
   *
   * Scale notes: binaryFile splits per-file (a file is the atom), so a 100 TB
   * corpus of 10 MB images parallelizes to ~10M tasks bounded by
@@ -194,6 +198,141 @@ object Multimodal {
       } finally g.dispose()
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(scaled, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Decoded-PCM metadata row per audio file. */
+  final case class AudioMeta(
+      path: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long)
+
+  /** Per-window PCM feature row (the audio analog of video frame
+    * sampling: fixed-size windows, RMS + peak per window). */
+  final case class AudioWindow(
+      path: String,
+      win_idx: Int,
+      n_samples: Int,
+      rms: Double,
+      peak: Int)
+
+  /** Real audio header decode for the formats the JDK ships codecs for
+    * (WAV/AIFF/AU PCM): (sampleRate, channels, bits, frames). None for
+    * compressed formats — caller falls back to byte-level stand-ins. */
+  def decodeAudioMeta(content: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val f = in.getFormat
+        Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+          in.getFrameLength))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Decode/inspect audio files → typed metadata (executor-side map). */
+  def extractAudioMeta(assets: DataFrame): Dataset[AudioMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("path", "content").as[(String, Array[Byte])]
+      .map { case (path, content) =>
+        decodeAudioMeta(content) match {
+          case Some((rate, ch, bits, frames)) =>
+            AudioMeta(path, rate, ch, bits, frames,
+              if (rate > 0) frames * 1000L / rate else 0L)
+          case None => AudioMeta(path, 0, 0, 0, 0L, 0L)
+        }
+      }
+  }
+
+  /** Decode 16-bit PCM samples (first channel) from WAV/AIFF/AU bytes.
+    * Empty for formats the JDK cannot decode. */
+  def pcmSamples(content: Array[Byte]): Array[Short] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16) Array.empty
+        else {
+          val bytes = in.readAllBytes()
+          val big = f.isBigEndian
+          val step = f.getFrameSize // bytes per frame (all channels)
+          val n = bytes.length / step
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            val o = i * step
+            out(i) =
+              if (big) (((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)).toShort
+              else (((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)).toShort
+            i += 1
+          }
+          out
+        }
+      } finally in.close()
+    } catch { case _: Exception => Array.empty }
+
+  /** Windowed PCM features: RMS + peak per fixed-size sample window —
+    * real decoded-signal features, narrow per-file flatMap. */
+  def audioWindows(assets: DataFrame,
+                   winSamples: Int = 1024): Dataset[AudioWindow] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(winSamples > 0)
+    assets.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val pcm = pcmSamples(content)
+        val n = (pcm.length + winSamples - 1) / winSamples
+        (0 until n).iterator.map { w =>
+          val lo = w * winSamples
+          val hi = math.min(lo + winSamples, pcm.length)
+          var sq = 0.0
+          var peak = 0
+          var i = lo
+          while (i < hi) {
+            val v = pcm(i).toInt
+            sq += v.toDouble * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          AudioWindow(path, w, hi - lo, math.sqrt(sq / (hi - lo)), peak)
+        }
+      }
+  }
+
+  /** Real audio downsample: decode PCM, keep every `factor`-th frame, and
+    * re-encode as 16-bit little-endian mono WAV at rate/factor — the audio
+    * analog of the image downscale (decimation without an interpolation
+    * filter; a resampler drop-in would reuse the same shape). Falls back to
+    * byte striding for undecodable bytes. */
+  def decimateWav(content: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1)
+    val meta = decodeAudioMeta(content)
+    val pcm = pcmSamples(content)
+    if (meta.isEmpty || pcm.isEmpty) strideBytes(content, factor)
+    else {
+      val rate = math.max(1, meta.get._1 / factor)
+      val kept = new Array[Byte](((pcm.length + factor - 1) / factor) * 2)
+      var i = 0
+      var o = 0
+      while (i < pcm.length) {
+        kept(o) = (pcm(i) & 0xff).toByte
+        kept(o + 1) = ((pcm(i) >> 8) & 0xff).toByte
+        i += factor
+        o += 2
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(kept), fmt, kept.length / 2)
+      val out = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      finally ais.close()
       out.toByteArray
     }
   }

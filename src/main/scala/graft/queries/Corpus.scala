@@ -38,23 +38,35 @@ object CorpusOps {
 
   val queries: Map[String, Q] = Map(
     // ---- repetition signals (Gopher-style): most-frequent-unigram fraction
-    // and duplicate word-trigram fraction per document. One explode feeding
-    // two hash aggregations; shuffle carries (doc_id, term) counts.
+    // and duplicate word-trigram fraction per document. ZERO-shuffle form:
+    // both signals fold inside array expressions on the document's own row
+    // — top1 as the longest run in the sorted token array (codegen'd
+    // `aggregate`), trigram dedup as array_distinct on the per-row gram
+    // array. No explode, no groupBy; the whole query is one map stage.
     "q_repetition" -> ((s, d) => {
-      val t = toks(s, d)
-      val uni = t.select(col("doc_id"), explode(col("ws")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"), max("c").as("top1"))
-      val tri = grams(t, 3)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n3"), count_distinct(col("g")).as("d3"))
-      uni.join(tri, Seq("doc_id"), "left")
+      val runBest = aggregate(
+        array_sort(col("ws")),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best"))
+      val tg = transform(
+        sequence(lit(0), size(col("ws")) - 3),
+        i => concat_ws(" ", element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))
+      toks(s, d)
+        .withColumn("n_tokens", size(col("ws")).cast(LongType))
+        .withColumn("top1", runBest)
+        .withColumn("tg", when(size(col("ws")) >= 3, tg))
         .select(col("doc_id"), col("n_tokens"),
           round(col("top1").cast("double") / col("n_tokens"), 6)
             .as("top1_frac"),
           round(coalesce(lit(1.0) -
-            col("d3").cast("double") / col("n3"), lit(0.0)), 6)
+            size(array_distinct(col("tg"))).cast("double") /
+              size(col("tg")), lit(0.0)), 6)
             .as("dup3_frac"))
         .orderBy("doc_id")
     }),

@@ -35,6 +35,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     write("b.wav", 300)
     write("c.mp4", 9000)
     write("notes.txt", 100)
+    // tone.wav is a REAL 16-bit mono PCM WAV: 4000 frames of a 440 Hz-ish
+    // deterministic sine at 8 kHz, amplitude 12000
+    val pcm = new Array[Byte](4000 * 2)
+    for (i <- 0 until 4000) {
+      val v = (math.sin(2 * math.Pi * 440 * i / 8000.0) * 12000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 4000)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      new java.io.File(s"$dir/tone.wav"))
   }
 
   private def pngLen: Long = Files.size(Paths.get(s"$dir/a.png"))
@@ -43,7 +57,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("binaryFile source exposes path/length/content; glob prunes listing") {
     val all = Multimodal.readAssets(spark, dir)
-    assert(all.count() === 4)
+    assert(all.count() === 5)
     assert(Set("path", "modificationTime", "length", "content")
       .subsetOf(all.columns.toSet))
     val images = Multimodal.readAssets(spark, dir, glob = "*.png")
@@ -111,6 +125,49 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = Multimodal.resizeBytes(srcBytes, 4)
     val qImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(q))
     assert(qImg.getWidth === 16 && qImg.getHeight === 8)
+  }
+
+  test("REAL audio decode: WAV metadata, windowed RMS features, decimation") {
+    // metadata from the decoded stream, not the file extension
+    val meta = Multimodal.extractAudioMeta(
+        Multimodal.readAssets(spark, dir, glob = "*.wav"))
+      .collect().map(m => m.path.split('/').last -> m).toMap
+    assert(meta("tone.wav").sample_rate === 8000)
+    assert(meta("tone.wav").channels === 1)
+    assert(meta("tone.wav").bits === 16)
+    assert(meta("tone.wav").n_frames === 4000)
+    assert(meta("tone.wav").duration_ms === 500)
+    // fake bytes with a .wav extension decode to zeros, not fake values
+    assert(meta("b.wav").sample_rate === 0 && meta("b.wav").n_frames === 0)
+
+    // windowed features over REAL decoded PCM: a sine of amplitude A has
+    // RMS ~= A/sqrt(2) and peak <= A in every full window
+    val wins = Multimodal.audioWindows(
+        Multimodal.readAssets(spark, dir, glob = "tone.wav"),
+        winSamples = 1024)
+      .collect().sortBy(_.win_idx)
+    assert(wins.map(_.win_idx).toSeq === Seq(0, 1, 2, 3))
+    assert(wins.map(_.n_samples).sum === 4000)
+    val fullWin = wins.head
+    assert(math.abs(fullWin.rms - 12000 / math.sqrt(2)) < 600,
+      s"sine RMS off: ${fullWin.rms}")
+    assert(fullWin.peak <= 12000 && fullWin.peak > 11000)
+
+    // decimation: half the frames at half the rate, still a decodable WAV
+    val src = Files.readAllBytes(Paths.get(s"$dir/tone.wav"))
+    val half = Multimodal.decimateWav(src, 2)
+    val Some((rate2, ch2, bits2, frames2)) = Multimodal.decodeAudioMeta(half)
+    assert(rate2 === 4000 && ch2 === 1 && bits2 === 16 && frames2 === 2000)
+    // pitch-preserving in sample terms: kept samples are the even ones
+    val pcmOrig = Multimodal.pcmSamples(src)
+    val pcmHalf = Multimodal.pcmSamples(half)
+    assert(pcmHalf.toSeq === (0 until 4000 by 2).map(pcmOrig).toSeq)
+    // deterministic re-encode (replica hash-agreement)
+    assert(Multimodal.decimateWav(src, 2).toSeq === half.toSeq)
+    // undecodable bytes fall back to striding
+    val fake = Array.tabulate[Byte](100)(i => i.toByte)
+    assert(Multimodal.decimateWav(fake, 4).toSeq ===
+      (0 until 100 by 4).map(fake).map(_.toByte).toSeq)
   }
 
   test("resize stub strides bytes for codec-less kinds") {

@@ -46,7 +46,14 @@ object SourceResolver {
     * pkg/storage/url/urldownload/storage.go:65-94; the cache-keyed-by-URL
     * skip mirrors ipfs_apicopy's re-download skip, storage.go:120-134).
     * Idempotent: the same URL resolves to the same local path and is
-    * fetched at most once per scratch lifetime. */
+    * fetched at most once per scratch lifetime.
+    *
+    * Transient failures (connect/read IO errors, HTTP 429/5xx) retry with
+    * exponential backoff — a flaky remote server costs retries, not the
+    * job. Definite failures (other non-200 codes) abort immediately. */
+  private[jobs] var fetchAttempts = 3
+  private[jobs] var fetchBackoffMs = 250L
+
   private def fetchUrl(url: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val key = md.digest(url.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -59,18 +66,51 @@ object SourceResolver {
       sys.props("java.io.tmpdir"), "graft-url-cache", key, base)
     if (!java.nio.file.Files.exists(target)) {
       java.nio.file.Files.createDirectories(target.getParent)
-      val tmp = java.nio.file.Files.createTempFile(target.getParent, ".part", "")
-      val resp = java.net.http.HttpClient.newHttpClient().send(
-        java.net.http.HttpRequest.newBuilder()
-          .uri(java.net.URI.create(url)).GET().build(),
-        java.net.http.HttpResponse.BodyHandlers.ofFile(tmp))
-      if (resp.statusCode() != 200) {
-        java.nio.file.Files.deleteIfExists(tmp)
-        throw new IllegalArgumentException(
-          s"urldownload: GET $url -> ${resp.statusCode()}")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+      var attempt = 0
+      var delayMs = fetchBackoffMs
+      var done = false
+      var lastErr: Throwable = null
+      while (!done && attempt < fetchAttempts) {
+        attempt += 1
+        val tmp = java.nio.file.Files.createTempFile(target.getParent, ".part", "")
+        try {
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofFile(tmp))
+          resp.statusCode() match {
+            case 200 =>
+              java.nio.file.Files.move(tmp, target,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              done = true
+            case code if code == 429 || code >= 500 => // transient: retry
+              java.nio.file.Files.deleteIfExists(tmp)
+              lastErr = new java.io.IOException(
+                s"urldownload: GET $url -> $code (attempt $attempt)")
+            case code => // definite (404, 403, ...): no retry
+              java.nio.file.Files.deleteIfExists(tmp)
+              throw new IllegalArgumentException(
+                s"urldownload: GET $url -> $code")
+          }
+        } catch {
+          case e: InterruptedException =>
+            java.nio.file.Files.deleteIfExists(tmp)
+            Thread.currentThread().interrupt()
+            throw e
+          case e: java.io.IOException =>
+            java.nio.file.Files.deleteIfExists(tmp)
+            lastErr = e
+        }
+        if (!done && attempt < fetchAttempts) {
+          Thread.sleep(delayMs)
+          delayMs *= 2
+        }
       }
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (!done)
+        throw new java.io.IOException(
+          s"urldownload: $url failed after $fetchAttempts attempts", lastErr)
     }
     target.toString
   }

@@ -18,7 +18,7 @@ import graft.Tables
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+  private[queries] def tradeEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))

@@ -464,6 +464,52 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- A2 URL source: transient failures retry with backoff; definite
+  // failures abort without retrying
+  test("urldownload retries 503s with backoff, aborts 404 immediately") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/flaky.txt", ex => {
+      // first two GETs fail transiently, third succeeds
+      if (hits.incrementAndGet() <= 2) {
+        ex.sendResponseHeaders(503, -1)
+        ex.close()
+      } else {
+        val bytes = "ok\n".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    srv.createContext("/gone.txt", ex => {
+      misses.incrementAndGet()
+      ex.sendResponseHeaders(404, -1)
+      ex.close()
+    })
+    srv.start()
+    val port = srv.getAddress.getPort
+    try {
+      sys.props("graft.allow.http") = "true"
+      SourceResolver.fetchBackoffMs = 10L // fast test
+      val flaky = StorageSpec(engine = "urldownload",
+        url = s"http://127.0.0.1:$port/flaky.txt", path = "/d")
+      val df = SourceResolver.resolve(spark, flaky)
+      assert(df.collect().map(_.getString(0)).toSeq === Seq("ok"))
+      assert(hits.get() === 3, s"expected 2 retries then success: ${hits.get()}")
+      // 404 is definite: exactly one request, no retry loop
+      val gone = StorageSpec(engine = "urldownload",
+        url = s"http://127.0.0.1:$port/gone.txt", path = "/d")
+      intercept[IllegalArgumentException](SourceResolver.resolve(spark, gone))
+      assert(misses.get() === 1, s"404 must not retry: ${misses.get()}")
+    } finally {
+      sys.props.remove("graft.allow.http")
+      SourceResolver.fetchBackoffMs = 250L
+      srv.stop(0)
+    }
+  }
+
   // ---- content id is row-order independent (canonicalization)
   test("content id is stable under row reordering") {
     import spark.implicits._

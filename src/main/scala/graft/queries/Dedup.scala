@@ -144,6 +144,37 @@ object Dedup {
     // ---- n-gram (word-bigram) Jaccard between consecutive docs — the
     // exact-similarity primitive (LSH above is its sublinear candidate
     // generator).
+    // ---- sketch-accuracy evaluation: MinHash-estimated Jaccard (matching
+    // signature fraction) vs the EXACT shingle-set Jaccard for adjacent
+    // docs — the calibration query a pipeline runs before trusting LSH
+    // thresholds at scale. Exact side reuses the doc-level distinct-set
+    // join shape (array_intersect, no shingle-level shuffle).
+    "q_minhash_est" -> ((s, d) => {
+      val sig = minhashSig(s, d)
+      val sa = sig.toDF((Seq("da") ++ A.indices.map(j => s"a$j")): _*)
+      val sb = sig.toDF((Seq("db") ++ A.indices.map(j => s"b$j")): _*)
+      val nMatch = A.indices
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val cs = shingles(s, d).groupBy("doc_id")
+        .agg(collect_set(col("code")).as("cs"))
+      val exact = cs.toDF("da", "ca")
+        .join(cs.toDF("db", "cb"), col("db") === col("da") + 1)
+        .select(col("da"), col("db"),
+          size(array_intersect(col("ca"), col("cb"))).cast(LongType).as("i"),
+          size(col("ca")).cast(LongType).as("na"),
+          size(col("cb")).cast(LongType).as("nb"))
+        .select(col("da"), col("db"),
+          (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+            .as("ex"))
+      sa.join(sb, col("db") === col("da") + 1)
+        .select(col("da"), col("db"), (nMatch.cast("double") / 8).as("est"))
+        .join(exact, Seq("da", "db"))
+        .select(col("da"), col("db"), round(col("est"), 4).as("est"),
+          round(col("ex"), 6).as("exact"))
+        .orderBy("da")
+    }),
+
     "q_ngram_jaccard" -> ((s, d) => {
       // Per-doc DISTINCT bigram SET as one array column (map-only: array
       // indexing + array_distinct, no explode, no gram-level shuffle), then
@@ -269,6 +300,33 @@ object Dedup {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN sj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_minhash_est" -> {
+      val nMatch = A.indices
+        .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigSql,
+         |cs AS (SELECT DISTINCT doc_id, code FROM sh),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM cs GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(count(*) AS BIGINT) AS i
+         |  FROM cs a JOIN cs b
+         |    ON b.code = a.code AND b.doc_id = a.doc_id + 1
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT sa.doc_id AS da, sb.doc_id AS db,
+         |    CAST($nMatch AS DOUBLE) / 8 AS est
+         |  FROM sig sa JOIN sig sb ON sb.doc_id = sa.doc_id + 1)
+         |SELECT est.da, est.db, round(est.est, 4) AS est,
+         |  round(CAST(coalesce(i, 0) AS DOUBLE)
+         |    / (na.n + nb.n - coalesce(i, 0)), 6) AS exact
+         |FROM est
+         |JOIN sz na ON na.doc_id = est.da
+         |JOIN sz nb ON nb.doc_id = est.db
+         |LEFT JOIN inter ON inter.da = est.da AND inter.db = est.db
+         |ORDER BY 1""".stripMargin
+    },
     "q_ngram_jaccard" ->
       """WITH words AS (
         |  SELECT doc_id,

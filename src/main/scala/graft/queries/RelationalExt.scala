@@ -309,6 +309,45 @@ object RelationalExt {
       import s.implicits._
       exact.toDF("l_returnflag", "exact_n", "cms_n")
         .orderBy("l_returnflag")
+    }),
+
+    // ---- winsorization (feature normalization): per-group p05/p95 clip
+    // bounds from the frequency-weighted exact percentile (same bounded-
+    // state shape as q_percentiles), broadcast back over the facts, with
+    // clip-count accounting. Integer counts — no float-sum drift between
+    // engines; the heavy side never shuffles beyond the two tiny aggs.
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pct = li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("f"))
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.05, f)").as("lo"),
+             expr("percentile(l_extendedprice, 0.95, f)").as("hi"))
+      li.join(broadcast(pct), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_high"),
+          round(first("lo"), 4).as("p05"),
+          round(first("hi"), 4).as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- z-score standardization: per-group mean/stddev broadcast over
+    // the facts, standardized sample emitted. The group stats are one
+    // partial-combined aggregation; the normalization itself is map-only.
+    "q_zscore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy("l_returnflag")
+        .agg(avg("l_quantity").as("mu"),
+             stddev_samp(col("l_quantity")).as("sd"))
+      li.filter(col("l_orderkey") <= 1000)
+        .join(broadcast(stats), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((col("l_quantity") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -378,6 +417,30 @@ object RelationalExt {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high,
+        |  round(any_value(lo), 4) AS p05, round(any_value(hi), 4) AS p95
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zscore" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, avg(l_quantity) AS mu,
+        |    stddev_samp(l_quantity) AS sd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |  round((l_quantity - mu) / sd, 4) AS z
+        |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+        |WHERE l_orderkey <= 1000
+        |ORDER BY 1, 2""".stripMargin,
     "q_stats_agg" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -111,6 +111,27 @@ object RelationalMore {
         .limit(100)
     }),
 
+    // ---- TPC-H Q10 flavor: returned-item reporting — the quarter's
+    // returns joined back to customers, revenue per customer, top 20.
+    // Both fact filters (quarter, returnflag) push to the scans; nation
+    // broadcasts; the tail is TakeOrderedAndProject.
+    "q_tpch_q10" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                col("o_orderdate") < lit("1997-04-01"))
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // ---- LATERAL correlated subquery (per-row dependent subquery; Spark
     // plans it as a rewritten join — the SQL surface users port from)
     "q_lateral_join" -> ((s, d) => {
@@ -250,6 +271,18 @@ object RelationalMore {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q_tpch_q18" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
         |  sum_qty

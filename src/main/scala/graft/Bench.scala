@@ -65,7 +65,8 @@ object Bench {
         shuffleBytes = meter.written.get() - before
         dt
       }
-      spark.catalog.clearCache() // per-query caches don't leak across queries
+      CacheScope.drain() // unpersist query-registered caches
+      spark.catalog.clearCache() // belt-and-braces: nothing leaks across queries
       name -> (if (err.isDefined) -1.0 else times.min, shuffleBytes, err)
     }
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
@@ -99,7 +100,23 @@ object Bench {
     val detailRef =
       try {
         java.nio.file.Files.writeString(detailPath, detailJson)
-        "BENCH_DETAIL.json"
+        // Also snapshot a per-round copy (VERDICT r3 #1): BENCH_DETAIL.json
+        // alone is overwritten every round, which made r2→r3 per-query
+        // deltas unjudgeable. Round number: SPARK_GRAFT_ROUND env if set,
+        // else inferred as (max N of existing BENCH_r0N.json) + 1 — the
+        // driver writes BENCH_r0N.json only AFTER this bench run, so at
+        // round 4 the newest on disk is BENCH_r03.json.
+        val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+          .getOrElse {
+            val rx = "BENCH_r(\\d+)\\.json".r
+            val seen = Option(detailPath.getParent.toFile.list()).toSeq.flatten
+              .collect { case rx(n) => n.toInt }
+            if (seen.isEmpty) 1 else seen.max + 1
+          }
+        val versioned = f"BENCH_DETAIL_r$round%02d.json"
+        java.nio.file.Files.writeString(
+          detailPath.resolveSibling(versioned), detailJson)
+        s"BENCH_DETAIL.json (+$versioned)"
       } catch { case _: java.io.IOException => "detail-write-failed" }
 
     val headline = Set(
@@ -116,7 +133,10 @@ object Bench {
     val shown = results.filter { case (k, _) =>
       headline(k) || slowest(k) || errored(k) }
     val qs = fmt(shown.map { case (k, (t, _, _)) => k -> t })
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"shuffle_mb_total":${r3(shuffleTotalMb)},"errors":$errs,"detail":"$detailRef","sf":"$sfDir"}""")
+    // "queries" is a SUBSET (headline + slowest 8 + errored) — the full
+    // per-query map lives in the detail file; "queries_is_subset" says so
+    // in-band for any consumer still assuming the pre-r3 all-queries shape.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_is_subset":true,"shuffle_mb_total":${r3(shuffleTotalMb)},"errors":$errs,"detail":"$detailRef","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,7 +25,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // per-query caches don't leak across queries
+      CacheScope.drain() // unpersist query-registered caches
+      spark.catalog.clearCache() // belt-and-braces: nothing leaks across queries
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -93,6 +93,9 @@ final class Runner(spark: SparkSession,
               Left(e.getMessage)
           }
         }
+        // cache hygiene: a long-lived serve session must not accumulate
+        // cached subtrees registered by whatever plan just ran
+        graft.CacheScope.drain()
         val oks = cids.collect { case Right(c) => c }
         if (oks.isEmpty) Left(cids.collectFirst { case Left(e) => e }.get)
         else Right(RunResult(job.id, oks, verified = oks.distinct.size == 1))

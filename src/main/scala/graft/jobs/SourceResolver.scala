@@ -51,8 +51,14 @@ object SourceResolver {
     * Transient failures (connect/read IO errors, HTTP 429/5xx) retry with
     * exponential backoff — a flaky remote server costs retries, not the
     * job. Definite failures (other non-200 codes) abort immediately. */
-  private[jobs] var fetchAttempts = 3
-  private[jobs] var fetchBackoffMs = 250L
+  // Retry config reads sys.props per call (defaults 3 / 250 ms) rather than
+  // mutable object state — concurrent fetches and parallel tests would race
+  // on shared vars (ADVICE r3).
+  private[jobs] def fetchAttempts: Int =
+    sys.props.get("graft.fetch.attempts").flatMap(_.toIntOption).getOrElse(3)
+  private[jobs] def fetchBackoffMs: Long =
+    sys.props.get("graft.fetch.backoff.ms").flatMap(_.toLongOption)
+      .getOrElse(250L)
 
   private def fetchUrl(url: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -70,11 +76,12 @@ object SourceResolver {
       val req = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+      val attempts = fetchAttempts // snapshot once: consistent within a fetch
       var attempt = 0
       var delayMs = fetchBackoffMs
       var done = false
       var lastErr: Throwable = null
-      while (!done && attempt < fetchAttempts) {
+      while (!done && attempt < attempts) {
         attempt += 1
         val tmp = java.nio.file.Files.createTempFile(target.getParent, ".part", "")
         try {
@@ -103,14 +110,21 @@ object SourceResolver {
             java.nio.file.Files.deleteIfExists(tmp)
             lastErr = e
         }
-        if (!done && attempt < fetchAttempts) {
-          Thread.sleep(delayMs)
+        if (!done && attempt < attempts) {
+          // restore the interrupt flag exactly like the send path above —
+          // an interrupted backoff must not swallow the interrupt (ADVICE r3)
+          try Thread.sleep(delayMs)
+          catch {
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw e
+          }
           delayMs *= 2
         }
       }
       if (!done)
         throw new java.io.IOException(
-          s"urldownload: $url failed after $fetchAttempts attempts", lastErr)
+          s"urldownload: $url failed after $attempts attempts", lastErr)
     }
     target.toString
   }
@@ -128,19 +142,43 @@ object SourceResolver {
       case _ => if (spec.cid.nonEmpty) spec.cid else spec.path
     }
 
+  private val textExts = Set("txt", "log")
+  private val knownExts =
+    Set("parquet", "orc", "csv", "json") ++ textExts ++
+      Set("bin", "png", "jpg", "wav")
+
+  /** Dispatch extension for a path: the path's own extension if known; for
+    * a directory, the first known extension among contained files (so a
+    * pinned context dir of .txt shards still reads as text). */
+  private def formatExt(path: String): Option[String] = {
+    def extOf(name: String): Option[String] = {
+      val i = name.lastIndexOf('.')
+      if (i < 0) None else Some(name.substring(i + 1).toLowerCase)
+    }
+    val f = new java.io.File(path)
+    extOf(f.getName).filter(knownExts) orElse {
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+          .flatMap(c => extOf(c.getName)).find(knownExts)
+      else None
+    }
+  }
+
   def resolve(spark: SparkSession, spec: StorageSpec): DataFrame = {
     val path = resolvePath(spec)
-    val lower = path.toLowerCase
-    if (lower.endsWith(".parquet")) spark.read.parquet(path)
-    else if (lower.endsWith(".orc")) spark.read.orc(path)
-    else if (lower.endsWith(".csv"))
-      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    else if (lower.endsWith(".json")) spark.read.json(path)
-    else if (lower.endsWith(".txt") || lower.endsWith(".log"))
-      spark.read.text(path)
-    else if (lower.endsWith(".bin") || lower.endsWith(".png") ||
-             lower.endsWith(".jpg") || lower.endsWith(".wav"))
-      spark.read.format("binaryFile").load(path)
-    else spark.read.text(path)
+    formatExt(path) match {
+      case Some("parquet") => spark.read.parquet(path)
+      case Some("orc") => spark.read.orc(path)
+      case Some("csv") =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(path)
+      case Some("json") => spark.read.json(path)
+      case Some(e) if textExts(e) => spark.read.text(path)
+      // Unknown/absent extension reads as binaryFile, NOT text (VERDICT r3
+      // nit #4): an extension-less binary must surface as one (path,
+      // content) row, never as mojibake lines. Schema-on-read — a tool
+      // downstream imposes structure if it wants it.
+      case _ => spark.read.format("binaryFile").load(path)
+    }
   }
 }

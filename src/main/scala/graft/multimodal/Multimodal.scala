@@ -261,7 +261,12 @@ object Multimodal {
         new java.io.ByteArrayInputStream(content))
       try {
         val f = in.getFormat
-        if (f.getSampleSizeInBits != 16) Array.empty
+        // 16-bit AND signed-PCM only: a PCM_UNSIGNED (or a-law/µ-law)
+        // 16-bit stream must fall back to the stub path, not be silently
+        // misread as signed samples (ADVICE r3)
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          Array.empty
         else {
           val bytes = in.readAllBytes()
           val big = f.isBigEndian

@@ -71,7 +71,7 @@ object Dedup {
   /** LSH candidate pairs with ≥2 matching minhashes (shared by
     * q_lsh_pairs and q_dedup_groups): da, db, n_match. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(s, d).cache()
+    val sig = graft.CacheScope.cached(minhashSig(s, d))
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
@@ -115,8 +115,14 @@ object Dedup {
     // canonical group per doc, the final dedup step. Oracle: recursive CTE
     // transitive closure.
     "q_dedup_groups" -> ((s, d) => {
+      // Materialize the pair graph ONCE before iterating (VERDICT r3 #2):
+      // ConnectedComponents' symmetrized-edge union references `edges`
+      // twice, so without truncation the whole sig→band→join chain sits
+      // twice in the first checkpoint's plan. localCheckpoint (not cache)
+      // computes the chain exactly once and hands CC a block-backed frame.
       val edges = lshPairs(s, d)
         .select(col("da").as("src"), col("db").as("dst"))
+        .localCheckpoint(true)
       graft.operators.ConnectedComponents.run(edges)
         .select(col("node").as("doc_id"), col("component").as("group_id"))
         .orderBy("doc_id")

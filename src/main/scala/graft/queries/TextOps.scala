@@ -72,10 +72,10 @@ object TextOps {
     // (term-frequency per doc, document-frequency per term) + a broadcast
     // of the tiny df side; idf = ln(N/df) in doubles, rounded.
     "q_tfidf" -> ((s, d) => {
-      val words = Tables.documents(s, d)
+      val words = graft.CacheScope.cached(Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .cache() // feeds tf and df
+      ) // feeds tf and df; unpersisted by the caller's CacheScope.drain()
       // corpus size as a broadcast 1-row aggregate, NOT a driver-side
       // count(): keeps the whole query one declarative plan (one submitted
       // job instead of an eager scan + the main job)

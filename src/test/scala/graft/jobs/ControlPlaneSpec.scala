@@ -492,7 +492,7 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val port = srv.getAddress.getPort
     try {
       sys.props("graft.allow.http") = "true"
-      SourceResolver.fetchBackoffMs = 10L // fast test
+      sys.props("graft.fetch.backoff.ms") = "10" // fast test
       val flaky = StorageSpec(engine = "urldownload",
         url = s"http://127.0.0.1:$port/flaky.txt", path = "/d")
       val df = SourceResolver.resolve(spark, flaky)
@@ -505,9 +505,31 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(misses.get() === 1, s"404 must not retry: ${misses.get()}")
     } finally {
       sys.props.remove("graft.allow.http")
-      SourceResolver.fetchBackoffMs = 250L
+      sys.props.remove("graft.fetch.backoff.ms")
       srv.stop(0)
     }
+  }
+
+  // ---- unknown/absent extension reads as binaryFile, not mojibake text
+  // (VERDICT r3 nit #4)
+  test("extension-less binary resolves via binaryFile") {
+    val f = Files.createTempFile("graft-blob", "") // no extension
+    val payload = Array[Byte](0, 1, 2, -1, -2, 0x7f, 0, 10, 13, 4)
+    Files.write(f, payload)
+    val df = SourceResolver.resolve(spark,
+      StorageSpec(engine = "file", cid = f.toString, path = "/d"))
+    // binaryFile schema: one (path, modificationTime, length, content) row
+    assert(df.columns.contains("content") && df.columns.contains("path"))
+    val row = df.collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[Array[Byte]]("content").toSeq === payload.toSeq)
+    // a directory of .txt shards still dispatches as text via child sniff
+    val d = Files.createTempDirectory("graft-txtdir")
+    Files.writeString(d.resolve("part-0.txt"), "alpha\nbeta\n")
+    val txt = SourceResolver.resolve(spark,
+      StorageSpec(engine = "file", cid = d.toString, path = "/d"))
+    assert(txt.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("alpha", "beta"))
   }
 
   // ---- content id is row-order independent (canonicalization)

@@ -32,7 +32,7 @@ object Cli {
 
   /** Flags that never consume a following value. */
   private val boolFlags = Set("json", "wide", "reverse", "deterministic",
-    "skip-syntax-checking", "hide-header")
+    "skip-syntax-checking", "hide-header", "client")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -66,6 +66,7 @@ object Cli {
       case "apply" :: Nil if flags.contains("f") =>
         apply(spark, flags("f").head, stateDir)
       case "serve" :: Nil => serve(spark, flags, stateDir)
+      case "version" :: Nil => version(flags)
       case "list" :: Nil => list(stateDir, flags)
       case "describe" :: id :: Nil =>
         describe(stateDir, id, flags.contains("json"))
@@ -76,7 +77,8 @@ object Cli {
             "[--env K=V] [--concurrency N] IMAGE [--] ENTRYPOINT… | " +
             "run python -c EXPR [-i cid:path] | apply -f spec.json | " +
             "list [-n N] [--id-filter ID] [--sort-by id|created_at] " +
-            "[--reverse] [--json] [--wide] | describe <id> | get <id> <outDir>")
+            "[--reverse] [--json] [--wide] | describe <id> | get <id> <outDir>" +
+            " | version [--client] [--api URI] [--output json]")
         2
     }
   }
@@ -292,6 +294,41 @@ object Cli {
     serveMs match {
       case Some(ms) => Thread.sleep(ms); srv.stop()
       case None     => Thread.currentThread().join()
+    }
+    0
+  }
+
+  /** `version` — client (+ optionally server) version envelope (reference
+    * cmd/bacalhau/version.go: `--client` skips the server round-trip;
+    * default output is the two `X Version:` lines; `--output json` prints
+    * the Versions struct). The server half queries `/version` on `--api`. */
+  private def version(flags: Map[String, Seq[String]]): Int = {
+    val clientOnly = flags.contains("client") || !flags.contains("api")
+    val client = GraftVersion.node(mapper)
+    val server: Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (clientOnly) None
+      else {
+        try Some(new ApiClient(flag1(flags, "api").get).version())
+        catch { case e: Exception =>
+          System.err.println(s"version: could not get server version: " +
+            s"${e.getMessage}")
+          return 1
+        }
+      }
+    flag1(flags, "output") match {
+      case Some("json") =>
+        val root = mapper.createObjectNode()
+        root.set[com.fasterxml.jackson.databind.JsonNode]("clientVersion", client)
+        server.foreach(
+          root.set[com.fasterxml.jackson.databind.JsonNode]("serverVersion", _))
+        println(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+      case Some(other) =>
+        System.err.println(s"version: --output must be 'json', got '$other'")
+        return 1
+      case None =>
+        println(s"Client Version: ${GraftVersion.GitVersion}")
+        server.foreach(s =>
+          println(s"Server Version: ${s.get("gitversion").asText()}"))
     }
     0
   }

@@ -25,6 +25,23 @@ import org.apache.spark.sql.SparkSession
   * control loop (pkg/computenode/computenode.go:111-187). Built on the
   * JDK's com.sun.net.httpserver — no extra dependencies.
   */
+/** Build identity (reference: pkg/version/version.go VersionInfo — the
+  * struct `version.Get()` fills and `/version` + the `version` verb print). */
+object GraftVersion {
+  val Major = "0"
+  val Minor = "4"
+  val GitVersion = "v0.4.0"
+  val Platform: String =
+    s"${sys.props.getOrElse("os.name", "?")}/${sys.props.getOrElse("os.arch", "?")}"
+
+  def node(mapper: ObjectMapper): JsonNode =
+    mapper.createObjectNode()
+      .put("major", Major).put("minor", Minor)
+      .put("gitversion", GitVersion)
+      .put("platform", Platform)
+      .put("jvm", sys.props.getOrElse("java.version", "?"))
+}
+
 final class ApiServer(spark: SparkSession, stateDir: String,
                       host: String = "127.0.0.1", requestedPort: Int = 0) {
 
@@ -77,12 +94,33 @@ final class ApiServer(spark: SparkSession, stateDir: String,
     server.createContext("/submit", (ex: HttpExchange) => handle(ex) { req =>
       val data = Option(req.get("data"))
         .getOrElse(throw new IllegalArgumentException("missing data payload"))
+      // verifySubmitRequest (reference pkg/publicapi/server.go:411-444):
+      // client_id + signature + public key all required; the key must hash
+      // to the claimed client_id; the signature must verify over the data
+      // payload bytes. Any failure is a 400 BEFORE the spec is even parsed
+      // — an unsigned or tampered submit never reaches the runner.
+      val clientId = Option(req.get("client_id"))
+        .map(_.asText()).filter(_.nonEmpty).getOrElse("")
+      val sig = Option(req.get("signature"))
+        .map(_.asText()).filter(_.nonEmpty).getOrElse("")
+      val pub = Option(req.get("client_public_key"))
+        .map(_.asText()).filter(_.nonEmpty).getOrElse("")
+      val check =
+        if (clientId.isEmpty) Some("submit must contain a client ID")
+        else if (sig.isEmpty) Some("client's signature is required")
+        else if (pub.isEmpty) Some("client's public key is required")
+        else if (!ClientKeys.publicKeyMatchesId(pub, clientId))
+          Some("client's public key does not match client ID")
+        else if (!ClientKeys.verify(mapper.writeValueAsBytes(data), sig, pub))
+          Some("client's signature is invalid")
+        else None
+      check match {
+        case Some(err) => (400, mapper.createObjectNode().put("error", err))
+        case None =>
       JobSpecLoader.fromJson(mapper.writeValueAsString(data)) match {
         case Left(err) =>
           (400, mapper.createObjectNode().put("error", err))
         case Right((spec, deal)) =>
-          val clientId = Option(req.get("client_id"))
-            .map(_.asText()).filter(_.nonEmpty).getOrElse("api")
           runner.submit(spec, deal, clientId) match {
             case Left(err) =>
               (400, mapper.createObjectNode().put("error", err))
@@ -110,6 +148,7 @@ final class ApiServer(spark: SparkSession, stateDir: String,
               resp.set[JsonNode]("job", jobNode(job))
               (200, resp)
           }
+      }
       }
     })
 
@@ -155,7 +194,9 @@ final class ApiServer(spark: SparkSession, stateDir: String,
       (200, mapper.createObjectNode().put("id", "spark-local"))
     })
     server.createContext("/version", (ex: HttpExchange) => handle(ex) { _ =>
-      (200, mapper.createObjectNode().put("gitversion", "graft-v0"))
+      val resp = mapper.createObjectNode()
+      resp.set[JsonNode]("version_info", GraftVersion.node(mapper))
+      (200, resp)
     })
     Seq("/healthz", "/livez", "/readyz").foreach(p =>
       server.createContext(p, (ex: HttpExchange) => handle(ex) { _ =>
@@ -167,10 +208,27 @@ final class ApiServer(spark: SparkSession, stateDir: String,
   def stop(): Unit = { server.stop(0); work.shutdown() }
 }
 
-/** HTTP client for [[ApiServer]] (reference: pkg/publicapi/client.go). */
-final class ApiClient(baseUri: String) {
+object ApiClient {
+  /** Key directory: $GRAFT_DIR, else a per-user scratch dir (the reference
+    * defaults to ~/.bacalhau; a tmp default keeps the sandbox self-contained). */
+  def defaultKeyDir: java.nio.file.Path =
+    java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_DIR",
+      sys.props("java.io.tmpdir") + "/graft-client"))
+}
+
+/** HTTP client for [[ApiServer]] (reference: pkg/publicapi/client.go).
+  *
+  * Owns a client identity key (loaded or generated under `keyDir`, like the
+  * reference's ~/.bacalhau/user_id.pem via InitConfig) and RSA-signs every
+  * submit payload; `clientId` is derived from the key, never free-form. */
+final class ApiClient(baseUri: String,
+                      keyDir: java.nio.file.Path = ApiClient.defaultKeyDir) {
   private val mapper = new ObjectMapper()
   private val http = java.net.http.HttpClient.newHttpClient()
+  private val identity = ClientKeys.loadOrCreate(keyDir)
+
+  /** Key-derived client id (reference system.GetClientID). */
+  def clientId: String = identity.clientId
 
   private def post(path: String, body: String): JsonNode = {
     val req = java.net.http.HttpRequest.newBuilder()
@@ -187,14 +245,29 @@ final class ApiClient(baseUri: String) {
     node
   }
 
-  /** Submit a spec-file JSON (same shape `apply -f` reads); returns job id. */
-  def submit(specJson: String, clientId: String = "api-client"): String = {
+  /** Submit a spec-file JSON (same shape `apply -f` reads); returns job id.
+    * The data payload is signed with the client key and the server verifies
+    * signature + key↔id binding before accepting (reference Submit,
+    * client.go:156-200). */
+  def submit(specJson: String): String = {
+    val data = mapper.readTree(specJson)
+    // sign the exact bytes the server will re-serialize: Jackson keeps
+    // parsed-field order, so serialize(parse(x)) is stable on both sides
+    val dataBytes = mapper.writeValueAsBytes(data)
     val payload = mapper.createObjectNode()
-    payload.put("client_id", clientId)
-    payload.set[JsonNode]("data", mapper.readTree(specJson))
+    payload.put("client_id", identity.clientId)
+    payload.set[JsonNode]("data", data)
+    payload.put("signature", ClientKeys.sign(identity, dataBytes))
+    payload.put("client_public_key", identity.publicKeyB64)
     post("/submit", mapper.writeValueAsString(payload))
       .get("job").get("id").asText()
   }
+
+  /** Server version envelope (reference client.go Version →
+    * /version versionResponse). */
+  def version(): JsonNode =
+    post("/version", s"""{"client_id":"${identity.clientId}"}""")
+      .get("version_info")
 
   def list(): Seq[String] = {
     val jobs = post("/list", """{"client_id":"api-client"}""").get("jobs")

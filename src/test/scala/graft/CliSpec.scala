@@ -185,6 +185,27 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"engine_name": "noop", "verifier_name": "noop"}""")
     assert(client.waitForJob(jobId))
     assert(client.list().contains(jobId))
+
+    // `version` against the live daemon (version.go Run: client + server
+    // lines; --client skips the round-trip; --output json parses)
+    val (vc, vout) = captureOut(Cli.run(Seq("version",
+      "--api", s"http://127.0.0.1:$port"), spark))
+    assert(vc === 0)
+    assert(vout.contains(s"Client Version: ${jobs.GraftVersion.GitVersion}"))
+    assert(vout.contains(s"Server Version: ${jobs.GraftVersion.GitVersion}"))
+    val (vc2, vout2) = captureOut(Cli.run(Seq("version", "--client"), spark))
+    assert(vc2 === 0 && vout2.contains("Client Version") &&
+      !vout2.contains("Server Version"))
+    val (vc3, vj) = captureOut(Cli.run(Seq("version", "--output", "json",
+      "--api", s"http://127.0.0.1:$port"), spark))
+    assert(vc3 === 0)
+    val vn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(vj)
+    assert(vn.get("clientVersion").get("gitversion").asText() ===
+      jobs.GraftVersion.GitVersion)
+    assert(vn.get("serverVersion").get("gitversion").asText() ===
+      jobs.GraftVersion.GitVersion)
+    // bad --output is a usage error, like the reference's validation
+    assert(Cli.run(Seq("version", "--output", "yamlish"), spark) === 1)
   }
 
   // list flags (list.go:100-211): --id-filter, --sort-by, --json, --wide

@@ -43,7 +43,8 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.net.http.HttpResponse.BodyHandlers.ofString()).body()
     assert(get("/healthz").contains("OK"))
     assert(get("/livez").contains("OK"))
-    assert(get("/version").contains("graft-v0"))
+    assert(get("/version").contains("gitversion"))
+    assert(get("/version").contains(graft.jobs.GraftVersion.GitVersion))
     assert(get("/id").contains("spark-local"))
   }
 
@@ -90,6 +91,72 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       client.submit("""{"engine_name": "docker"}""")
     }
     assert(ex2.getMessage.contains("docker engine without docker spec"))
+  }
+
+  // ---- submit-payload signing (reference verifySubmitRequest,
+  // pkg/publicapi/server.go:411-444): unsigned, impersonated and tampered
+  // submits are all 400s; the signed path is every other test in this suite.
+  test("unsigned, impersonated, and tampered submits are rejected") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def post(body: String): (Int, String) = {
+      val resp = http.send(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"${server.uri}/submit"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    val keyDir = Files.createTempDirectory("graft-keys-a")
+    val id = ClientKeys.loadOrCreate(keyDir)
+    val spec = """{"engine_name": "noop", "verifier_name": "noop"}"""
+    val data = mapper.readTree(spec)
+    val dataBytes = mapper.writeValueAsBytes(data)
+    def envelope(clientId: String, sig: String, pub: String): String = {
+      val n = mapper.createObjectNode()
+      n.put("client_id", clientId)
+      n.set[com.fasterxml.jackson.databind.JsonNode]("data", mapper.readTree(spec))
+      if (sig.nonEmpty) n.put("signature", sig)
+      if (pub.nonEmpty) n.put("client_public_key", pub)
+      mapper.writeValueAsString(n)
+    }
+    // no signature at all
+    val (c1, b1) = post(envelope(id.clientId, "", id.publicKeyB64))
+    assert(c1 === 400 && b1.contains("signature is required"))
+    // valid signature from key A, but claiming key B's client id
+    val other = ClientKeys.loadOrCreate(Files.createTempDirectory("graft-keys-b"))
+    val (c2, b2) = post(envelope(other.clientId,
+      ClientKeys.sign(id, dataBytes), id.publicKeyB64))
+    assert(c2 === 400 && b2.contains("does not match client ID"))
+    // correct key/id binding, but the signed bytes differ from the payload
+    val tampered = mapper.writeValueAsBytes(
+      mapper.readTree("""{"engine_name": "docker", "verifier_name": "noop"}"""))
+    val (c3, b3) = post(envelope(id.clientId,
+      ClientKeys.sign(id, tampered), id.publicKeyB64))
+    assert(c3 === 400 && b3.contains("signature is invalid"))
+    // the well-signed version of the same envelope is accepted
+    val (c4, b4) = post(envelope(id.clientId,
+      ClientKeys.sign(id, dataBytes), id.publicKeyB64))
+    assert(c4 === 200 && b4.contains("\"job\""), b4)
+  }
+
+  test("client identity is stable across reloads and binds to its id") {
+    val keyDir = Files.createTempDirectory("graft-keys-c")
+    val a = ClientKeys.loadOrCreate(keyDir)
+    val b = ClientKeys.loadOrCreate(keyDir) // reload from PEM
+    assert(a.clientId === b.clientId)
+    assert(a.clientId.matches("[0-9a-f]{64}"))
+    assert(ClientKeys.publicKeyMatchesId(a.publicKeyB64, a.clientId))
+    val msg = "payload".getBytes("UTF-8")
+    assert(ClientKeys.verify(msg, ClientKeys.sign(b, msg), a.publicKeyB64))
+    assert(!ClientKeys.verify("other".getBytes("UTF-8"),
+      ClientKeys.sign(b, msg), a.publicKeyB64))
+  }
+
+  test("server version envelope reaches the client") {
+    val v = client.version()
+    assert(v.get("gitversion").asText() === GraftVersion.GitVersion)
+    assert(v.get("major").asText() === GraftVersion.Major)
   }
 
   test("unresolvable inputs reach a terminal Error state, not a silent hang") {

@@ -288,7 +288,10 @@ object Cli {
     val serveMs = flag1(flags, "serve-ms").map(ms =>
       ms.toLongOption.getOrElse(
         throw FlagError(s"--serve-ms needs an integer, got '$ms'")))
-    val srv = new ApiServer(spark, stateDir, host, port)
+    // --node-slots N: bidding slots beyond each deal's concurrency get
+    // cancelled, the devstack multi-node shape (concurrency_test.go)
+    val srv = new ApiServer(spark, stateDir, host, port,
+      nodeSlots = intFlag(flags, "node-slots", 0))
     srv.start()
     println(s"listening on ${srv.uri}")
     serveMs match {

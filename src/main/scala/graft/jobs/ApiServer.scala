@@ -43,10 +43,11 @@ object GraftVersion {
 }
 
 final class ApiServer(spark: SparkSession, stateDir: String,
-                      host: String = "127.0.0.1", requestedPort: Int = 0) {
+                      host: String = "127.0.0.1", requestedPort: Int = 0,
+                      nodeSlots: Int = 0) {
 
   private val mapper = new ObjectMapper()
-  private val runner = new Runner(spark)
+  private val runner = new Runner(spark, nodeSlots = nodeSlots)
   private val work = Executors.newSingleThreadExecutor(r => {
     val t = new Thread(r, "graft-api-worker"); t.setDaemon(true); t
   })

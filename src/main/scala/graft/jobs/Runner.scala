@@ -19,9 +19,16 @@ import scala.collection.mutable
   * are replica slots, and admission keeps only the semantic checks:
   * executor/verifier installed, resource ceiling, locality probe.
   */
+/** @param nodeSlots total bidding slots ("nodes" in the reference
+  *   devstack sense); 0 means one slot per requested replica. When more
+  *   slots exist than the deal's concurrency, the surplus slots bid and
+  *   are then cancelled — Concurrency=2 over 3 slots ends {2 Complete,
+  *   1 Cancelled} exactly like the reference devstack proves
+  *   (pkg/test/devstack/concurrency_test.go:46-105). */
 final class Runner(spark: SparkSession,
                    maxJobResources: ResourceUsage = ResourceUsage(32, 128L << 30),
-                   selectionPolicy: JobSpec => Boolean = _ => true) {
+                   selectionPolicy: JobSpec => Boolean = _ => true,
+                   nodeSlots: Int = 0) {
 
   val events = new EventLog
   private val jobs = mutable.LinkedHashMap.empty[String, Job]
@@ -92,6 +99,21 @@ final class Runner(spark: SparkSession,
                 status = e.getMessage))
               Left(e.getMessage)
           }
+        }
+        // surplus bidding slots beyond the deal's concurrency: bid, then
+        // cancelled once enough replicas are running (the reference
+        // requester cancels surplus bids — executor constants.go
+        // JobEventBidCancelled; devstack asserts the {Complete²,
+        // Cancelled} multiset)
+        val replicas = math.max(1, job.deal.concurrency)
+        (replicas until nodeSlots).foreach { extra =>
+          val rep = s"$nodeId-r$extra"
+          events.append(JobEvent(jobId = job.id, sourceNodeId = rep,
+            targetNodeId = rep, eventName = Lifecycle.EventType.Bid))
+          events.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+            targetNodeId = rep,
+            eventName = Lifecycle.EventType.BidCancelled,
+            status = "concurrency limit reached"))
         }
         // cache hygiene: a long-lived serve session must not accumulate
         // cached subtrees registered by whatever plan just ran

@@ -25,8 +25,14 @@ object PageRank {
     *              pre-deduplicated)
     * @param iters fixed power-iteration count
     * @param d     damping factor
+    * @param redistributeDangling when true, each round adds the standard
+    *   dangling-mass term d·D/N (D = Σ rank over nodes with no out-edges)
+    *   so rank mass is conserved — the correction real web graphs need
+    *   (sink pages otherwise leak mass every round). The per-round cost is
+    *   one extra tiny aggregate, broadcast to the update join.
     * @return DataFrame(node, rank) — unrounded doubles */
-  def run(edges: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
+  def run(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
+          redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
@@ -41,11 +47,25 @@ object PageRank {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("c"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1 - d) / n) + lit(d) * coalesce(col("c"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint(true)
+      val updated = nodes.join(contrib, Seq("node"), "left")
+      val next =
+        if (!redistributeDangling)
+          updated.select(col("node"),
+            (lit((1 - d) / n) + lit(d) * coalesce(col("c"), lit(0.0)))
+              .as("rank"))
+        else {
+          // dangling mass as a broadcast 1-row aggregate, NOT a driver-side
+          // collect — the whole round stays one declarative plan
+          val dangling = ranks
+            .join(outdeg.withColumnRenamed("src", "node"), Seq("node"),
+              "left_anti")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+          updated.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit((1 - d) / n) + lit(d) *
+                (coalesce(col("c"), lit(0.0)) + col("dm") / n)).as("rank"))
+        }
+      ranks = next.localCheckpoint(true)
     }
     ranks
   }

@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.queries ++ RelationalExt.queries ++
       RelationalMore.queries ++ EventOps.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Pipeline.queries ++ CorpusOps.queries ++ GraphOps.queries
+      Pipeline.queries ++ CorpusOps.queries ++ GraphOps.queries ++
+      Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     Relational.oracle ++ RelationalExt.oracle ++
       RelationalMore.oracle ++ EventOps.oracle ++
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Pipeline.oracle ++ CorpusOps.oracle ++ GraphOps.oracle
+      Pipeline.oracle ++ CorpusOps.oracle ++ GraphOps.oracle ++
+      Tpch.oracle
 }

@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+
+/** The remaining TPC-H family expressible over the fixture star schema
+  * (Q3/Q5/Q10/Q18 live in Relational/RelationalMore). These are the
+  * reference's "analytics a user actually runs" tier — the fixture schema
+  * is a slimmed TPC-H (no partsupp, no l_commitdate/l_receiptdate/
+  * l_shipmode, no c_phone), so Q2/Q11/Q12/Q15/Q16/Q17/Q20 are out of
+  * reach, and Q4/Q21/Q22 keep their join STRUCTURE with adapted predicates
+  * (documented per query).
+  *
+  * Scale notes: every dimension join (nation, region, part, supplier)
+  * broadcasts; fact-fact joins shuffle on their keys; aggregations
+  * partial-combine map-side. Q21's exists/not-exists pair runs as
+  * semi/anti self-joins of lineitem on l_orderkey — one shuffle each, the
+  * shape that survives a 100 TB lineitem.
+  */
+object Tpch {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def revenue: org.apache.spark.sql.Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q1: pricing summary report — the canonical full-scan aggregate.
+    // One pass, map-side partial agg, 4-group output.
+    "q_tpch_q1" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(revenue), 2).as("sum_disc_price"),
+          round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- Q4 (adapted): order-priority checking. The original's EXISTS
+    // predicate is l_commitdate < l_receiptdate (columns the fixture
+    // lacks); the adaptation keeps the EXISTS semi-join with a dependent
+    // comparison — a lineitem shipped after the order date.
+    "q_tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                col("o_orderdate") < lit("1997-04-01"))
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+               col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- Q6: forecasting revenue change — filter-everything scan agg.
+    // The predicates must reach the parquet scan as pushed filters.
+    "q_tpch_q6" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1997-01-01") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    }),
+
+    // ---- Q7: volume shipping between two nations, by year. Both nation
+    // joins broadcast; the fact joins shuffle on their keys.
+    "q_tpch_q7" -> ((s, d) => {
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") <= lit("1997-12-31"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"), revenue.as("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(round(sum("volume"), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- Q8: national market share — NATION_3's share of ECONOMY-part
+    // revenue inside ASIA, by order year. Part/nation/region broadcast;
+    // the share is a conditional-sum ratio inside one aggregation.
+    "q_tpch_q8" -> ((s, d) => {
+      val asiaNations = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk")))
+      val suppNation = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation")))
+      val econParts = broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey"))
+      Tables.lineitem(s, d)
+        .join(econParts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                col("o_orderdate") <= lit("1997-12-31"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(asiaNations, col("c_nationkey") === col("c_nk"), "left_semi")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("s_nk"))
+        .select(year(col("o_orderdate")).as("o_year"), revenue.as("volume"),
+          col("nation"))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("nation") === "NATION_3", col("volume")).otherwise(0.0))
+            / sum(col("volume")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // ---- Q13: customer order-count distribution — LEFT join so
+    // zero-order customers land in the c_count=0 bucket, then a second
+    // tiny aggregation over counts.
+    "q_tpch_q13" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- Q14: promo revenue share for one ship month; part broadcasts.
+    "q_tpch_q14" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                col("l_shipdate") < lit("1997-02-01"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            sum(when(col("p_type") === "PROMO", revenue).otherwise(0.0))
+            / sum(revenue), 4).as("promo_revenue"))
+    }),
+
+    // ---- Q21 (adapted): suppliers who were the ONLY problem supplier on
+    // a finished multi-supplier order. The original's "late" predicate is
+    // l_receiptdate > l_commitdate (columns the fixture lacks); the
+    // adaptation uses l_returnflag = 'R'. Structure preserved exactly:
+    // EXISTS(another supplier's line) AND NOT EXISTS(another supplier's
+    // problem line) — a semi- and an anti-self-join of lineitem on
+    // l_orderkey with a non-equi supplier clause.
+    "q_tpch_q21" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_k"), col("l_suppkey").as("s_k"))
+      val l2 = li.select(col("l_orderkey").as("o_k2"),
+        col("l_suppkey").as("s_k2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_k3"), col("l_suppkey").as("s_k3"))
+      l1
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"),
+          col("o_k") === col("o_orderkey"), "left_semi")
+        .join(l2, col("o_k2") === col("o_k") && col("s_k2") =!= col("s_k"),
+          "left_semi")
+        .join(l3, col("o_k3") === col("o_k") && col("s_k3") =!= col("s_k"),
+          "left_anti")
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_k") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
+    // ---- Q22 (adapted): rich inactive customers. The original buckets by
+    // phone country code (no c_phone in the fixture) — adapted to bucket
+    // by c_nationkey — and "inactive" means no order since 1999 (the
+    // fixture's dense order history gives every customer SOME order, which
+    // would make the original's no-orders-ever predicate vacuous).
+    // Structure preserved: scalar-subquery average (broadcast 1-row
+    // aggregate, not a driver collect) + NOT EXISTS anti-join vs orders.
+    "q_tpch_q22" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1999-01-01"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("cntrycode")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+        |    AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+        |) shipping
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+        |    / sum(volume), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    n1.n_name AS nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+        |) all_nations
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1
+        |) c_orders
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin,
+    "q_tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

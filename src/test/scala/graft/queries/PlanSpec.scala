@@ -193,6 +193,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("partial_min"), "stats agg must map-side combine")
   }
 
+  test("q_tpch_q1/q6: filters push to the scan, aggs partial-combine") {
+    val q1 = planOf("q_tpch_q1")
+    assert(q1.contains("partial_sum"), "Q1 must map-side combine")
+    val q6 = planOf("q_tpch_q6")
+    val pushed = q6.linesIterator
+      .filter(_.trim.startsWith("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      pushed)
+  }
+
+  test("q_tpch_q7/q8/q14/q21: dims broadcast, exists/not-exists stay equi") {
+    for (q <- Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q14")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q dims must broadcast")
+      assert(!plan.contains("CartesianProduct"), s"$q must not go cartesian")
+    }
+    // Q21's semi/anti self-joins carry a non-equi supplier clause ON TOP OF
+    // the l_orderkey equi key — they must plan as hash/sort-merge joins on
+    // the key, never nested-loop over the whole fact table
+    val q21 = planOf("q_tpch_q21")
+    assert(!q21.contains("CartesianProduct") &&
+      !q21.contains("BroadcastNestedLoopJoin"), "Q21 joins must stay keyed")
+  }
+
   test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
     // the iteration localCheckpoints (lineage truncation), so the published
     // plan is a checkpoint scan — audit the edge-derivation subplan, which

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+
+/** Corpus curation operators, round 4: contamination spans, composite
+  * quality filtering, and domain mixing — the three decisions a
+  * training-data pipeline makes after dedup (what leaked, what's junk,
+  * how much of each source to sample).
+  *
+  * Scale notes: q_gopher_filter is a pure map stage (every signal folds in
+  * per-row expressions on the document's own row); q_mix_weights reduces
+  * the corpus to one row per (source, lang) before any of the tiny
+  * broadcast normalizations; q_dup_spans is the one gram-level shuffle and
+  * its key is the gram string (at petabyte scale you'd key on a 64-bit
+  * gram hash instead — same plan shape, narrower shuffle).
+  */
+object CorpusMix {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- cross-document duplicate 5-gram spans: the contamination-span
+    // report (which exact phrases repeat across documents, how widely).
+    // One explode → one gram-keyed aggregation with map-side partials;
+    // top-100 by spread via TakeOrdered, never a global sort.
+    "q_dup_spans" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 5),
+          i => concat_ws(" ", (0 until 5).map(k =>
+            element_at(col("ws"), i + k + 1)): _*))).as("gram"))
+        .groupBy("gram")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram").asc)
+        .limit(100)
+    }),
+
+    // ---- Gopher-style composite quality filter: keep/drop + the reasons,
+    // all signals folding per-row (word count band, mean word length band,
+    // distinct-word ratio). mean_wlen uses the EXACT identity
+    // sum(len(w)) = len(text) - (n_words - 1) for single-char separators,
+    // so both engines compute bit-identical doubles.
+    "q_gopher_filter" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          size(ws).cast(LongType).as("n_words"),
+          length(col("text")).cast(LongType).as("n_len"),
+          size(array_distinct(ws)).cast(LongType).as("n_distinct"))
+        .select(col("doc_id"), col("n_words"),
+          round((col("n_len") - col("n_words") + 1).cast("double")
+            / col("n_words"), 4).as("mean_wlen"),
+          round(col("n_distinct").cast("double") / col("n_words"), 4)
+            .as("distinct_ratio"))
+        .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+          col("distinct_ratio"),
+          (col("n_words").between(20, 80) &&
+            col("mean_wlen").between(4.0, 5.0) &&
+            col("distinct_ratio") >= 0.45).as("keep"),
+          concat_ws(",",
+            when(!col("n_words").between(20, 80), "words"),
+            when(!col("mean_wlen").between(4.0, 5.0), "wlen"),
+            when(col("distinct_ratio") < 0.45, "repetitive")).as("reasons"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- temperature-scaled domain mixing weights (α = 0.5): per
+    // (source, lang), token share and the normalized sampling weight
+    // w ∝ share^α — the standard up-weighting of small domains when
+    // composing a training mix. Corpus reduces to one row per domain
+    // FIRST; both normalizations are broadcast 1-row aggregates.
+    "q_mix_weights" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+      val tot = g.agg(sum("n_tokens").cast("double").as("tot"))
+      val shared = g.crossJoin(broadcast(tot))
+        .withColumn("share", col("n_tokens") / col("tot"))
+        .withColumn("w_raw", sqrt(col("share")))
+      val wTot = shared.agg(sum("w_raw").as("w_tot"))
+      shared.crossJoin(broadcast(wTot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("w_raw") / col("w_tot"), 6).as("weight"))
+        .orderBy("source", "lang")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dup_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS wi,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    w || ' ' || lead(w, 1) OVER pw || ' ' || lead(w, 2) OVER pw
+        |      || ' ' || lead(w, 3) OVER pw || ' ' || lead(w, 4) OVER pw
+        |      AS gram
+        |  FROM words
+        |  WINDOW pw AS (PARTITION BY doc_id ORDER BY wi)
+        |  QUALIFY lead(w, 4) OVER pw IS NOT NULL)
+        |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
+        |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT 100""".stripMargin,
+    "q_gopher_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    round(CAST(n_len - n_words + 1 AS DOUBLE) / n_words, 4)
+        |      AS mean_wlen,
+        |    round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS distinct_ratio
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_wlen, distinct_ratio,
+        |  (n_words BETWEEN 20 AND 80 AND mean_wlen BETWEEN 4.0 AND 5.0
+        |    AND distinct_ratio >= 0.45) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT (n_words BETWEEN 20 AND 80) THEN 'words' END,
+        |    CASE WHEN NOT (mean_wlen BETWEEN 4.0 AND 5.0) THEN 'wlen' END,
+        |    CASE WHEN distinct_ratio < 0.45 THEN 'repetitive' END)
+        |    AS reasons
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """WITH g AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |s AS (
+        |  SELECT *, n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM g)
+        |    AS share
+        |  FROM g),
+        |w AS (SELECT *, sqrt(share) AS w_raw FROM s)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(share, 6) AS share,
+        |  round(w_raw / (SELECT sum(w_raw) FROM w), 6) AS weight
+        |FROM w ORDER BY source, lang""".stripMargin
+  )
+}

@@ -70,7 +70,11 @@ object Cli {
       case "list" :: Nil => list(stateDir, flags)
       case "describe" :: id :: Nil =>
         describe(stateDir, id, flags.contains("json"))
-      case "get" :: id :: out :: Nil => get(stateDir, id, out)
+      case "get" :: id :: out :: Nil =>
+        flag1(flags, "api") match {
+          case Some(api) => getRemote(api, id, out)
+          case None      => get(stateDir, id, out)
+        }
       case _ =>
         System.err.println(
           "usage: run docker [-i cid[:path]] [-u url:path] [-o name:path] " +
@@ -434,6 +438,23 @@ object Cli {
           println(s"  event ${e.eventTimeUs} ${e.eventName} ${e.status}"))
         0
     }
+
+  /** `get --api URI` — fetch results over the daemon socket instead of the
+    * shared state dir (reference get.go pulls from IPFS; here the API is
+    * the transport). Id-prefix resolves through the daemon's job list. */
+  private def getRemote(api: String, idPrefix: String, outDir: String): Int = {
+    val client = new ApiClient(api)
+    client.get(idPrefix) match {
+      case None => System.err.println(s"get: no job $idPrefix"); 1
+      case Some(id) =>
+        val files = client.getResults(id, outDir)
+        if (files.isEmpty) { System.err.println("get: no results"); 1 }
+        else {
+          println(s"fetched ${files.size} files -> $outDir/$id")
+          0
+        }
+    }
+  }
 
   private def get(stateDir: String, idPrefix: String, outDir: String): Int =
     resolveJobId(stateDir, idPrefix) match {

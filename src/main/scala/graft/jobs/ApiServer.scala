@@ -191,6 +191,39 @@ final class ApiServer(spark: SparkSession, stateDir: String,
       (200, resp)
     })
 
+    // ---- results fetch over the socket (reference `get` pulls results
+    // from IPFS — cmd/bacalhau/get.go; the single-daemon analog is the
+    // API serving the published files). POST /results lists per-replica
+    // files; GET /results/file?job_id=..&path=.. streams one file. The
+    // relative path is validated against traversal exactly like the
+    // reference's validRelPath/SanitizeArchivePath (server.go:452-476).
+    server.createContext("/results", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath.startsWith("/results/file"))
+        serveResultFile(ex)
+      else handle(ex) { req =>
+        val jobId = Option(req.get("job_id")).map(_.asText()).getOrElse("")
+        val base = java.nio.file.Paths.get(stateDir, "results", jobId)
+        val arr = mapper.createArrayNode()
+        if (java.nio.file.Files.isDirectory(base)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(base).iterator().asScala.toSeq
+            .filter(java.nio.file.Files.isDirectory(_))
+            .sortBy(_.getFileName.toString).foreach { rep =>
+              val files = mapper.createArrayNode()
+              java.nio.file.Files.walk(rep).iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(p => rep.relativize(p).toString).toSeq.sorted
+                .foreach(files.add)
+              arr.add(mapper.createObjectNode()
+                .put("replica", rep.getFileName.toString)
+                .set[JsonNode]("files", files))
+            }
+        }
+        val resp = mapper.createObjectNode()
+        resp.set[JsonNode]("results", arr)
+        (200, resp)
+      })
+
     server.createContext("/id", (ex: HttpExchange) => handle(ex) { _ =>
       (200, mapper.createObjectNode().put("id", "spark-local"))
     })
@@ -203,6 +236,46 @@ final class ApiServer(spark: SparkSession, stateDir: String,
       server.createContext(p, (ex: HttpExchange) => handle(ex) { _ =>
         (200, mapper.createObjectNode().put("status", "OK"))
       }))
+  }
+
+  /** GET /results/file?job_id=..&replica=..&path=.. — stream one result
+    * file. Rejects traversal: the path must be relative, backslash-free,
+    * and resolve inside the replica directory (reference validRelPath,
+    * pkg/publicapi/server.go:452-459). */
+  private def serveResultFile(ex: HttpExchange): Unit = {
+    try {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = q.split("&").iterator.map(_.split("=", 2)).collect {
+        case Array(k, v) =>
+          k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+      val jobId = params.getOrElse("job_id", "")
+      val replica = params.getOrElse("replica", "")
+      val rel = params.getOrElse("path", "")
+      val badName = (s: String) =>
+        s.isEmpty || s.contains("/") || s.contains("\\") || s.contains("..")
+      val base = java.nio.file.Paths.get(stateDir, "results", jobId, replica)
+        .normalize()
+      val target = base.resolve(rel).normalize()
+      if (badName(jobId) || badName(replica) ||
+          rel.isEmpty || rel.startsWith("/") || rel.contains("\\") ||
+          rel.contains("..") || !target.startsWith(base) ||
+          !java.nio.file.Files.isRegularFile(target)) {
+        val msg = "invalid results path".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+      } else {
+        val bytes = java.nio.file.Files.readAllBytes(target)
+        ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      }
+    } catch {
+      case e: Exception =>
+        val msg = String.valueOf(e.getMessage).getBytes(StandardCharsets.UTF_8)
+        try { ex.sendResponseHeaders(500, msg.length); ex.getResponseBody.write(msg) }
+        catch { case _: Exception => () }
+    } finally ex.close()
   }
 
   def start(): Unit = { install(); server.setExecutor(null); server.start() }
@@ -298,6 +371,38 @@ final class ApiClient(baseUri: String,
   def get(idPrefix: String): Option[String] = {
     val norm = idPrefix.replace("-", "").toLowerCase
     list().find(_.replace("-", "").toLowerCase.startsWith(norm))
+  }
+
+  /** Download a job's published results into `outDir/<jobId>/<replica>/…`
+    * over the socket (reference `get` semantics, cmd/bacalhau/get.go,
+    * with the API as the transport instead of IPFS). Returns the local
+    * paths written. */
+  def getResults(jobId: String, outDir: String): Seq[java.nio.file.Path] = {
+    val listing = post("/results", s"""{"job_id":"${jobId}"}""").get("results")
+    val written = Seq.newBuilder[java.nio.file.Path]
+    (0 until listing.size()).foreach { i =>
+      val rep = listing.get(i)
+      val replica = rep.get("replica").asText()
+      val files = rep.get("files")
+      (0 until files.size()).foreach { j =>
+        val rel = files.get(j).asText()
+        val enc = (s: String) =>
+          java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"$baseUri/results/file?job_id=${enc(jobId)}" +
+            s"&replica=${enc(replica)}&path=${enc(rel)}")).GET().build()
+        val resp = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() != 200)
+          throw new RuntimeException(
+            s"/results/file $rel -> ${resp.statusCode()}")
+        val target = java.nio.file.Paths.get(outDir, jobId, replica, rel)
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.write(target, resp.body())
+        written += target
+      }
+    }
+    written.result()
   }
 
   /** Poll `/states` until every node reports a terminal state (reference:

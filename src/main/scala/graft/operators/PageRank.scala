@@ -30,9 +30,22 @@ object PageRank {
     *   so rank mass is conserved — the correction real web graphs need
     *   (sink pages otherwise leak mass every round). The per-round cost is
     *   one extra tiny aggregate, broadcast to the update join.
+    * @param checkpointEvery truncate lineage every N rounds (0 = pick by
+    *   path). Unlike ConnectedComponents, the base recurrence references
+    *   the previous round's frame ONCE, so the un-checkpointed plan grows
+    *   LINEARLY and a handful of rounds can fuse into one job — each
+    *   eager checkpoint is a blocking materialization (fixed scheduler
+    *   cost that dominates small/aggregated graphs). The dangling term
+    *   references ranks twice per round (plan doubles per skipped round),
+    *   so that path checkpoints more often.
     * @return DataFrame(node, rank) — unrounded doubles */
   def run(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
-          redistributeDangling: Boolean = false): DataFrame = {
+          redistributeDangling: Boolean = false,
+          checkpointEvery: Int = 0): DataFrame = {
+    val interval =
+      if (checkpointEvery > 0) checkpointEvery
+      else if (redistributeDangling) 2
+      else 4
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
@@ -42,7 +55,7 @@ object PageRank {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(outdeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -65,7 +78,10 @@ object PageRank {
               (lit((1 - d) / n) + lit(d) *
                 (coalesce(col("c"), lit(0.0)) + col("dm") / n)).as("rank"))
         }
-      ranks = next.localCheckpoint(true)
+      // last rounds stay un-checkpointed: the caller's action fuses them
+      // into one job instead of paying another blocking materialization
+      ranks = if (i % interval == 0 && i < iters) next.localCheckpoint(true)
+              else next
     }
     ranks
   }

@@ -186,6 +186,23 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.waitForJob(jobId))
     assert(client.list().contains(jobId))
 
+    // `get --api`: fetch results over the daemon socket (get.go semantics)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/fruit.txt"),
+      "apple\nkiwi\ncherry\n")
+    val realJob = client.submit(
+      s"""{"engine_name": "docker", "verifier_name": "ipfs",
+         |  "job_spec_docker": {"image": "ubuntu",
+         |    "entrypoint": ["grep", "kiwi", "/data/file.txt"]},
+         |  "inputs": [{"engine_name": "ipfs", "name": "in",
+         |    "cid": "$dir/fruit.txt", "path": "/data/file.txt"}]}"""
+        .stripMargin)
+    assert(client.waitForJob(realJob))
+    val (gc, gout) = captureOut(Cli.run(Seq("get", realJob.take(8),
+      s"$dir/fetched", "--api", s"http://127.0.0.1:$port"), spark))
+    assert(gc === 0 && gout.contains("fetched"), gout)
+    assert(spark.read.parquet(s"$dir/fetched/$realJob/r0")
+      .collect().map(_.getString(0)).toSeq === Seq("kiwi"))
+
     // `version` against the live daemon (version.go Run: client + server
     // lines; --client skips the round-trip; --output json parses)
     val (vc, vout) = captureOut(Cli.run(Seq("version",

@@ -174,6 +174,36 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(evts.contains(Lifecycle.EventType.Error))
   }
 
+  test("results download over the socket; traversal rejected") {
+    val spec =
+      s"""{"engine_name": "docker", "verifier_name": "ipfs",
+         |  "job_spec_docker": {"image": "ubuntu",
+         |    "entrypoint": ["grep", "kiwi", "/data/file.txt"]},
+         |  "inputs": [{"engine_name": "ipfs", "name": "in",
+         |    "cid": "$dir/fruit.txt", "path": "/data/file.txt"}]}"""
+        .stripMargin
+    val jobId = client.submit(spec)
+    assert(client.waitForJob(jobId))
+    val out = Files.createTempDirectory("graft-fetch").toString
+    val files = client.getResults(jobId, out)
+    assert(files.nonEmpty, "no result files downloaded")
+    val parquet = spark.read.parquet(s"$out/$jobId/r0")
+    assert(parquet.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("kiwi", "kiwi is delicious"))
+    // traversal attempts are 400s, never file reads outside the replica
+    val http = java.net.http.HttpClient.newHttpClient()
+    for (bad <- Seq(
+        s"job_id=$jobId&replica=r0&path=..%2F..%2F..%2Fevents.jsonl",
+        s"job_id=..&replica=r0&path=x",
+        s"job_id=$jobId&replica=..%2F..&path=x")) {
+      val resp = http.send(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"${server.uri}/results/file?$bad"))
+        .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 400, s"$bad -> ${resp.statusCode()}")
+    }
+  }
+
   test("list over the socket sees all submitted jobs") {
     val before = client.list().size
     client.submit("""{"engine_name": "noop", "verifier_name": "noop"}""")

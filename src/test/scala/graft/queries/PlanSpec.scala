@@ -217,6 +217,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !q21.contains("BroadcastNestedLoopJoin"), "Q21 joins must stay keyed")
   }
 
+  test("q_gopher_filter folds per-row: no agg, join, or explode") {
+    val plan = planOf("q_gopher_filter")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      "quality signals must fold per-row, not aggregate")
+    assert(!plan.contains("Join") && !plan.contains("Generate"))
+  }
+
+  test("q_dup_spans: partial agg on grams; top-100 is TakeOrdered") {
+    val plan = planOf("q_dup_spans")
+    assert(plan.contains("partial_count"), "gram agg must map-side combine")
+    assert(plan.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+  }
+
+  test("q_mix_weights: domain reduction first, broadcast normalizations") {
+    val plan = planOf("q_mix_weights")
+    assert(plan.contains("partial_count"), "domain agg must map-side combine")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "scalars must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "normalization must never shuffle the domain table")
+  }
+
   test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
     // the iteration localCheckpoints (lineage truncation), so the published
     // plan is a checkpoint scan — audit the edge-derivation subplan, which

@@ -21,13 +21,19 @@ def load(path):
     q = doc.get("queries")
     if isinstance(q, dict) and q and isinstance(next(iter(q.values())), dict):
         return {k: v["sec"] for k, v in q.items() if v.get("sec", -1) >= 0}, doc
-    # driver snapshot: stdout JSON line embedded in the "tail" field
+    # driver snapshot: stdout JSON line embedded in the "tail" field.
+    # Parse per line (a later log line containing '}' must not extend the
+    # match and break json.loads).
     if "tail" in doc:
-        m = re.search(r'\{"metric":.*\}', doc["tail"].replace("\\\"", '"'))
-        if m:
-            inner = json.loads(m.group(0))
-            return {k: v for k, v in inner.get("queries", {}).items()
-                    if v >= 0}, inner
+        for line in doc["tail"].replace("\\\"", '"').splitlines():
+            m = re.search(r'\{"metric":.*\}', line)
+            if m:
+                try:
+                    inner = json.loads(m.group(0))
+                except json.JSONDecodeError:
+                    continue
+                return {k: v for k, v in inner.get("queries", {}).items()
+                        if v >= 0}, inner
     # stdout-shaped: {"queries": {name: sec}}
     if isinstance(q, dict):
         return {k: v for k, v in q.items() if v >= 0}, doc

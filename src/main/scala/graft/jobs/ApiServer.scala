@@ -202,26 +202,35 @@ final class ApiServer(spark: SparkSession, stateDir: String,
         serveResultFile(ex)
       else handle(ex) { req =>
         val jobId = Option(req.get("job_id")).map(_.asText()).getOrElse("")
-        val base = java.nio.file.Paths.get(stateDir, "results", jobId)
-        val arr = mapper.createArrayNode()
-        if (java.nio.file.Files.isDirectory(base)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(base).iterator().asScala.toSeq
-            .filter(java.nio.file.Files.isDirectory(_))
-            .sortBy(_.getFileName.toString).foreach { rep =>
-              val files = mapper.createArrayNode()
-              java.nio.file.Files.walk(rep).iterator().asScala
-                .filter(java.nio.file.Files.isRegularFile(_))
-                .map(p => rep.relativize(p).toString).toSeq.sorted
-                .foreach(files.add)
-              arr.add(mapper.createObjectNode()
-                .put("replica", rep.getFileName.toString)
-                .set[JsonNode]("files", files))
-            }
+        // job_id gets the same traversal gate as the file endpoint — a
+        // "../.." here would otherwise walk (and disclose) arbitrary trees
+        if (ApiServer.badPathName(jobId))
+          (400, mapper.createObjectNode().put("error", "invalid job id"))
+        else {
+          val base = java.nio.file.Paths.get(stateDir, "results", jobId)
+          val arr = mapper.createArrayNode()
+          if (java.nio.file.Files.isDirectory(base)) {
+            import scala.jdk.CollectionConverters._
+            import scala.util.Using
+            val reps = Using.resource(java.nio.file.Files.list(base)) { st =>
+              st.iterator().asScala.toSeq }
+            reps.filter(java.nio.file.Files.isDirectory(_))
+              .sortBy(_.getFileName.toString).foreach { rep =>
+                val files = mapper.createArrayNode()
+                Using.resource(java.nio.file.Files.walk(rep)) { st =>
+                  st.iterator().asScala
+                    .filter(java.nio.file.Files.isRegularFile(_))
+                    .map(p => rep.relativize(p).toString).toSeq }
+                  .sorted.foreach(files.add)
+                arr.add(mapper.createObjectNode()
+                  .put("replica", rep.getFileName.toString)
+                  .set[JsonNode]("files", files))
+              }
+          }
+          val resp = mapper.createObjectNode()
+          resp.set[JsonNode]("results", arr)
+          (200, resp)
         }
-        val resp = mapper.createObjectNode()
-        resp.set[JsonNode]("results", arr)
-        (200, resp)
       })
 
     server.createContext("/id", (ex: HttpExchange) => handle(ex) { _ =>
@@ -252,12 +261,10 @@ final class ApiServer(spark: SparkSession, stateDir: String,
       val jobId = params.getOrElse("job_id", "")
       val replica = params.getOrElse("replica", "")
       val rel = params.getOrElse("path", "")
-      val badName = (s: String) =>
-        s.isEmpty || s.contains("/") || s.contains("\\") || s.contains("..")
       val base = java.nio.file.Paths.get(stateDir, "results", jobId, replica)
         .normalize()
       val target = base.resolve(rel).normalize()
-      if (badName(jobId) || badName(replica) ||
+      if (ApiServer.badPathName(jobId) || ApiServer.badPathName(replica) ||
           rel.isEmpty || rel.startsWith("/") || rel.contains("\\") ||
           rel.contains("..") || !target.startsWith(base) ||
           !java.nio.file.Files.isRegularFile(target)) {
@@ -265,10 +272,11 @@ final class ApiServer(spark: SparkSession, stateDir: String,
         ex.sendResponseHeaders(400, msg.length)
         ex.getResponseBody.write(msg)
       } else {
-        val bytes = java.nio.file.Files.readAllBytes(target)
+        // stream, never buffer: a multi-GB result must not sit on the
+        // daemon heap (readAllBytes also caps out below 2 GB)
         ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-        ex.sendResponseHeaders(200, bytes.length)
-        ex.getResponseBody.write(bytes)
+        ex.sendResponseHeaders(200, java.nio.file.Files.size(target))
+        java.nio.file.Files.copy(target, ex.getResponseBody)
       }
     } catch {
       case e: Exception =>
@@ -282,12 +290,30 @@ final class ApiServer(spark: SparkSession, stateDir: String,
   def stop(): Unit = { server.stop(0); work.shutdown() }
 }
 
+object ApiServer {
+  /** A single path segment (job id, replica name): no separators, no
+    * parent refs (reference validRelPath, pkg/publicapi/server.go:452-459). */
+  private[jobs] def badPathName(s: String): Boolean =
+    s.isEmpty || s.contains("/") || s.contains("\\") || s.contains("..")
+}
+
 object ApiClient {
-  /** Key directory: $GRAFT_DIR, else a per-user scratch dir (the reference
-    * defaults to ~/.bacalhau; a tmp default keeps the sandbox self-contained). */
-  def defaultKeyDir: java.nio.file.Path =
-    java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_DIR",
-      sys.props("java.io.tmpdir") + "/graft-client"))
+  /** Key directory: $GRAFT_DIR, else a PER-USER scratch dir (the reference
+    * defaults to ~/.bacalhau; a tmp default keeps the sandbox
+    * self-contained, and the user-name suffix + owner-only mode keep it
+    * from being a machine-shared key plant on multi-user hosts). */
+  def defaultKeyDir: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_DIR",
+      sys.props("java.io.tmpdir") + "/graft-client-" +
+        sys.props.getOrElse("user.name", "anon")))
+    try {
+      java.nio.file.Files.createDirectories(p)
+      import java.nio.file.attribute.PosixFilePermissions
+      java.nio.file.Files.setPosixFilePermissions(p,
+        PosixFilePermissions.fromString("rwx------"))
+    } catch { case _: Exception => () }
+    p
+  }
 }
 
 /** HTTP client for [[ApiServer]] (reference: pkg/publicapi/client.go).
@@ -338,10 +364,16 @@ final class ApiClient(baseUri: String,
   }
 
   /** Server version envelope (reference client.go Version →
-    * /version versionResponse). */
-  def version(): JsonNode =
-    post("/version", s"""{"client_id":"${identity.clientId}"}""")
-      .get("version_info")
+    * /version versionResponse). A daemon speaking an older envelope (no
+    * version_info field) is reported as such, not an NPE — version skew
+    * is exactly what this call exists to diagnose. */
+  def version(): JsonNode = {
+    val resp = post("/version", s"""{"client_id":"${identity.clientId}"}""")
+    Option(resp.get("version_info")).getOrElse(
+      throw new RuntimeException(
+        "server /version response carries no version_info " +
+          s"(older daemon?): ${resp.toString.take(200)}"))
+  }
 
   def list(): Seq[String] = {
     val jobs = post("/list", """{"client_id":"api-client"}""").get("jobs")
@@ -379,6 +411,7 @@ final class ApiClient(baseUri: String,
     * paths written. */
   def getResults(jobId: String, outDir: String): Seq[java.nio.file.Path] = {
     val listing = post("/results", s"""{"job_id":"${jobId}"}""").get("results")
+    val destRoot = java.nio.file.Paths.get(outDir, jobId).normalize()
     val written = Seq.newBuilder[java.nio.file.Path]
     (0 until listing.size()).foreach { i =>
       val rep = listing.get(i)
@@ -386,6 +419,16 @@ final class ApiClient(baseUri: String,
       val files = rep.get("files")
       (0 until files.size()).foreach { j =>
         val rel = files.get(j).asText()
+        // zip-slip guard on SERVER-supplied names (reference
+        // SanitizeArchivePath): a hostile daemon must not write outside
+        // outDir/<jobId> via replica=".." or path="../../…"
+        val target =
+          java.nio.file.Paths.get(outDir, jobId, replica, rel).normalize()
+        if (ApiServer.badPathName(replica) || rel.contains("..") ||
+            rel.startsWith("/") || rel.contains("\\") ||
+            !target.startsWith(destRoot))
+          throw new RuntimeException(
+            s"server returned an unsafe results path: $replica/$rel")
         val enc = (s: String) =>
           java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
         val req = java.net.http.HttpRequest.newBuilder()
@@ -396,7 +439,6 @@ final class ApiClient(baseUri: String,
         if (resp.statusCode() != 200)
           throw new RuntimeException(
             s"/results/file $rel -> ${resp.statusCode()}")
-        val target = java.nio.file.Paths.get(outDir, jobId, replica, rel)
         java.nio.file.Files.createDirectories(target.getParent)
         java.nio.file.Files.write(target, resp.body())
         written += target

@@ -29,8 +29,10 @@ object ClientKeys {
   }
 
   /** Load the identity key from `dir/user_id.pem`, generating one on first
-    * use (reference ensureUserIDKey, config.go:228-266). */
-  def loadOrCreate(dir: Path): Identity = {
+    * use (reference ensureUserIDKey, config.go:228-266). Synchronized so
+    * two in-process clients sharing a key dir can't both generate and
+    * leave one holding an identity that no longer matches the pem. */
+  def loadOrCreate(dir: Path): Identity = synchronized {
     Files.createDirectories(dir)
     val pem = dir.resolve("user_id.pem")
     if (Files.exists(pem)) fromPem(Files.readString(pem))

@@ -202,6 +202,15 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(resp.statusCode() === 400, s"$bad -> ${resp.statusCode()}")
     }
+    // the LISTING endpoint applies the same gate — "../.." must not walk
+    // (and disclose) trees outside the results dir
+    val listResp = http.send(java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"${server.uri}/results"))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        """{"job_id": "../.."}""")).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(listResp.statusCode() === 400, listResp.body())
   }
 
   test("list over the socket sees all submitted jobs") {

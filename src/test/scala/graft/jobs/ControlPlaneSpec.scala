@@ -530,6 +530,16 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       StorageSpec(engine = "file", cid = d.toString, path = "/d"))
     assert(txt.collect().map(_.getString(0)).sorted.toSeq ===
       Seq("alpha", "beta"))
+    // EXTENSION-LESS text shards (hadoop-style part-00000) content-sniff
+    // as text — the r4 review caught the pure-extension dispatch sending
+    // these to binaryFile
+    val d2 = Files.createTempDirectory("graft-shards")
+    Files.writeString(d2.resolve("part-00000"), "gamma\n")
+    Files.writeString(d2.resolve("part-00001"), "delta\n")
+    val sharded = SourceResolver.resolve(spark,
+      StorageSpec(engine = "file", cid = d2.toString, path = "/d"))
+    assert(sharded.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("delta", "gamma"))
   }
 
   // ---- content id is row-order independent (canonicalization)

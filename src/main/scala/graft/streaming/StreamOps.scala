@@ -115,6 +115,17 @@ object StreamOps {
         col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
   }
 
+  /** Stream-static enrichment join: decorate a stream with columns from a
+    * bounded dimension table. The static side broadcasts, so each
+    * micro-batch is a map-side hash join — the stream never shuffles and
+    * no join state accumulates (unlike stream-stream joins, the static
+    * side is re-readable per batch; swap the underlying files and new
+    * batches see the refreshed dim). `how` = "inner" drops unmatched
+    * stream rows, "left" keeps them with nulls. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: Seq[String],
+                    how: String = "left"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key, how)
+
   /** Idempotent keyed upsert sink via foreachBatch — the merge-into shape
     * without a lakehouse format: each micro-batch's rows win over stored
     * rows with the same key (latest batch wins; within a batch, max ts

@@ -165,6 +165,47 @@ object GraftProps extends Properties("graft") {
       (lo to hi).forall(out.contains(_)) && out.length == (hi - lo + 1)
     }
 
+  // ---- submit signing (ClientKeys) ----------------------------------
+  // Two identities generated once (RSA keygen is ~100ms); properties vary
+  // the payload, not the key.
+
+  private lazy val idA = ClientKeys.loadOrCreate(
+    java.nio.file.Files.createTempDirectory("graft-prop-ka"))
+  private lazy val idB = ClientKeys.loadOrCreate(
+    java.nio.file.Files.createTempDirectory("graft-prop-kb"))
+
+  private val payloadGen: Gen[Array[Byte]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+
+  property("sign/verify round-trips under the signer's key only") =
+    forAll(payloadGen) { msg =>
+      val sig = ClientKeys.sign(idA, msg)
+      ClientKeys.verify(msg, sig, idA.publicKeyB64) &&
+      !ClientKeys.verify(msg, sig, idB.publicKeyB64)
+    }
+
+  property("any payload change invalidates the signature") =
+    forAll(payloadGen, Gen.chooseNum(0, 1 << 20)) { (msg, flipSeed) =>
+      val sig = ClientKeys.sign(idA, msg)
+      val i = flipSeed % msg.length
+      val tampered = msg.clone()
+      tampered(i) = (tampered(i) ^ 0x01).toByte
+      !ClientKeys.verify(tampered, sig, idA.publicKeyB64)
+    }
+
+  property("client ids bind to their keys and never cross-match") =
+    Prop(idA.clientId.matches("[0-9a-f]{64}") &&
+      ClientKeys.publicKeyMatchesId(idA.publicKeyB64, idA.clientId) &&
+      ClientKeys.publicKeyMatchesId(idB.publicKeyB64, idB.clientId) &&
+      !ClientKeys.publicKeyMatchesId(idA.publicKeyB64, idB.clientId))
+
+  property("verify is total: garbage signatures/keys are false, not thrown") =
+    forAll(payloadGen, Gen.asciiPrintableStr, Gen.asciiPrintableStr) {
+      (msg, sig, key) =>
+        ClientKeys.verify(msg, sig, key) == false ||
+          ClientKeys.verify(msg, sig, key) == true
+    }
+
   // ---- directory digest (ResultPublisher) ---------------------------
 
   property("directoryId is layout-content determined, creation-order free") =

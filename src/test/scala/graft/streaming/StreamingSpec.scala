@@ -68,6 +68,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = StreamOps.enrichWithDim(events, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (ts("2024-01-01 10:00:01"), 2L, "view", 2.0),
+        (ts("2024-01-01 10:00:02"), 7L, "view", 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .select("user_id", "tier").as[(Long, Option[String])]
+        .collect().toSet
+      // left join: matched rows decorated, unmatched kept with null
+      assert(rows === Set((1L, Some("gold")), (2L, Some("silver")),
+        (7L, None)))
+    } finally q.stop()
+    // inner variant drops the unmatched stream row
+    val in2 = MemoryStream[(Timestamp, Long, String, Double)]
+    val q2 = StreamOps.enrichWithDim(
+        in2.toDF().toDF("ts", "user_id", "event_type", "value"),
+        dim, Seq("user_id"), how = "inner")
+      .writeStream.format("memory").queryName("enrich2").outputMode("append")
+      .start()
+    try {
+      in2.addData((ts("2024-01-01 10:00:00"), 7L, "view", 1.0),
+        (ts("2024-01-01 10:00:01"), 1L, "view", 2.0))
+      q2.processAllAvailable()
+      assert(spark.table("enrich2").select("user_id").as[Long]
+        .collect().toSeq === Seq(1L))
+    } finally q2.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

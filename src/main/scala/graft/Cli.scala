@@ -69,7 +69,10 @@ object Cli {
       case "version" :: Nil => version(flags)
       case "list" :: Nil => list(stateDir, flags)
       case "describe" :: id :: Nil =>
-        describe(stateDir, id, flags.contains("json"))
+        flag1(flags, "api") match {
+          case Some(api) => describeRemote(api, id)
+          case None      => describe(stateDir, id, flags.contains("json"))
+        }
       case "get" :: id :: out :: Nil =>
         flag1(flags, "api") match {
           case Some(api) => getRemote(api, id, out)
@@ -453,6 +456,24 @@ object Cli {
           println(s"fetched ${files.size} files -> $outDir/$id")
           0
         }
+    }
+  }
+
+  /** `describe --api URI` — compose the job description from the daemon's
+    * /states + /events instead of the local log (reference describe.go
+    * builds the same view from API reads). */
+  private def describeRemote(api: String, idPrefix: String): Int = {
+    val client = new ApiClient(api)
+    client.get(idPrefix) match {
+      case None => System.err.println(s"describe: no job $idPrefix"); 1
+      case Some(id) =>
+        println(s"job: $id")
+        val states = client.states(id)
+        states.sortBy(_._1).foreach { case (node, state, results) =>
+          println(s"  node $node: $state results=${results.take(16)}")
+        }
+        client.events(id).foreach(e => println(s"  event $e"))
+        0
     }
   }
 

@@ -23,13 +23,13 @@ object CorpusOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** doc_id, ws(array of tokens) — shared pre-projection, map-only. */
-  private def toks(s: SparkSession, d: String): DataFrame =
+  private[queries] def toks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
 
   /** Word n-grams via array indexing (map-only, no window shuffle). */
-  private def grams(df: DataFrame, n: Int): DataFrame =
+  private[queries] def grams(df: DataFrame, n: Int): DataFrame =
     df.filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("ws")) - n),
@@ -107,7 +107,7 @@ object CorpusOps {
         .join(broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(count_distinct(col("g")).as("n_hits"))
-        .orderBy("doc_id")
+      // no trailing sort: per-document output, the gate canonicalizes order
     }),
 
     // ---- PII scrub: redact digit runs from event payloads, with per-event
@@ -262,8 +262,12 @@ object CorpusOps {
         |  md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS scrub_md5
         |FROM events WHERE event_id <= 2000 ORDER BY 1""".stripMargin,
     "q_centroids" ->
+      // `+ 0.0` normalizes IEEE negative zero: DuckDB's C round() keeps the
+      // sign of a tiny negative mean (-1e-6 → -0.0) where Spark's
+      // BigDecimal rounding has no signed zero — without it the hash gate
+      // flakes whenever a (label,pos) mean rounds to zero from below
       """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS c
         |FROM (SELECT label, embedding,
         |        generate_subscripts(embedding, 1) AS i FROM embeddings)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -26,15 +26,10 @@ object CorpusMix {
     // One explode → one gram-keyed aggregation with map-side partials;
     // top-100 by spread via TakeOrdered, never a global sort.
     "q_dup_spans" -> ((s, d) => {
-      val ws = split(col("text"), " ")
-      Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), ws.as("ws"))
-        .filter(size(col("ws")) >= 5)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("ws")) - 5),
-          i => concat_ws(" ", (0 until 5).map(k =>
-            element_at(col("ws"), i + k + 1)): _*))).as("gram"))
+      // reuses CorpusOps' shared tokenize/gram helpers (one definition of
+      // gram construction across the corpus-prep family)
+      CorpusOps.grams(CorpusOps.toks(s, d), 5)
+        .withColumnRenamed("g", "gram")
         .groupBy("gram")
         .agg(count_distinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"),
@@ -71,7 +66,7 @@ object CorpusMix {
             when(!col("n_words").between(20, 80), "words"),
             when(!col("mean_wlen").between(4.0, 5.0), "wlen"),
             when(col("distinct_ratio") < 0.45, "repetitive")).as("reasons"))
-        .orderBy("doc_id")
+      // no trailing sort: per-document output, the gate canonicalizes order
     }),
 
     // ---- temperature-scaled domain mixing weights (α = 0.5): per
@@ -80,10 +75,14 @@ object CorpusMix {
     // composing a training mix. Corpus reduces to one row per domain
     // FIRST; both normalizations are broadcast 1-row aggregates.
     "q_mix_weights" -> ((s, d) => {
+      // materialize the per-domain aggregate (a few hundred rows) so the
+      // corpus scan provably runs ONCE — g otherwise sits under four plan
+      // branches (tot, shared, wTot, final) and relies on exchange reuse
       val g = Tables.documents(s, d)
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+        .localCheckpoint(true)
       val tot = g.agg(sum("n_tokens").cast("double").as("tot"))
       val shared = g.crossJoin(broadcast(tot))
         .withColumn("share", col("n_tokens") / col("tot"))

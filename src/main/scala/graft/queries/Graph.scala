@@ -27,11 +27,12 @@ object GraphOps {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
 
-  /** Bipartite role graph for the dangling-mass variant: exporting nations
-    * (src, ids 0-24) link to importing nations in a SHIFTED id space
-    * (dst+25) — importer nodes structurally have no out-edges, so they are
-    * all dangling sinks and the redistribution term does real work (on
-    * `tradeEdges` every node has out-links and the term would be zero). */
+  /** Bipartite role graph for the dangling-mass variant: importing
+    * (customer) nations (src, ids 0-24) link to exporting (supplier)
+    * nations in a SHIFTED id space (dst+25) — exporter nodes structurally
+    * have no out-edges, so they are all dangling sinks and the
+    * redistribution term does real work (on `tradeEdges` every node has
+    * out-links and the term would be zero). */
   private[queries] def roleEdges(s: SparkSession, d: String): DataFrame =
     tradeEdges(s, d).select(col("src"), (col("dst") + 25).as("dst"))
 

@@ -437,7 +437,7 @@ object RelationalExt {
         |    stddev_samp(l_quantity) AS sd
         |  FROM lineitem GROUP BY 1)
         |SELECT l_orderkey, l_linenumber, l.l_returnflag,
-        |  round((l_quantity - mu) / sd, 4) AS z
+        |  round((l_quantity - mu) / sd, 4) + 0.0 AS z
         |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
         |WHERE l_orderkey <= 1000
         |ORDER BY 1, 2""".stripMargin,
@@ -445,7 +445,7 @@ object RelationalExt {
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  round(var_samp(l_discount), 6) AS var_disc,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS c_qp
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS c_qp
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_argmax" ->
       """SELECT c_nationkey, c_custkey AS top_cust, c_acctbal AS bal FROM (

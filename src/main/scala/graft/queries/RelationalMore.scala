@@ -212,7 +212,7 @@ object RelationalMore {
           length(regexp_replace(col("text"), "(the|a) ", "")).as("n_stripped"),
           substring(regexp_replace(col("text"), "[aeiou]", "_"), 1, 40)
             .as("devoweled"))
-        .orderBy("doc_id")
+      // no trailing sort: per-document output, the gate canonicalizes order
     }),
 
     // ---- date arithmetic: diff / add / truncate

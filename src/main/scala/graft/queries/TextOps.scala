@@ -37,7 +37,6 @@ object TextOps {
         .withColumn("quality",
           round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")), 6))
         .select("doc_id", "n_tokens", "stop_cnt", "stop_ratio", "quality")
-        .orderBy("doc_id")
     }),
 
     // ---- token counting: whitespace vs BPE-ish regex segmentation
@@ -49,7 +48,6 @@ object TextOps {
           size(regexp_extract_all(col("text"),
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
             .as("re_tokens"))
-        .orderBy("doc_id")
     }),
 
     // ---- language-ID: n-gram/marker heuristic (deterministic, shared with
@@ -65,7 +63,6 @@ object TextOps {
             .when(theCnt >= 3, "en")
             .otherwise("unknown"))
         .select("doc_id", "lang", "pred_lang")
-        .orderBy("doc_id")
     }),
 
     // ---- TF-IDF: the canonical corpus-weighting op. Two aggregations
@@ -139,7 +136,6 @@ object TextOps {
         .groupBy("doc_id")
         .agg(round(sum("score"), 6).as("bm25"),
              count(lit(1)).as("n_terms"))
-        .orderBy("doc_id")
     }),
 
     // ---- document fingerprint: position-weighted rolling hash (pure
@@ -156,7 +152,6 @@ object TextOps {
             ((col("i").cast(LongType) * lit(2654435761L)) % lit(1000003L)))
         .groupBy("doc_id")
         .agg((sum("term") % lit(2147483647L)).as("fp"))
-        .orderBy("doc_id")
     })
   )
 

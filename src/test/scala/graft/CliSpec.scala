@@ -203,6 +203,12 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$dir/fetched/$realJob/r0")
       .collect().map(_.getString(0)).toSeq === Seq("kiwi"))
 
+    // `describe --api`: composed from the daemon's /states + /events
+    val (dc2, dout2) = captureOut(Cli.run(Seq("describe", realJob.take(8),
+      "--api", s"http://127.0.0.1:$port"), spark))
+    assert(dc2 === 0 && dout2.contains(s"job: $realJob") &&
+      dout2.contains("Complete") && dout2.contains("event Created"), dout2)
+
     // `version` against the live daemon (version.go Run: client + server
     // lines; --client skips the round-trip; --output json parses)
     val (vc, vout) = captureOut(Cli.run(Seq("version",

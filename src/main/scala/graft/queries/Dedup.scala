@@ -163,17 +163,19 @@ object Dedup {
     // thresholds at scale. Exact side reuses the doc-level distinct-set
     // join shape (array_intersect, no shingle-level shuffle).
     "q_minhash_est" -> ((s, d) => {
-      // ONE shingling pass (cached) feeds both the signature aggregate
-      // (referenced twice: sa, sb) and the exact shingle-set side — without
-      // it each subtree recomputes the md5 3-gram fan-out over the corpus
-      val sh = graft.CacheScope.cached(shingles(s, d))
-      val sig = minhashSigFrom(sh)
+      // Cache the per-doc SIGNATURE aggregate (tiny: 9 longs/doc), which
+      // sa and sb both reference — without it the whole shingle fan-out
+      // runs twice for the signature side alone. The raw shingle frame is
+      // deliberately NOT cached: it's the corpus exploded one-row-per-
+      // 3-gram, and materializing it costs more than the one extra
+      // recompute the exact-Jaccard side needs (measured at sf0.1).
+      val sig = graft.CacheScope.cached(minhashSig(s, d))
       val sa = sig.toDF((Seq("da") ++ A.indices.map(j => s"a$j")): _*)
       val sb = sig.toDF((Seq("db") ++ A.indices.map(j => s"b$j")): _*)
       val nMatch = A.indices
         .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
         .reduce(_ + _)
-      val cs = sh.groupBy("doc_id")
+      val cs = shingles(s, d).groupBy("doc_id")
         .agg(collect_set(col("code")).as("cs"))
       val exact = cs.toDF("da", "ca")
         .join(cs.toDF("db", "cb"), col("db") === col("da") + 1)

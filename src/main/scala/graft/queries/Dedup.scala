@@ -135,6 +135,32 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // ---- the dedup DECISION, end to end: near-dup groups → keep the
+    // best-quality representative per group (highest distinct-word ratio,
+    // lowest doc_id tiebreak). One argmax-by-struct aggregation over the
+    // group frame — no per-group sort; the struct max carries (ratio,
+    // -doc_id) so ties resolve to the lowest id. This is the query a
+    // pipeline actually materializes after LSH: which doc survives.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val edges = lshPairs(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+        .localCheckpoint(true)
+      val groups = graft.operators.ConnectedComponents.run(edges)
+        .select(col("node").as("doc_id"), col("component").as("group_id"))
+      val ws = split(col("text"), " ")
+      val stats = Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(size(array_distinct(ws)).cast("double") / size(ws), 6)
+            .as("ratio"))
+      groups.join(stats, "doc_id")
+        .groupBy("group_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("ratio"), (-col("doc_id")).as("nd"))).as("best"))
+        .select(col("group_id"), col("n_members"),
+          (-col("best.nd")).as("keep_doc"), col("best.ratio").as("keep_ratio"))
+        .orderBy("group_id")
+    }),
+
     // ---- SimHash: 32-bit fingerprint over word-token hashes (md5-derived,
     // engine-portable). Pure integer math end to end.
     "q_simhash" -> ((s, d) => {
@@ -249,6 +275,38 @@ object Dedup {
        |  FROM sh GROUP BY doc_id)""".stripMargin
   }
 
+  /** Recursive-CTE chain ending in `comp(doc_id, group_id)` — the
+    * transitive-closure near-dup groups, shared by the q_dedup_groups and
+    * q_dedup_keep_best oracles. */
+  private def groupsCtes: String = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
+    }.mkString(" UNION ALL ")
+    val nMatch = A.indices
+      .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$sigSql,
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+       |   AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT da, db
+       |  FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+       |  WHERE $nMatch >= 2),
+       |edges AS (SELECT da AS u, db AS v FROM pairs
+       |          UNION SELECT db, da FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS d FROM edges),
+       |reach(s, t) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.t),
+       |comp AS (
+       |  SELECT s AS doc_id, min(t) AS group_id FROM reach GROUP BY 1)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
@@ -275,34 +333,26 @@ object Dedup {
          |WHERE $nMatch >= 2
          |ORDER BY da, db""".stripMargin
     },
-    "q_dedup_groups" -> {
-      val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
-      }.mkString(" UNION ALL ")
-      val nMatch = A.indices
-        .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH RECURSIVE $sigSql,
-         |bands AS ($bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-         |   AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT da, db
-         |  FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
-         |  WHERE $nMatch >= 2),
-         |edges AS (SELECT da AS u, db AS v FROM pairs
-         |          UNION SELECT db, da FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS d FROM edges),
-         |reach(s, t) AS (
-         |  SELECT d, d FROM nodes
-         |  UNION
-         |  SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.t)
-         |SELECT s AS doc_id, min(t) AS group_id
-         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "q_dedup_groups" ->
+      (s"WITH RECURSIVE $groupsCtes\n" +
+        """SELECT doc_id, group_id FROM comp ORDER BY doc_id""").stripMargin,
+    "q_dedup_keep_best" ->
+      (s"WITH RECURSIVE $groupsCtes,\n" +
+        """stats AS (
+          |  SELECT doc_id,
+          |    round(CAST(len(list_distinct(string_split(text, ' ')))
+          |      AS DOUBLE) / len(string_split(text, ' ')), 6) AS ratio
+          |  FROM documents),
+          |ranked AS (
+          |  SELECT g.group_id, g.doc_id, stats.ratio,
+          |    row_number() OVER (PARTITION BY g.group_id
+          |                       ORDER BY stats.ratio DESC, g.doc_id ASC)
+          |      AS rn,
+          |    count(*) OVER (PARTITION BY g.group_id) AS nm
+          |  FROM comp g JOIN stats ON stats.doc_id = g.doc_id)
+          |SELECT group_id, CAST(nm AS BIGINT) AS n_members,
+          |  doc_id AS keep_doc, ratio AS keep_ratio
+          |FROM ranked WHERE rn = 1 ORDER BY group_id""".stripMargin),
     "q_simhash" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -138,6 +138,28 @@ object TextOps {
              count(lit(1)).as("n_terms"))
     }),
 
+    // ---- inverted index build: term → document-frequency + sorted
+    // posting list. One explode, one term-keyed aggregation. Scale note:
+    // the posting ARRAY is the fixture-friendly surface; at 100 TB common
+    // terms' postings exceed a row, so the production layout shards
+    // postings by (term, doc_id range) blocks — the aggregation shape
+    // (term-keyed, map-side partial distinct) is identical.
+    // postings travel as a joined STRING, not an array column: the gate
+    // sorts result rows by every column and array cells are unsortable/
+    // unhashable in that path (and a driver-side crash there zeroes the
+    // whole round's correctness)
+    "q_inverted_index" -> ((s, d) => {
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w")
+        .agg(count_distinct(col("doc_id")).as("df"),
+          array_join(array_sort(collect_set(col("doc_id"))), ",")
+            .as("postings"))
+        .filter(col("df") >= 5)
+        .orderBy("w")
+    }),
+
     // ---- document fingerprint: position-weighted rolling hash (pure
     // integer math; explode positions → map-side partial sum per doc)
     "q_fingerprint" -> ((s, d) => {
@@ -221,6 +243,13 @@ object TextOps {
         |FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
         |WHERE doc_id <= 50
         |ORDER BY doc_id, w""".stripMargin,
+    "q_inverted_index" ->
+      """SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents)
+        |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5
+        |ORDER BY w""".stripMargin,
     // NOTE: oracle uses an uncorrelated series (DuckDB 1.0 lacks lateral
     // column args) bounded at 4096 chars — fixture texts are < 600 chars.
     "q_fingerprint" ->

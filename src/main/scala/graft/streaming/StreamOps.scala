@@ -115,6 +115,35 @@ object StreamOps {
         col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
   }
 
+  /** The streaming twin of the batch corpus-prep pipeline — live ingest:
+    * quality-filter (map-only Gopher-style signals) → EXACT dedup on the
+    * content digest → NEAR-dup suppression on the simhash signature, all
+    * inside one watermark horizon. Two chained
+    * `dropDuplicatesWithinWatermark` stateful operators, each keyed on a
+    * bounded column (32-byte digest / 32-bit signature) whose state ages
+    * out with the watermark — the shape that ingests a firehose without
+    * unbounded state. Expects (ts, doc_id, text). */
+  def corpusIngest(docs: DataFrame,
+                   watermarkDelay: String = "10 minutes",
+                   minWords: Int = 5,
+                   minDistinctRatio: Double = 0.45): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    val ws = split(col("text"), " ")
+    docs
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(ws)).cast("double") / col("n_words"), 6))
+      .filter(col("n_words") >= minWords &&
+        col("distinct_ratio") >= minDistinctRatio)
+      .withColumn("h", md5(col("text")))
+      .withColumn("sig", call_function("simhash32",
+        graft.functions.SimHash64.tokenHashes(col("text"))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("h"))
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+      .select("ts", "doc_id", "n_words", "distinct_ratio", "sig")
+  }
+
   /** Stream-static enrichment join: decorate a stream with columns from a
     * bounded dimension table. The static side broadcasts, so each
     * micro-batch is a map-side hash join — the stream never shuffles and

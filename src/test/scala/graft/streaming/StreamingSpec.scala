@@ -68,6 +68,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("corpus ingest: quality filter + exact dedup + near-dup in one stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.corpusIngest(docs)
+      .writeStream.format("memory").queryName("ingest").outputMode("append")
+      .start()
+    try {
+      val good = "alpha beta gamma delta epsilon zeta"
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, good),
+        (ts("2024-01-01 10:00:01"), 2L, good),              // exact dup: dropped
+        (ts("2024-01-01 10:00:02"), 3L, "tiny doc"),        // too short: dropped
+        (ts("2024-01-01 10:00:03"), 4L, "x x x x x x x x"), // repetitive: dropped
+        (ts("2024-01-01 10:00:04"), 5L,
+          "one two three four five six seven eight"))       // distinct sig: kept
+      q.processAllAvailable()
+      val kept = spark.table("ingest").select("doc_id").as[Long]
+        .collect().toSet
+      assert(kept === Set(1L, 5L), s"kept=$kept")
+      // a near-identical variant (same token multiset → same simhash) of
+      // doc 5 arrives later: suppressed by the signature dedup despite a
+      // different md5
+      in.addData((ts("2024-01-01 10:00:05"), 6L,
+        "one two three four five six eight seven"))
+      q.processAllAvailable()
+      val kept2 = spark.table("ingest").select("doc_id").as[Long]
+        .collect().toSet
+      assert(kept2 === Set(1L, 5L), s"near-dup not suppressed: $kept2")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -22,7 +22,7 @@ object SparkEntry {
       RelationalMore.queries ++ EventOps.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Pipeline.queries ++ CorpusOps.queries ++ GraphOps.queries ++
-      Tpch.queries ++ CorpusMix.queries
+      Tpch.queries ++ CorpusMix.queries ++ Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       RelationalMore.oracle ++ EventOps.oracle ++
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Pipeline.oracle ++ CorpusOps.oracle ++ GraphOps.oracle ++
-      Tpch.oracle ++ CorpusMix.oracle
+      Tpch.oracle ++ CorpusMix.oracle ++ Analytics.oracle
 }

@@ -368,15 +368,23 @@ final class ApiClient(baseUri: String,
     * version_info field) is reported as such, not an NPE — version skew
     * is exactly what this call exists to diagnose. */
   def version(): JsonNode = {
-    val resp = post("/version", s"""{"client_id":"${identity.clientId}"}""")
+    val resp = post("/version", body1("client_id", identity.clientId))
     Option(resp.get("version_info")).getOrElse(
       throw new RuntimeException(
         "server /version response carries no version_info " +
           s"(older daemon?): ${resp.toString.take(200)}"))
   }
 
+  /** JSON-safe single-field request body (raw interpolation of a caller-
+    * supplied id containing '"' or '\' would produce malformed JSON). */
+  private def body1(k: String, v: String): String = {
+    val n = mapper.createObjectNode()
+    n.put(k, v)
+    mapper.writeValueAsString(n)
+  }
+
   def list(): Seq[String] = {
-    val jobs = post("/list", """{"client_id":"api-client"}""").get("jobs")
+    val jobs = post("/list", body1("client_id", "api-client")).get("jobs")
     val it = jobs.fieldNames()
     val buf = Seq.newBuilder[String]
     while (it.hasNext) buf += it.next()
@@ -385,7 +393,7 @@ final class ApiClient(baseUri: String,
 
   /** Per-node states for a job id. */
   def states(jobId: String): Seq[(String, String, String)] = {
-    val arr = post("/states", s"""{"job_id":"${jobId}"}""").get("states")
+    val arr = post("/states", body1("job_id", jobId)).get("states")
     (0 until arr.size()).map { i =>
       val n = arr.get(i)
       (n.get("node_id").asText(), n.get("state").asText(),
@@ -394,7 +402,7 @@ final class ApiClient(baseUri: String,
   }
 
   def events(jobId: String): Seq[String] = {
-    val arr = post("/events", s"""{"job_id":"${jobId}"}""").get("events")
+    val arr = post("/events", body1("job_id", jobId)).get("events")
     (0 until arr.size()).map(i => arr.get(i).get("event_name").asText())
   }
 
@@ -410,7 +418,7 @@ final class ApiClient(baseUri: String,
     * with the API as the transport instead of IPFS). Returns the local
     * paths written. */
   def getResults(jobId: String, outDir: String): Seq[java.nio.file.Path] = {
-    val listing = post("/results", s"""{"job_id":"${jobId}"}""").get("results")
+    val listing = post("/results", body1("job_id", jobId)).get("results")
     val destRoot = java.nio.file.Paths.get(outDir, jobId).normalize()
     val written = Seq.newBuilder[java.nio.file.Path]
     (0 until listing.size()).foreach { i =>
@@ -434,13 +442,16 @@ final class ApiClient(baseUri: String,
         val req = java.net.http.HttpRequest.newBuilder()
           .uri(java.net.URI.create(s"$baseUri/results/file?job_id=${enc(jobId)}" +
             s"&replica=${enc(replica)}&path=${enc(rel)}")).GET().build()
+        // stream to disk — the server streams deliberately, and buffering
+        // a multi-GB result as one byte[] would OOM the client instead
+        java.nio.file.Files.createDirectories(target.getParent)
         val resp = http.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-        if (resp.statusCode() != 200)
+          java.net.http.HttpResponse.BodyHandlers.ofFile(target))
+        if (resp.statusCode() != 200) {
+          java.nio.file.Files.deleteIfExists(target) // holds the error body
           throw new RuntimeException(
             s"/results/file $rel -> ${resp.statusCode()}")
-        java.nio.file.Files.createDirectories(target.getParent)
-        java.nio.file.Files.write(target, resp.body())
+        }
         written += target
       }
     }
@@ -451,8 +462,10 @@ final class ApiClient(baseUri: String,
     * WaitForJob, cmd/bacalhau/docker_run.go:60-139). */
   def waitForJob(jobId: String, timeoutMs: Long = 60000): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
+    // BidRejected IS terminal: an admission-rejected job never progresses,
+    // and omitting it here made rejected jobs poll the full timeout
     val terminal = Set(Lifecycle.State.Complete, Lifecycle.State.Error,
-      Lifecycle.State.Cancelled)
+      Lifecycle.State.Cancelled, Lifecycle.State.BidRejected)
     while (System.currentTimeMillis() < deadline) {
       val st = states(jobId)
       if (st.nonEmpty && st.forall(s => terminal.contains(s._2))) return true

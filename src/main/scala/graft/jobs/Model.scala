@@ -62,12 +62,14 @@ final case class JobSpec(
   /** Front-end validation (reference: pkg/job/job.go:220-230,
     * cmd/bacalhau/apply.go:93-105 invalid cases). */
   def validate(): Either[String, JobSpec] = {
+    // NOTE: no separate "no source" case for file volumes — `path` doubles
+    // as the source when `cid` is empty (SourceResolver.resolvePath falls
+    // back to it), so a volume with a mount path always has a source. A
+    // prior unreachable branch here implied otherwise (r4 review).
     def badVolume(v: StorageSpec): Option[String] =
       if (v.path.isEmpty) Some(s"volume '${v.name}': empty mount path")
       else if (v.engine == "urldownload" && v.url.isEmpty)
         Some(s"volume '${v.name}': urldownload without url")
-      else if (v.engine == "file" && v.cid.isEmpty && v.url.isEmpty &&
-               v.path.isEmpty) Some(s"volume '${v.name}': no source")
       else None
     val volErr = (inputs ++ outputs).flatMap(badVolume(_)).headOption
     volErr match {

@@ -138,6 +138,38 @@ object OpCompiler {
 
   /** Expand tr-style `a-z` ranges into literal charsets ("a-c1" → "abc1").
     * A leading/trailing '-' stays literal, matching tr. */
+  /** True when a grep pattern has no BRE metacharacters at all — the
+    * common case, kept on the codegen'd contains() fast path. */
+  private[jobs] def isRegexFree(pat: String): Boolean =
+    !pat.exists(".*[]^$\\".contains(_))
+
+  /** BRE → Java regex: in a BASIC regex, `+ ? ( ) { } |` are LITERAL
+    * unless backslash-escaped (the inverse of Java/ERE). `. * [ ] ^ $`
+    * carry the same meaning in both. */
+  private[jobs] def breToJava(pat: String): String = {
+    val javaOnlyMeta = "+?(){}|"
+    val out = new StringBuilder
+    var i = 0
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (c == '\\' && i + 1 < pat.length &&
+          javaOnlyMeta.indexOf(pat.charAt(i + 1)) >= 0) {
+        out += pat.charAt(i + 1) // BRE \( … = grouping → Java bare metachar
+        i += 2
+      } else if (c == '\\' && i + 1 < pat.length) {
+        out += '\\'; out += pat.charAt(i + 1); i += 2
+      } else if (javaOnlyMeta.indexOf(c) >= 0) {
+        out += '\\'; out += c; i += 1 // literal in BRE → escape for Java
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Quote a sed replacement for Java's regexp_replace: REPL is literal
+    * text to sed, but `$` and `\` are group references to Matcher. */
+  private[jobs] def quoteRepl(repl: String): String =
+    repl.replace("\\", "\\\\").replace("$", "\\$")
+
   private[jobs] def expandTrRanges(set: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -246,29 +278,40 @@ object OpCompiler {
   private def lineStage(df: DataFrame, tokens: Seq[String],
                         prev: Seq[String] = Nil): DataFrame =
     tokens match {
-      // grep family (B3)
-      case Seq("grep", pat)       => df.filter(col("value").contains(pat))
+      // grep family (B3). Plain grep patterns are BREs, not literals:
+      // metachar-free patterns keep the codegen-friendly contains(), any
+      // '.*[]^$\' pattern goes through the BRE→Java translation.
+      case Seq("grep", pat) =>
+        if (isRegexFree(pat)) df.filter(col("value").contains(pat))
+        else df.filter(col("value").rlike(breToJava(pat)))
       case Seq("grep", "-E", pat) => df.filter(col("value").rlike(pat))
-      case Seq("grep", "-v", pat) => df.filter(!col("value").contains(pat))
+      case Seq("grep", "-v", pat) =>
+        if (isRegexFree(pat)) df.filter(!col("value").contains(pat))
+        else df.filter(!col("value").rlike(breToJava(pat)))
       case Seq("grep", "-c", pat) =>
-        df.filter(col("value").contains(pat)).agg(count(lit(1)).as("n"))
+        (if (isRegexFree(pat)) df.filter(col("value").contains(pat))
+         else df.filter(col("value").rlike(breToJava(pat))))
+          .agg(count(lit(1)).as("n"))
 
-      // B4: sed -n '/RE/p' — print matching lines. sed BRE regexes in the
-      // reference corpus use only literals, '.', bracket ranges — identical
-      // in Java regex, so the pattern passes through verbatim.
+      // B4: sed -n '/RE/p' — print matching lines (BRE semantics).
       case Seq("sed", "-n", prog) if prog.startsWith("/") && prog.endsWith("/p") =>
-        df.filter(col("value").rlike(prog.stripPrefix("/").stripSuffix("/p")))
+        df.filter(col("value").rlike(
+          breToJava(prog.stripPrefix("/").stripSuffix("/p"))))
 
       // sed 's/RE/REPL/[g]' — substitution (examples/gps-substitution).
       // Without /g sed replaces only the first match; regexp_replace
       // replaces all, so the first-match form anchors via a capture.
+      // REPL is literal text to sed (modulo \N backrefs, unsupported):
+      // quote '$' and '\' so Java's Matcher doesn't read group references.
       case Seq("sed", prog) if prog.startsWith("s/") =>
         prog.stripPrefix("s/").split('/') match {
           case Array(re, repl, "g") =>
-            df.select(regexp_replace(col("value"), re, repl).as("value"))
+            df.select(regexp_replace(col("value"), breToJava(re),
+              quoteRepl(repl)).as("value"))
           case Array(re, repl) =>
-            df.select(regexp_replace(col("value"), s"^((?s).*?)($re)",
-              "$1" + repl.replace("$", "\\$")).as("value"))
+            df.select(regexp_replace(col("value"),
+              s"^((?s).*?)(${breToJava(re)})",
+              "$1" + quoteRepl(repl)).as("value"))
           case _ => throw CompileError(s"unsupported sed program: $prog")
         }
 
@@ -282,7 +325,10 @@ object OpCompiler {
       // counts (B6 + word/byte counts)
       case Seq("wc", "-l") => df.agg(count(lit(1)).as("n"))
       case Seq("wc", "-w") =>
-        df.agg(sum(size(split(trim(col("value")), "\\s+"))).as("n"))
+        // blank lines contribute ZERO words: split("") yields one empty
+        // token (size 1), which over-counted every whitespace-only line
+        df.agg(sum(when(trim(col("value")) === "", 0)
+          .otherwise(size(split(trim(col("value")), "\\s+")))).as("n"))
       case Seq("wc", "-c") => // bytes incl. each line's newline
         df.agg(sum(octet_length(col("value")) + 1).as("n"))
 

@@ -59,6 +59,22 @@ object SinkOps {
       try s.iterator().asScala.toVector finally s.close()
     }
     val dirPath = Paths.get(dir)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toVector.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    // Recover from a crashed prior compaction before touching anything:
+    //  - old exists, dir missing → the crash hit BETWEEN the two renames;
+    //    `old` IS the live data — restore it.
+    //  - old exists, dir exists  → promotion succeeded, only the cleanup
+    //    crashed; `old` is superseded garbage — clear it (a leftover would
+    //    wedge every future swap with FileAlreadyExists).
+    val old = Paths.get(dir.stripSuffix("/") + ".compact-old")
+    if (Files.exists(old)) {
+      if (!Files.exists(dirPath)) Files.move(old, dirPath)
+      else rmTree(old)
+    }
     def parts(d: java.nio.file.Path): Seq[java.nio.file.Path] =
       ls(d).filter(p => p.getFileName.toString.startsWith("part-"))
     if (ls(dirPath).exists(p => Files.isDirectory(p)))
@@ -74,12 +90,10 @@ object SinkOps {
     spark.read.parquet(dir).coalesce(n)
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
     // two-rename swap; clean the old tree only after the new one is live
-    val old = Paths.get(dir.stripSuffix("/") + ".compact-old")
+    // (the recovery block above handles a crash at any point here)
     Files.move(dirPath, old)
     Files.move(staged, dirPath)
-    val w = Files.walk(old)
-    try w.iterator().asScala.toVector.reverse.foreach(Files.delete)
-    finally w.close()
+    rmTree(old)
     parts(dirPath).size
   }
 }

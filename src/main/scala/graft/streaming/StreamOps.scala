@@ -190,7 +190,13 @@ object StreamOps {
           }
           rm(target)
         }
-        new java.io.File(staged).renameTo(target)
+        // a failed rename after the old store was deleted would silently
+        // DESTROY the table (next batch sees no store and drops all
+        // previously merged rows) — fail the batch loudly instead
+        if (!new java.io.File(staged).renameTo(target))
+          throw new java.io.IOException(
+            s"upsertSink: rename $staged -> $path failed; store lost " +
+              "unless the staged directory is recovered manually")
         ()
       }
       .start()
@@ -227,10 +233,14 @@ object StreamOps {
         case ((jid, nid), evs, state: GroupState[NodeState]) =>
           var cur = state.getOption
             .getOrElse(NodeState(jid, nid, "", "", "", 0L))
-          // within a batch, apply in event-time order (the reference's bus
-          // is at-least-once unordered; ordering by time makes the fold
-          // deterministic)
-          evs.toSeq.sortBy(e => (e.eventTimeUs, e.eventName)).foreach { e =>
+          // within a batch, apply in event-time order; ties break by
+          // lifecycle PROGRESS rank, not event-name alphabet (alphabetical
+          // order applies 'Running' after 'Completed', leaving a finished
+          // node stuck in Running whenever timestamps collide)
+          def rank(name: String): Int =
+            Lifecycle.stateFromEvent(name)
+              .map(Lifecycle.progressRank).getOrElse(0)
+          evs.toSeq.sortBy(e => (e.eventTimeUs, rank(e.eventName))).foreach { e =>
             Lifecycle.stateFromEvent(e.eventName).foreach { st =>
               cur = cur.copy(
                 state = st,

@@ -213,6 +213,21 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(listResp.statusCode() === 400, listResp.body())
   }
 
+  test("admission-rejected jobs reach a terminal state promptly") {
+    // cpu beyond the runner ceiling → BidRejected; waitForJob must treat
+    // that as terminal instead of polling out the whole timeout
+    val jobId = client.submit(
+      """{"engine_name": "noop", "verifier_name": "noop",
+        |  "resources": {"cpu": "1000", "memory": "", "disk": "", "gpu": ""}}"""
+        .stripMargin)
+    val t0 = System.currentTimeMillis()
+    assert(client.waitForJob(jobId, timeoutMs = 20000),
+      "rejected job never reached a terminal state")
+    assert(System.currentTimeMillis() - t0 < 15000, "terminality was slow")
+    assert(client.states(jobId).map(_._2)
+      .contains(Lifecycle.State.BidRejected))
+  }
+
   test("list over the socket sees all submitted jobs") {
     val before = client.list().size
     client.submit("""{"engine_name": "noop", "verifier_name": "noop"}""")

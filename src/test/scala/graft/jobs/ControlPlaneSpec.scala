@@ -102,6 +102,53 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect()(0).getLong(0) === 9)
   }
 
+  // r4 review fixes: Unix semantics for blank lines, BRE patterns, and
+  // literal '$'/'\' in sed replacements
+  test("wc -w skips blank lines; grep treats patterns as BREs; sed REPL is literal") {
+    import java.nio.file.{Files, Paths}
+    val f = s"$dir/mixed.txt"
+    Files.writeString(Paths.get(f),
+      "hello there\n\nERROR disk full\nnot an error: USD 5\n   \nERROR again\n")
+    def vol = Map("/data/file.txt" -> spark.read.text(f))
+    // wc -w: 'hello there'(2) + ERROR lines(3+2) + 'not an error: USD 5'(5)
+    val words = OpCompiler.compileEntrypoint(spark,
+      Seq("wc", "-w", "/data/file.txt"), vol)
+    assert(words.collect()(0).getLong(0) === 12)
+    // grep '^ERROR' is an anchored BRE, not a literal caret
+    val anchored = OpCompiler.compileEntrypoint(spark,
+      Seq("grep", "^ERROR", "/data/file.txt"), vol)
+    assert(anchored.collect().map(_.getString(0)).toSeq ===
+      Seq("ERROR disk full", "ERROR again"))
+    // BRE wildcards: 'disk.*full' spans within the line; '+' stays LITERAL
+    // unescaped (BRE) so 'USD+' matches nothing even though 'USD' appears
+    val star = OpCompiler.compileEntrypoint(spark,
+      Seq("grep", "disk.*full", "/data/file.txt"), vol)
+    assert(star.count() === 1)
+    val plus = OpCompiler.compileEntrypoint(spark,
+      Seq("grep", "USD+.", "/data/file.txt"), vol)
+    assert(plus.count() === 0)
+    // sed replacement containing '$' must be literal, not a group ref
+    val dollar = OpCompiler.compileEntrypoint(spark,
+      Seq("sed", "s/USD/$/g", "/data/file.txt"), vol)
+    assert(dollar.collect().map(_.getString(0))
+      .contains("not an error: $ 5"))
+  }
+
+  // ---- validation: path doubles as the source for file volumes (cid-less
+  // inputs stay valid — SourceResolver reads the path itself), while
+  // path-less volumes and url-less urldownloads are submit-time errors
+  test("volume validation: path-as-source valid, missing path/url rejected") {
+    val pathAsSource = JobSpec(engine = "docker",
+      docker = Some(JobSpecDocker(image = "x", entrypoint = Seq("cat", "/d"))),
+      inputs = Seq(StorageSpec(engine = "file", name = "in", path = "/d")))
+    assert(pathAsSource.validate().isRight)
+    assert(JobSpec(engine = "noop", inputs = Seq(
+      StorageSpec(engine = "file", name = "in", path = ""))).validate().isLeft)
+    assert(JobSpec(engine = "noop", inputs = Seq(
+      StorageSpec(engine = "urldownload", name = "u", path = "/d")))
+      .validate().isLeft)
+  }
+
   test("grep -v / grep -c variants") {
     val vNeg = OpCompiler.compileEntrypoint(spark,
       Seq("grep", "-v", "kiwi", "/data/file.txt"), textVol(s"$dir/grep_file.txt"))

@@ -151,6 +151,27 @@ object GraftProps extends Properties("graft") {
       OpCompiler.splitTopLevelPipes(s"grep '$a|$b' /f").isEmpty
     }
 
+  // ---- BRE → Java translation ---------------------------------------
+
+  property("breToJava: metachar-free patterns pass through unchanged") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)) { s =>
+      OpCompiler.breToJava(s) == s
+    }
+
+  property("breToJava: BRE-literal +?(){}| match themselves in Java") =
+    forAll(Gen.oneOf('+', '?', '(', ')', '{', '}', '|'),
+           Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)) { (m, s) =>
+      val pat = s + m
+      java.util.regex.Pattern.compile(OpCompiler.breToJava(pat))
+        .matcher(pat).find()
+    }
+
+  property("breToJava: shared metachars . * ^ $ keep regex meaning") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)) { s =>
+      java.util.regex.Pattern.compile(OpCompiler.breToJava(s"^$s.*$$"))
+        .matcher(s + "xyz").find()
+    }
+
   // ---- tr range expansion -------------------------------------------
 
   property("expandTrRanges: range-free strings pass through") =

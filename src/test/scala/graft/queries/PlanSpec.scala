@@ -243,6 +243,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "normalization must never shuffle the domain table")
   }
 
+  test("q_funnel/q_cohort/q_skyline: reduced-frame shapes hold") {
+    val funnel = planOf("q_funnel")
+    assert(funnel.contains("partial_min"), "stage mins must map-side combine")
+    assert(!funnel.contains("CartesianProduct"))
+    val cohort = planOf("q_cohort")
+    assert(cohort.contains("partial_min"), "cohort firsts must map-side combine")
+    assert(!cohort.contains("CartesianProduct"))
+    // skyline's one global window must run over the per-price AGGREGATE
+    // (a Window directly over the raw part scan would be the quadratic-ish
+    // single-partition trap); the aggregate shows up as partial_max
+    val skyline = planOf("q_skyline")
+    assert(skyline.contains("partial_max"),
+      "skyline must reduce to per-price maxima before the window")
+    assert(!skyline.contains("CartesianProduct"))
+  }
+
   test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
     // the iteration localCheckpoints (lineage truncation), so the published
     // plan is a checkpoint scan — audit the edge-derivation subplan, which

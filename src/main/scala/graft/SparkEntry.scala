@@ -22,7 +22,8 @@ object SparkEntry {
       RelationalMore.queries ++ EventOps.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Pipeline.queries ++ CorpusOps.queries ++ GraphOps.queries ++
-      Tpch.queries ++ CorpusMix.queries ++ Analytics.queries
+      Tpch.queries ++ CorpusMix.queries ++ Analytics.queries ++
+      CorpusStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       RelationalMore.oracle ++ EventOps.oracle ++
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Pipeline.oracle ++ CorpusOps.oracle ++ GraphOps.oracle ++
-      Tpch.oracle ++ CorpusMix.oracle ++ Analytics.oracle
+      Tpch.oracle ++ CorpusMix.oracle ++ Analytics.oracle ++
+      CorpusStats.oracle
 }

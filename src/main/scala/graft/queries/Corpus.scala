@@ -152,6 +152,32 @@ object CorpusOps {
           round(col("c12").cast("double") / col("c1"), 6).as("p"))
     }),
 
+    // ---- per-document LM scoring: mean negative log-likelihood of each
+    // document's bigrams under the corpus's own bigram LM — the classic
+    // perplexity-based quality filter (docs whose avg_nll is far above the
+    // corpus norm are junk; far below are boilerplate). ONE explode
+    // produces the bigram stream; the LM derives from it by aggregation
+    // (vocab²-bounded), then joins back to the stream on (w1,w2). At
+    // 100 TB the LM side is orders of magnitude smaller than the corpus —
+    // the join shuffles on bigram keys with map-side partial aggregation
+    // on both derivations.
+    "q_lm_score" -> ((s, d) => {
+      val bg = toks(s, d)
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+            element_at(col("ws"), i + 2).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+      bg.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(col("c12").cast("double") / col("c1"))), 4)
+            .as("avg_nll"))
+    }),
+
     // ---- document-length histogram: fixed-width bucketing — the corpus
     // profiling pass that sizes the length filters. Pure map + one tiny agg.
     "q_length_hist" -> ((s, d) => {
@@ -250,6 +276,22 @@ object CorpusOps {
          |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
          |FROM c12 JOIN c1 ON c12.w1 = c1.w1
          |ORDER BY 1, 2""".stripMargin,
+    "q_lm_score" ->
+      s"""WITH t AS ($tokSql),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM t)
+         |  WHERE i <= len(ws) - 1),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |       FROM bg GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 4) AS avg_nll
+         |FROM bg
+         |JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+         |JOIN c1 ON bg.w1 = c1.w1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_length_hist" ->
       """SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs,

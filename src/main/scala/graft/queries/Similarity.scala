@@ -156,6 +156,87 @@ object Similarity {
         .orderBy("id")
     }),
 
+    // ---- product quantization (PQ) encode: the vector-compression step
+    // of a billion-scale ANN index (IVF-PQ). The 64-dim space splits into
+    // 8 subspaces × 8 dims; each subvector is assigned to its nearest of
+    // 8 codebook entries by L2² — 8 codes ≈ 8 bytes per vector versus
+    // 256 bytes of float32. Codebook entries here are the subvectors of
+    // vec_id 0..7 (a deterministic training sample; a real build would
+    // k-means each subspace — operators.KMeans covers that path). Scale
+    // shape: the codebook is 8 subspaces × 8 codes × 8 dims = tiny →
+    // broadcast; the corpus side is one posexplode + one hash-aggregate
+    // keyed (vec_id, sub, code), partials map-side. d2 rounds to 6 dp
+    // BEFORE the argmin so cross-engine summation order can't flip ranks.
+    "q_pq_encode" -> ((s, d) => {
+      val flat = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), (col("i") / 8).cast("int").as("sub"),
+          col("i"), col("x").cast("double").as("x"))
+      val codebook = flat.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("code"), col("sub"), col("i"),
+          col("x").as("cx"))
+      val dist = flat.join(broadcast(codebook), Seq("sub", "i"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+          .as("d2"))
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2").asc, col("code").asc)
+      dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("code"), col("d2"))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // ---- PQ asymmetric-distance (ADC) top-k: the SEARCH half of the
+    // IVF-PQ index. Each query vector precomputes its distance to every
+    // codebook entry (13 queries × 8 subspaces × 8 codes = a few hundred
+    // rows → broadcast); a compressed corpus vector's approximate distance
+    // is then the SUM of 8 table lookups — the scan touches only the
+    // 8-byte PQ codes, never the float vectors. Top-5 per query by the
+    // rounded approximate distance (ties → vec_id). This is the plan
+    // shape that searches a billion vectors: broadcast distance tables,
+    // map-side lookup-sum, TakeOrdered per query.
+    "q_pq_adc" -> ((s, d) => {
+      val flat = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), (col("i") / 8).cast("int").as("sub"),
+          col("i"), col("x").cast("double").as("x"))
+      val codebook = flat.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("code"), col("sub"), col("i"),
+          col("x").as("cx"))
+      // corpus → PQ codes (same assignment rule as q_pq_encode)
+      val dist = flat.join(broadcast(codebook), Seq("sub", "i"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+          .as("d2"))
+      val wc = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2").asc, col("code").asc)
+      val codes = dist.withColumn("rn", row_number().over(wc))
+        .filter(col("rn") === 1).select("vec_id", "sub", "code")
+      // query-side distance tables: query × (sub, code) → partial distance
+      val dtab = flat.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("q_id"), col("sub"), col("i"),
+          col("x").as("qx"))
+        .join(broadcast(codebook), Seq("sub", "i"))
+        .groupBy("q_id", "sub", "code")
+        .agg(round(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))), 6)
+          .as("dq"))
+      // ADC: sum the 8 lookups per (query, vector), rank top-5
+      val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(round(sum("dq"), 6).as("adist"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("adist").asc, col("vec_id").asc)
+      adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("nb_id"), col("rank"),
+          col("adist"))
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- IVF-style coarse quantization: per-label centroids, assign each
     // vector to nearest centroid by L2²  (rounded; ties → lowest label)
     "q_ivf_assign" -> ((s, d) => {
@@ -274,6 +355,24 @@ object Similarity {
          |    ORDER BY va ASC, cos_r ASC) AS rn
          |  FROM sims) t
          |WHERE rn = 1 ORDER BY dup_id""".stripMargin,
+    "q_pq_encode" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub, i,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |cb AS (SELECT vec_id AS code, sub, i, x AS cx
+        |       FROM flat WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT f.vec_id, f.sub, c.code,
+        |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+        |  FROM flat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
+        |  GROUP BY 1, 2, 3)
+        |SELECT vec_id, sub, code, d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY d2 ASC, code ASC) AS rn
+        |  FROM dist) t
+        |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
     "q_ivf_assign" ->
       s"""WITH $flatSql,
          |centroids AS (

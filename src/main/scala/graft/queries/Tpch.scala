@@ -9,9 +9,10 @@ import graft.Tables
   * (Q3/Q5/Q10/Q18 live in Relational/RelationalMore). These are the
   * reference's "analytics a user actually runs" tier — the fixture schema
   * is a slimmed TPC-H (no partsupp, no l_commitdate/l_receiptdate/
-  * l_shipmode, no c_phone), so Q2/Q11/Q12/Q15/Q16/Q17/Q20 are out of
-  * reach, and Q4/Q21/Q22 keep their join STRUCTURE with adapted predicates
-  * (documented per query).
+  * l_shipmode, no c_phone), so Q2/Q11/Q12/Q16/Q20 are out of reach;
+  * Q4/Q9/Q17/Q19/Q21/Q22 keep their join STRUCTURE with adapted
+  * predicates (documented per query), and Q15 works unmodified minus the
+  * address/phone output columns.
   *
   * Scale notes: every dimension join (nation, region, part, supplier)
   * broadcasts; fact-fact joins shuffle on their keys; aggregations
@@ -124,6 +125,98 @@ object Tpch {
           sum(when(col("nation") === "NATION_3", col("volume")).otherwise(0.0))
             / sum(col("volume")), 6).as("mkt_share"))
         .orderBy("o_year")
+    }),
+
+    // ---- Q9 (adapted): product-type profit by nation and year. The
+    // original's profit term subtracts ps_supplycost (partsupp is absent
+    // from the fixture), so profit here is discounted revenue; the
+    // 5-way join structure — lineitem against part (name-filtered),
+    // supplier, supplier nation, orders — is preserved. Part and the
+    // dimension tables broadcast; the lineitem⋈orders join shuffles.
+    "q_tpch_q9" -> ((s, d) => {
+      val widgetParts = broadcast(Tables.part(s, d)
+        .filter(col("p_name").contains("widget")).select("p_partkey"))
+      val suppNation = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation")))
+      Tables.lineitem(s, d)
+        .join(widgetParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        // decimal(18,4) accumulation: exact, order-independent summation —
+        // double sums here landed exactly on a 2-dp rounding boundary at
+        // sf0.01 and flipped the last cent vs the oracle's sum order
+        .agg(round(sum(revenue.cast("decimal(18,4)")), 2).cast("double")
+          .as("sum_profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    }),
+
+    // ---- Q15: top supplier by 3-month revenue — the revenue "view" is a
+    // per-supplier aggregate; the max is a broadcast 1-row aggregate
+    // (scalar subquery), never a driver collect. Output drops s_address/
+    // s_phone (absent from the fixture); the max-equality tie rule is the
+    // original's (all suppliers attaining the max are returned).
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        // decimal accumulation (see Q9): the max-EQUALITY predicate below
+        // makes a last-cent flake change ROWS, not just a value — sum
+        // exactly, round once, compare doubles derived from exact decimals
+        .agg(round(sum(revenue.cast("decimal(18,4)")), 2).cast("double")
+          .as("total_revenue"))
+      val maxRev = rev.agg(max("total_revenue").as("max_rev"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- Q17 (adapted): small-quantity-order revenue. The original
+    // selects one brand+container; the fixture has no p_container, so the
+    // part predicate is p_brand + p_size <= 10. Structure preserved: the
+    // correlated avg-quantity-per-part subquery becomes a per-part
+    // aggregate over the SAME brand-restricted lineitem slice (broadcast
+    // back — it is bounded by the filtered part count, never the corpus).
+    "q_tpch_q17" -> ((s, d) => {
+      val parts = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#13" && col("p_size") <= 10)
+        .select("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val avgQty = li.groupBy(col("l_partkey").as("a_pk"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(broadcast(avgQty), col("l_partkey") === col("a_pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // ---- Q19 (adapted): three-branch OR of brand/size/quantity bands
+    // (p_container and l_shipmode/l_shipinstruct are absent; p_size bands
+    // stand in for container classes). Part pre-filters to the three
+    // brands and broadcasts; the OR predicate evaluates post-join, the
+    // join key stays a plain partkey equi-join (never a cartesian).
+    "q_tpch_q19" -> ((s, d) => {
+      val parts = broadcast(Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size"))
+      Tables.lineitem(s, d)
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 35)))
+        .agg(round(sum(revenue), 2).as("revenue"))
     }),
 
     // ---- Q13: customer order-count distribution — LEFT join so
@@ -279,6 +372,51 @@ object Tpch {
         |    AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
         |) all_nations
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT nation, o_year,
+        |  CAST(round(sum(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_name LIKE '%widget%'
+        |) profit
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#13' AND p_size <= 10
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
     "q_tpch_q13" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM (

@@ -259,6 +259,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!skyline.contains("CartesianProduct"))
   }
 
+  test("q_pq_encode: codebook broadcasts; assignment is one partial agg") {
+    val plan = planOf("q_pq_encode")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 8x8x8 codebook must broadcast, never shuffle the corpus side")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_sum"),
+      "subspace distances must map-side combine")
+  }
+
+  test("TPC-H q9/q15/q17/q19: dims broadcast, no cartesian") {
+    for (q <- Seq("q_tpch_q9", "q_tpch_q15", "q_tpch_q17", "q_tpch_q19")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: part/supplier/scalar sides must broadcast")
+      assert(!plan.contains("CartesianProduct"), s"$q: no cartesian")
+    }
+  }
+
+  test("q_lm_score: LM joins back by bigram key — equi-join, partial aggs") {
+    val plan = planOf("q_lm_score")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count"),
+      "LM counts and per-doc NLL must map-side combine")
+  }
+
   test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
     // the iteration localCheckpoints (lineage truncation), so the published
     // plan is a checkpoint scan — audit the edge-derivation subplan, which

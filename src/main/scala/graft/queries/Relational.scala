@@ -20,9 +20,10 @@ import graft.Tables
   *    passed through bit-exact, never rounded.
   *
   * Scale notes: dimension joins (`part`, `nation`, `region`, `supplier`)
-  * are explicitly `broadcast()` — at 100 TB the fact tables shuffle on join
-  * keys only when both sides are large (orders⋈lineitem), and group-bys are
-  * partial-aggregated map-side by Catalyst automatically.
+  * are explicitly `broadcast()`; SF-scaled facts (customer/orders/lineitem)
+  * are NEVER hinted — they shuffle on their join keys, and AQE is free to
+  * broadcast at small SF where sizes allow (PlanSpec pins this repo-wide).
+  * Group-bys are partial-aggregated map-side by Catalyst automatically.
   */
 object Relational {
   type Q = (SparkSession, String) => DataFrame
@@ -118,13 +119,16 @@ object Relational {
         .orderBy("p_brand")
     }),
 
-    // ---- multi-way join through the dimension chain
+    // ---- multi-way join through the dimension chain. customer is
+    // SF-scaled so it joins un-hinted (shuffle on custkey scales; AQE can
+    // still broadcast at small SF); only the fixed-size nation/region dims
+    // carry the hint.
     "q_join_multi" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")

@@ -55,15 +55,17 @@ object RelationalMore {
              count(lit(1)).as("n"))
     }),
 
-    // ---- TPC-H Q3 flavor: selective dim broadcast → fact⋈fact shuffle →
-    // partial agg → top-10 (TakeOrderedAndProject)
+    // ---- TPC-H Q3 flavor: fact⋈fact shuffle → partial agg → top-10
+    // (TakeOrderedAndProject). The BUILDING-segment customer slice is
+    // still SF-scaled (~1/5 of customers), so no explicit broadcast hint —
+    // the shuffled key join holds at 100×, and AQE broadcasts at small SF.
     "q_tpch_q3" -> ((s, d) => {
       val cutoff = lit("1997-06-30")
       val c = Tables.customer(s, d)
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
       val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -72,8 +74,13 @@ object RelationalMore {
         .limit(10)
     }),
 
-    // ---- TPC-H Q5 flavor: 6-way join (two facts + four broadcast dims,
-    // incl. the c_nationkey = s_nationkey locality condition)
+    // ---- TPC-H Q5 flavor: 6-way join — facts shuffle on their keys;
+    // only the FIXED-size dims (nation: 25 rows, region: 5 rows) carry an
+    // explicit broadcast hint. customer and supplier are SF-scaled
+    // (150k / 10k rows per SF): at the 100 TB design point they cannot
+    // broadcast, so the plan shuffles orders⋈customer on custkey and
+    // lineitem⋈supplier via the compound key; AQE may still elect a
+    // broadcast at small SF, which is the right adaptive behavior.
     "q_tpch_q5" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
@@ -84,8 +91,8 @@ object RelationalMore {
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -95,7 +102,10 @@ object RelationalMore {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
-    // ---- TPC-H Q18 flavor: large orders via aggregated semi-filter
+    // ---- TPC-H Q18 flavor: large orders via aggregated semi-filter.
+    // customer joins un-hinted: it is SF-scaled, so the key-shuffled join
+    // is the only plan that survives 100×; AQE can still pick a broadcast
+    // when the post-filter side is actually small.
     "q_tpch_q18" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val big = li.groupBy("l_orderkey")
@@ -104,7 +114,7 @@ object RelationalMore {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       o.join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
           "o_totalprice", "sum_qty")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

@@ -285,6 +285,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LM counts and per-doc NLL must map-side combine")
   }
 
+  // ---- round-5 scale tripwires ---------------------------------------
+
+  test("no explicit broadcast hint on a raw SF-scaled fact anywhere") {
+    // customer/orders/lineitem grow with SF (150k/1.5M/6M rows per SF):
+    // an explicit broadcast() on any of them is a guaranteed OOM at the
+    // 100 TB design point. A hint is only legitimate when the hinted
+    // subtree AGGREGATES the fact first (bounded output: percentile
+    // frames, scalar thresholds, avg-by-small-key frames). Broadcasting
+    // the raw/filtered table must be left to AQE, which sees real sizes.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
+    val factCols = Set("c_custkey", "o_orderkey", "l_orderkey")
+    def scansFact(p: LogicalPlan): Boolean =
+      p.collectLeaves().exists(_.output.exists(a => factCols.contains(a.name)))
+    def aggregates(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: Aggregate => () }.isDefined
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val analyzed =
+        SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+      analyzed.collect {
+        case h: ResolvedHint if scansFact(h.child) && !aggregates(h.child) =>
+          name
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"explicit broadcast hint on an un-aggregated SF-scaled fact in: " +
+        s"${offenders.mkString(", ")}")
+  }
+
+  test("q_tpch_q5/q18: fact-side joins stay keyed, fixed dims broadcast") {
+    for (q <- Seq("q_tpch_q5", "q_tpch_q18")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q joins must stay keyed")
+    }
+    // Q5's nation/region dims must still broadcast
+    assert(planOf("q_tpch_q5").contains("BroadcastHashJoin"),
+      "q5 fixed-size dims (nation/region) must broadcast")
+  }
+
   test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
     // the iteration localCheckpoints (lineage truncation), so the published
     // plan is a checkpoint scan — audit the edge-derivation subplan, which

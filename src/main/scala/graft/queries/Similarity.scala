@@ -146,8 +146,10 @@ object Similarity {
     }),
 
     // ---- trained IVF: deterministic k-means (operators.KMeans) centroids
-    // as the partition key — the real index-build path. No SQL oracle
-    // (iterative fit); rows-only check + KMeansSpec cover it.
+    // as the partition key — the real index-build path. The fixed 2-round
+    // Lloyd loop unrolls as chained CTEs in the oracle (seeds → assign →
+    // mean → assign → mean → final assign), same pattern as the PageRank
+    // oracle.
     "q_kmeans_assign" -> ((s, d) => {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"),
@@ -387,6 +389,100 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY d2 ASC, c_label ASC) AS rn
          |  FROM dist) t
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // ADC extends q_pq_encode's CTEs: corpus PQ codes + query distance
+    // tables (dq rounded to 6 dp like the Spark side), approximate
+    // distance = sum of the 8 per-subspace lookups, top-5 per query with
+    // the same (adist ASC, vec_id ASC) tie-break.
+    "q_pq_adc" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub, i,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |cb AS (SELECT vec_id AS code, sub, i, x AS cx
+        |       FROM flat WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT f.vec_id, f.sub, c.code,
+        |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+        |  FROM flat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2 ASC, code ASC) AS rn
+        |    FROM dist) t
+        |  WHERE rn = 1),
+        |dtab AS (
+        |  SELECT f.vec_id AS q_id, f.sub, c.code,
+        |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS dq
+        |  FROM flat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
+        |  WHERE f.vec_id % 40 = 0
+        |  GROUP BY 1, 2, 3),
+        |adc AS (
+        |  SELECT d.q_id, k.vec_id, round(sum(d.dq), 6) AS adist
+        |  FROM codes k JOIN dtab d ON d.sub = k.sub AND d.code = k.code
+        |  WHERE k.vec_id <> d.q_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, vec_id AS nb_id, rank, adist FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM adc) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // k-means unrolled: c0 = the 8 seed vectors (lexicographically
+    // smallest md5(id), centroid index = md5 order), then two Lloyd
+    // rounds — assign by argmin_j (Σcx² − 2Σx·cx), per-(cluster, dim)
+    // means with empty clusters keeping their previous centroid — and a
+    // final assignment whose d2 adds back the ‖x‖² term, rounded to 6 dp
+    // exactly like operators.KMeans.fit.
+    "q_kmeans_assign" ->
+      s"""WITH $flatSql,
+         |seed_ids AS (
+         |  SELECT vec_id, CAST(rn - 1 AS INTEGER) AS j FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM embeddings) t
+         |  WHERE rn <= 8),
+         |c0 AS (
+         |  SELECT s.j, f.i, f.x AS cx
+         |  FROM seed_ids s JOIN flat f ON f.vec_id = s.vec_id),
+         |d1 AS (
+         |  SELECT f.vec_id, c.j, sum(c.cx * c.cx - 2 * f.x * c.cx) AS d
+         |  FROM flat f JOIN c0 c ON c.i = f.i GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, j ASC) AS rn FROM d1) t
+         |  WHERE rn = 1),
+         |c1 AS (
+         |  SELECT c0.j, c0.i, COALESCE(m.mx, c0.cx) AS cx
+         |  FROM c0 LEFT JOIN (
+         |    SELECT a.cluster AS j, f.i, avg(f.x) AS mx
+         |    FROM a1 a JOIN flat f ON f.vec_id = a.vec_id
+         |    GROUP BY 1, 2) m ON m.j = c0.j AND m.i = c0.i),
+         |d2_ AS (
+         |  SELECT f.vec_id, c.j, sum(c.cx * c.cx - 2 * f.x * c.cx) AS d
+         |  FROM flat f JOIN c1 c ON c.i = f.i GROUP BY 1, 2),
+         |a2 AS (
+         |  SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, j ASC) AS rn FROM d2_) t
+         |  WHERE rn = 1),
+         |c2 AS (
+         |  SELECT c1.j, c1.i, COALESCE(m.mx, c1.cx) AS cx
+         |  FROM c1 LEFT JOIN (
+         |    SELECT a.cluster AS j, f.i, avg(f.x) AS mx
+         |    FROM a2 a JOIN flat f ON f.vec_id = a.vec_id
+         |    GROUP BY 1, 2) m ON m.j = c1.j AND m.i = c1.i),
+         |df_ AS (
+         |  SELECT f.vec_id, c.j, sum(c.cx * c.cx - 2 * f.x * c.cx) AS d
+         |  FROM flat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+         |xx AS (SELECT vec_id, sum(x * x) AS x2 FROM flat GROUP BY 1)
+         |SELECT t.vec_id AS id, t.j AS cluster, round(t.d + xx.x2, 6) AS d2
+         |FROM (
+         |  SELECT vec_id, j, d, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, j ASC) AS rn FROM df_) t
+         |JOIN xx ON xx.vec_id = t.vec_id
+         |WHERE t.rn = 1 ORDER BY id""".stripMargin
   )
 }

@@ -155,12 +155,13 @@ object CorpusOps {
     // ---- per-document LM scoring: mean negative log-likelihood of each
     // document's bigrams under the corpus's own bigram LM — the classic
     // perplexity-based quality filter (docs whose avg_nll is far above the
-    // corpus norm are junk; far below are boilerplate). ONE explode
-    // produces the bigram stream; the LM derives from it by aggregation
-    // (vocab²-bounded), then joins back to the stream on (w1,w2). At
-    // 100 TB the LM side is orders of magnitude smaller than the corpus —
-    // the join shuffles on bigram keys with map-side partial aggregation
-    // on both derivations.
+    // corpus norm are junk; far below are boilerplate). The bigram stream
+    // is exploded ONCE and localCheckpointed (same single-scan pattern as
+    // q_mi's joint table): both the LM derivation and the per-doc join
+    // read the materialized stream instead of re-scanning + re-exploding
+    // the corpus. The LM side is vocab²-bounded — orders of magnitude
+    // smaller than the corpus at 100 TB — so the join shuffles on bigram
+    // keys with map-side partial aggregation on both derivations.
     "q_lm_score" -> ((s, d) => {
       val bg = toks(s, d)
         .filter(size(col("ws")) >= 2)
@@ -169,6 +170,7 @@ object CorpusOps {
           i => struct(element_at(col("ws"), i + 1).as("w1"),
             element_at(col("ws"), i + 2).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint(true)
       val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
       bg.join(lm, Seq("w1", "w2"))

@@ -77,8 +77,13 @@ object CorpusStats {
         .join(broadcast(py), "lang")
         .crossJoin(broadcast(total))
         .select(
+          // nx·ny promotes to double BEFORE multiplying: per-source ×
+          // per-lang doc counts at the 100 TB design point (~1e11 each)
+          // would overflow a Long product; n is already double and the
+          // result feeds log() anyway
           (col("nxy") / col("n") *
-            log(col("nxy") * col("n") / (col("nx") * col("ny"))))
+            log(col("nxy") * col("n") /
+              (col("nx").cast("double") * col("ny"))))
             .as("mi_term"),
           (col("nxy") / col("n") * -log(col("nxy") / col("n")))
             .as("hxy_term"))

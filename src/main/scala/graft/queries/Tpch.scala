@@ -216,7 +216,11 @@ object Tpch {
             col("l_quantity").between(10, 25)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
             col("l_quantity").between(20, 35)))
-        .agg(round(sum(revenue), 2).as("revenue"))
+        // decimal(18,4) accumulation (see Q9): a single global double sum
+        // over an OR-filtered slice carries the same summation-order
+        // rounding-boundary risk that flipped Q9's last cent
+        .agg(round(sum(revenue.cast("decimal(18,4)")), 2).cast("double")
+          .as("revenue"))
     }),
 
     // ---- Q13: customer order-count distribution — LEFT join so
@@ -409,7 +413,8 @@ object Tpch {
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
     "q_tpch_q19" ->
-      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity BETWEEN 1 AND 15)

@@ -291,23 +291,26 @@ object RelationalExt {
           (col("bloom_n") >= col("exact_n")).as("superset"))
     }),
 
-    // ---- Count-Min Sketch heavy hitters (rows-only): per-key frequency
-    // estimation with fixed memory; executor-side sketches merge, only the
-    // sketch reaches the driver. Output pairs the estimate with the exact
-    // count so the rows-only check still sees a self-describing result
-    // (cms_n >= exact_n: CMS only over-counts).
+    // ---- Count-Min Sketch heavy hitters: per-key frequency estimation
+    // with fixed memory, entirely plan-shaped — the count_min_sketch SQL
+    // aggregate merges executor-side partials into one ~100 KB binary,
+    // which broadcasts as a 1-row side; the cms_estimate probe
+    // (functions.CountMin) then evaluates over the 3-row key domain.
+    // Nothing but the final 3 rows ever reaches the driver. Oracle: with
+    // eps=1e-4 the sketch is 20000 counters wide — 3 distinct keys cannot
+    // collide, so the fixed-seed estimate equals the exact count at any
+    // SF (CMS over-counts only on collisions).
     "q_cms_heavy" -> ((s, d) => {
+      graft.functions.CountMin.register(s)
       val li = Tables.lineitem(s, d)
-      val cms = li.stat.countMinSketch("l_returnflag",
-        eps = 0.0001, confidence = 0.999, seed = 42)
-      val exact = li.groupBy("l_returnflag")
+      val sk = li.agg(
+        expr("count_min_sketch(l_returnflag, 0.0001D, 0.999D, 42)").as("sk"))
+      li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("exact_n"))
-        .collect() // 3 rows — the key domain, not the data
-        .map(r => (r.getString(0), r.getLong(1),
-          cms.estimateCount(r.getString(0))))
-        .toSeq
-      import s.implicits._
-      exact.toDF("l_returnflag", "exact_n", "cms_n")
+        .crossJoin(broadcast(sk))
+        .select(col("l_returnflag"), col("exact_n"),
+          call_function("cms_estimate", col("sk"), col("l_returnflag"))
+            .as("cms_n"))
         .orderBy("l_returnflag")
     }),
 
@@ -416,6 +419,14 @@ object RelationalExt {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fixed-seed expected-value oracle: eps=1e-4 → 20000-counter rows;
+    // 3 distinct keys cannot collide, so the CMS estimate is exactly the
+    // true count at every SF (over-counting needs a collision in EVERY
+    // sketch row)
+    "q_cms_heavy" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS exact_n,
+        |  CAST(count(*) AS BIGINT) AS cms_n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (

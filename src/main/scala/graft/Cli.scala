@@ -297,12 +297,21 @@ object Cli {
         throw FlagError(s"--serve-ms needs an integer, got '$ms'")))
     // --node-slots N: bidding slots beyond each deal's concurrency get
     // cancelled, the devstack multi-node shape (concurrency_test.go)
+    // --cluster-dir PATH [--node-id NAME]: join a multi-PROCESS devstack —
+    // N serve processes sharing the dir bid/accept/execute over the file
+    // bus (jobs.Devstack; reference pkg/devstack/devstack.go)
+    val node = flag1(flags, "cluster-dir").map { cd =>
+      new graft.jobs.DevstackNode(spark,
+        flag1(flags, "node-id").getOrElse(
+          s"node-${java.util.UUID.randomUUID().toString.take(8)}"), cd)
+    }
     val srv = new ApiServer(spark, stateDir, host, port,
-      nodeSlots = intFlag(flags, "node-slots", 0))
+      nodeSlots = intFlag(flags, "node-slots", 0), cluster = node)
+    node.foreach(_.start())
     srv.start()
     println(s"listening on ${srv.uri}")
     serveMs match {
-      case Some(ms) => Thread.sleep(ms); srv.stop()
+      case Some(ms) => Thread.sleep(ms); srv.stop(); node.foreach(_.stop())
       case None     => Thread.currentThread().join()
     }
     0

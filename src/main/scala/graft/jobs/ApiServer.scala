@@ -42,9 +42,14 @@ object GraftVersion {
       .put("jvm", sys.props.getOrElse("java.version", "?"))
 }
 
+/** @param cluster when set, this server is one node of a multi-process
+  *   devstack: submits announce on the shared [[FileBus]] instead of
+  *   executing locally, and the read path folds bus events — any node
+  *   answers for the whole cluster. */
 final class ApiServer(spark: SparkSession, stateDir: String,
                       host: String = "127.0.0.1", requestedPort: Int = 0,
-                      nodeSlots: Int = 0) {
+                      nodeSlots: Int = 0,
+                      cluster: Option[DevstackNode] = None) {
 
   private val mapper = new ObjectMapper()
   private val runner = new Runner(spark, nodeSlots = nodeSlots)
@@ -55,6 +60,11 @@ final class ApiServer(spark: SparkSession, stateDir: String,
 
   def port: Int = server.getAddress.getPort
   def uri: String = s"http://$host:$port"
+
+  /** Published results live under the shared cluster dir in devstack mode
+    * (any node can serve any replica), else under this node's state dir. */
+  private def resultsRoot: String =
+    cluster.map(_.resultsRoot).getOrElse(s"$stateDir/results")
 
   /** Reference GetJobs/describe read path, shared with the HTTP handlers. */
   def jobs: Seq[Job] = runner.getJobs()
@@ -117,7 +127,19 @@ final class ApiServer(spark: SparkSession, stateDir: String,
         else None
       check match {
         case Some(err) => (400, mapper.createObjectNode().put("error", err))
-        case None =>
+        case None => cluster match {
+          case Some(node) =>
+            // devstack: announce on the bus; the protocol loops on every
+            // node (this one included) bid/accept/execute from here
+            node.submitRaw(mapper.writeValueAsString(data), clientId) match {
+              case Left(err) =>
+                (400, mapper.createObjectNode().put("error", err))
+              case Right(job) =>
+                val resp = mapper.createObjectNode()
+                resp.set[JsonNode]("job", jobNode(job))
+                (200, resp)
+            }
+          case None =>
       JobSpecLoader.fromJson(mapper.writeValueAsString(data)) match {
         case Left(err) =>
           (400, mapper.createObjectNode().put("error", err))
@@ -150,13 +172,15 @@ final class ApiServer(spark: SparkSession, stateDir: String,
               (200, resp)
           }
       }
+        }
       }
     })
 
     server.createContext("/list", (ex: HttpExchange) => handle(ex) { _ =>
       val resp = mapper.createObjectNode()
       val jobsNode = mapper.createObjectNode()
-      runner.getJobs().foreach(j => jobsNode.set[JsonNode](j.id, jobNode(j)))
+      val js = cluster.map(_.bus.jobs()).getOrElse(runner.getJobs())
+      js.foreach(j => jobsNode.set[JsonNode](j.id, jobNode(j)))
       resp.set[JsonNode]("jobs", jobsNode)
       (200, resp)
     })
@@ -164,7 +188,9 @@ final class ApiServer(spark: SparkSession, stateDir: String,
     server.createContext("/states", (ex: HttpExchange) => handle(ex) { req =>
       val jobId = Option(req.get("job_id")).map(_.asText()).getOrElse("")
       val arr = mapper.createArrayNode()
-      runner.events.states.values.filter(_.jobId == jobId)
+      val folded = cluster.map(c => EventLog.foldLocal(c.bus.events()))
+        .getOrElse(runner.events.states)
+      folded.values.filter(_.jobId == jobId)
         .toSeq.sortBy(_.nodeId).foreach { s =>
           arr.add(mapper.createObjectNode()
             .put("node_id", s.nodeId).put("state", s.state)
@@ -178,7 +204,9 @@ final class ApiServer(spark: SparkSession, stateDir: String,
     server.createContext("/events", (ex: HttpExchange) => handle(ex) { req =>
       val jobId = Option(req.get("job_id")).map(_.asText()).getOrElse("")
       val arr = mapper.createArrayNode()
-      runner.events.forJob(jobId).foreach { e =>
+      val evs = cluster.map(_.bus.events().filter(_.jobId == jobId))
+        .getOrElse(runner.events.forJob(jobId))
+      evs.foreach { e =>
         arr.add(mapper.createObjectNode()
           .put("job_id", e.jobId).put("event_name", e.eventName)
           .put("source_node_id", e.sourceNodeId)
@@ -207,7 +235,7 @@ final class ApiServer(spark: SparkSession, stateDir: String,
         if (ApiServer.badPathName(jobId))
           (400, mapper.createObjectNode().put("error", "invalid job id"))
         else {
-          val base = java.nio.file.Paths.get(stateDir, "results", jobId)
+          val base = java.nio.file.Paths.get(resultsRoot, jobId)
           val arr = mapper.createArrayNode()
           if (java.nio.file.Files.isDirectory(base)) {
             import scala.jdk.CollectionConverters._
@@ -234,7 +262,8 @@ final class ApiServer(spark: SparkSession, stateDir: String,
       })
 
     server.createContext("/id", (ex: HttpExchange) => handle(ex) { _ =>
-      (200, mapper.createObjectNode().put("id", "spark-local"))
+      (200, mapper.createObjectNode()
+        .put("id", cluster.map(_.nodeId).getOrElse("spark-local")))
     })
     server.createContext("/version", (ex: HttpExchange) => handle(ex) { _ =>
       val resp = mapper.createObjectNode()
@@ -261,7 +290,7 @@ final class ApiServer(spark: SparkSession, stateDir: String,
       val jobId = params.getOrElse("job_id", "")
       val replica = params.getOrElse("replica", "")
       val rel = params.getOrElse("path", "")
-      val base = java.nio.file.Paths.get(stateDir, "results", jobId, replica)
+      val base = java.nio.file.Paths.get(resultsRoot, jobId, replica)
         .normalize()
       val target = base.resolve(rel).normalize()
       if (ApiServer.badPathName(jobId) || ApiServer.badPathName(replica) ||

@@ -1,0 +1,267 @@
+package graft.jobs
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.Instant
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Multi-process devstack (reference: pkg/devstack/devstack.go:54-258 —
+  * N in-process nodes wired over libp2p pubsub; here N `Cli serve`
+  * PROCESSES wired over a shared `--cluster-dir`).
+  *
+  * The transport is a filesystem event bus: every lifecycle event is one
+  * JSON file in `events/`, atomically published (tmp + rename) so readers
+  * never see partial writes — the append-only-log shape §2.A15 already
+  * gives the single-node plane, made multi-writer. Job specs land in
+  * `jobs/` the same way. This is the degenerate-but-honest pubsub for
+  * processes sharing a disk; the protocol on top is exactly the
+  * reference's requester/compute split:
+  *
+  *  - any node may receive a submit (it becomes the job's REQUESTER and
+  *    appends Created);
+  *  - every node that can serve the spec bids on it (admission gate
+  *    first — unservable specs draw BidRejected, reference
+  *    pkg/computenode/computenode.go:348-405);
+  *  - the requester accepts the first `concurrency` bids in bus order and
+  *    cancels the surplus (reference requester_node.go bid handling;
+  *    devstack's concurrency_test.go:46-105 asserts the resulting
+  *    {Complete×2, Cancelled} multiset over 3 nodes);
+  *  - each accepted node runs the compiled plan on its OWN SparkSession
+  *    and publishes under `results/<job>/<node>`, so replica digests come
+  *    from genuinely separate executions and /states exposes them for
+  *    cross-replica verification (A12).
+  *
+  * Ordering: bus timestamps are Lamport-style — an append is stamped
+  * `max(wall-clock µs, last-seen + 1)`, and every node reads the bus
+  * before reacting, so an accept/cancel always sorts after the bid it
+  * answers even when both land in the same millisecond. The state fold is
+  * the same `EventLog.foldLocal` the single-node plane uses.
+  */
+final class FileBus(dir: Path) {
+  private val mapper = new ObjectMapper()
+  private val eventsDir = dir.resolve("events")
+  private val jobsDir = dir.resolve("jobs")
+  Files.createDirectories(eventsDir)
+  Files.createDirectories(jobsDir)
+
+  private val seq = new AtomicLong()
+  private val lastSeenUs = new AtomicLong()
+
+  private def nextUs(): Long = {
+    val now = System.currentTimeMillis() * 1000L
+    lastSeenUs.updateAndGet(prev => math.max(now, prev + 1))
+  }
+
+  /** Publish one event: write-to-temp, atomic rename. The filename is the
+    * sort key: (lamport µs, node, local seq). */
+  def append(e: JobEvent, nodeId: String): JobEvent = {
+    val stamped =
+      if (e.eventTimeUs == 0) e.copy(eventTimeUs = nextUs()) else e
+    val n = seq.incrementAndGet()
+    val name = f"${stamped.eventTimeUs}%020d-$nodeId-$n%06d.json"
+    val node = mapper.createObjectNode()
+      .put("job_id", stamped.jobId).put("client_id", stamped.clientId)
+      .put("source_node_id", stamped.sourceNodeId)
+      .put("target_node_id", stamped.targetNodeId)
+      .put("event_name", stamped.eventName).put("status", stamped.status)
+      .put("results_id", stamped.resultsId)
+      .put("event_time_us", stamped.eventTimeUs)
+    val tmp = eventsDir.resolve(s".tmp-$name")
+    Files.writeString(tmp, mapper.writeValueAsString(node))
+    Files.move(tmp, eventsDir.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE)
+    stamped
+  }
+
+  /** All events in bus order. Also advances the Lamport floor, so
+    * anything appended after a read sorts after everything read. */
+  def events(): Seq[JobEvent] = {
+    val names = scala.util.Using.resource(Files.list(eventsDir)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toVector
+    }.sorted
+    val evs = names.map { name =>
+      val n = mapper.readTree(Files.readString(eventsDir.resolve(name)))
+      JobEvent(
+        jobId = n.get("job_id").asText(),
+        clientId = n.get("client_id").asText(),
+        sourceNodeId = n.get("source_node_id").asText(),
+        targetNodeId = n.get("target_node_id").asText(),
+        eventName = n.get("event_name").asText(),
+        status = n.get("status").asText(),
+        resultsId = n.get("results_id").asText(),
+        eventTimeUs = n.get("event_time_us").asLong())
+    }
+    evs.lastOption.foreach(last =>
+      lastSeenUs.updateAndGet(math.max(_, last.eventTimeUs)))
+    evs
+  }
+
+  /** Register a job: the raw submit payload persists verbatim, so every
+    * node parses the spec through the same `apply -f` loader. */
+  def putJob(job: Job, dataJson: String): Unit = {
+    val node = mapper.createObjectNode()
+      .put("id", job.id).put("client_id", job.clientId)
+      .put("created_at_ms", job.createdAt.toEpochMilli)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("data",
+      mapper.readTree(dataJson))
+    val tmp = jobsDir.resolve(s".tmp-${job.id}.json")
+    Files.writeString(tmp, mapper.writeValueAsString(node))
+    Files.move(tmp, jobsDir.resolve(s"${job.id}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** All registered jobs, oldest first. */
+  def jobs(): Seq[Job] = {
+    val files = scala.util.Using.resource(Files.list(jobsDir)) { st =>
+      st.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith(".")).toVector
+    }
+    files.flatMap { p =>
+      val n = mapper.readTree(Files.readString(p))
+      JobSpecLoader.fromJson(mapper.writeValueAsString(n.get("data")))
+        .toOption.map { case (spec, deal) =>
+          Job(n.get("id").asText(), n.get("client_id").asText(), spec, deal,
+            Instant.ofEpochMilli(n.get("created_at_ms").asLong()))
+        }
+    }.sortBy(j => (j.createdAt.toEpochMilli, j.id))
+  }
+}
+
+/** One devstack node: a poll loop owning this process's side of the
+  * protocol. Execution runs inline in the loop thread — the FIFO compute
+  * loop of the reference compute node (computenode.go:111-187). */
+final class DevstackNode(spark: SparkSession, val nodeId: String,
+                         clusterDir: String, pollMs: Long = 100) {
+
+  val bus = new FileBus(Paths.get(clusterDir))
+  def resultsRoot: String = s"$clusterDir/results"
+
+  // admission shares the single-node gate (engine/verifier/resources)
+  private val admission = new Runner(spark)
+  private val bidSent = mutable.Set.empty[String]
+  private val started = mutable.Set.empty[String]
+  @volatile private var stopped = false
+  private val thread = new Thread(() => loop(), s"devstack-$nodeId")
+  thread.setDaemon(true)
+
+  def start(): Unit = thread.start()
+  def stop(): Unit = { stopped = true; thread.interrupt() }
+
+  /** Requester-side submit: register the job, announce Created. The
+    * protocol loop takes it from there on every node, this one included. */
+  def submitRaw(dataJson: String, clientId: String): Either[String, Job] =
+    JobSpecLoader.fromJson(dataJson).flatMap { case (spec, deal) =>
+      spec.validate().map { valid =>
+        val job = Job(UUID.randomUUID().toString, clientId, valid, deal,
+          Instant.now())
+        bus.putJob(job, dataJson)
+        bus.append(JobEvent(jobId = job.id, clientId = clientId,
+          sourceNodeId = nodeId, eventName = Lifecycle.EventType.Created),
+          nodeId)
+        job
+      }
+    }
+
+  private def loop(): Unit =
+    while (!stopped) {
+      try step()
+      catch {
+        case _: InterruptedException => // stop()
+        case e: Exception =>
+          System.err.println(s"devstack[$nodeId]: ${e.getMessage}")
+      }
+      try Thread.sleep(pollMs)
+      catch { case _: InterruptedException => () }
+    }
+
+  /** One protocol round: bid on new jobs, decide bids we requested,
+    * execute our accepted work. Visible for deterministic tests. */
+  private[jobs] def step(): Unit = {
+    val evs = bus.events()
+    val states = EventLog.foldLocal(evs)
+    for (job <- bus.jobs()) {
+      val jevs = evs.filter(_.jobId == job.id)
+      val myState = states.get((job.id, nodeId))
+
+      // --- compute-node half: bid exactly once per job
+      if (myState.isEmpty && !bidSent(job.id)) {
+        bidSent += job.id
+        admission.selectJob(job.spec) match {
+          case Right(()) =>
+            bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+              targetNodeId = nodeId,
+              eventName = Lifecycle.EventType.Bid), nodeId)
+          case Left(reason) =>
+            bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+              targetNodeId = nodeId,
+              eventName = Lifecycle.EventType.BidRejected,
+              status = reason), nodeId)
+        }
+      }
+
+      // --- requester half: accept the first `concurrency` bids in bus
+      // order, cancel the rest (only the job's creator decides, so there
+      // is exactly one decider per job — no cross-process races)
+      val creator = jevs
+        .find(_.eventName == Lifecycle.EventType.Created).map(_.sourceNodeId)
+      if (creator.contains(nodeId)) {
+        val conc = math.max(1, job.deal.concurrency)
+        val decided =
+          jevs.filter(e => e.eventName == Lifecycle.EventType.BidAccepted ||
+              e.eventName == Lifecycle.EventType.BidCancelled)
+            .map(_.targetNodeId).toSet
+        var accepted = jevs
+          .count(_.eventName == Lifecycle.EventType.BidAccepted)
+        jevs.filter(_.eventName == Lifecycle.EventType.Bid)
+          .map(_.targetNodeId).distinct.filterNot(decided)
+          .foreach { bidder =>
+            if (accepted < conc) {
+              accepted += 1
+              bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+                targetNodeId = bidder,
+                eventName = Lifecycle.EventType.BidAccepted), nodeId)
+            } else
+              bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+                targetNodeId = bidder,
+                eventName = Lifecycle.EventType.BidCancelled,
+                status = "concurrency limit reached"), nodeId)
+          }
+      }
+
+      // --- execute once our bid is accepted
+      if (myState.exists(_.state == Lifecycle.State.Waiting) &&
+          !started(job.id)) {
+        started += job.id
+        execute(job)
+      }
+    }
+  }
+
+  private def execute(job: Job): Unit = {
+    bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+      targetNodeId = nodeId, eventName = Lifecycle.EventType.Running), nodeId)
+    try {
+      val inputs = job.spec.inputs
+        .map(v => v.path -> SourceResolver.resolve(spark, v)).toMap
+      val df = OpCompiler.compile(spark, job.spec, inputs)
+      val publisher: ResultPublisher.Publisher =
+        if (job.spec.verifier == "hash") ResultPublisher.Hash
+        else ResultPublisher.Noop
+      val cid = publisher.publish(df, s"$resultsRoot/${job.id}/$nodeId")
+      graft.CacheScope.drain()
+      bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+        targetNodeId = nodeId, eventName = Lifecycle.EventType.Completed,
+        resultsId = cid), nodeId)
+    } catch {
+      case e: Exception =>
+        bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+          targetNodeId = nodeId, eventName = Lifecycle.EventType.Error,
+          status = String.valueOf(e.getMessage)), nodeId)
+    }
+  }
+}

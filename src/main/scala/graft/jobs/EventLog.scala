@@ -35,22 +35,8 @@ final class EventLog {
     all.filter(_.jobId == jobId)
 
   /** Driver-local fold — reference `GetStateFromEvent` + partial update. */
-  def states: Map[(String, String), JobNodeState] = synchronized {
-    val m = mutable.LinkedHashMap.empty[(String, String), JobNodeState]
-    events.foreach { e =>
-      Lifecycle.stateFromEvent(e.eventName).foreach { st =>
-        val key = (e.jobId, e.targetNodeId)
-        val prev = m.getOrElse(key, JobNodeState(e.jobId, e.targetNodeId, st))
-        m(key) = JobNodeState(
-          jobId = e.jobId,
-          nodeId = e.targetNodeId,
-          state = st,
-          status = if (e.status.nonEmpty) e.status else prev.status,
-          resultsId = if (e.resultsId.nonEmpty) e.resultsId else prev.resultsId)
-      }
-    }
-    m.toMap
-  }
+  def states: Map[(String, String), JobNodeState] =
+    EventLog.foldLocal(all)
 
   /** Summarize a job to its "furthest along" non-bid-rejected state
     * (reference: pkg/job/job.go:233-263). */
@@ -74,6 +60,26 @@ final class EventLog {
 }
 
 object EventLog {
+  /** The in-memory fold over any event sequence (shared by the in-process
+    * log and the devstack file bus): latest state-bearing event per
+    * (jobId, nodeId) wins, empty status/resultsId never overwrite. */
+  def foldLocal(events: Seq[JobEvent]): Map[(String, String), JobNodeState] = {
+    val m = mutable.LinkedHashMap.empty[(String, String), JobNodeState]
+    events.foreach { e =>
+      Lifecycle.stateFromEvent(e.eventName).foreach { st =>
+        val key = (e.jobId, e.targetNodeId)
+        val prev = m.getOrElse(key, JobNodeState(e.jobId, e.targetNodeId, st))
+        m(key) = JobNodeState(
+          jobId = e.jobId,
+          nodeId = e.targetNodeId,
+          state = st,
+          status = if (e.status.nonEmpty) e.status else prev.status,
+          resultsId = if (e.resultsId.nonEmpty) e.resultsId else prev.resultsId)
+      }
+    }
+    m.toMap
+  }
+
   /** A24 "furthest along" pick per job over already-folded node states
     * (shared by currentStates and list-style callers that hold the fold). */
   def summarize(states: Iterable[JobNodeState]): Map[String, JobNodeState] =

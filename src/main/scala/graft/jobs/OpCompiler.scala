@@ -49,14 +49,7 @@ object OpCompiler {
           // image must be pullable on every node" (reference A6).
           case e: CompileError if spec.annotations.contains("raw-exec") =>
             val in = inputs.values.headOption.getOrElse(throw e)
-            import org.apache.spark.sql.Encoders
-            val lines =
-              (if (in.columns.length == 1)
-                 in.select(col(in.columns.head).cast("string"))
-               else in.select(to_csv(struct(
-                 in.columns.toIndexedSeq.map(col): _*))))
-                .as[String](Encoders.STRING)
-            PipeOps.pipe(lines, ep).toDF("value")
+            PipeOps.pipe(lineify(in), ep).toDF("value")
         }
       case "language" =>
         val lang = spec.language.getOrElse(throw CompileError("no language spec"))
@@ -65,6 +58,17 @@ object OpCompiler {
         spark.emptyDataFrame
       case e => throw CompileError(s"unknown engine: $e")
     }
+  }
+
+  /** A volume as a line stream: single column passes through as strings,
+    * multi-column rows serialize as CSV lines (what `cat file.csv` into a
+    * line-oriented program would see). */
+  private def lineify(in: DataFrame): org.apache.spark.sql.Dataset[String] = {
+    import org.apache.spark.sql.Encoders
+    (if (in.columns.length == 1)
+       in.select(col(in.columns.head).cast("string"))
+     else in.select(to_csv(struct(in.columns.toIndexedSeq.map(col): _*))))
+      .as[String](Encoders.STRING)
   }
 
   /** Resolve the DataFrame a path argument refers to (mounted volume). */
@@ -366,9 +370,12 @@ object OpCompiler {
 
   /** Expression-mode jobs (reference language engine, A7): the command is
     * `SELECT …` SQL over the mounted volumes registered as temp views, or a
-    * single Column expression applied to the sole input. */
+    * single Column expression applied to the sole input. `language=python`
+    * routes to the real-interpreter program path (B7). */
   def compileExpression(spark: SparkSession, lang: JobSpecLanguage,
                         inputs: Map[String, DataFrame]): DataFrame = {
+    if (lang.language.startsWith("python"))
+      return compilePython(spark, lang, inputs)
     inputs.foreach { case (name, df) =>
       df.createOrReplaceTempView(name.stripPrefix("/").replaceAll("[^A-Za-z0-9_]", "_"))
     }
@@ -382,6 +389,52 @@ object OpCompiler {
       }
     if (lang.deterministic) DeterminismGate.check(df)
     df
+  }
+
+  /** First python3/python on PATH, if any (the "interpreter installed on
+    * this node" admission fact — like "docker is installed"). */
+  lazy val pythonInterpreter: Option[String] = {
+    val sep = java.io.File.pathSeparator
+    sys.env.getOrElse("PATH", "").split(sep).iterator
+      .flatMap(dir => Seq("python3", "python").map(n =>
+        java.nio.file.Paths.get(dir, n)))
+      .find(p => java.nio.file.Files.isExecutable(p))
+      .map(_.toString)
+  }
+
+  /** Deterministic Python PROGRAM jobs (B7 full parity; reference pyodide
+    * chain pkg/executor/python_wasm/executor.go:113-138, E2E
+    * pkg/test/devstack/pythonwasm_test.go:55-120 — read the input volume,
+    * write the output volume). The volume mapping is line-oriented: the
+    * sole input volume streams to the program's stdin (CSV lines for
+    * multi-column frames), stdout lines become the result rows the Runner
+    * publishes to the output volume — RDD.pipe semantics via PipeOps,
+    * once per partition.
+    *
+    * Determinism gate (the reference rejects deterministic=false outright,
+    * cmd/bacalhau/run_python.go): deterministic=false is a CompileError,
+    * and accepted programs run under `-I` (isolated: no env, no user
+    * site-packages) with PYTHONHASHSEED=0, the CPython analog of pyodide's
+    * hermetic sandbox — same program + same input ⇒ same bytes, which is
+    * what cross-replica hash verification (A12) needs. A node without an
+    * interpreter fails admission cleanly at compile time, the analog of
+    * "no docker installed on this node". */
+  private def compilePython(spark: SparkSession, lang: JobSpecLanguage,
+                            inputs: Map[String, DataFrame]): DataFrame = {
+    if (!lang.deterministic)
+      throw CompileError(
+        "python jobs must declare deterministic=true (reference gate)")
+    val py = pythonInterpreter.getOrElse(
+      throw CompileError("no python3 interpreter installed on this node"))
+    if (lang.command.trim.isEmpty) throw CompileError("empty python program")
+    val in = inputs.values.headOption.getOrElse {
+      // programs with no input volume still run once: feed one empty line
+      import org.apache.spark.sql.Encoders
+      spark.range(1).select(lit("").as("value")).as[String](Encoders.STRING)
+        .toDF("value")
+    }
+    PipeOps.pipe(lineify(in), Seq(py, "-I", "-c", lang.command),
+      env = Map("PYTHONHASHSEED" -> "0")).toDF("value")
   }
 }
 

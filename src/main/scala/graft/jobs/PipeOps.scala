@@ -29,16 +29,19 @@ object PipeOps {
     * okExit=Set(0,1) for those), and a task-completion listener kills the
     * child if the iterator is abandoned early (e.g. under a LIMIT). */
   def pipe(ds: Dataset[String], cmd: Seq[String],
-           okExit: Set[Int] = Set(0)): Dataset[String] = {
+           okExit: Set[Int] = Set(0),
+           env: Map[String, String] = Map.empty): Dataset[String] = {
     import ds.sparkSession.implicits._
     val command = cmd // avoid closing over `this`
+    val extraEnv = env
     ds.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        val proc = new ProcessBuilder(command: _*)
+        val pb = new ProcessBuilder(command: _*)
           .redirectErrorStream(false)
-          .start()
+        extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+        val proc = pb.start()
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit] { _ =>
             if (proc.isAlive) proc.destroyForcibly()

@@ -418,6 +418,63 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/${job.id}/r2").count() === 3)
   }
 
+  // ---- B7 full parity: a real deterministic Python PROGRAM (not an
+  // expression) reads the input volume and writes the output volume —
+  // the reference pyodide E2E shape (pkg/test/devstack/
+  // pythonwasm_test.go:55-120), volumes mapped line-oriented onto
+  // stdin/stdout. Replicated ×2: the PYTHONHASHSEED=0 + `-I` hermetic
+  // setup must yield identical content ids across replicas.
+  test("deterministic python program: input volume -> program -> output volume") {
+    assume(OpCompiler.pythonInterpreter.isDefined,
+      "no python interpreter on this machine")
+    val runner = new Runner(spark)
+    val program =
+      """import sys
+        |for line in sys.stdin:
+        |    w = line.strip()
+        |    if "kiwi" in w:
+        |        print(w.upper())
+        |""".stripMargin
+    val spec = JobSpec(engine = "language", verifier = "hash",
+      language = Some(JobSpecLanguage(language = "python",
+        languageVersion = "3", deterministic = true, command = program)),
+      inputs = Seq(StorageSpec(engine = "file", name = "in",
+        cid = s"$dir/grep_file.txt", path = "/data/file.txt")),
+      outputs = Seq(StorageSpec(engine = "file", name = "outputs",
+        path = "/outputs")))
+    val job = runner.submit(spec, JobDeal(concurrency = 2)).toOption.get
+    val inputs = Map("/data/file.txt" ->
+      SourceResolver.resolve(spark, spec.inputs.head))
+    val out = Files.createTempDirectory("graft-py").toString
+    val res = runner.run(job, inputs, out).toOption.get
+    assert(res.cids.size === 2 && res.cids.distinct.size === 1 &&
+      res.verified, "python replicas must produce identical content ids")
+    // published output volume carries the transformed lines
+    val lines = spark.read.parquet(s"$out/${job.id}/r0")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(lines === Seq("KIWI", "KIWI IS DELICIOUS"))
+  }
+
+  test("python gate: deterministic=false rejected; program errors surface") {
+    assume(OpCompiler.pythonInterpreter.isDefined,
+      "no python interpreter on this machine")
+    val bad = JobSpecLanguage(language = "python", deterministic = false,
+      command = "print(1)")
+    val e = intercept[OpCompiler.CompileError] {
+      OpCompiler.compileExpression(spark, bad, textVol(s"$dir/grep_file.txt"))
+    }
+    assert(e.getMessage.contains("deterministic"))
+    // a crashing program must fail the job loudly (stderr tail surfaced),
+    // never publish a half-result
+    val boom = JobSpecLanguage(language = "python", deterministic = true,
+      command = "import sys\nsys.exit(3)")
+    val df = OpCompiler.compileExpression(spark, boom,
+      textVol(s"$dir/grep_file.txt"))
+    val err = intercept[Exception] { df.collect() }
+    assert(err.getMessage.contains("exited 3") ||
+      Option(err.getCause).exists(_.getMessage.contains("exited 3")))
+  }
+
   // ---- single-pass publish (VERDICT r1 #2): the source plan executes
   // exactly once — rows + digest come from the written parquet, not from
   // re-running the query (the old path paid 3 executions per replica)

@@ -23,7 +23,7 @@ object PageRank {
 
   /** @param edges DataFrame with two long columns `src`, `dst` (directed,
     *              pre-deduplicated)
-    * @param iters fixed power-iteration count
+    * @param iters fixed power-iteration count (with `tol` set: hard cap)
     * @param d     damping factor
     * @param redistributeDangling when true, each round adds the standard
     *   dangling-mass term d·D/N (D = Σ rank over nodes with no out-edges)
@@ -38,10 +38,28 @@ object PageRank {
     *   cost that dominates small/aggregated graphs). The dangling term
     *   references ranks twice per round (plan doubles per skipped round),
     *   so that path checkpoints more often.
+    * @param tol L1 convergence threshold (0 = off, the default: a FIXED
+    *   round count keeps the whole run one lazily-composed plan with no
+    *   mid-iteration actions, and is what the unrolled-CTE oracles
+    *   verify). When tol > 0 the iteration stops early once
+    *   Σ|r'−r| < tol — the ConnectedComponents-style data-dependent stop
+    *   (its label-sum invariant, adapted to ranks: rank DELTAS shrink
+    *   geometrically under power iteration, so a per-round L1 compare is
+    *   the natural fixpoint test). Costs one self-join + 1-row aggregate
+    *   per round and forces per-round materialization; on graphs that
+    *   converge well before the cap, rounds saved dwarf that overhead.
     * @return DataFrame(node, rank) — unrounded doubles */
   def run(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
           redistributeDangling: Boolean = false,
-          checkpointEvery: Int = 0): DataFrame = {
+          checkpointEvery: Int = 0, tol: Double = 0.0): DataFrame =
+    runCounted(edges, iters, d, redistributeDangling, checkpointEvery, tol)._1
+
+  /** [[run]] plus the executed round count (observability + convergence
+    * tests). */
+  def runCounted(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
+                 redistributeDangling: Boolean = false,
+                 checkpointEvery: Int = 0, tol: Double = 0.0)
+      : (DataFrame, Int) = {
     val interval =
       if (checkpointEvery > 0) checkpointEvery
       else if (redistributeDangling) 2
@@ -55,7 +73,10 @@ object PageRank {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iters) {
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
       val contrib = e.join(outdeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -78,11 +99,24 @@ object PageRank {
               (lit((1 - d) / n) + lit(d) *
                 (coalesce(col("c"), lit(0.0)) + col("dm") / n)).as("rank"))
         }
-      // last rounds stay un-checkpointed: the caller's action fuses them
-      // into one job instead of paying another blocking materialization
-      ranks = if (i % interval == 0 && i < iters) next.localCheckpoint(true)
-              else next
+      if (tol > 0) {
+        // the delta test needs this round's ranks twice (delta + next
+        // round), so the checkpoint it forces is also lineage hygiene
+        val mat = next.localCheckpoint(true)
+        val delta = mat
+          .join(ranks.select(col("node"), col("rank").as("prev")), "node")
+          .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))
+            .as("l1"))
+          .head().getDouble(0)
+        ranks = mat
+        if (delta < tol) converged = true
+      } else {
+        // last rounds stay un-checkpointed: the caller's action fuses them
+        // into one job instead of paying another blocking materialization
+        ranks = if (i % interval == 0 && i < iters) next.localCheckpoint(true)
+                else next
+      }
     }
-    ranks
+    (ranks, i)
   }
 }

@@ -25,6 +25,55 @@ object Bench {
     }
   }
 
+  /** The document-derived family for the session experiment: every query
+    * whose plan starts from the documents scan (tokenize/dedup/corpus).
+    * The shared subtree is the scan itself — with `documents` cached,
+    * Spark's cache manager substitutes the InMemoryRelation into each
+    * query's plan automatically (plan-fragment matching), no query
+    * rewrites needed. */
+  private val docFamily = Seq(
+    "q_dedup_exact", "q_minhash_sig", "q_lsh_pairs", "q_simhash",
+    "q_ngram_jaccard", "q_tfidf", "q_bm25", "q_lang_id", "q_token_count",
+    "q_text_stats", "q_fingerprint", "q_repetition", "q_gopher_filter",
+    "q_inverted_index", "q_bigram_lm", "q_zipf", "q_vocab_growth")
+
+  /** SPARK_GRAFT_BENCH_MODE=session — the multi-query session experiment
+    * (VERDICT r4 next-round #8): a pipeline that runs the whole text/dedup/
+    * corpus family in ONE session can pay the documents scan once instead
+    * of per query. Times the family twice — standalone (cache drained
+    * between queries, the honest per-query cost the main bench reports)
+    * vs session (documents cached once up front, family runs back to
+    * back) — and prints both totals plus the materialization cost, so
+    * SCALING.md can record whether the shared subtree pays. */
+  private def sessionBench(spark: SparkSession, sfDir: String): Unit = {
+    def runOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // standalone: every query pays its own cold scans
+    val standalone = docFamily.map { n =>
+      val t = runOne(n)
+      CacheScope.drain(); spark.catalog.clearCache()
+      n -> t
+    }
+    // session: documents materializes once, family shares it
+    val tMat0 = System.nanoTime()
+    val docs = Tables.documents(spark, sfDir).cache()
+    docs.write.format("noop").mode("overwrite").save()
+    val matSec = (System.nanoTime() - tMat0) / 1e9
+    val session = docFamily.map(n => n -> runOne(n))
+    docs.unpersist(true)
+    CacheScope.drain(); spark.catalog.clearCache()
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    def fmt(ps: Seq[(String, Double)]): String =
+      ps.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val sAll = standalone.map(_._2).sum
+    val sSes = session.map(_._2).sum
+    println(s"""{"metric":"session_family","standalone_sec":${r3(sAll)},"session_sec":${r3(sSes)},"materialize_sec":${r3(matSec)},"session_total_sec":${r3(sSes + matSec)},"n_queries":${docFamily.size},"standalone":${fmt(standalone)},"session":${fmt(session)},"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,6 +83,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("session")) {
+      // warmup as below, then the session experiment only
+      Tables.all.foreach { t =>
+        try Tables.load(spark, sfDir, t).limit(1).count()
+        catch { case _: Throwable => () }
+      }
+      try sessionBench(spark, sfDir)
+      finally spark.stop()
+      return
+    }
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     // warmup: touch every table + exercise codegen/shuffle machinery once,

@@ -9,16 +9,29 @@ import graft.Tables
   * (Q3/Q5/Q10/Q18 live in Relational/RelationalMore). These are the
   * reference's "analytics a user actually runs" tier — the fixture schema
   * is a slimmed TPC-H (no partsupp, no l_commitdate/l_receiptdate/
-  * l_shipmode, no c_phone), so Q2/Q11/Q12/Q16/Q20 are out of reach;
+  * l_shipmode, no c_phone), so Q12 stays out of reach (its whole point is
+  * shipmode×date-ordering columns the fixture lacks);
   * Q4/Q9/Q17/Q19/Q21/Q22 keep their join STRUCTURE with adapted
   * predicates (documented per query), and Q15 works unmodified minus the
   * address/phone output columns.
+  *
+  * The partsupp-dependent four (Q2/Q11/Q16/Q20) run against a DERIVED
+  * part-supplier catalog: `partsupp(ps_partkey, ps_suppkey)` is exactly
+  * the distinct (l_partkey, l_suppkey) pairs, with availqty ≈ total
+  * shipped quantity and supplycost ≈ the minimum observed unit price —
+  * the catalog a warehouse would reconstruct from its order history. The
+  * derivation is one extra aggregation of lineitem keyed on the pair
+  * (map-side partials; output is bounded by |part|×|supplier-per-part|,
+  * orders of magnitude under the fact table), after which each query's
+  * join structure matches the spec form.
   *
   * Scale notes: every dimension join (nation, region, part, supplier)
   * broadcasts; fact-fact joins shuffle on their keys; aggregations
   * partial-combine map-side. Q21's exists/not-exists pair runs as
   * semi/anti self-joins of lineitem on l_orderkey — one shuffle each, the
-  * shape that survives a 100 TB lineitem.
+  * shape that survives a 100 TB lineitem. The derived partsupp is NEVER
+  * broadcast (it scales with lineitem's key domain); the min-cost /
+  * value-threshold scalars around it are 1-row or per-part aggregates.
   */
 object Tpch {
   type Q = (SparkSession, String) => DataFrame
@@ -302,6 +315,135 @@ object Tpch {
         .agg(count(lit(1)).as("numcust"),
           round(sum("c_acctbal"), 2).as("totacctbal"))
         .orderBy("cntrycode")
+    }),
+
+    // ---- Q2 (adapted): minimum-cost supplier. partsupp derives from
+    // lineitem (header note); supplycost ≈ min observed unit price — the
+    // min/equality compare stays on the RAW double (identical IEEE
+    // division in both engines; rounding only for display). Structure
+    // preserved: region-restricted catalog, correlated min-cost subquery
+    // de-correlated to a per-part aggregate join, top-100 by balance.
+    // partsupp shuffles on its keys; part/supplier⋈nation⋈region
+    // broadcast (bounded dims).
+    "q_tpch_q2" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity"))
+          .as("ps_supplycost"))
+      val p = broadcast(Tables.part(s, d)
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_brand"))
+      val sup = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+      val catalog = ps
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .join(sup, col("ps_suppkey") === col("s_suppkey"))
+      val minCost = catalog.groupBy(col("ps_partkey").as("m_pk"))
+        .agg(min("ps_supplycost").as("min_cost"))
+      catalog.join(broadcast(minCost),
+          col("ps_partkey") === col("m_pk") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          round(col("ps_supplycost"), 4).as("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc,
+          col("s_name").asc, col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // ---- Q11 (adapted): important stock identification. Stock value per
+    // pair ≈ availqty(total shipped qty) × supplycost(min unit price);
+    // a part is "important" when its one-nation stock value exceeds
+    // 0.001 of the nation total (fixture fraction: 4 suppliers/nation).
+    // The threshold is a broadcast 1-row aggregate; per-part sums round
+    // at 2 dp before output (Q9 decimal trick not needed — the compare
+    // is against a e-3 fraction, never near a rounding boundary).
+    "q_tpch_q11" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(sum("l_quantity").as("ps_availqty"),
+          min(col("l_extendedprice") / col("l_quantity"))
+            .as("ps_supplycost"))
+      val sup = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d).filter(col("n_name") === "NATION_7"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val stock = ps.join(sup, col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"),
+          (col("ps_availqty") * col("ps_supplycost")).as("value"))
+      val threshold = stock.agg((sum("value") * 0.001).as("thr"))
+      stock.groupBy("ps_partkey")
+        .agg(sum("value").as("part_value"))
+        .crossJoin(broadcast(threshold))
+        .filter(col("part_value") > col("thr"))
+        .select(col("ps_partkey"),
+          round(col("part_value"), 2).as("part_value"))
+        .orderBy(col("part_value").desc, col("ps_partkey").asc)
+    }),
+
+    // ---- Q16 (adapted): parts/supplier relationship. The complaint
+    // filter (s_comment LIKE '%Customer%Complaints%') becomes the
+    // fixture-expressible "negative account balance"; brand/type/size
+    // exclusions keep the spec's NOT-IN shape. Pure set logic — no FP.
+    // The pair catalog shuffles once on (partkey, suppkey); part
+    // broadcasts; the excluded-supplier list is a broadcast anti-join.
+    "q_tpch_q16" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey")).distinct()
+      val p = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+      val complained = broadcast(Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey").as("bad_sk")))
+      pairs
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .join(complained, col("ps_suppkey") === col("bad_sk"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    }),
+
+    // ---- Q20 (adapted): potential part promotion. "Excess stock" =
+    // quantity shipped BEFORE 1997 exceeds half the 1997 shipments of
+    // that (part, supplier) — the entering-the-year stock analog of
+    // ps_availqty > 0.5·Σqty. Quantities accumulate as decimal(12,2) and
+    // the compare is 2·before > in-year (integer-scaled decimals, exact —
+    // clean fixture quantities would otherwise tie at the 0.5 boundary
+    // in FP). Name filter: red% parts (forest% analog). Semi-join chain:
+    // qualifying pairs → suppliers in the nation, output names only.
+    "q_tpch_q20" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val redParts = broadcast(Tables.part(s, d)
+        .filter(col("p_name").startsWith("red"))
+        .select("p_partkey"))
+      val redLi = li
+        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      val flows = redLi.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(col("l_shipdate") < lit("1997-01-01"),
+            col("l_quantity").cast("decimal(12,2)"))).as("before_qty"),
+          sum(when(col("l_shipdate") >= lit("1997-01-01") &&
+                   col("l_shipdate") < lit("1998-01-01"),
+            col("l_quantity").cast("decimal(12,2)"))).as("year_qty"))
+      val excess = flows
+        .filter(col("year_qty").isNotNull && col("before_qty").isNotNull &&
+          col("before_qty") * 2 > col("year_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(Tables.nation(s, d).filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     })
   )
 
@@ -462,6 +604,76 @@ object Tpch {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |cat AS (
+        |  SELECT ps_partkey, ps_suppkey, ps_supplycost, p_partkey, p_brand,
+        |    s_name, s_acctbal, n_name
+        |  FROM ps
+        |  JOIN part ON ps_partkey = p_partkey
+        |    AND p_size <= 15 AND p_type = 'LARGE'
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  round(ps_supplycost, 4) AS cost
+        |FROM cat c
+        |WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM cat c2
+        |                       WHERE c2.ps_partkey = c.ps_partkey)
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    sum(l_quantity) AS ps_availqty,
+        |    min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |stock AS (
+        |  SELECT ps_partkey, ps_availqty * ps_supplycost AS value
+        |  FROM ps
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7')
+        |SELECT ps_partkey, round(sum(value), 2) AS part_value
+        |FROM stock GROUP BY 1
+        |HAVING sum(value) > (SELECT sum(value) * 0.001 FROM stock)
+        |ORDER BY part_value DESC, ps_partkey ASC""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+        |        l_suppkey AS ps_suppkey FROM lineitem) pairs
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                         WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC,
+        |  p_size ASC""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH red AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |flows AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |        THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS before_qty,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |        THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS year_qty
+        |  FROM lineitem JOIN red ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |excess AS (
+        |  SELECT DISTINCT l_suppkey FROM flows
+        |  WHERE year_qty IS NOT NULL AND before_qty IS NOT NULL
+        |    AND before_qty * 2 > year_qty)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+        |ORDER BY s_name""".stripMargin
   )
 }

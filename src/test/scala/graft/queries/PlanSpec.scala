@@ -324,6 +324,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q5 fixed-size dims (nation/region) must broadcast")
   }
 
+  test("TPC-H q2/q11/q16/q20: derived partsupp stays keyed, dims broadcast") {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: no cartesian")
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastExchange"),
+        s"$q: dim/scalar sides must broadcast")
+      assert(plan.contains("partial_"),
+        s"$q: the lineitem-pair aggregation must map-side combine")
+    }
+  }
+
   test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
     // the iteration localCheckpoints (lineage truncation), so the published
     // plan is a checkpoint scan — audit the edge-derivation subplan, which

@@ -190,6 +190,60 @@ object CorpusOps {
         .orderBy("bucket")
     }),
 
+    // ---- RAG-style chunking: overlapping token windows (size 32, stride
+    // 24) per document, each with its token count, leading token and a
+    // content hash — the retrieval-corpus build step between cleaning and
+    // embedding. Pure map + explode of per-doc start offsets: no shuffle,
+    // no join; chunk boundaries derive from the document's own row. At
+    // 100 TB this is the narrow stage before the embedding UDF.
+    "q_doc_chunk" -> ((s, d) => {
+      val chunkSize = 32
+      val stride = 24
+      toks(s, d)
+        .select(col("doc_id"), col("ws"), explode(
+          sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)),
+            lit(stride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast(IntegerType).as("chunk_id"),
+          slice(col("ws"), col("start") + 1, lit(chunkSize)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_tokens"),
+          element_at(col("chunk"), 1).as("first_tok"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+    }),
+
+    // ---- perplexity-band corpus filter: keep documents whose bigram-LM
+    // mean NLL sits inside the corpus's own [p05, p95] band — the
+    // two-sided perplexity filter (too-surprising = junk, too-predictable
+    // = boilerplate). Reuses the one-explode LM derivation; the band is a
+    // frequency-weighted exact percentile over per-doc scores (the
+    // winsorize shape: percentile state bounded by DISTINCT rounded
+    // scores) broadcast back over the scored frame.
+    "q_lm_filter" -> ((s, d) => {
+      val bg = toks(s, d)
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+            element_at(col("ws"), i + 2).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint(true)
+      val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+      val scored = bg.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("c12").cast("double") / col("c1"))), 4)
+          .as("nll"))
+        .localCheckpoint(true) // feeds the band aggregate AND the filter
+      val band = scored.groupBy("nll").agg(count(lit(1)).as("f"))
+        .agg(expr("percentile(nll, 0.05, f)").as("lo"),
+          expr("percentile(nll, 0.95, f)").as("hi"))
+      scored.crossJoin(broadcast(band))
+        .filter(col("nll") >= col("lo") && col("nll") <= col("hi"))
+        .select(col("doc_id"), col("nll"))
+        .orderBy("doc_id")
+    }),
+
     // ---- int8 scalar quantization: per-dimension min/max over the corpus
     // (64-row broadcast side), then q = round(255·(v-min)/(max-min)) per
     // element. The index-build primitive that shrinks a float32 corpus 4×
@@ -294,6 +348,42 @@ object CorpusOps {
          |JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
          |JOIN c1 ON bg.w1 = c1.w1
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_doc_chunk" ->
+      s"""WITH t AS ($tokSql),
+         |st AS (
+         |  SELECT doc_id, ws, CAST(i - 1 AS INTEGER) AS start
+         |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM t)
+         |  WHERE (i - 1) % 24 = 0)
+         |SELECT doc_id, CAST(start / 24 AS INTEGER) AS chunk_id,
+         |  CAST(len(ws[start+1 : least(start+32, len(ws))]) AS INTEGER)
+         |    AS n_tokens,
+         |  ws[start+1] AS first_tok,
+         |  md5(array_to_string(ws[start+1 : least(start+32, len(ws))], ' '))
+         |    AS chunk_hash
+         |FROM st""".stripMargin,
+    "q_lm_filter" ->
+      s"""WITH t AS ($tokSql),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM t)
+         |  WHERE i <= len(ws) - 1),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |       FROM bg GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id,
+         |    round(avg(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 4) AS nll
+         |  FROM bg
+         |  JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+         |  JOIN c1 ON bg.w1 = c1.w1
+         |  GROUP BY 1),
+         |band AS (
+         |  SELECT quantile_cont(nll, 0.05) AS lo, quantile_cont(nll, 0.95) AS hi
+         |  FROM scored)
+         |SELECT doc_id, nll FROM scored, band
+         |WHERE nll >= lo AND nll <= hi
+         |ORDER BY doc_id""".stripMargin,
     "q_length_hist" ->
       """SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -52,23 +52,27 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
+  /** Brute-force cosine top-5 for query vectors (vec_id % 40 == 0) —
+    * shared by q_knn_brute and the q_ann_recall ground truth. */
+  private def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cos_r"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_r").desc, col("nb_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "nb_id", "rank", "cos_r")
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- brute-force cosine top-5 for query vectors (vec_id % 40 == 0)
-    "q_knn_brute" -> ((s, d) => {
-      val all = vecs(s, d)
-      val q = all.filter(col("vec_id") % 40 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("nb_id"),
-          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-            .as("cos_r"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cos_r").desc, col("nb_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("q_id", "nb_id", "rank", "cos_r")
-        .orderBy("q_id", "rank")
-    }),
+    "q_knn_brute" -> ((s, d) => knnBrute(s, d)),
 
     // ---- exact all-pairs cosine above threshold
     "q_cosine_pairs" -> ((s, d) => {
@@ -199,44 +203,28 @@ object Similarity {
     // rounded approximate distance (ties → vec_id). This is the plan
     // shape that searches a billion vectors: broadcast distance tables,
     // map-side lookup-sum, TakeOrdered per query.
-    "q_pq_adc" -> ((s, d) => {
-      val flat = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), (col("i") / 8).cast("int").as("sub"),
-          col("i"), col("x").cast("double").as("x"))
-      val codebook = flat.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("code"), col("sub"), col("i"),
-          col("x").as("cx"))
-      // corpus → PQ codes (same assignment rule as q_pq_encode)
-      val dist = flat.join(broadcast(codebook), Seq("sub", "i"))
-        .groupBy("vec_id", "sub", "code")
-        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
-          .as("d2"))
-      val wc = Window.partitionBy("vec_id", "sub")
-        .orderBy(col("d2").asc, col("code").asc)
-      val codes = dist.withColumn("rn", row_number().over(wc))
-        .filter(col("rn") === 1).select("vec_id", "sub", "code")
-      // query-side distance tables: query × (sub, code) → partial distance
-      val dtab = flat.filter(col("vec_id") % 40 === 0)
-        .select(col("vec_id").as("q_id"), col("sub"), col("i"),
-          col("x").as("qx"))
-        .join(broadcast(codebook), Seq("sub", "i"))
-        .groupBy("q_id", "sub", "code")
-        .agg(round(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))), 6)
-          .as("dq"))
-      // ADC: sum the 8 lookups per (query, vector), rank top-5
-      val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(round(sum("dq"), 6).as("adist"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("adist").asc, col("vec_id").asc)
-      adc.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id").as("nb_id"), col("rank"),
-          col("adist"))
-        .orderBy("q_id", "rank")
+    "q_pq_adc" -> ((s, d) => pqAdc(s, d)),
+
+    // ---- ANN quality evaluation: recall@5 of the PQ-ADC search against
+    // the brute-force ground truth, per query — the "measure, don't
+    // guess" op every ANN index build needs before swapping it in for
+    // exact search. The join is on (query, neighbor) pairs: 65 rows a
+    // side at fixture scale, and at 100 TB still only |queries|×k —
+    // evaluation cost never scales with the corpus.
+    "q_ann_recall" -> ((s, d) => {
+      val exact = knnBrute(s, d).select(col("q_id"), col("nb_id"))
+      val approx = pqAdc(s, d)
+        .select(col("q_id").as("aq"), col("nb_id").as("anb"))
+      val hits = exact.join(approx,
+          col("q_id") === col("aq") && col("nb_id") === col("anb"),
+          "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      exact.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 2).as("recall_at_5"))
+        .orderBy("q_id")
     }),
 
     // ---- IVF-style coarse quantization: per-label centroids, assign each
@@ -261,6 +249,47 @@ object Similarity {
         .orderBy("vec_id")
     })
   )
+
+  /** PQ asymmetric-distance top-5 — shared by q_pq_adc and q_ann_recall. */
+  private def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val flat = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), (col("i") / 8).cast("int").as("sub"),
+        col("i"), col("x").cast("double").as("x"))
+    val codebook = flat.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("code"), col("sub"), col("i"),
+        col("x").as("cx"))
+    // corpus → PQ codes (same assignment rule as q_pq_encode)
+    val dist = flat.join(broadcast(codebook), Seq("sub", "i"))
+      .groupBy("vec_id", "sub", "code")
+      .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+        .as("d2"))
+    val wc = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2").asc, col("code").asc)
+    val codes = dist.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1).select("vec_id", "sub", "code")
+    // query-side distance tables: query × (sub, code) → partial distance
+    val dtab = flat.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("sub"), col("i"),
+        col("x").as("qx"))
+      .join(broadcast(codebook), Seq("sub", "i"))
+      .groupBy("q_id", "sub", "code")
+      .agg(round(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))), 6)
+        .as("dq"))
+    // ADC: sum the 8 lookups per (query, vector), rank top-5
+    val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(sum("dq"), 6).as("adist"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("nb_id"), col("rank"),
+        col("adist"))
+      .orderBy("q_id", "rank")
+  }
 
   /** Shared SQL scaffolding: flattened vectors + norms. */
   private val flatSql =
@@ -429,6 +458,72 @@ object Similarity {
         |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rank
         |  FROM adc) t
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // recall@5: the knn ground-truth CTEs + the ADC CTEs (renamed pflat/
+    // adc_ to avoid clashing with flat), joined on (query, neighbor)
+    "q_ann_recall" ->
+      s"""WITH $flatSql,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, nb_id,
+         |    round(dt / (nq.nrm * np.nrm), 6) AS cos_r
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm np ON np.vec_id = nb_id),
+         |etop AS (
+         |  SELECT q_id, nb_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_r DESC, nb_id ASC) AS rank
+         |    FROM scored) t
+         |  WHERE rank <= 5),
+         |pflat AS (
+         |  SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub, i,
+         |    CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, embedding,
+         |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |cb AS (SELECT vec_id AS code, sub, i, x AS cx
+         |       FROM pflat WHERE vec_id < 8),
+         |dist AS (
+         |  SELECT f.vec_id, f.sub, c.code,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+         |  FROM pflat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2 ASC, code ASC) AS rn
+         |    FROM dist) t
+         |  WHERE rn = 1),
+         |dtab AS (
+         |  SELECT f.vec_id AS q_id, f.sub, c.code,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS dq
+         |  FROM pflat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
+         |  WHERE f.vec_id % 40 = 0
+         |  GROUP BY 1, 2, 3),
+         |adc_ AS (
+         |  SELECT d.q_id, k.vec_id, round(sum(d.dq), 6) AS adist
+         |  FROM codes k JOIN dtab d ON d.sub = k.sub AND d.code = k.code
+         |  WHERE k.vec_id <> d.q_id
+         |  GROUP BY 1, 2),
+         |atop AS (
+         |  SELECT q_id, vec_id AS nb_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adist ASC, vec_id ASC) AS rank
+         |    FROM adc_) t
+         |  WHERE rank <= 5),
+         |hits AS (
+         |  SELECT e.q_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM etop e JOIN atop a
+         |    ON a.q_id = e.q_id AND a.nb_id = e.nb_id
+         |  GROUP BY 1)
+         |SELECT q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0, 2) AS recall_at_5
+         |FROM (SELECT DISTINCT q_id FROM etop) q
+         |LEFT JOIN hits h ON h.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin,
     // k-means unrolled: c0 = the 8 seed vectors (lexicographically
     // smallest md5(id), centroid index = md5 order), then two Lloyd
     // rounds — assign by argmin_j (Σcx² − 2Σx·cx), per-(cluster, dim)

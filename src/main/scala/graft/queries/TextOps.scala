@@ -160,6 +160,52 @@ object TextOps {
         .orderBy("w")
     }),
 
+    // ---- BPE merge statistics: the first step of byte-pair-encoding
+    // tokenizer training — frequency of every adjacent character pair,
+    // weighted by word frequency (training runs on the VOCABULARY with
+    // counts, never the raw token stream: the pair scan touches |vocab|
+    // rows, orders of magnitude under the corpus at 100 TB). The top pair
+    // is the first merge a BPE trainer would learn; top-20 shown.
+    // Integer counts end to end — no FP.
+    "q_bpe_pairs" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("wc").as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(20)
+    }),
+
+    // ---- quality classifier: fixed-weight logistic scorer over the
+    // standard per-document signals (log-length, stopword ratio, digit
+    // ratio, mean word length) — the shape of a fastText-style quality
+    // filter with published weights baked in. Pure map stage: every
+    // signal folds on the document's own row; keep-decision on the raw
+    // logit (score >= 0.5 ⟺ x >= 0, no rounding at the boundary).
+    "q_quality_logit" -> ((s, d) => {
+      val nTok = wsTokens
+      val stopRatio = size(regexp_extract_all(col("text"),
+        lit("\\b(the|a)\\b"), lit(0))).cast("double") / nTok
+      val digitRatio = size(regexp_extract_all(col("text"),
+        lit("[0-9]"), lit(0))).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val meanWlen = (length(col("text")) -
+        (nTok - lit(1))).cast("double") / nTok
+      Tables.documents(s, d)
+        .withColumn("x",
+          lit(-2.0) + lit(0.9) * log(lit(1.0) + nTok) -
+            lit(3.0) * stopRatio - lit(0.5) * digitRatio +
+            lit(0.2) * meanWlen)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("x"))), 6).as("score"),
+          (col("x") >= 0.0).as("keep"))
+    }),
+
     // ---- document fingerprint: position-weighted rolling hash (pure
     // integer math; explode positions → map-side partial sum per doc)
     "q_fingerprint" -> ((s, d) => {
@@ -178,6 +224,38 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc FROM (
+        |    SELECT w, wc, generate_subscripts(string_split(w, ''), 1) AS i
+        |    FROM vocab WHERE length(w) >= 2) t
+        |  WHERE i <= length(w) - 1)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+        |FROM pairs GROUP BY 1
+        |ORDER BY freq DESC, pair ASC LIMIT 20""".stripMargin,
+    "q_quality_logit" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens,
+        |    len(regexp_extract_all(text, '\b(the|a)\b')) AS stop_cnt,
+        |    len(regexp_extract_all(text, '[0-9]')) AS dig_cnt,
+        |    length(text) AS lc
+        |  FROM documents),
+        |lx AS (
+        |  SELECT doc_id,
+        |    -2.0 + 0.9 * ln(1.0 + n_tokens)
+        |      - 3.0 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+        |      - 0.5 * (CAST(dig_cnt AS DOUBLE) / greatest(lc, 1))
+        |      + 0.2 * (CAST(lc - (n_tokens - 1) AS DOUBLE) / n_tokens) AS x
+        |  FROM t)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-x)), 6) AS score,
+        |  x >= 0.0 AS keep
+        |FROM lx ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id,

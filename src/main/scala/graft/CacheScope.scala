@@ -18,9 +18,17 @@ object CacheScope {
   def cached(df: DataFrame): DataFrame = { frames.add(df.cache()); df }
 
   /** Unpersist every registered frame (non-blocking). Safe to call when
-    * nothing is registered, and safe to call more than once. */
+    * nothing is registered, safe to call more than once, and safe when a
+    * registered frame belongs to an already-stopped session (plan-only
+    * consumers may build caching queries in a session that dies before
+    * the next drain — its blocks died with it, so the unpersist RPC
+    * failing is fine; the entry still leaves the registry either way). */
   def drain(): Unit = {
     var f = frames.poll()
-    while (f != null) { f.unpersist(false); f = frames.poll() }
+    while (f != null) {
+      try f.unpersist(false)
+      catch { case _: Exception => () }
+      f = frames.poll()
+    }
   }
 }

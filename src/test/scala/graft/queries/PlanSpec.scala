@@ -300,14 +300,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.collectLeaves().exists(_.output.exists(a => factCols.contains(a.name)))
     def aggregates(p: LogicalPlan): Boolean =
       p.collectFirst { case _: Aggregate => () }.isDefined
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val analyzed =
-        SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
-      analyzed.collect {
-        case h: ResolvedHint if scansFact(h.child) && !aggregates(h.child) =>
-          name
+    val offenders =
+      try SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val analyzed =
+          SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+        analyzed.collect {
+          case h: ResolvedHint if scansFact(h.child) && !aggregates(h.child) =>
+            name
+        }
+      }.distinct
+      finally {
+        // constructing the catalog registers caches (q_tfidf etc.) this
+        // test never materializes — release them so later suites see a
+        // clean session registry
+        graft.CacheScope.drain()
+        spark.catalog.clearCache()
       }
-    }.distinct
     assert(offenders.isEmpty,
       s"explicit broadcast hint on an un-aggregated SF-scaled fact in: " +
         s"${offenders.mkString(", ")}")

@@ -134,9 +134,18 @@ final class FileBus(dir: Path) {
 
 /** One devstack node: a poll loop owning this process's side of the
   * protocol. Execution runs inline in the loop thread — the FIFO compute
-  * loop of the reference compute node (computenode.go:111-187). */
+  * loop of the reference compute node (computenode.go:111-187).
+  *
+  * @param staleMs requester-side liveness bound: an accepted replica
+  *   whose last event (BidAccepted/Running) is older than this without a
+  *   terminal event is presumed dead — its process crashed or its disk
+  *   went away. The requester appends Error on its behalf (the analog of
+  *   the reference's heartbeat-timeout state transition) and, if an
+  *   undecided bidder is still Waiting in line, accepts it as the
+  *   replacement so the deal's concurrency is still met. 0 disables. */
 final class DevstackNode(spark: SparkSession, val nodeId: String,
-                         clusterDir: String, pollMs: Long = 100) {
+                         clusterDir: String, pollMs: Long = 100,
+                         staleMs: Long = 0) {
 
   val bus = new FileBus(Paths.get(clusterDir))
   def resultsRoot: String = s"$clusterDir/results"
@@ -231,6 +240,53 @@ final class DevstackNode(spark: SparkSession, val nodeId: String,
                 eventName = Lifecycle.EventType.BidCancelled,
                 status = "concurrency limit reached"), nodeId)
           }
+
+        // liveness: an accepted replica stuck in Waiting/Running past
+        // the staleness bound gets an Error on its behalf (heartbeat-
+        // timeout analog), and the first bidder still waiting in line —
+        // if any — is accepted as the replacement. One-shot per node:
+        // after the Error its folded state is terminal, so this branch
+        // cannot re-fire for it.
+        if (staleMs > 0) {
+          val nowUs = System.currentTimeMillis() * 1000L
+          val live = Set(Lifecycle.State.Waiting, Lifecycle.State.Running)
+          val stale = states.collect {
+            case ((jid, node), st)
+                if jid == job.id && node != nodeId && live(st.state) &&
+                  jevs.filter(_.targetNodeId == node)
+                    .map(_.eventTimeUs).maxOption
+                    .exists(nowUs - _ > staleMs * 1000L) => node
+          }.toSeq.sorted
+          // replacement pool: bidders never accepted — including ones
+          // cancelled as surplus earlier (they bid; re-accepting flips
+          // their folded state back to Waiting and their loop executes),
+          // excluding the dead and anything already terminal-failed
+          val acceptedSet = jevs
+            .filter(_.eventName == Lifecycle.EventType.BidAccepted)
+            .map(_.targetNodeId).toSet
+          val unusable = scala.collection.mutable.Set.empty[String] ++
+            acceptedSet ++ stale ++
+            states.collect { case ((jid, node), st)
+                if jid == job.id &&
+                  (st.state == Lifecycle.State.Error ||
+                   st.state == Lifecycle.State.BidRejected) => node }
+          stale.foreach { dead =>
+            bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+              targetNodeId = dead, eventName = Lifecycle.EventType.Error,
+              status = s"node presumed dead after ${staleMs}ms without " +
+                "progress"), nodeId)
+            jevs.filter(_.eventName == Lifecycle.EventType.Bid)
+              .map(_.targetNodeId).distinct
+              .filterNot(unusable)
+              .headOption.foreach { next =>
+                unusable += next
+                bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+                  targetNodeId = next,
+                  eventName = Lifecycle.EventType.BidAccepted,
+                  status = "replacing stale replica"), nodeId)
+              }
+          }
+        }
       }
 
       // --- execute once our bid is accepted

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training — the iterative half behind
+  * q_bpe_pairs' one-round merge statistics (Sennrich et al. 2016, the
+  * public BPE algorithm every modern tokenizer derives from).
+  *
+  * Training runs on the VOCABULARY with frequencies, never the token
+  * stream: |vocab| rows per round regardless of corpus size, which is
+  * what makes tokenizer training cheap next to the 100 TB corpus scan
+  * that produced the counts. Per round:
+  *
+  *  1. adjacent-pair counts over each word's symbol sequence, weighted
+  *     by word frequency — map-only pair fan-out + one partial-combined
+  *     aggregation;
+  *  2. the argmax pair (count desc, then lexicographic — deterministic
+  *     tie-break) — a 1-row driver pull, the KMeans-centroid pattern;
+  *  3. merge application: every word rewrites its symbol sequence with
+  *     leftmost-first greedy replacement of the winning pair — a per-row
+  *     O(|word|) fold inside codegen'd higher-order functions, no
+  *     shuffle.
+  *
+  * Rounds localCheckpoint: the recurrence references the previous
+  * frame once per round, and truncation keeps Catalyst analysis O(1)
+  * per round (the iterative-DataFrame rule; see ConnectedComponents).
+  */
+object BpeTrainer {
+
+  final case class Model(merges: Seq[(String, String)])
+
+  /** Character-level start symbols. Spark's split keeps trailing empty
+    * matches (Java split with limit -1), so the end-of-string lookahead
+    * match must be filtered out. */
+  private def charSyms(w: Column): Column =
+    filter(split(w, "(?!^)"), x => length(x) > 0)
+
+  /** Leftmost-first greedy merge of adjacent (x, y) into xy over a
+    * symbol array, as a single fold: each position either completes a
+    * merge started at its left neighbor (skip), starts one (emit the
+    * merged symbol, mark skip), or passes through. */
+  private[operators] def applyMerge(a: Column, x: String, y: String): Column = {
+    val merged = x + y
+    aggregate(
+      sequence(lit(1), size(a)),
+      struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+      (acc, i) => {
+        val cur = element_at(a, i)
+        val hasNext = i < size(a)
+        val nxt = element_at(a, least(i + 1, size(a)))
+        when(acc("skip"), struct(acc("out").as("out"), lit(false).as("skip")))
+          .when(cur === x && hasNext && nxt === y,
+            struct(concat(acc("out"), array(lit(merged))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc("out"), array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc("out"))
+  }
+
+  /** Weighted adjacent-pair counts over the current symbol sequences. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("x"),
+          element_at(col("syms"), i + 1).as("y")))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum("wc").as("cnt"))
+
+  /** @param words DataFrame with `w` (string) and `wc` (long frequency)
+    * @param merges number of merge rounds to learn
+    * @return (model, final vocabulary: w, wc, syms array<string>) */
+  def train(words: DataFrame, merges: Int): (Model, DataFrame) = {
+    require(merges >= 0)
+    var vocab = words
+      .select(col("w"), col("wc"),
+        charSyms(col("w")).as("syms"))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < merges && !exhausted) {
+      round += 1
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        learned += ((x, y))
+        vocab = vocab
+          .withColumn("syms", applyMerge(col("syms"), x, y))
+          .localCheckpoint(true)
+      }
+    }
+    (Model(learned.result()), vocab)
+  }
+
+  /** Tokenize new words with a trained model (merges applied in learned
+    * order — the standard BPE inference rule). Map-only. */
+  def tokenize(words: DataFrame, model: Model): DataFrame =
+    model.merges.foldLeft(
+      words.select(col("w"), charSyms(col("w")).as("syms"))) {
+      case (df, (x, y)) => df.withColumn("syms", applyMerge(col("syms"), x, y))
+    }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** BPE training semantics on a hand-computable vocabulary. */
+class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def vocab = {
+    import spark.implicits._
+    // pair counts, round 1: "he" 10, "el" 10, "ll" 8, "lo" 5, "lp" 2
+    // → tie at 10 broken lexicographically: ("e","l") wins
+    Seq(("hello", 5L), ("hell", 3L), ("help", 2L)).toDF("w", "wc")
+  }
+
+  test("learns merges in frequency order with lexicographic tie-break") {
+    val (model, fin) = BpeTrainer.train(vocab, merges = 3)
+    // round 1: ("e","l") [tie with ("h","e") at 10, lexicographic]
+    // round 2: syms h,el,l,o / h,el,l / h,el,p → ("h","el") 10 vs ("el","l") 8
+    // round 3: hel,l,o / hel,l / hel,p → ("hel","l") 8
+    assert(model.merges === Seq(("e", "l"), ("h", "el"), ("hel", "l")))
+    val syms = fin.select(col("w"), concat_ws("|", col("syms")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(syms("hello") === "hell|o")
+    assert(syms("hell") === "hell")
+    assert(syms("help") === "hel|p")
+  }
+
+  test("leftmost-first greedy merge handles overlapping runs") {
+    import spark.implicits._
+    // "aaaa" with merge (a,a): leftmost-first gives aa|aa, never a|aa|a
+    val df = Seq(("aaaa", 1L)).toDF("w", "wc")
+      .select(col("w"),
+        filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("syms"))
+      .select(concat_ws("|",
+        BpeTrainer.applyMerge(col("syms"), "a", "a")).as("s"))
+    assert(df.head().getString(0) === "aa|aa")
+  }
+
+  test("tokenize applies learned merges to unseen words") {
+    val (model, _) = BpeTrainer.train(vocab, merges = 3)
+    import spark.implicits._
+    val toks = BpeTrainer.tokenize(Seq(("shelf", 0L)).toDF("w", "wc"), model)
+      .select(concat_ws("|", col("syms")).as("s")).head().getString(0)
+    // s,h,e,l,f → el → s,h,el,f ; (h,el) → s,hel,f ; (hel,l) no-op
+    assert(toks === "s|hel|f")
+  }
+
+  test("stops early when every word is a single symbol") {
+    import spark.implicits._
+    val tiny = Seq(("ab", 1L)).toDF("w", "wc")
+    val (model, fin) = BpeTrainer.train(tiny, merges = 10)
+    assert(model.merges === Seq(("a", "b")))
+    assert(fin.select(size(col("syms"))).head().getInt(0) === 1)
+  }
+}

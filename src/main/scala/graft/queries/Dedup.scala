@@ -161,6 +161,55 @@ object Dedup {
         .orderBy("group_id")
     }),
 
+    // ---- INCREMENTAL dedup: a new batch (doc_id >= 400) checked against
+    // the existing corpus index (doc_id < 400) — the shape production
+    // dedup actually runs per crawl: nobody re-clusters 100 TB for each
+    // arrival. Verdict per new doc: exact_dup (digest matches an index
+    // doc), near_dup (shares an LSH band bucket with an index doc AND
+    // >= 2 of 8 minhashes agree), else new; matched_id = the lowest
+    // matching index doc. Scale shape: the exact check shuffles 32-byte
+    // digests; the near check is the same band equi-join as q_lsh_pairs
+    // restricted to batch×index — both sides keyed, nothing quadratic,
+    // and at scale the index side's signatures are a precomputed table.
+    "q_dedup_incremental" -> ((s, d) => {
+      val cut = 400L
+      val sig = graft.CacheScope.cached(minhashSig(s, d))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val idx = docs.filter(col("doc_id") < cut)
+      val bat = docs.filter(col("doc_id") >= cut)
+      val exact = bat
+        .join(idx.select(col("h"), col("doc_id").as("i_id")), "h")
+        .groupBy("doc_id").agg(min("i_id").as("exact_m"))
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
+      )).as("bs")).select(col("doc_id"), col("bs.band"), col("bs.h1"),
+        col("bs.h2"))
+      val cand = bands.filter(col("doc_id") >= cut)
+        .toDF("nb", "band", "h1", "h2")
+        .join(bands.filter(col("doc_id") < cut)
+          .toDF("ni", "band", "h1", "h2"), Seq("band", "h1", "h2"))
+        .select("nb", "ni").distinct()
+      val sa = sig.toDF((Seq("nb") ++ A.indices.map(j => s"a$j")): _*)
+      val sb = sig.toDF((Seq("ni") ++ A.indices.map(j => s"b$j")): _*)
+      val nMatch = A.indices
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val near = cand.join(sa, "nb").join(sb, "ni")
+        .filter(nMatch >= 2)
+        .groupBy(col("nb").as("doc_id")).agg(min("ni").as("near_m"))
+      bat.select("doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_m").isNotNull, "exact_dup")
+            .when(col("near_m").isNotNull, "near_dup")
+            .otherwise("new").as("verdict"),
+          coalesce(col("exact_m"), col("near_m")).as("matched_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash: 32-bit fingerprint over word-token hashes (md5-derived,
     // engine-portable). Pure integer math end to end.
     "q_simhash" -> ((s, d) => {
@@ -336,6 +385,43 @@ object Dedup {
     "q_dedup_groups" ->
       (s"WITH RECURSIVE $groupsCtes\n" +
         """SELECT doc_id, group_id FROM comp ORDER BY doc_id""").stripMargin,
+    "q_dedup_incremental" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
+      }.mkString(" UNION ALL ")
+      val nMatch = A.indices
+        .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigSql,
+         |idx AS (SELECT doc_id, md5(text) AS h FROM documents
+         |        WHERE doc_id < 400),
+         |bat AS (SELECT doc_id, md5(text) AS h FROM documents
+         |        WHERE doc_id >= 400),
+         |exact AS (
+         |  SELECT b.doc_id, min(i.doc_id) AS m
+         |  FROM bat b JOIN idx i ON i.h = b.h GROUP BY 1),
+         |bands AS ($bandSelects),
+         |nearcand AS (
+         |  SELECT DISTINCT a.doc_id AS nb, b.doc_id AS ni
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         |  WHERE a.doc_id >= 400 AND b.doc_id < 400),
+         |near AS (
+         |  SELECT nb AS doc_id, min(ni) AS m
+         |  FROM nearcand
+         |  JOIN sig sa ON sa.doc_id = nb
+         |  JOIN sig sb ON sb.doc_id = ni
+         |  WHERE $nMatch >= 2 GROUP BY 1)
+         |SELECT b.doc_id,
+         |  CASE WHEN e.m IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.m IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS verdict,
+         |  COALESCE(e.m, n.m) AS matched_id
+         |FROM bat b
+         |LEFT JOIN exact e ON e.doc_id = b.doc_id
+         |LEFT JOIN near n ON n.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
     "q_dedup_keep_best" ->
       (s"WITH RECURSIVE $groupsCtes,\n" +
         """stats AS (

@@ -344,6 +344,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-5 pipeline ops: map-only stages stay map-only, joins keyed") {
+    // chunking and the quality classifier must never shuffle: both fold
+    // on the document's own row
+    for (q <- Seq("q_doc_chunk", "q_quality_logit")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join") && !plan.contains("HashAggregate") &&
+        !plan.contains("Sort "),
+        s"$q must stay a narrow per-row stage")
+    }
+    // BPE pair counting aggregates the VOCABULARY, map-side combined
+    val bpe = planOf("q_bpe_pairs")
+    assert(bpe.contains("partial_"), "pair counts must map-side combine")
+    assert(bpe.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    // incremental dedup: digest + band joins stay equi, never quadratic
+    val inc = planOf("q_dedup_incremental")
+    assert(!inc.contains("CartesianProduct") &&
+      !inc.contains("BroadcastNestedLoopJoin"),
+      "batch-vs-index checks must stay keyed equi-joins")
+    // recall eval joins two top-k frames — keyed, no cartesian
+    val rec = planOf("q_ann_recall")
+    assert(!rec.contains("CartesianProduct"))
+  }
+
   test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
     // the iteration localCheckpoints (lineage truncation), so the published
     // plan is a checkpoint scan — audit the edge-derivation subplan, which

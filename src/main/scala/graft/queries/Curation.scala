@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+
+/** Corpus-curation operators beyond the dedup/quality families already in
+  * `Dedup`/`CorpusOps`/`CorpusMix` — the remaining standard moves of a
+  * large-scale training-data pipeline:
+  *
+  *  - q_line_dedup: CCNet-style segment-level dedup — repeated segments
+  *    (boilerplate) are removed CORPUS-WIDE, not per-document;
+  *  - q_dsir: DSIR (Xie et al. 2023) hashed-n-gram importance weights —
+  *    score every raw document by how target-like its token distribution
+  *    is, the standard data-selection signal;
+  *  - q_temperature_sample: temperature-flattened domain mixing — the
+  *    multilingual-corpus resampling rule (up-weight tail domains,
+  *    down-weight the head) with a deterministic per-doc coin.
+  *
+  * All arithmetic is integer or integer-scaled (micro-nats, 2^20-scaled
+  * thresholds) so per-partition summation order can never flip a result —
+  * the same exactness discipline as Dedup's minhash math.
+  * Reference anchor: the reference's map/filter workloads over mounted
+  * corpora (pkg/job/spec.go docker entrypoints); these are the
+  * corpus-curation analogs a Spark-native engine expresses natively.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Segment length (words) for q_line_dedup: the fixture corpus carries
+    * no newlines, so "lines" are non-overlapping 10-word windows. */
+  private val SegLen = 10
+
+  /** Duplication bound: a segment seen >= this many times corpus-wide is
+    * boilerplate and is dropped from every document. */
+  private val DupBound = 3
+
+  val queries: Map[String, Q] = Map(
+    // ---- CCNet-style line/segment dedup. Split each document into
+    // non-overlapping 10-word segments, count each segment's md5 across
+    // the WHOLE corpus, drop segments occurring >= 3 times (boilerplate:
+    // headers, navigation, license blocks), reassemble the survivors in
+    // order. Scale shape: ONE shuffle keyed by the 32-byte segment hash
+    // (the segment text rides along once to be re-emitted), then one
+    // per-doc aggregation; this is exactly the CCNet sharded-dedup plan —
+    // no document ever compares to another document, so it scales
+    // linearly with corpus size at any duplication rate.
+    "q_line_dedup" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val segs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), ceil(size(col("ws")) / SegLen.toDouble)
+            .cast("int") - 1),
+          i => array_join(slice(col("ws"), i * SegLen + 1, lit(SegLen)), " ")
+        )).as(Seq("si", "seg")))
+      val cnt = segs.groupBy(md5(col("seg")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      segs.join(cnt, md5(col("seg")) === col("h"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_seg"),
+          sum(when(col("c") >= DupBound, 1L).otherwise(0L)).as("n_removed"),
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("c") < DupBound, struct(col("si"), col("seg"))))),
+            x => x.getField("seg")), " ").as("kept_text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- DSIR importance weights: hash every token into 256 buckets
+    // (md5-derived, engine-portable), estimate the target (lang='en') and
+    // raw (whole-corpus) bucket distributions with add-1 smoothing, and
+    // score each document by the summed log-likelihood ratio of its
+    // tokens. High weight = target-like. Weights are computed in
+    // micro-nats (rounded to integer BEFORE the per-doc sum) so the
+    // aggregation is exact integer math — partition order cannot change
+    // a single output bit. Scale shape: the two distributions are
+    // 256-row aggregates (broadcast); the document pass is one explode +
+    // broadcast-join + integer sum keyed by doc_id. At 100 TB the
+    // distributions come from a sample pass and the scoring pass remains
+    // a single linear scan.
+    "q_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val toks = docs
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " "))
+          .as("w"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast(LongType)
+            % 256).as("b"))
+      val tokC = graft.CacheScope.cached(toks)
+      val raw = tokC.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tgt = tokC.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      // totals as 1-row broadcast scalars via crossJoin (bounded)
+      val totals = tokC.agg(
+        count(lit(1)).as("sr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("st"))
+      val lr = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          round(log(
+            (coalesce(col("ct"), lit(0L)) + 1).cast("double") *
+              (col("sr") + 256) /
+              (((col("cr") + 1) * (col("st") + 256)).cast("double"))
+          ) * 1e6).cast(LongType).as("lri"))
+      tokC.join(broadcast(lr), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum("lri").as("wm"))
+        .select(col("doc_id"), round(col("wm") / 1e6, 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Temperature-flattened domain sampling (the multilingual mixing
+    // rule): resample so domain (lang) shares move from n_l/N toward
+    // uniform — target share ∝ n_l^(1/T) with T=2 — at a 0.5 overall
+    // rate. Each doc flips a DETERMINISTIC coin (md5 of doc_id, 20-bit
+    // uniform); the keep test is cross-multiplied to pure BIGINT compare
+    //   u · Σw · n_l · 2  <  w_l · N · 2^20
+    // so no engine ever divides (no float rounding in the decision; the
+    // BIGINT products stay < 2^63 up to ~10^12 docs — past that the
+    // comparison moves to 128-bit, a comment-level change). Scale shape:
+    // one 5-row aggregate joined back broadcast, then a map-only filter
+    // and one final per-domain aggregate.
+    "q_temperature_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+        .select(col("lang"), col("nl"),
+          round(sqrt(col("nl").cast("double"))).cast(LongType).as("wl"))
+      val tot = byLang.agg(sum("nl").as("n"), sum("wl").as("sw"))
+      val scored = docs.select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType) % 1048576L).as("u"))
+        .join(broadcast(byLang), Seq("lang"))
+        .crossJoin(broadcast(tot))
+      scored
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(
+            col("u") * col("sw") * col("nl") * 2 <
+              col("wl") * col("n") * 1048576L, 1L).otherwise(0L))
+            .as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_docs"), 4).as("rate"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_line_dedup" ->
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) AS wi,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |segs AS (
+         |  SELECT doc_id, CAST((wi - 1) // $SegLen AS BIGINT) AS si,
+         |    string_agg(w, ' ' ORDER BY wi) AS seg
+         |  FROM words GROUP BY 1, 2),
+         |cnt AS (
+         |  SELECT md5(seg) AS h, count(*) AS c FROM segs GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+         |  CAST(sum(CASE WHEN c >= $DupBound THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(string_agg(CASE WHEN c < $DupBound THEN seg END,
+         |    ' ' ORDER BY si), '') AS kept_text
+         |FROM segs JOIN cnt ON cnt.h = md5(seg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t),
+        |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en'
+        |        GROUP BY 1),
+        |tot AS (SELECT count(*) AS sr,
+        |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS st
+        |        FROM toks),
+        |lr AS (
+        |  SELECT raw.b,
+        |    CAST(round(ln(
+        |      CAST(coalesce(ct, 0) + 1 AS DOUBLE) * (sr + 256) /
+        |      (CAST((cr + 1) * (st + 256) AS DOUBLE))) * 1e6) AS BIGINT)
+        |      AS lri
+        |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot)
+        |SELECT doc_id, round(sum(lri) / 1e6, 6) AS weight
+        |FROM toks JOIN lr ON lr.b = toks.b
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH bylang AS (
+        |  SELECT lang, count(*) AS nl,
+        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wl
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(nl) AS n, sum(wl) AS sw FROM bylang)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN
+        |    (CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1048576) * t.sw * b.nl * 2 <
+        |    b.wl * t.n * 1048576
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN
+        |    (CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1048576) * t.sw * b.nl * 2 <
+        |    b.wl * t.n * 1048576
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
+        |FROM documents d
+        |JOIN bylang b ON b.lang = d.lang CROSS JOIN tot t
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  )
+}

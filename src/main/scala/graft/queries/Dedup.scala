@@ -229,6 +229,42 @@ object Dedup {
           call_function("simhash32", col("ths")).as("simhash"))
     }),
 
+    // ---- SimHash near-dup PAIRS: banding on the 32-bit fingerprint
+    // (4 bands × 8 bits) for candidate generation, exact Hamming
+    // verification (bit_count(xor) ≤ 3) within bucket — the SimHash analog
+    // of the MinHash→LSH chain with ONE integer of state per doc instead
+    // of 8 (the trade: Hamming-radius recall vs Jaccard-threshold recall).
+    // Scale shape: candidates come from an equi-join on (band, byte) —
+    // the shuffle moves (doc_id, 2 small ints) rows, never text; the
+    // verifier is a single codegen'd primitive op on two longs. By the
+    // pigeonhole bound, any pair within Hamming radius 3 of a 4-band split
+    // agrees exactly on ≥1 band, so banding loses nothing at radius ≤ 3.
+    "q_simhash_pairs" -> ((s, d) => {
+      graft.functions.SimHash64.register(s)
+      val sig = graft.CacheScope.cached(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            graft.functions.SimHash64.tokenHashes(col("text")).as("ths"))
+          .select(col("doc_id"),
+            call_function("simhash32", col("ths")).as("sh")))
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*
+      )).as("b")).select(col("doc_id"), col("b.band"), col("b.bv"))
+      val cand = bands.toDF("da", "band", "bv")
+        .join(bands.toDF("db", "band", "bv"), Seq("band", "bv"))
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      cand
+        .join(sig.toDF("da", "sa"), "da")
+        .join(sig.toDF("db", "sb"), "db")
+        .select(col("da"), col("db"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).as("ham"))
+        .filter(col("ham") <= 3)
+        .orderBy("da", "db")
+    }),
+
     // ---- n-gram (word-bigram) Jaccard between consecutive docs — the
     // exact-similarity primitive (LSH above is its sublinear candidate
     // generator).
@@ -455,6 +491,37 @@ object Dedup {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN sj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS th
+        |  FROM words),
+        |bits AS (
+        |  SELECT doc_id, j, CAST(power(2, j) AS BIGINT) AS p2,
+        |    CAST(sum(((th // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)
+        |      AS BIGINT) AS sj
+        |  FROM th, generate_series(0, 31) g(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN sj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, j AS band,
+        |    (sh // CAST(power(2, 8 * j) AS BIGINT)) % 256 AS bv
+        |  FROM sig, generate_series(0, 3) g(j)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT da, db, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS ham
+        |FROM cand
+        |JOIN sig sa ON sa.doc_id = cand.da
+        |JOIN sig sb ON sb.doc_id = cand.db
+        |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+        |ORDER BY da, db""".stripMargin,
     "q_minhash_est" -> {
       val nMatch = A.indices
         .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")

@@ -162,6 +162,39 @@ object Similarity {
         .orderBy("id")
     }),
 
+    // ---- SemDeDup (semantic dedup, Abbas et al. 2023 shape): k-means
+    // partitions the embedding space, then near-duplicate pruning runs
+    // ONLY within each cluster — a vector is dropped when an earlier
+    // (lower-id) vector in the same cluster has cosine ≥ 0.35 with it.
+    // Output: one row per dropped vector with its keeper and the max
+    // qualifying cosine. Scale shape: this is THE trick that makes
+    // embedding dedup tractable at 100 TB — pairwise work is O(Σ|c_i|²)
+    // with k chosen so clusters are bounded (k ~ N/10⁴), not O(N²); the
+    // cluster id is the shuffle key, vectors never compare across
+    // clusters, and the k×dim centroid matrix is the only global state
+    // (broadcast as plan literals by operators.KMeans).
+    "q_semdedup" -> ((s, d) => {
+      val v = vecs(s, d)
+      val assign = graft.operators.KMeans
+        .fit(v.select(col("vec_id").as("id"), col("v")), k = 8, iters = 2)
+        ._2.select(col("id"), col("cluster"))
+      val withC = graft.CacheScope.cached(
+        v.join(assign, col("vec_id") === col("id"))
+          .select(col("vec_id"), col("cluster"), col("v"), col("nrm")))
+      val a = withC.toDF("va", "cluster", "xa", "na")
+      val b = withC.toDF("vb", "cluster", "xb", "nb")
+      a.join(b, Seq("cluster"))
+        .filter(col("va") < col("vb"))
+        .select(col("cluster"), col("vb"), col("va"),
+          round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+            .as("cos_r"))
+        .filter(col("cos_r") >= 0.35)
+        .groupBy(col("vb").as("vec_id"), col("cluster"))
+        .agg(min("va").as("dup_of"), max("cos_r").as("max_cos"))
+        .select("vec_id", "cluster", "dup_of", "max_cos")
+        .orderBy("vec_id")
+    }),
+
     // ---- product quantization (PQ) encode: the vector-compression step
     // of a billion-scale ANN index (IVF-PQ). The 64-dim space splits into
     // 8 subspaces × 8 dims; each subvector is assigned to its nearest of
@@ -531,7 +564,47 @@ object Similarity {
     // final assignment whose d2 adds back the ‖x‖² term, rounded to 6 dp
     // exactly like operators.KMeans.fit.
     "q_kmeans_assign" ->
-      s"""WITH $flatSql,
+      s"""WITH $kmeansCtes,
+         |xx AS (SELECT vec_id, sum(x * x) AS x2 FROM flat GROUP BY 1)
+         |SELECT t.vec_id AS id, t.j AS cluster, round(t.d + xx.x2, 6) AS d2
+         |FROM (
+         |  SELECT vec_id, j, d, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, j ASC) AS rn FROM df_) t
+         |JOIN xx ON xx.vec_id = t.vec_id
+         |WHERE t.rn = 1 ORDER BY id""".stripMargin,
+    // SemDeDup = the k-means chain above + within-cluster pairwise cosine
+    // (flat-form dot products), dropped-vector rows only.
+    "q_semdedup" ->
+      s"""WITH $kmeansCtes,
+         |afin AS (
+         |  SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, j ASC) AS rn FROM df_) t
+         |  WHERE rn = 1),
+         |dots AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, ca.cluster,
+         |    sum(a.x * b.x) AS dt
+         |  FROM flat a JOIN flat b ON b.i = a.i AND b.vec_id > a.vec_id
+         |  JOIN afin ca ON ca.vec_id = a.vec_id
+         |  JOIN afin cb ON cb.vec_id = b.vec_id AND cb.cluster = ca.cluster
+         |  GROUP BY 1, 2, 3),
+         |sims AS (
+         |  SELECT va, vb, cluster,
+         |    round(dt / (na.nrm * nb.nrm), 6) AS cos_r
+         |  FROM dots
+         |  JOIN norm na ON na.vec_id = va
+         |  JOIN norm nb ON nb.vec_id = vb)
+         |SELECT vb AS vec_id, cluster, min(va) AS dup_of,
+         |  max(cos_r) AS max_cos
+         |FROM sims WHERE cos_r >= 0.35
+         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+  )
+
+  /** k-means (k=8, 2 Lloyd rounds) unrolled as chained CTEs, ending at
+    * `df_(vec_id, j, d)` — the final-round distances (‖x‖²-free form);
+    * shared by the q_kmeans_assign and q_semdedup oracles. */
+  private def kmeansCtes: String =
+      s"""$flatSql,
          |seed_ids AS (
          |  SELECT vec_id, CAST(rn - 1 AS INTEGER) AS j FROM (
          |    SELECT vec_id, row_number() OVER (
@@ -571,13 +644,5 @@ object Similarity {
          |    GROUP BY 1, 2) m ON m.j = c1.j AND m.i = c1.i),
          |df_ AS (
          |  SELECT f.vec_id, c.j, sum(c.cx * c.cx - 2 * f.x * c.cx) AS d
-         |  FROM flat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
-         |xx AS (SELECT vec_id, sum(x * x) AS x2 FROM flat GROUP BY 1)
-         |SELECT t.vec_id AS id, t.j AS cluster, round(t.d + xx.x2, 6) AS d2
-         |FROM (
-         |  SELECT vec_id, j, d, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY d ASC, j ASC) AS rn FROM df_) t
-         |JOIN xx ON xx.vec_id = t.vec_id
-         |WHERE t.rn = 1 ORDER BY id""".stripMargin
-  )
+         |  FROM flat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2)""".stripMargin
 }

@@ -367,6 +367,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rec.contains("CartesianProduct"))
   }
 
+  test("curation/semantic-dedup ops: bucketed candidates, broadcast stats") {
+    // SimHash banding: candidates from a (band, byte) equi-join — the
+    // whole point is that no quadratic operator ever appears
+    val shp = planOf("q_simhash_pairs")
+    assert(!shp.contains("CartesianProduct") &&
+      !shp.contains("BroadcastNestedLoopJoin"),
+      "simhash band join must stay a keyed equi-join")
+    // SemDeDup: pairwise cosine ONLY within a cluster (equi-join on the
+    // cluster id) — a cross-cluster cartesian would be O(N²)
+    val sem = planOf("q_semdedup")
+    assert(!sem.contains("CartesianProduct"),
+      "semdedup pairs must be cluster-local")
+    // line dedup: segment counting partial-combines map-side; the
+    // count-back join is keyed on the segment hash
+    val ld = planOf("q_line_dedup")
+    assert(ld.contains("partial_count"), "segment counts must map-side combine")
+    assert(!ld.contains("CartesianProduct"))
+    // DSIR: the 256-row log-ratio table joins back broadcast — the token
+    // stream never shuffles for the join (the only 1-row totals side is a
+    // broadcast scalar)
+    val dsir = planOf("q_dsir")
+    assert(dsir.contains("BroadcastHashJoin"),
+      "bucket log-ratio join must broadcast")
+    assert(!dsir.contains("CartesianProduct"))
+    // temperature sampling: the 5-row per-domain weights broadcast; the
+    // keep decision is a map-only filter over the corpus
+    val ts = planOf("q_temperature_sample")
+    assert(ts.contains("BroadcastHashJoin"),
+      "per-domain weight join must broadcast")
+    assert(!ts.contains("CartesianProduct"))
+  }
+
   test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
     // the iteration localCheckpoints (lineage truncation), so the published
     // plan is a checkpoint scan — audit the edge-derivation subplan, which

@@ -139,6 +139,28 @@ object EventOps {
         .groupBy("k")
         .agg(count(lit(1)).as("n"))
         .orderBy("k")
+    }),
+
+    // ---- SCD2 (slowly-changing-dimension type 2) build: collapse each
+    // user's event_type stream into validity intervals — keep only the
+    // rows where the state CHANGES, then [valid_from, valid_to) comes
+    // from the next change (NULL = current state). The standard
+    // warehouse state-history derivation from an append-only event log.
+    // Scale shape: two windows over the same (user_id → ts) partitioning,
+    // so ONE shuffle+sort total (Catalyst reuses the sort); the change
+    // filter drops the stream to its information content before the
+    // second window runs. No joins, no self-join-per-version.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val ch = Tables.events(s, d)
+        .withColumn("prev_t", lag("event_type", 1).over(w))
+        .filter(col("prev_t").isNull || col("prev_t") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ch.select(col("user_id"), col("event_type").as("state"),
+          col("ts_us").as("valid_from"),
+          lead("ts_us", 1).over(w2).as("valid_to"),
+          row_number().over(w2).as("version"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -211,6 +233,21 @@ object EventOps {
     "q_json_extract" ->
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)
         |  AS k, CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scd2" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_t
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, ts_us FROM x
+        |  WHERE prev_t IS NULL OR prev_t <> event_type)
+        |SELECT user_id, event_type AS state, ts_us AS valid_from,
+        |  lead(ts_us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS INTEGER) AS version
+        |FROM ch ORDER BY user_id, version""".stripMargin
   )
 }

@@ -101,6 +101,35 @@ object Pipeline {
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("shuf"))
         .orderBy("shuf")
         .limit(100)
+    }),
+
+    // ---- Z-order (Morton) clustering audit: interleave the low 10 bits
+    // of two join/filter dimensions of lineitem into a single 20-bit
+    // curve key, bucket rows by the top 12 curve bits, and report each
+    // bucket's per-dimension min/max envelope. WHY: sorting 100 TB by z
+    // before a partitioned/bucketed write (SinkOps) gives every file a
+    // TIGHT min/max rectangle in BOTH dimensions, so parquet row-group
+    // stats prune 2-D predicates — the standard multi-dimensional
+    // data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER). The envelope
+    // widths this query emits are exactly the skipping quality a table
+    // maintainer monitors. Scale shape: the z key is pure per-row bit
+    // math (codegen'd, no UDF); the audit is one partial-combined agg on
+    // a 64-value key. The production write path is a range-partitioned
+    // sort by z — one shuffle, amortized over every later scan.
+    "q_zorder" -> ((s, d) => {
+      val xb = pmod(col("l_partkey"), lit(1024L))
+      val yb = pmod(col("l_suppkey"), lit(1024L))
+      val z = (0 until 10).map { i =>
+        shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.lineitem(s, d)
+        .select(xb.as("xb"), yb.as("yb"), z.as("z"))
+        .groupBy(shiftright(col("z"), 8).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("xb").as("x_min"), max("xb").as("x_max"),
+          min("yb").as("y_min"), max("yb").as("y_max"))
+        .orderBy("z_bucket")
     })
   )
 
@@ -151,6 +180,20 @@ object Pipeline {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_shuffle_order" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuf
-        |FROM documents ORDER BY shuf LIMIT 100""".stripMargin
+        |FROM documents ORDER BY shuf LIMIT 100""".stripMargin,
+    "q_zorder" -> {
+      val zSql = (0 until 10).map { i =>
+        s"(((xb // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+          s"((yb // ${1L << i}) % 2) * ${1L << (2 * i + 1)})"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT l_partkey % 1024 AS xb, l_suppkey % 1024 AS yb
+         |  FROM lineitem),
+         |z AS (SELECT xb, yb, $zSql AS z FROM b)
+         |SELECT z // 256 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(xb) AS x_min, max(xb) AS x_max,
+         |  min(yb) AS y_min, max(yb) AS y_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -399,6 +399,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ts.contains("CartesianProduct"))
   }
 
+  test("q_scd2: both windows share one sort — a single exchange, no join") {
+    val plan = planOf("q_scd2")
+    assert(!plan.contains("Join"), "SCD2 must not self-join per version")
+    // change-detect and interval windows use the same (user_id, ts)
+    // partitioning: exactly one hashpartitioning exchange feeds them
+    // (the trailing exchange is the presentation ORDER BY's range part)
+    val hashEx = plan.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx")
+  }
+
+  test("q_zorder: curve key is pure per-row math; audit agg partial-combines") {
+    val plan = planOf("q_zorder")
+    assert(!plan.contains("Join") && !plan.contains("Generate"),
+      "z-key derivation must be a narrow map stage")
+    assert(plan.contains("partial_count"), "envelope agg must map-side combine")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "bit interleave must stay codegen'd builtin math")
+  }
+
   test("q_pagerank edge derivation: broadcast dims, no cartesian anywhere") {
     // the iteration localCheckpoints (lineage truncation), so the published
     // plan is a checkpoint scan — audit the edge-derivation subplan, which

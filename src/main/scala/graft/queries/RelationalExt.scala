@@ -172,6 +172,27 @@ object RelationalExt {
         .orderBy("l_returnflag")
     }),
 
+    // ---- column profiling: the pre-pipeline data-quality audit (null
+    // rates, cardinalities, ranges) every ingest runs before trusting a
+    // new 100 TB drop. ONE scan: stack() pivots the four measures into
+    // (col_name, v) rows in the map stage, then a single partial-combined
+    // aggregate per column — versus the naive per-column-scan loop (4
+    // full passes). count_distinct is exact here (the audit's contract);
+    // the HLL variant (q_hll_approx) is the sketch alternative at scale.
+    "q_profile" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val stacked = cols.map(c => s"'$c', $c").mkString(", ")
+      Tables.lineitem(s, d)
+        .select(expr(s"stack(${cols.length}, $stacked) as (col_name, v)"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          min("v").as("v_min"), max("v").as("v_max"),
+          round(sum("v"), 2).as("v_sum"))
+        .orderBy("col_name")
+    }),
+
     // ---- arg-max via max(struct): hash aggregate, no per-group sort
     "q_argmax" -> ((s, d) => {
       Tables.customer(s, d)
@@ -458,6 +479,17 @@ object RelationalExt {
         |  round(var_samp(l_discount), 6) AS var_disc,
         |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS c_qp
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  min($c) AS v_min, max($c) AS v_max,
+           |  round(sum($c), 2) AS v_sum
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q_argmax" ->
       """SELECT c_nationkey, c_custkey AS top_cust, c_acctbal AS bal FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,

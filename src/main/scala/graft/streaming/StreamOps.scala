@@ -144,6 +144,38 @@ object StreamOps {
       .select("ts", "doc_id", "n_words", "distinct_ratio", "sig")
   }
 
+  /** Trending tokens: sliding-window token counts over a document stream —
+    * the live "what is the corpus suddenly full of?" monitor (crawl-loop
+    * drift/spam detection). One stateful operator: explode is narrow, the
+    * windowed count is watermark-bounded keyed state sharded by (window,
+    * token); closed windows emit once (append). Top-k RANKING is not a
+    * time-window aggregate, so it deliberately stays OUT of the stream —
+    * rank the emitted closed windows with [[topTokensPerWindow]] (batch,
+    * or foreachBatch on the sink side): the stream holds counts for every
+    * token in the horizon, the rank step reads only closed windows. */
+  def trendingTokens(docs: DataFrame,
+                     watermarkDelay: String = "10 minutes",
+                     windowDur: String = "10 minutes",
+                     slide: String = "5 minutes"): DataFrame =
+    docs
+      .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("token"), col("n"))
+
+  /** Batch ranking over [[trendingTokens]] output: top-k tokens per closed
+    * window (ties break lexicographically for determinism). */
+  def topTokensPerWindow(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start", "w_end")
+      .orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("w_start", "w_end", "rank", "token", "n")
+  }
+
   /** Stream-static enrichment join: decorate a stream with columns from a
     * bounded dimension table. The static side broadcasts, so each
     * micro-batch is a map-side hash join — the stream never shuffles and

@@ -152,6 +152,71 @@ object CorpusOps {
           round(col("c12").cast("double") / col("c1"), 6).as("p"))
     }),
 
+    // ---- collocation extraction: top-20 bigrams by pointwise mutual
+    // information (min count 5) — the classic multi-word-expression
+    // detector a tokenizer/vocab pipeline runs before merging phrases.
+    // Scale shape: everything after the two token scans is VOCABULARY-
+    // bounded (unigram + bigram-type tables), so the joins broadcast and
+    // the top-20 is a TakeOrdered, never a global sort. PMI is computed
+    // as a product of ratios — each factor stays near 1/p(w), so no
+    // Long-overflowing count products appear at any corpus size (the
+    // q_mi overflow lesson, applied from the start).
+    "q_collocations" -> ((s, d) => {
+      val t = graft.CacheScope.cached(toks(s, d))
+      val uni = t.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val nu = uni.agg(sum("cu").as("nu"))
+      val bg = t.filter(size(col("ws")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+            element_at(col("ws"), i + 2).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val nb = c12.agg(sum("c12").as("nb"))
+      c12.filter(col("c12") >= 5)
+        .join(broadcast(uni.toDF("w1", "cu1")), Seq("w1"))
+        .join(broadcast(uni.toDF("w2", "cu2")), Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log(
+            (col("c12").cast("double") / col("nb")) *
+              (col("nu").cast("double") / col("cu1")) *
+              (col("nu").cast("double") / col("cu2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // ---- interpolated Kneser-Ney bigram probabilities (D = 0.75): the
+    // smoothing a production n-gram LM actually ships (vs q_bigram_lm's
+    // raw MLE). Continuation counts N1+(•w), N1+(w•), N1+(••) all come
+    // from ONE bigram-type table — three vocabulary-bounded aggregates
+    // over it, joined back keyed (AQE broadcasts them at any realistic
+    // vocab size). P_kn = max(c12−D,0)/c1 + D·N1+(w1•)/c1 · N1+(•w2)/N1+(••).
+    "q_kn_lm" -> ((s, d) => {
+      val bg = toks(s, d)
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+            element_at(col("ws"), i + 2).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = graft.CacheScope.cached(
+        bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+      val fw = c12.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_fw"))
+      val bw = c12.groupBy("w2").agg(count(lit(1)).as("n1p_bw"))
+      val nt = c12.agg(count(lit(1)).as("nt"))
+      c12.join(fw, Seq("w1")).join(bw, Seq("w2"))
+        .crossJoin(broadcast(nt))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(
+            greatest(col("c12").cast("double") - 0.75, lit(0.0)) / col("c1")
+              + (lit(0.75) * col("n1p_fw") / col("c1")) *
+                (col("n1p_bw").cast("double") / col("nt")), 6).as("p_kn"))
+        .orderBy("w1", "w2")
+    }),
+
     // ---- per-document LM scoring: mean negative log-likelihood of each
     // document's bigrams under the corpus's own bigram LM — the classic
     // perplexity-based quality filter (docs whose avg_nll is far above the
@@ -332,6 +397,51 @@ object CorpusOps {
          |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
          |FROM c12 JOIN c1 ON c12.w1 = c1.w1
          |ORDER BY 1, 2""".stripMargin,
+    "q_collocations" ->
+      s"""WITH t AS ($tokSql),
+         |bg AS (
+         |  SELECT ws[i] AS w1, ws[i+1] AS w2
+         |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM t)
+         |  WHERE i <= len(ws) - 1),
+         |uni AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cu
+         |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+         |nu AS (SELECT sum(cu) AS nu FROM uni),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM bg GROUP BY 1, 2),
+         |nb AS (SELECT sum(c12) AS nb FROM c12)
+         |SELECT w1, w2, c12,
+         |  round(ln((CAST(c12 AS DOUBLE) / nb) *
+         |           (CAST(nu AS DOUBLE) / u1.cu) *
+         |           (CAST(nu AS DOUBLE) / u2.cu)), 6) AS pmi
+         |FROM c12
+         |JOIN uni u1 ON u1.w = w1
+         |JOIN uni u2 ON u2.w = w2
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE c12 >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_kn_lm" ->
+      s"""WITH t AS ($tokSql),
+         |bg AS (
+         |  SELECT ws[i] AS w1, ws[i+1] AS w2
+         |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM t)
+         |  WHERE i <= len(ws) - 1),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM bg GROUP BY 1, 2),
+         |fw AS (SELECT w1, sum(c12) AS c1, CAST(count(*) AS BIGINT)
+         |         AS n1p_fw FROM c12 GROUP BY 1),
+         |bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw
+         |       FROM c12 GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12)
+         |SELECT c12.w1, c12.w2, c12.c12,
+         |  round(greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0) / fw.c1
+         |    + (0.75 * fw.n1p_fw / fw.c1) *
+         |      (CAST(bw.n1p_bw AS DOUBLE) / nt.nt), 6) AS p_kn
+         |FROM c12
+         |JOIN fw ON fw.w1 = c12.w1
+         |JOIN bw ON bw.w2 = c12.w2
+         |CROSS JOIN nt
+         |ORDER BY c12.w1, c12.w2""".stripMargin,
     "q_lm_score" ->
       s"""WITH t AS ($tokSql),
          |bg AS (

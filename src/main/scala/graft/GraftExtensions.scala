@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.SparkException
-import graft.functions.{DotProduct, SimHash64}
+import graft.functions.{DotProduct, MinHash8, SimHash64}
 
 /** Official Spark extension entry point — enable with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "simhash32(token_hashes) takes one array")
         SimHash64(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash8"),
+      new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "minhash8(shingle_codes) takes one array")
+        MinHash8(exprs.head)
       }))
     ext.injectCheckRule { session => plan: LogicalPlan =>
       if (session.conf.get("spark.graft.rejectNondeterministic", "false")

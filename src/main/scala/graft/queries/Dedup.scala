@@ -30,11 +30,9 @@ object Dedup {
     * collapse to near-identical sets, making every LSH bucket quadratic).
     * Shingle code = first 8 hex chars of md5(w1 ⊔ w2 ⊔ w3): portable across
     * engines, uniform, and content-defined. */
-  private val P = 2147483647L
-  private val A = Seq(1299721L, 1299743L, 1299763L, 1299791L,
-                      1299811L, 1299817L, 1299821L, 1299827L)
-  private val B = Seq(15485863L, 15485867L, 15485917L, 15485927L,
-                      15485933L, 15485941L, 15485959L, 15485989L)
+  private val P = graft.functions.MinHash8.P
+  private val A = graft.functions.MinHash8.A
+  private val B = graft.functions.MinHash8.B
 
   /** doc_id + word-3-gram shingle codes (one row per shingle position).
     *
@@ -60,18 +58,30 @@ object Dedup {
       )).as("code"))
   }
 
-  /** MinHash signature frame: doc_id, mh0..mh7. */
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
-    minhashSigFrom(shingles(s, d))
-
-  /** Signature aggregation over an existing shingle frame — lets callers
-    * that also need the raw shingles (q_minhash_est) share ONE shingling
-    * pass instead of recomputing the md5 fan-out per subtree. */
-  private def minhashSigFrom(sh: DataFrame): DataFrame = {
-    val aggs = A.indices.map { j =>
-      min((col("code") * A(j) + B(j)) % P).as(s"mh$j")
-    }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  /** MinHash signature frame: doc_id, mh0..mh7.
+    *
+    * Map-ONLY since round 5: the per-doc shingle-code array goes through
+    * the native codegen'd `minhash8` expression (one loop per row, 8
+    * minima) instead of explode → 8-way min hash-aggregate. Same
+    * arithmetic, same results (min over the same multiset), but no
+    * corpus × shingle row fan-out and no aggregate at all — the
+    * signature step fuses into the scan's codegen span. */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MinHash8.register(s)
+    val words = split(col("text"), " ")
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), call_function("minhash8", transform(
+        sequence(lit(0), size(col("ws")) - 3),
+        i => conv(substring(md5(concat_ws(" ",
+          element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2),
+          element_at(col("ws"), i + 3))), 1, 8), 16, 10).cast(LongType)
+      )).as("mh"))
+      .select((col("doc_id") +: A.indices.map(j =>
+        element_at(col("mh"), j + 1).as(s"mh$j"))): _*)
   }
 
   /** LSH candidate pairs with ≥2 matching minhashes (shared by

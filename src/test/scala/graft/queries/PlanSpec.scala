@@ -399,6 +399,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ts.contains("CartesianProduct"))
   }
 
+  test("q_minhash_sig is map-only: native minhash8, no explode, no agg") {
+    val plan = planOf("q_minhash_sig")
+    assert(plan.contains("minhash8"), "must use the native expression")
+    assert(!plan.contains("Generate") && !plan.contains("HashAggregate"),
+      "signature step must not fan out shingle rows or aggregate")
+  }
+
   test("q_scd2: both windows share one sort — a single exchange, no join") {
     val plan = planOf("q_scd2")
     assert(!plan.contains("Join"), "SCD2 must not self-join per version")

@@ -105,6 +105,39 @@ object CorpusStats {
           round(log(col("n_types").cast("double")) /
             log(col("n_tokens").cast("double")), 6).as("herdan_c"))
         .orderBy("source")
+    }),
+
+    // ---- pairwise Jensen-Shannon divergence between source token
+    // distributions — the corpus-drift / source-redundancy matrix (two
+    // sources with JSD ≈ 0 are the same crawl twice; a source whose JSD
+    // to every other spikes is an outlier to audit). Scale shape: the
+    // corpus collapses to a (source × word) count table in one pass;
+    // densification is dims × vocab (both bounded — the crossJoin is the
+    // sanctioned dim×dim case), and the pair join is keyed on the word.
+    // Each JSD term is rounded to pico-nats and summed as INTEGERS so
+    // partition order can never flip a bit (the q_dsir discipline).
+    "q_jsd_sources" -> ((s, d) => {
+      val sc = graft.CacheScope.cached(
+        words(s, d).groupBy("source", "w").agg(count(lit(1)).as("c")))
+      val tot = sc.groupBy("source").agg(sum("c").as("n"))
+      val vocab = sc.select("w").distinct()
+      val dense = tot.crossJoin(vocab)
+        .join(sc, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          (coalesce(col("c"), lit(0L)).cast("double") / col("n")).as("p"))
+      val a = dense.toDF("s1", "w", "p")
+      val b = dense.toDF("s2", "w", "q")
+      val term = (p: org.apache.spark.sql.Column,
+                  q: org.apache.spark.sql.Column) =>
+        when(p > 0, p * log(p * 2 / (p + q))).otherwise(lit(0.0))
+      a.join(b, Seq("w"))
+        .filter(col("s1") < col("s2"))
+        .select(col("s1"), col("s2"),
+          round((term(col("p"), col("q")) + term(col("q"), col("p"))) * 0.5
+            * 1e12).cast(LongType).as("t"))
+        .groupBy("s1", "s2")
+        .agg(round(sum("t") / 1e12, 6).as("jsd"))
+        .orderBy("s1", "s2")
     })
   )
 
@@ -146,6 +179,30 @@ object CorpusStats {
         |  CAST(count(*) AS BIGINT) AS n_types,
         |  round(ln(CAST(count(*) AS DOUBLE)) /
         |    ln(CAST(sum(cw) AS DOUBLE)), 6) AS herdan_c
-        |FROM cw GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM cw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_jsd_sources" ->
+      """WITH sc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM sc),
+        |dense AS (
+        |  SELECT t.source, v.w,
+        |    CAST(coalesce(sc.c, 0) AS DOUBLE) / t.n AS p
+        |  FROM tot t CROSS JOIN vocab v
+        |  LEFT JOIN sc ON sc.source = t.source AND sc.w = v.w),
+        |terms AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(round((
+        |      CASE WHEN a.p > 0
+        |        THEN a.p * ln(a.p * 2 / (a.p + b.p)) ELSE 0.0 END +
+        |      CASE WHEN b.p > 0
+        |        THEN b.p * ln(b.p * 2 / (b.p + a.p)) ELSE 0.0 END
+        |    ) * 0.5 * 1e12) AS BIGINT) AS t
+        |  FROM dense a JOIN dense b ON b.w = a.w AND a.source < b.source)
+        |SELECT s1, s2, round(sum(t) / 1e12, 6) AS jsd
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -45,25 +45,39 @@ class ThreeProcessSpec extends AnyFunSuite {
     pb.start()
   }
 
-  private def freePorts(n: Int): Seq[Int] = {
-    val socks = (0 until n).map(_ => new java.net.ServerSocket(0))
-    val ports = socks.map(_.getLocalPort)
-    socks.foreach(_.close())
-    ports
+  /** The bound ephemeral port, parsed from the serve log's
+    * "listening on http://host:port" line. Each JVM binds port 0 itself,
+    * so there is NO probe-then-rebind race with other processes on the
+    * machine (the old freePorts() pattern flaked exactly that way). */
+  private def portFromLog(dir: String, nodeId: String, proc: Process,
+                          deadline: Long): Int = {
+    val log = Paths.get(s"$dir/serve-$nodeId.log")
+    val re = raw"listening on http://[^:]+:(\d+)".r
+    while (System.currentTimeMillis() < deadline) {
+      val text = if (Files.exists(log)) Files.readString(log) else ""
+      re.findFirstMatchIn(text) match {
+        case Some(m) => return m.group(1).toInt
+        case None =>
+          assert(proc.isAlive, s"serve $nodeId died: ${text.takeRight(2000)}")
+          Thread.sleep(250)
+      }
+    }
+    fail(s"serve $nodeId never reported its port")
   }
 
   test("3-node devstack: Concurrency=2 ends {2 Complete, 1 Cancelled}, replicas agree") {
     val dir = Files.createTempDirectory("graft-3p").toString
     val cluster = s"$dir/cluster"
-    val ports = freePorts(3)
     val nodes = Seq("node-a", "node-b", "node-c")
-    val procs = nodes.zip(ports).map { case (id, p) =>
-      spawnServe(dir, cluster, id, p)
-    }
+    val procs = nodes.map(id => spawnServe(dir, cluster, id, port = 0))
     try {
-      // all three APIs must come up (each JVM boots its own SparkSession)
-      val clients = ports.map(p => new ApiClient(s"http://127.0.0.1:$p"))
+      // all three APIs must come up (each JVM boots its own SparkSession
+      // and binds its own ephemeral port)
       val deadline = System.currentTimeMillis() + 150000
+      val ports = nodes.zip(procs).map { case (id, p) =>
+        portFromLog(dir, id, p, deadline)
+      }
+      val clients = ports.map(p => new ApiClient(s"http://127.0.0.1:$p"))
       for ((c, i) <- clients.zipWithIndex) {
         var up = false
         while (!up && System.currentTimeMillis() < deadline) {

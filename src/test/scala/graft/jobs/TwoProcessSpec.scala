@@ -14,9 +14,6 @@ class TwoProcessSpec extends AnyFunSuite {
 
   test("Concurrency=2 over 3 slots ends {2 Complete, 1 Cancelled} across processes") {
     val dir = Files.createTempDirectory("graft-2p").toString
-    val sock = new java.net.ServerSocket(0)
-    val port = sock.getLocalPort
-    sock.close()
     // the forked test JVM's classpath carries classes + spark jars; the
     // child needs the same JDK17 --add-opens set spark-submit would inject
     val addOpens = Seq(
@@ -33,7 +30,9 @@ class TwoProcessSpec extends AnyFunSuite {
       "-Xmx2g", "-cp", sys.props("java.class.path")) ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "graft.Cli", "serve",
-      "--api-port", port.toString,
+      // port 0: the child binds its own ephemeral port and reports it in
+      // the log — no probe-then-rebind race with other JVMs on the box
+      "--api-port", "0",
       "--serve-ms", "120000",
       "--node-slots", "3",
       "--state-dir", s"$dir/state")).toArray
@@ -43,6 +42,20 @@ class TwoProcessSpec extends AnyFunSuite {
     pb.redirectOutput(new java.io.File(s"$dir/serve.log"))
     val proc = pb.start()
     try {
+      val log = java.nio.file.Paths.get(s"$dir/serve.log")
+      val re = raw"listening on http://[^:]+:(\d+)".r
+      var port = -1
+      val portDeadline = System.currentTimeMillis() + 90000
+      while (port < 0 && System.currentTimeMillis() < portDeadline) {
+        val text = if (Files.exists(log)) Files.readString(log) else ""
+        re.findFirstMatchIn(text) match {
+          case Some(m) => port = m.group(1).toInt
+          case None =>
+            assert(proc.isAlive, s"serve died: ${text.takeRight(2000)}")
+            Thread.sleep(250)
+        }
+      }
+      assert(port > 0, "serve never reported its port")
       val client = new ApiClient(s"http://127.0.0.1:$port")
       var up = false
       val deadline = System.currentTimeMillis() + 90000

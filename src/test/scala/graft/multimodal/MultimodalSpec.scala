@@ -170,6 +170,58 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 100 by 4).map(fake).map(_.toByte).toSeq)
   }
 
+  test("perceptual aHash: near-identical images pair, unrelated do not") {
+    val d2 = Files.createTempDirectory("graft-ahash").toString
+    def gradient(noise: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = math.min(255, x * 4 + (if ((x + y) % 17 == 0) noise else 0))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // base, a lightly-noised variant, and a structurally different image
+    javax.imageio.ImageIO.write(gradient(0), "png",
+      new java.io.File(s"$d2/base.png"))
+    javax.imageio.ImageIO.write(gradient(12), "png",
+      new java.io.File(s"$d2/noisy.png"))
+    val other = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) { // vertical gradient instead
+      val v = y * 4
+      other.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    javax.imageio.ImageIO.write(other, "png",
+      new java.io.File(s"$d2/other.png"))
+
+    // kernel level: deterministic, and distance behaves like a perceptual
+    // metric (variant within a few bits, unrelated far away)
+    val hb = Multimodal.aHashBytes(
+      Files.readAllBytes(Paths.get(s"$d2/base.png"))).get
+    val hb2 = Multimodal.aHashBytes(
+      Files.readAllBytes(Paths.get(s"$d2/base.png"))).get
+    assert(hb === hb2, "aHash must be deterministic")
+    val hn = Multimodal.aHashBytes(
+      Files.readAllBytes(Paths.get(s"$d2/noisy.png"))).get
+    val ho = Multimodal.aHashBytes(
+      Files.readAllBytes(Paths.get(s"$d2/other.png"))).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hb, hn) <= 6, s"variant too far: ${ham(hb, hn)} bits")
+    assert(ham(hb, ho) > 6, s"unrelated too close: ${ham(hb, ho)} bits")
+    // un-decodable bytes stay out of the index
+    assert(Multimodal.aHashBytes(Array[Byte](1, 2, 3)).isEmpty)
+
+    // operator level: banded candidate join + Hamming verify finds
+    // exactly the near-dup pair
+    val pairs = Multimodal.nearDupImages(
+      Multimodal.readAssets(spark, d2, glob = "*.png"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.length === 1, s"expected one near-dup pair, got ${pairs.toSeq}")
+    assert(pairs.head._1.endsWith("base.png") &&
+      pairs.head._2.endsWith("noisy.png"))
+  }
+
   test("resize stub strides bytes for codec-less kinds") {
     val out = Multimodal.resizeStub(
         Multimodal.readAssets(spark, dir, glob = "b.wav"), factor = 4)

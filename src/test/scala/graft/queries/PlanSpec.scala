@@ -399,6 +399,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ts.contains("CartesianProduct"))
   }
 
+  test("vocab-bounded LM stats: broadcasts after the corpus pass, no cartesian") {
+    // collocations / Kneser-Ney / source-JSD all collapse the corpus to
+    // vocabulary-sized tables first; the only tolerated non-equi join is
+    // the sanctioned 1-row-scalar / dim×vocab densification crossJoin
+    for (q <- Seq("q_collocations", "q_kn_lm", "q_jsd_sources")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must never cartesian (scalar totals broadcast as BNLJ 1-row)")
+      assert(plan.contains("partial_count"),
+        s"$q corpus aggregates must map-side combine")
+    }
+    // collocations top-20 must be TakeOrdered, not a global sort
+    assert(planOf("q_collocations").contains("TakeOrderedAndProject"))
+    // profiling is ONE scan: a single parquet Scan node feeds the stack
+    val prof = planOf("q_profile")
+    // detail-section headers only ("(n) Scan parquet"); the tree section
+    // repeats each node once more
+    val scans = prof.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"q_profile must profile all columns in one scan, got $scans")
+  }
+
   test("q_minhash_sig is map-only: native minhash8, no explode, no agg") {
     val plan = planOf("q_minhash_sig")
     assert(plan.contains("minhash8"), "must use the native expression")

@@ -280,6 +280,75 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label").as("nearest"), col("d2"))
         .orderBy("vec_id")
+    }),
+
+    // ---- the COMBINED IVF-PQ search path — what a billion-scale ANN
+    // index actually executes per query: (1) coarse-quantize every
+    // corpus vector to its nearest centroid cell (the inverted lists);
+    // (2) probe only the query's nprobe=3 nearest cells; (3) rank the
+    // candidates by PQ asymmetric distance (8 table lookups per
+    // candidate), top-5. q_ivf_assign and q_pq_adc are the two halves
+    // benchmarked alone; this is their composition, and the scale claim
+    // is the product of theirs: ADC work per query drops from O(N) to
+    // O(N · nprobe/k), candidates come from an equi-join on the cell id,
+    // centroid matrix + codebook + distance tables all broadcast.
+    "q_ivfpq_search" -> ((s, d) => {
+      val fl = graft.CacheScope.cached(
+        Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+          .toDF("vec_id", "label", "i", "x")
+          .withColumn("x", col("x").cast("double")))
+      // coarse layer: per-label centroids, every vector ranked by cell
+      val centroids = fl.groupBy(col("label").as("c_label"), col("i"))
+        .agg(avg("x").as("cx"))
+      val d2a = fl.join(broadcast(centroids), Seq("i"))
+        .groupBy("vec_id", "c_label")
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+          .as("d2"))
+      val wv = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("c_label").asc)
+      val ranked = graft.CacheScope.cached(
+        d2a.withColumn("rn", row_number().over(wv)))
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      val probes = ranked.filter(col("vec_id") % 40 === 0 && col("rn") <= 3)
+        .select(col("vec_id").as("q_id"), col("c_label").as("cell"))
+      // PQ layer: identical rules to q_pq_encode / q_pq_adc
+      val sflat = fl.select(col("vec_id"), (col("i") / 8).cast("int")
+        .as("sub"), col("i"), col("x"))
+      val codebook = sflat.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("code"), col("sub"), col("i"),
+          col("x").as("cx"))
+      val dist = sflat.join(broadcast(codebook), Seq("sub", "i"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+          .as("d2"))
+      val wc = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2").asc, col("code").asc)
+      val codes = dist.withColumn("rn", row_number().over(wc))
+        .filter(col("rn") === 1).select("vec_id", "sub", "code")
+      val dtab = sflat.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("q_id"), col("sub"), col("i"),
+          col("x").as("qx"))
+        .join(broadcast(codebook), Seq("sub", "i"))
+        .groupBy("q_id", "sub", "code")
+        .agg(round(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))), 6)
+          .as("dq"))
+      // search: candidates restricted to probed cells, then ADC rank
+      val cand = assign.join(probes, Seq("cell")).select("q_id", "vec_id")
+      val adc = codes.join(cand, Seq("vec_id"))
+        .join(broadcast(dtab), Seq("q_id", "sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(round(sum("dq"), 6).as("adist"))
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("adist").asc, col("vec_id").asc)
+      adc.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("nb_id"), col("rank"),
+          col("adist"))
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -491,6 +560,65 @@ object Similarity {
         |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rank
         |  FROM adc) t
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // combined IVF-PQ: the q_ivf_assign coarse CTEs (ranked, not just
+    // rn=1 — probes take rn<=3) + the q_pq_adc PQ CTEs, with the ADC
+    // restricted to candidates whose assigned cell is probed
+    "q_ivfpq_search" ->
+      s"""WITH $flatSql,
+         |cent AS (
+         |  SELECT label AS c_label, i, avg(x) AS cx
+         |  FROM flat GROUP BY 1, 2),
+         |cdist AS (
+         |  SELECT f.vec_id, c.c_label,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+         |  FROM flat f JOIN cent c ON c.i = f.i
+         |  GROUP BY 1, 2),
+         |cranked AS (
+         |  SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2 ASC, c_label ASC) AS rn
+         |  FROM cdist),
+         |assign AS (SELECT vec_id, c_label AS cell FROM cranked
+         |           WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, c_label AS cell FROM cranked
+         |           WHERE vec_id % 40 = 0 AND rn <= 3),
+         |pflat AS (
+         |  SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub, i, x
+         |  FROM flat),
+         |cb AS (SELECT vec_id AS code, sub, i, x AS cx
+         |       FROM pflat WHERE vec_id < 8),
+         |pdist AS (
+         |  SELECT f.vec_id, f.sub, c.code,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+         |  FROM pflat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2 ASC, code ASC) AS rn
+         |    FROM pdist) t
+         |  WHERE rn = 1),
+         |dtab AS (
+         |  SELECT f.vec_id AS q_id, f.sub, c.code,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS dq
+         |  FROM pflat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
+         |  WHERE f.vec_id % 40 = 0
+         |  GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id
+         |  FROM assign a JOIN probes p ON p.cell = a.cell),
+         |adc AS (
+         |  SELECT c.q_id, k.vec_id, round(sum(d.dq), 6) AS adist
+         |  FROM codes k
+         |  JOIN cand c ON c.vec_id = k.vec_id
+         |  JOIN dtab d ON d.q_id = c.q_id AND d.sub = k.sub
+         |             AND d.code = k.code
+         |  WHERE k.vec_id <> c.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, vec_id AS nb_id, rank, adist FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // recall@5: the knn ground-truth CTEs + the ADC CTEs (renamed pflat/
     // adc_ to avoid clashing with flat), joined on (query, neighbor)
     "q_ann_recall" ->

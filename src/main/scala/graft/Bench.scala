@@ -35,7 +35,10 @@ object Bench {
     "q_dedup_exact", "q_minhash_sig", "q_lsh_pairs", "q_simhash",
     "q_ngram_jaccard", "q_tfidf", "q_bm25", "q_lang_id", "q_token_count",
     "q_text_stats", "q_fingerprint", "q_repetition", "q_gopher_filter",
-    "q_inverted_index", "q_bigram_lm", "q_zipf", "q_vocab_growth")
+    "q_inverted_index", "q_bigram_lm", "q_zipf", "q_vocab_growth",
+    // round-5 second batch (same documents-scan root)
+    "q_simhash_pairs", "q_line_dedup", "q_dsir", "q_temperature_sample",
+    "q_collocations", "q_kn_lm", "q_jsd_sources")
 
   /** SPARK_GRAFT_BENCH_MODE=session — the multi-query session experiment
     * (VERDICT r4 next-round #8): a pipeline that runs the whole text/dedup/

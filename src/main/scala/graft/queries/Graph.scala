@@ -54,6 +54,32 @@ object GraphOps {
           redistributeDangling = true)
         .select(col("node"), round(col("rank"), 5).as("rank"))
         .orderBy("node")
+    }),
+
+    // ---- per-node triangle counts over the undirected trade graph —
+    // the clustering-coefficient primitive (community tightness, link
+    // spam). Standard distributed shape: orient every edge low→high id,
+    // build wedges a<b<c by joining edges on the middle node, close
+    // them with one more equi-join — each triangle found exactly once,
+    // every join keyed, no cartesian. At scale the oriented-edge rule is
+    // what bounds the wedge fan-out (the degree-ordering refinement
+    // replaces id-order with degree-order — same plan shape); as with
+    // PageRank, distilling 100 TB of facts to the edge list (broadcast
+    // dims) is the expensive stage, and the triangle join runs on the
+    // aggregated graph.
+    "q_triangles" -> ((s, d) => {
+      val und = graft.CacheScope.cached(
+        tradeEdges(s, d)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).cast("long").as("u"),
+            greatest(col("src"), col("dst")).cast("long").as("v"))
+          .distinct())
+      val wedges = und.toDF("a", "b").join(und.toDF("b", "c"), Seq("b"))
+        .filter(col("b") < col("c"))
+      val tri = wedges.join(und.toDF("a", "c"), Seq("a", "c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .orderBy("node")
     })
   )
 
@@ -123,6 +149,27 @@ object GraphOps {
     "q_pagerank_dangling" ->
       (s"WITH $edgeSqlDangling,\n" +
         (1 to 5).map(iterSqlDangling).mkString(",\n") +
-        "\nSELECT node, round(rank, 5) AS rank FROM r5 ORDER BY node")
+        "\nSELECT node, round(rank, 5) AS rank FROM r5 ORDER BY node"),
+    "q_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT
+        |    CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
+        |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e0 e1
+        |  JOIN e0 e2 ON e2.u = e1.v AND e2.v > e1.v
+        |  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

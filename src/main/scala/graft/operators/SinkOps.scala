@@ -33,6 +33,32 @@ object SinkOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-ordered (Morton-curve) layout: range-partition + sort by the
+    * bit-interleaved key of two dimension columns before writing, so
+    * every output file covers a TIGHT min/max rectangle in BOTH
+    * dimensions — parquet row-group/file stats then prune 2-D predicates
+    * (the Delta/Iceberg OPTIMIZE ZORDER move; q_zorder is the audit
+    * query over the same curve). Cost model: ONE range-partitioned
+    * shuffle at write time, amortized over every later scan that carries
+    * a predicate on either dimension. The curve key is pure codegen'd
+    * bit math; `bits` bounds the interleave (10 → 2^20 curve cells). */
+  def writeZOrdered(df: DataFrame, outDir: String,
+                    colA: String, colB: String,
+                    files: Int = 8, bits: Int = 10): Unit = {
+    import org.apache.spark.sql.functions._
+    val xb = pmod(col(colA), lit(1L << bits))
+    val yb = pmod(col(colB), lit(1L << bits))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** Small-file compaction — the operational tool every long-lived 100 TB
     * layout needs: streaming/incremental writers leave thousands of KB-
     * sized part files whose per-file open/footer overhead eventually

@@ -88,6 +88,43 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("partitioned"))
   }
 
+  test("z-ordered write: per-file 2-D envelopes shrink, point reads touch fewer files") {
+    import spark.implicits._
+    // 64×64 grid in row-major order: a naive write gives every file the
+    // FULL x range (x cycles within each file), so no file can be skipped
+    // for an x predicate; the z-ordered layout localizes both dims
+    val df = spark.range(64 * 64)
+      .select((col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y"))
+    val plain = Files.createTempDirectory("graft-zplain").toString
+    df.repartition(8).write.mode("overwrite").parquet(plain)
+    val zed = Files.createTempDirectory("graft-zorder").toString
+    SinkOps.writeZOrdered(df, zed, "x", "y", files = 8, bits = 6)
+
+    def envelopes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def area(e: Seq[(Long, Long, Long, Long)]): Long =
+      e.map { case (x0, x1, y0, y1) => (x1 - x0 + 1) * (y1 - y0 + 1) }.sum
+    val (pe, ze) = (envelopes(plain), envelopes(zed))
+    assert(ze.length >= 4, s"expected several z files, got ${ze.length}")
+    // total covered rectangle area: the skipping-quality metric q_zorder
+    // reports — z-order must localize dramatically vs row-major
+    assert(area(ze) * 4 <= area(pe),
+      s"z envelopes not tighter: z=${area(ze)} plain=${area(pe)}")
+    // a 2-D box predicate intersects strictly fewer file envelopes
+    def touched(e: Seq[(Long, Long, Long, Long)]): Int =
+      e.count { case (x0, x1, y0, y1) =>
+        x0 <= 15 && x1 >= 8 && y0 <= 15 && y1 >= 8 }
+    assert(touched(ze) < touched(pe),
+      s"box touches z=${touched(ze)} vs plain=${touched(pe)} files")
+    // and the data itself round-trips
+    assert(spark.read.parquet(zed).count() === 64 * 64)
+  }
+
   test("GraftExtensions installs dot_product + determinism check rule") {
     // a derived session picks extensions up only at builder time, so build
     // a dedicated one (same JVM-wide SparkContext)

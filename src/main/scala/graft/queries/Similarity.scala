@@ -292,7 +292,33 @@ object Similarity {
     // is the product of theirs: ADC work per query drops from O(N) to
     // O(N · nprobe/k), candidates come from an equi-join on the cell id,
     // centroid matrix + codebook + distance tables all broadcast.
-    "q_ivfpq_search" -> ((s, d) => {
+    "q_ivfpq_search" -> ((s, d) => ivfpqTop(s, d)),
+
+    // ---- recall@5 of the COMBINED path against brute-force ground truth.
+    // q_ann_recall isolates the PQ quantization loss (ADC over ALL
+    // vectors); this adds the coarse-probing loss (nprobe=3 of 10 cells)
+    // on top — the two numbers bracket the index's accuracy budget, the
+    // eval a team runs before picking nprobe at production scale.
+    "q_ivfpq_recall" -> ((s, d) => {
+      val exact = knnBrute(s, d).select(col("q_id"), col("nb_id"))
+      val approx = ivfpqTop(s, d)
+        .select(col("q_id").as("aq"), col("nb_id").as("anb"))
+      val hits = exact.join(approx,
+          col("q_id") === col("aq") && col("nb_id") === col("anb"),
+          "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      exact.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 2).as("recall_at_5"))
+        .orderBy("q_id")
+    })
+  )
+
+  /** Combined IVF-PQ top-5 — shared by q_ivfpq_search and
+    * q_ivfpq_recall. */
+  private def ivfpqTop(s: SparkSession, d: String): DataFrame = {
       val fl = graft.CacheScope.cached(
         Tables.embeddings(s, d)
           .repartition(s.sparkContext.defaultParallelism)
@@ -349,8 +375,7 @@ object Similarity {
         .select(col("q_id"), col("vec_id").as("nb_id"), col("rank"),
           col("adist"))
         .orderBy("q_id", "rank")
-    })
-  )
+  }
 
   /** PQ asymmetric-distance top-5 — shared by q_pq_adc and q_ann_recall. */
   private def pqAdc(s: SparkSession, d: String): DataFrame = {
@@ -565,61 +590,52 @@ object Similarity {
     // restricted to candidates whose assigned cell is probed
     "q_ivfpq_search" ->
       s"""WITH $flatSql,
-         |cent AS (
-         |  SELECT label AS c_label, i, avg(x) AS cx
-         |  FROM flat GROUP BY 1, 2),
-         |cdist AS (
-         |  SELECT f.vec_id, c.c_label,
-         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
-         |  FROM flat f JOIN cent c ON c.i = f.i
-         |  GROUP BY 1, 2),
-         |cranked AS (
-         |  SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY d2 ASC, c_label ASC) AS rn
-         |  FROM cdist),
-         |assign AS (SELECT vec_id, c_label AS cell FROM cranked
-         |           WHERE rn = 1),
-         |probes AS (SELECT vec_id AS q_id, c_label AS cell FROM cranked
-         |           WHERE vec_id % 40 = 0 AND rn <= 3),
-         |pflat AS (
-         |  SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub, i, x
-         |  FROM flat),
-         |cb AS (SELECT vec_id AS code, sub, i, x AS cx
-         |       FROM pflat WHERE vec_id < 8),
-         |pdist AS (
-         |  SELECT f.vec_id, f.sub, c.code,
-         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
-         |  FROM pflat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
-         |  GROUP BY 1, 2, 3),
-         |codes AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-         |      ORDER BY d2 ASC, code ASC) AS rn
-         |    FROM pdist) t
-         |  WHERE rn = 1),
-         |dtab AS (
-         |  SELECT f.vec_id AS q_id, f.sub, c.code,
-         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS dq
-         |  FROM pflat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
-         |  WHERE f.vec_id % 40 = 0
-         |  GROUP BY 1, 2, 3),
-         |cand AS (
-         |  SELECT p.q_id, a.vec_id
-         |  FROM assign a JOIN probes p ON p.cell = a.cell),
-         |adc AS (
-         |  SELECT c.q_id, k.vec_id, round(sum(d.dq), 6) AS adist
-         |  FROM codes k
-         |  JOIN cand c ON c.vec_id = k.vec_id
-         |  JOIN dtab d ON d.q_id = c.q_id AND d.sub = k.sub
-         |             AND d.code = k.code
-         |  WHERE k.vec_id <> c.q_id
-         |  GROUP BY 1, 2)
+         |$ivfpqCtes
          |SELECT q_id, vec_id AS nb_id, rank, adist FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
          |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rank
-         |  FROM adc) t
+         |  FROM iadc) t
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    // recall@5: the knn ground-truth CTEs + the ADC CTEs (renamed pflat/
+    // combined-path recall: the knn ground-truth CTEs + the IVF-PQ CTEs,
+    // hits joined on (query, neighbor) exactly like q_ann_recall
+    "q_ivfpq_recall" ->
+      s"""WITH $flatSql,
+         |$ivfpqCtes,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, nb_id,
+         |    round(dt / (nq.nrm * np.nrm), 6) AS cos_r
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm np ON np.vec_id = nb_id),
+         |etop AS (
+         |  SELECT q_id, nb_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_r DESC, nb_id ASC) AS rank
+         |    FROM scored) t
+         |  WHERE rank <= 5),
+         |iatop AS (
+         |  SELECT q_id, vec_id AS nb_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adist ASC, vec_id ASC) AS rank
+         |    FROM iadc) t
+         |  WHERE rank <= 5),
+         |ihits AS (
+         |  SELECT e.q_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM etop e JOIN iatop a
+         |    ON a.q_id = e.q_id AND a.nb_id = e.nb_id
+         |  GROUP BY 1)
+         |SELECT q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0, 2)
+         |    AS recall_at_5
+         |FROM (SELECT DISTINCT q_id FROM etop) q
+         |LEFT JOIN ihits h ON h.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin,
+        // recall@5: the knn ground-truth CTEs + the ADC CTEs (renamed pflat/
     // adc_ to avoid clashing with flat), joined on (query, neighbor)
     "q_ann_recall" ->
       s"""WITH $flatSql,
@@ -773,4 +789,59 @@ object Similarity {
          |df_ AS (
          |  SELECT f.vec_id, c.j, sum(c.cx * c.cx - 2 * f.x * c.cx) AS d
          |  FROM flat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2)""".stripMargin
+
+  /** IVF-PQ CTE chain (coarse assign/probe + PQ codes/dtab + cell-
+    * restricted ADC), ending at `iadc(q_id, vec_id, adist)` — shared
+    * by the q_ivfpq_search and q_ivfpq_recall oracles. */
+  private def ivfpqCtes: String =
+    s"""cent AS (
+         |  SELECT label AS c_label, i, avg(x) AS cx
+         |  FROM flat GROUP BY 1, 2),
+         |cdist AS (
+         |  SELECT f.vec_id, c.c_label,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+         |  FROM flat f JOIN cent c ON c.i = f.i
+         |  GROUP BY 1, 2),
+         |cranked AS (
+         |  SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2 ASC, c_label ASC) AS rn
+         |  FROM cdist),
+         |assign AS (SELECT vec_id, c_label AS cell FROM cranked
+         |           WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, c_label AS cell FROM cranked
+         |           WHERE vec_id % 40 = 0 AND rn <= 3),
+         |pflat AS (
+         |  SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub, i, x
+         |  FROM flat),
+         |cb AS (SELECT vec_id AS code, sub, i, x AS cx
+         |       FROM pflat WHERE vec_id < 8),
+         |pdist AS (
+         |  SELECT f.vec_id, f.sub, c.code,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+         |  FROM pflat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2 ASC, code ASC) AS rn
+         |    FROM pdist) t
+         |  WHERE rn = 1),
+         |dtab AS (
+         |  SELECT f.vec_id AS q_id, f.sub, c.code,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS dq
+         |  FROM pflat f JOIN cb c ON c.sub = f.sub AND c.i = f.i
+         |  WHERE f.vec_id % 40 = 0
+         |  GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id
+         |  FROM assign a JOIN probes p ON p.cell = a.cell),
+         |iadc AS (
+         |  SELECT c.q_id, k.vec_id, round(sum(d.dq), 6) AS adist
+         |  FROM codes k
+         |  JOIN cand c ON c.vec_id = k.vec_id
+         |  JOIN dtab d ON d.q_id = c.q_id AND d.sub = k.sub
+         |             AND d.code = k.code
+         |  WHERE k.vec_id <> c.q_id
+         |  GROUP BY 1, 2)""".stripMargin
+
 }

@@ -236,6 +236,54 @@ object StreamOps {
   /** Event record for the streaming state machine (mirrors
     * graft.jobs.JobEvent; a distinct case class so the streaming Encoder
     * schema is explicit and minimal). */
+  final case class MetricIn(ts_us: Long, event_id: Long, key: String,
+                            value: Double)
+  final case class Anomaly(key: String, event_id: Long, value: Double,
+                           z: Double, n_seen: Long)
+  /** Per-key running-stats state (public: Catalyst's state encoder
+    * generates code against it). */
+  final case class Welford(n: Long, mean: Double, m2: Double)
+
+  /** Streaming anomaly detection: per-key running mean/variance (Welford's
+    * online update — numerically stable, O(1) state per key) via
+    * flatMapGroupsWithState; an event whose |z| exceeds `zThresh` against
+    * the statistics of the points BEFORE it is emitted as an anomaly.
+    * Warmup: nothing fires until `minN` points have been absorbed. State
+    * is 3 doubles per key — sharded by key across executors, no history
+    * buffer, which is the whole point at 100 TB/day telemetry volume.
+    * Determinism: within a batch, points apply in (ts_us, event_id)
+    * order, so replicated runs flag identical ids. */
+  def anomalies(metrics: Dataset[MetricIn],
+                zThresh: Double = 3.0,
+                minN: Long = 10): Dataset[Anomaly] = {
+    import metrics.sparkSession.implicits._
+    metrics.groupByKey(_.key)
+      .flatMapGroupsWithState[Welford, Anomaly](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, points, state: GroupState[Welford]) =>
+          var w = state.getOption.getOrElse(Welford(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[Anomaly]
+          points.toSeq.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+            if (w.n >= minN) {
+              val sd = math.sqrt(w.m2 / (w.n - 1))
+              if (sd > 0) {
+                val z = (p.value - w.mean) / sd
+                if (math.abs(z) > zThresh)
+                  out += Anomaly(key, p.event_id, p.value,
+                    math.rint(z * 1e4) / 1e4, w.n)
+              }
+            }
+            val n1 = w.n + 1
+            val d = p.value - w.mean
+            val mean1 = w.mean + d / n1
+            w = Welford(n1, mean1, w.m2 + d * (p.value - mean1))
+          }
+          state.update(w)
+          out.result().iterator
+      }
+  }
+
   final case class EventIn(
       jobId: String,
       nodeId: String,

@@ -149,6 +149,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming anomaly detection: outliers flagged after warmup, state carries over") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.MetricIn]
+    val q = StreamOps.anomalies(in.toDS(), zThresh = 3.0, minN = 10)
+      .writeStream.format("memory").queryName("anom").outputMode("append")
+      .start()
+    try {
+      // warmup: 12 calm points around 10.0 (sd ~0.3), no anomalies —
+      // including none for the FIRST 10 (pre-warmup)
+      val calm = (1 to 12).map(i =>
+        StreamOps.MetricIn(i * 1000L, i.toLong, "lat",
+          10.0 + (if (i % 2 == 0) 0.3 else -0.3)))
+      in.addData(calm: _*)
+      q.processAllAvailable()
+      assert(spark.table("anom").count() === 0,
+        "calm warmup must not fire")
+      // a later batch: one 10-sigma spike among normal points — exactly
+      // the spike fires, proving per-key state survived the batch gap
+      in.addData(
+        StreamOps.MetricIn(13000L, 13L, "lat", 10.3),
+        StreamOps.MetricIn(14000L, 14L, "lat", 25.0),
+        StreamOps.MetricIn(15000L, 15L, "lat", 9.7))
+      q.processAllAvailable()
+      val hits = spark.table("anom").as[StreamOps.Anomaly].collect()
+      assert(hits.map(_.event_id).toSet === Set(14L), s"hits=${hits.toSeq}")
+      assert(hits.head.z > 3.0 && hits.head.n_seen >= 12L)
+      // an unrelated key starts its own warmup — no cross-key bleed
+      in.addData(StreamOps.MetricIn(16000L, 16L, "qps", 99999.0))
+      q.processAllAvailable()
+      assert(spark.table("anom").count() === 1,
+        "fresh key must warm up independently")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -421,6 +421,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans == 1, s"q_profile must profile all columns in one scan, got $scans")
   }
 
+  test("q_ivfpq_search / q_triangles: keyed joins only, no quadratic operator") {
+    val ivf = planOf("q_ivfpq_search")
+    assert(!ivf.contains("CartesianProduct"),
+      "IVF-PQ search must probe cells via equi-joins")
+    assert(ivf.contains("BroadcastHashJoin"),
+      "centroids/codebook/distance tables must broadcast")
+    val tri = planOf("q_triangles")
+    assert(!tri.contains("CartesianProduct") &&
+      !tri.contains("BroadcastNestedLoopJoin"),
+      "triangle wedges/closures must stay keyed equi-joins")
+  }
+
   test("q_minhash_sig is map-only: native minhash8, no explode, no agg") {
     val plan = planOf("q_minhash_sig")
     assert(plan.contains("minhash8"), "must use the native expression")

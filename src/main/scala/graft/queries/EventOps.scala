@@ -141,6 +141,35 @@ object EventOps {
         .orderBy("k")
     }),
 
+    // ---- CEP-lite sequence pattern match: encode each user's ordered
+    // event stream as a letter string (v=view, c=click, p=purchase, …)
+    // and regex-match the conversion pattern "a view, later a click,
+    // later a purchase, with no purchase in between" — the
+    // MATCH_RECOGNIZE-style detection a funnel can't express (q_funnel
+    // counts stage completion; this demands the ORDER and exclusion).
+    // Scale shape: ONE shuffle keyed by user; each user's sequence is
+    // their own activity (bounded — at 100 TB you sessionize first and
+    // match within sessions, same plan with the session id in the key);
+    // the regex runs codegen'd per row over the reduced string, never
+    // over the event table.
+    "q_event_pattern" -> ((s, d) => {
+      val letter = substring(col("event_type"), 1, 1)
+      val seq = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            letter.as("c")))),
+          x => x.getField("c")), "").as("seq"))
+      seq
+        .select(col("user_id"),
+          regexp_extract(col("seq"), "v[^p]*c[^p]*p", 0).as("m"),
+          length(col("seq")).as("n_events"))
+        .filter(col("m") =!= "")
+        .select(col("user_id"), length(col("m")).as("match_len"),
+          col("n_events"))
+        .orderBy("user_id")
+    }),
+
     // ---- SCD2 (slowly-changing-dimension type 2) build: collapse each
     // user's event_type stream into validity intervals — keep only the
     // rows where the state CHANGES, then [valid_from, valid_to) comes
@@ -234,6 +263,18 @@ object EventOps {
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)
         |  AS k, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_event_pattern" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, regexp_extract(seq, 'v[^p]*c[^p]*p') AS m,
+        |    CAST(length(seq) AS INTEGER) AS n_events
+        |  FROM seq)
+        |SELECT user_id, CAST(length(m) AS INTEGER) AS match_len, n_events
+        |FROM m WHERE m <> '' ORDER BY user_id""".stripMargin,
     "q_scd2" ->
       """WITH x AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

@@ -78,6 +78,71 @@ object Analytics {
         .filter(col("prevmax").isNull || col("prevmax") <= col("p_size"))
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
+    }),
+
+    // ---- two-sample Kolmogorov-Smirnov statistic between the `value`
+    // distributions of two event types — the distribution-drift test a
+    // pipeline runs between data drops (nonparametric: no binning choice
+    // to defend). EXACT arithmetic: D = max|F1−F2| is compared as the
+    // integer |c1·n2 − c2·n1| (common denominator n1·n2), so no float
+    // ever decides the max; the division + rounding happen once on the
+    // winner. Scale shape: collapse both samples to per-DISTINCT-VALUE
+    // counts first (the shuffle is value-cardinality-bounded), running
+    // sums via one window over that aggregate — the same two-phase trick
+    // as q_skyline; the raw samples are never globally sorted.
+    "q_ks_test" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("value"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("s1"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("s2"))
+      val byVal = e.groupBy("value")
+        .agg(sum("s1").as("a1"), sum("s2").as("a2"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val run = byVal
+        .withColumn("c1", sum("a1").over(w))
+        .withColumn("c2", sum("a2").over(w))
+      run.crossJoin(broadcast(
+          e.agg(sum("s1").as("n1"), sum("s2").as("n2"))))
+        .select(col("n1"), col("n2"),
+          abs(col("c1") * col("n2") - col("c2") * col("n1")).as("dnum"))
+        .groupBy("n1", "n2")
+        .agg(max("dnum").as("dmax"))
+        .select(col("n1"), col("n2"),
+          round(col("dmax").cast("double") / (col("n1") * col("n2")), 6)
+            .as("ks_d"))
+    }),
+
+    // ---- PSI (population stability index) between the same two
+    // distributions over 10 equal-width bins of the global value range —
+    // the binned drift score ML-ops dashboards track (PSI < 0.1 stable,
+    // > 0.25 shifted). Bin edges come from a broadcast 1-row min/max
+    // aggregate; counts are add-0.5 smoothed; each bin's term is rounded
+    // to pico-units and INTEGER-summed so partition order cannot move
+    // the score (the q_dsir/q_jsd discipline).
+    "q_psi" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("value"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("s1"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("s2"))
+      val mm = e.agg(min("value").as("lo"), max("value").as("hi"),
+        sum("s1").as("n1"), sum("s2").as("n2"))
+      val binned = e.crossJoin(broadcast(mm))
+        .select(least(lit(9L), floor(
+            (col("value") - col("lo")) / (col("hi") - col("lo")) * 10)
+          .cast("long")).as("bin"),
+          col("s1"), col("s2"), col("n1"), col("n2"))
+      binned.groupBy("bin", "n1", "n2")
+        .agg(sum("s1").as("b1"), sum("s2").as("b2"))
+        .select(col("bin"),
+          (((col("b1") + 0.5) / (col("n1") + 5.0)) -
+            ((col("b2") + 0.5) / (col("n2") + 5.0))).as("dp"),
+          log(((col("b1") + 0.5) / (col("n1") + 5.0)) /
+            ((col("b2") + 0.5) / (col("n2") + 5.0))).as("lr"))
+        .select(round(col("dp") * col("lr") * 1e12).cast("long").as("t"))
+        .agg(round(sum("t") / 1e12, 6).as("psi"))
     })
   )
 
@@ -115,6 +180,54 @@ object Analytics {
         |  SELECT 1 FROM part o
         |  WHERE o.p_retailprice < p.p_retailprice
         |    AND o.p_size > p.p_size)
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "q_ks_test" ->
+      """WITH e AS (
+        |  SELECT value,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s2
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |byval AS (
+        |  SELECT value, CAST(sum(s1) AS BIGINT) AS a1,
+        |    CAST(sum(s2) AS BIGINT) AS a2
+        |  FROM e GROUP BY 1),
+        |run AS (
+        |  SELECT value,
+        |    sum(a1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        |    sum(a2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        |  FROM byval),
+        |tot AS (SELECT CAST(sum(s1) AS BIGINT) AS n1,
+        |          CAST(sum(s2) AS BIGINT) AS n2 FROM e)
+        |SELECT n1, n2,
+        |  round(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+        |    / (n1 * n2), 6) AS ks_d
+        |FROM run CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+    "q_psi" ->
+      """WITH e AS (
+        |  SELECT value,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s2
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |mm AS (SELECT min(value) AS lo, max(value) AS hi,
+        |         CAST(sum(s1) AS BIGINT) AS n1,
+        |         CAST(sum(s2) AS BIGINT) AS n2 FROM e),
+        |b AS (
+        |  SELECT least(9, CAST(floor((value - lo) / (hi - lo) * 10)
+        |    AS BIGINT)) AS bin, s1, s2, n1, n2
+        |  FROM e CROSS JOIN mm),
+        |g AS (SELECT bin, n1, n2, CAST(sum(s1) AS BIGINT) AS b1,
+        |        CAST(sum(s2) AS BIGINT) AS b2
+        |      FROM b GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT CAST(round((
+        |    ((CAST(b1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 5.0)) -
+        |    ((CAST(b2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 5.0))) *
+        |    ln(((CAST(b1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 5.0)) /
+        |       ((CAST(b2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 5.0)))
+        |    * 1e12) AS BIGINT) AS t
+        |  FROM g)
+        |SELECT round(sum(t) / 1e12, 6) AS psi FROM t""".stripMargin
   )
 }

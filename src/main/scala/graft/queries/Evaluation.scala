@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+
+/** Model-evaluation operators — the QA half of a training-data pipeline:
+  * once heuristics (lang-id, quality scores) gate 100 TB of data, someone
+  * has to measure how good the gates are against labeled truth.
+  *
+  *  - q_kappa: Cohen's kappa between the lang-id heuristic (TextOps
+  *    q_lang_id's exact rule) and the true `lang` column — chance-
+  *    corrected agreement, the standard labeler-QA statistic;
+  *  - q_auc: ROC-AUC of the quality score as a predictor of lang='en',
+  *    via the Mann-Whitney rank-sum identity with midrank tie handling.
+  *
+  * Exactness: both reduce to INTEGER contingency/rank arithmetic — the
+  * only floating-point operations are the final divisions, mirrored
+  * op-for-op in the DuckDB oracles. The AUC rank sum is kept ×2 scaled
+  * (midranks are halves) so it stays an exact BIGINT under any partition
+  * order.
+  */
+object Evaluation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The q_lang_id prediction rule (kept textually identical). */
+  private def predLang = {
+    val nonAscii =
+      size(regexp_extract_all(col("text"), lit("[^\\x00-\\x7f]"), lit(0)))
+    val theCnt =
+      size(regexp_extract_all(col("text"), lit("\\bthe\\b"), lit(0)))
+    when(nonAscii > 0, "zh").when(theCnt >= 3, "en").otherwise("unknown")
+  }
+
+  /** The Pipeline/TextOps quality score (textually identical formula). */
+  private def quality = {
+    val nTokens = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
+    val stopCnt =
+      size(regexp_extract_all(col("text"), lit("\\b(the|a)\\b"), lit(0)))
+        .cast(LongType)
+    val stopRatio = round(stopCnt.cast("double") / nTokens, 6)
+    round(log(lit(1.0) + nTokens) * (lit(1.0) - stopRatio), 6)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- Cohen's kappa: observed agreement po vs chance agreement pe
+    // from the marginals; kappa = (po − pe) / (1 − pe). Scale shape: one
+    // map stage computes predictions, then THREE label-bounded aggregates
+    // (diagonal count + two marginal tables, joined on the label —
+    // |labels| rows each, broadcast); the corpus shuffles nothing but
+    // label keys.
+    "q_kappa" -> ((s, d) => {
+      val preds = graft.CacheScope.cached(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("lang"), predLang.as("pred")))
+      val tot = preds.agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("diag"))
+      val tm = preds.groupBy(col("lang").as("lbl")).agg(count(lit(1)).as("ct"))
+      val pm = preds.groupBy(col("pred").as("lbl")).agg(count(lit(1)).as("cp"))
+      val chance = tm.join(pm, Seq("lbl"))
+        .agg(sum(col("ct") * col("cp")).as("x"))
+      tot.crossJoin(broadcast(chance))
+        .select(col("n"),
+          round(col("diag").cast("double") / col("n"), 6).as("po"),
+          round(col("x").cast("double") / (col("n") * col("n")), 6).as("pe"))
+        .select(col("n"), col("po"), col("pe"),
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)
+            .as("kappa"))
+    }),
+
+    // ---- ROC-AUC via the rank-sum identity: rank all scores ascending
+    // with MIDRANKS for ties, then
+    //   AUC = (Σ ranks(pos) − np(np+1)/2) / (np·nn).
+    // The rank sum is computed ×2 (midranks are halves) so it is an
+    // exact integer: srp2 = Σ cp·(2·before + c + 1) over DISTINCT
+    // scores. Scale shape: the corpus collapses to per-distinct-score
+    // (cp, cn) counts first — the window orders the score-cardinality-
+    // bounded aggregate, never the corpus (q_skyline's two-phase trick).
+    "q_auc" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(quality.as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val byScore = scored.groupBy("score")
+        .agg(sum("pos").as("cp"),
+          sum(lit(1L) - col("pos")).as("cn"))
+        .withColumn("c", col("cp") + col("cn"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byScore
+        .withColumn("before", coalesce(sum("c").over(w), lit(0L)))
+      ranked
+        .select((col("cp") * (lit(2L) * col("before") + col("c") + 1))
+          .as("t"), col("cp"), col("cn"))
+        .agg(sum("t").as("srp2"), sum("cp").as("np"), sum("cn").as("nn"))
+        .select(col("np"), col("nn"),
+          round((col("srp2") - col("np") * (col("np") + 1)).cast("double")
+            / (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_kappa" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE WHEN len(regexp_extract_all(text, '[^\x00-\x7f]')) > 0
+        |      THEN 'zh'
+        |    WHEN len(regexp_extract_all(text, '\bthe\b')) >= 3 THEN 'en'
+        |    ELSE 'unknown' END AS pred
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS diag FROM p),
+        |tm AS (SELECT lang AS lbl, CAST(count(*) AS BIGINT) AS ct
+        |       FROM p GROUP BY 1),
+        |pm AS (SELECT pred AS lbl, CAST(count(*) AS BIGINT) AS cp
+        |       FROM p GROUP BY 1),
+        |ch AS (SELECT CAST(sum(ct * cp) AS BIGINT) AS x
+        |       FROM tm JOIN pm ON pm.lbl = tm.lbl),
+        |r AS (
+        |  SELECT n, round(CAST(diag AS DOUBLE) / n, 6) AS po,
+        |    round(CAST(x AS DOUBLE) / (n * n), 6) AS pe
+        |  FROM tot CROSS JOIN ch)
+        |SELECT n, po, pe, round((po - pe) / (1.0 - pe), 6) AS kappa
+        |FROM r""".stripMargin,
+    "q_auc" ->
+      """WITH q AS (
+        |  SELECT round(ln(1.0 + n_tokens) *
+        |      (1.0 - round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6)), 6)
+        |      AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM (
+        |    SELECT lang,
+        |      CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |        AS BIGINT) AS n_tokens,
+        |      CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT)
+        |        AS stop_cnt
+        |    FROM documents) t),
+        |byscore AS (
+        |  SELECT score, CAST(sum(pos) AS BIGINT) AS cp,
+        |    CAST(sum(1 - pos) AS BIGINT) AS cn,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM q GROUP BY 1),
+        |ranked AS (
+        |  SELECT cp, cn, c,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS before
+        |  FROM byscore),
+        |agg AS (
+        |  SELECT CAST(sum(cp * (2 * before + c + 1)) AS BIGINT) AS srp2,
+        |    CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn
+        |  FROM ranked)
+        |SELECT np, nn,
+        |  round(CAST(srp2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn), 6)
+        |    AS auc
+        |FROM agg""".stripMargin
+  )
+}

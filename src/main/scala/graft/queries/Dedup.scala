@@ -298,8 +298,21 @@ object Dedup {
       val nMatch = A.indices
         .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
         .reduce(_ + _)
-      val cs = shingles(s, d).groupBy("doc_id")
-        .agg(collect_set(col("code")).as("cs"))
+      // per-doc DISTINCT shingle-code set as a map-only array op (no
+      // explode + collect_set re-aggregation: the row already has all
+      // its codes — array_distinct folds them in place, zero shuffle)
+      val ws2 = split(col("text"), " ")
+      val cs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), ws2.as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(0), size(col("ws")) - 3),
+          i => conv(substring(md5(concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3))), 1, 8), 16, 10).cast(LongType)
+        )).as("cs"))
       val exact = cs.toDF("da", "ca")
         .join(cs.toDF("db", "cb"), col("db") === col("da") + 1)
         .select(col("da"), col("db"),

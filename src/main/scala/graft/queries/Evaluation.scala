@@ -72,6 +72,41 @@ object Evaluation {
             .as("kappa"))
     }),
 
+    // ---- calibration curve of the logistic quality classifier
+    // (q_quality_logit's exact formula): bin predicted P(keep) into 10
+    // fixed-width bins, compare mean prediction vs observed lang='en'
+    // rate per bin — the reliability diagram that decides whether the
+    // gate's probabilities can be thresholded as probabilities. The
+    // rounded score × 1e6 is integral, so per-bin mean prediction is an
+    // exact integer sum; scale shape is one map stage + one 10-key agg.
+    "q_calibration" -> ((s, d) => {
+      val nTok = (length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
+      val stopRatio = size(regexp_extract_all(col("text"),
+        lit("\\b(the|a)\\b"), lit(0))).cast("double") / nTok
+      val digitRatio = size(regexp_extract_all(col("text"),
+        lit("[0-9]"), lit(0))).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val meanWlen = (length(col("text")) -
+        (nTok - lit(1))).cast("double") / nTok
+      val x = lit(-2.0) + lit(0.9) * log(lit(1.0) + nTok) -
+        lit(3.0) * stopRatio - lit(0.5) * digitRatio +
+        lit(0.2) * meanWlen
+      val score = round(lit(1.0) / (lit(1.0) + exp(-x)), 6)
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(least(lit(9L), floor(score * 10).cast("long")).as("bin"),
+          round(score * 1e6).cast("long").as("s6"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("en"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("s6").as("ss"), sum("en").as("ne"))
+        .select(col("bin"), col("n"),
+          round(col("ss").cast("double") / col("n") / 1e6, 6)
+            .as("mean_pred"),
+          round(col("ne").cast("double") / col("n"), 6).as("obs_en"))
+        .orderBy("bin")
+    }),
+
     // ---- ROC-AUC via the rank-sum identity: rank all scores ascending
     // with MIDRANKS for ties, then
     //   AUC = (Σ ranks(pos) − np(np+1)/2) / (np·nn).
@@ -127,6 +162,35 @@ object Evaluation {
         |  FROM tot CROSS JOIN ch)
         |SELECT n, po, pe, round((po - pe) / (1.0 - pe), 6) AS kappa
         |FROM r""".stripMargin,
+    "q_calibration" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\b(the|a)\b')) AS stop_cnt,
+        |    len(regexp_extract_all(text, '[0-9]')) AS dig_cnt,
+        |    length(text) AS lc
+        |  FROM documents),
+        |x AS (
+        |  SELECT lang,
+        |    -2.0 + 0.9 * ln(1.0 + n_tokens)
+        |      - 3.0 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+        |      - 0.5 * (CAST(dig_cnt AS DOUBLE)
+        |               / CAST(greatest(lc, 1) AS DOUBLE))
+        |      + 0.2 * (CAST(lc - (n_tokens - 1) AS DOUBLE) / n_tokens)
+        |      AS x
+        |  FROM f),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-x)), 6) AS score FROM x),
+        |b AS (
+        |  SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+        |    CAST(round(score * 1e6) AS BIGINT) AS s6,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+        |  FROM sc)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_pred,
+        |  round(CAST(sum(en) AS DOUBLE) / count(*), 6) AS obs_en
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_auc" ->
       """WITH q AS (
         |  SELECT round(ln(1.0 + n_tokens) *

@@ -294,6 +294,45 @@ object Similarity {
     // centroid matrix + codebook + distance tables all broadcast.
     "q_ivfpq_search" -> ((s, d) => ivfpqTop(s, d)),
 
+    // ---- NDCG@5 of the combined path: recall treats every true top-5
+    // neighbor as equally valuable; NDCG grades each RETURNED neighbor by
+    // its true cosine and discounts by rank, so "found the 6th-best
+    // instead of the 5th" costs almost nothing while "returned junk at
+    // rank 1" costs a lot — the ranking-quality lens on the same index.
+    // Exactness: each rank term rounds to nano-units BEFORE the per-query
+    // sum (integer addition), and the scale factor cancels in the final
+    // DCG/IDCG ratio.
+    "q_ndcg" -> ((s, d) => {
+      val all = vecs(s, d)
+      val q = all.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val scored = graft.CacheScope.cached(
+        all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("nb_id"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+              .as("cos_r")))
+      val rel = greatest(col("cos_r"), lit(0.0))
+      def dcgTerm(rank: org.apache.spark.sql.Column) =
+        round(rel / log2(rank + 1) * 1e9).cast("long")
+      val da = ivfpqTop(s, d).select("q_id", "nb_id", "rank")
+        .join(scored, Seq("q_id", "nb_id"))
+        .select(col("q_id"), dcgTerm(col("rank")).as("t"))
+        .groupBy("q_id").agg(sum("t").as("dcg"))
+      val wi = Window.partitionBy("q_id")
+        .orderBy(col("cos_r").desc, col("nb_id").asc)
+      val di = scored.withColumn("rank", row_number().over(wi))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), dcgTerm(col("rank")).as("t"))
+        .groupBy("q_id").agg(sum("t").as("idcg"))
+      di.join(da, Seq("q_id"), "left")
+        .select(col("q_id"),
+          when(col("idcg") > 0, round(
+            coalesce(col("dcg"), lit(0L)).cast("double") / col("idcg"), 6))
+            .otherwise(0.0).as("ndcg_at_5"))
+        .orderBy("q_id")
+    }),
+
     // ---- recall@5 of the COMBINED path against brute-force ground truth.
     // q_ann_recall isolates the PQ quantization loss (ADC over ALL
     // vectors); this adds the coarse-probing loss (nprobe=3 of 10 cells)
@@ -596,6 +635,51 @@ object Similarity {
          |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rank
          |  FROM iadc) t
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // NDCG@5: the IVF-PQ CTEs + the full cosine frame; per-rank terms
+    // round to nano-units before integer summation (scale cancels in the
+    // DCG/IDCG ratio)
+    "q_ndcg" ->
+      s"""WITH $flatSql,
+         |$ivfpqCtes,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, nb_id,
+         |    round(dt / (nq.nrm * np.nrm), 6) AS cos_r
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm np ON np.vec_id = nb_id),
+         |iatop AS (
+         |  SELECT q_id, vec_id AS nb_id, rank FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rank
+         |    FROM iadc) t
+         |  WHERE rank <= 5),
+         |da AS (
+         |  SELECT a.q_id,
+         |    CAST(sum(CAST(round(greatest(s.cos_r, 0.0)
+         |      / log2(a.rank + 1) * 1e9) AS BIGINT)) AS BIGINT) AS dcg
+         |  FROM iatop a JOIN scored s
+         |    ON s.q_id = a.q_id AND s.nb_id = a.nb_id
+         |  GROUP BY 1),
+         |di AS (
+         |  SELECT q_id,
+         |    CAST(sum(CAST(round(greatest(cos_r, 0.0)
+         |      / log2(rank + 1) * 1e9) AS BIGINT)) AS BIGINT) AS idcg
+         |  FROM (
+         |    SELECT q_id, cos_r, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_r DESC, nb_id ASC) AS INTEGER) AS rank
+         |    FROM scored) t
+         |  WHERE rank <= 5 GROUP BY 1)
+         |SELECT di.q_id,
+         |  CASE WHEN di.idcg > 0 THEN round(
+         |    CAST(COALESCE(da.dcg, 0) AS DOUBLE) / di.idcg, 6)
+         |  ELSE 0.0 END AS ndcg_at_5
+         |FROM di LEFT JOIN da ON da.q_id = di.q_id
+         |ORDER BY di.q_id""".stripMargin,
     // combined-path recall: the knn ground-truth CTEs + the IVF-PQ CTEs,
     // hits joined on (query, neighbor) exactly like q_ann_recall
     "q_ivfpq_recall" ->

@@ -80,6 +80,82 @@ object Analytics {
         .orderBy("p_partkey")
     }),
 
+    // ---- Welch's t-test (unequal variances) between two event types'
+    // value distributions — the A/B-test primitive. Values are cent-
+    // quantized (round(v·100) — deterministic from the same float64 in
+    // both engines) so Σv and Σv² are exact BIGINTs; the only doubles
+    // are the final mean/variance/t expressions, mirrored op-for-op.
+    // Scale shape: ONE pass, two-row aggregate — nothing shuffles but
+    // the per-group partial sums.
+    "q_ab_test" -> ((s, d) => {
+      val v6 = round(col("value") * 100).cast("long")
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type"), v6.as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      val a = g.filter(col("event_type") === "view")
+        .select(col("n").as("n1"), col("s1").as("a1"), col("s2").as("a2"))
+      val b = g.filter(col("event_type") === "purchase")
+        .select(col("n").as("n2"), col("s1").as("b1"), col("s2").as("b2"))
+      val m1 = col("a1").cast("double") / col("n1")
+      val m2 = col("b1").cast("double") / col("n2")
+      val v1 = (col("a2").cast("double") -
+        col("a1").cast("double") * col("a1") / col("n1")) / (col("n1") - 1)
+      val v2 = (col("b2").cast("double") -
+        col("b1").cast("double") * col("b1") / col("n2")) / (col("n2") - 1)
+      a.crossJoin(broadcast(b))
+        .select(col("n1"), col("n2"),
+          round(m1 / 100, 4).as("mean_a"),
+          round(m2 / 100, 4).as("mean_b"),
+          round((m1 - m2) / sqrt(v1 / col("n1") + v2 / col("n2")), 4)
+            .as("t_stat"))
+    }),
+
+    // ---- deterministic bootstrap CI for the mean purchase value: 32
+    // resampling replicas whose per-row multiplicities come from an
+    // md5-derived Poisson(1) table (368/736/920/981 ‰ cut points) — the
+    // reproducible bootstrap the determinism gate allows (rand() is
+    // rejected). Replica sums are exact integer (cent × multiplicity);
+    // the interval is the 2nd-smallest / 2nd-largest replica mean
+    // (≈ 94% coverage with B = 32). Scale shape: one 32× map-side
+    // expansion, one 32-key aggregate, a 32-row window — the corpus
+    // never sorts.
+    "q_bootstrap_ci" -> ((s, d) => {
+      val v6 = round(col("value") * 100).cast("long")
+      val base = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), v6.as("c"))
+      val rep = base
+        .select(col("event_id"), col("c"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("b"), col("c"),
+          (conv(substring(md5(concat(col("event_id").cast("string"),
+            lit("_"), col("b").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000).as("u"))
+        .select(col("b"), col("c"),
+          when(col("u") < 368, 0L).when(col("u") < 736, 1L)
+            .when(col("u") < 920, 2L).when(col("u") < 981, 3L)
+            .otherwise(4L).as("w"))
+      val means = rep.groupBy("b")
+        .agg((sum(col("w") * col("c")).cast("double") / sum("w")).as("m"))
+      val lo = Window.orderBy(col("m").asc, col("b").asc)
+      val hi = Window.orderBy(col("m").desc, col("b").desc)
+      val picked = means
+        .withColumn("ra", row_number().over(lo))
+        .withColumn("rd", row_number().over(hi))
+      val bounds = picked.agg(
+        max(when(col("ra") === 2, col("m"))).as("lo_m"),
+        max(when(col("rd") === 2, col("m"))).as("hi_m"))
+      base.agg(count(lit(1)).as("n"), sum("c").as("s"))
+        .crossJoin(broadcast(bounds))
+        .select(col("n"),
+          round(col("s").cast("double") / col("n") / 100, 4).as("mean_v"),
+          round(col("lo_m") / 100, 4).as("ci_lo"),
+          round(col("hi_m") / 100, 4).as("ci_hi"))
+    }),
+
     // ---- two-sample Kolmogorov-Smirnov statistic between the `value`
     // distributions of two event types — the distribution-drift test a
     // pipeline runs between data drops (nonparametric: no binning choice
@@ -181,6 +257,58 @@ object Analytics {
         |  WHERE o.p_retailprice < p.p_retailprice
         |    AND o.p_size > p.p_size)
         |ORDER BY p_partkey""".stripMargin,
+    "q_ab_test" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM (SELECT event_type,
+        |          CAST(round(value * 100) AS BIGINT) AS c
+        |        FROM events WHERE event_type IN ('view', 'purchase')) t
+        |  GROUP BY 1),
+        |a AS (SELECT n AS n1, s1 AS a1, s2 AS a2 FROM g
+        |      WHERE event_type = 'view'),
+        |b AS (SELECT n AS n2, s1 AS b1, s2 AS b2 FROM g
+        |      WHERE event_type = 'purchase')
+        |SELECT n1, n2,
+        |  round(CAST(a1 AS DOUBLE) / n1 / 100, 4) AS mean_a,
+        |  round(CAST(b1 AS DOUBLE) / n2 / 100, 4) AS mean_b,
+        |  round((CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n2) /
+        |    sqrt(((CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+        |            / (n1 - 1)) / n1 +
+        |         ((CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / n2)
+        |            / (n2 - 1)) / n2), 4) AS t_stat
+        |FROM a CROSS JOIN b""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |rep AS (
+        |  SELECT b, c,
+        |    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || '_'
+        |      || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS u
+        |  FROM base, generate_series(0, 31) g(b)),
+        |w AS (
+        |  SELECT b, c, CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+        |    WHEN u < 920 THEN 2 WHEN u < 981 THEN 3 ELSE 4 END AS w
+        |  FROM rep),
+        |means AS (
+        |  SELECT b, CAST(CAST(sum(w * c) AS BIGINT) AS DOUBLE)
+        |    / CAST(sum(w) AS BIGINT) AS m
+        |  FROM w GROUP BY 1),
+        |picked AS (
+        |  SELECT m,
+        |    row_number() OVER (ORDER BY m ASC, b ASC) AS ra,
+        |    row_number() OVER (ORDER BY m DESC, b DESC) AS rd
+        |  FROM means),
+        |bounds AS (
+        |  SELECT max(CASE WHEN ra = 2 THEN m END) AS lo_m,
+        |    max(CASE WHEN rd = 2 THEN m END) AS hi_m
+        |  FROM picked),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(c) AS BIGINT) AS s FROM base)
+        |SELECT n, round(CAST(s AS DOUBLE) / n / 100, 4) AS mean_v,
+        |  round(lo_m / 100, 4) AS ci_lo, round(hi_m / 100, 4) AS ci_hi
+        |FROM tot CROSS JOIN bounds""".stripMargin,
     "q_ks_test" ->
       """WITH e AS (
         |  SELECT value,

@@ -107,6 +107,45 @@ object CorpusStats {
         .orderBy("source")
     }),
 
+    // ---- per-source distinctive keywords by chi-square: for each
+    // (source, word) 2×2 contingency cell, χ² = N·(o11·o22 − o12·o21)² /
+    // (st·wt·(N−st)·(N−wt)); keep positively-associated words seen ≥ 5
+    // times, top-3 per source — "what does this crawl talk about that
+    // the rest of the corpus doesn't", the domain-labeling signal a mix
+    // designer reads before weighting sources. Scale shape: one
+    // (source × word) reduce, marginals broadcast back, the rank window
+    // orders vocabulary-bounded rows per source. The determinant math is
+    // DOUBLE from the start (counts·counts at 100 TB overflow BIGINT —
+    // the q_mi lesson), mirrored op-for-op in the oracle.
+    "q_chi2_keywords" -> ((s, d) => {
+      val sc = graft.CacheScope.cached(
+        words(s, d).groupBy("source", "w").agg(count(lit(1)).as("c")))
+      val st = sc.groupBy("source").agg(sum("c").as("st"))
+      val wt = sc.groupBy("w").agg(sum("c").as("wt"))
+      val n = sc.agg(sum("c").as("n"))
+      val o11 = col("c").cast("double")
+      val o12 = (col("st") - col("c")).cast("double")
+      val o21 = (col("wt") - col("c")).cast("double")
+      val o22 = (col("n") - col("st") - col("wt") + col("c")).cast("double")
+      val det = o11 * o22 - o12 * o21
+      val chi2 = round(col("n").cast("double") * det * det /
+        (col("st").cast("double") * col("wt") *
+          (col("n") - col("st")) * (col("n") - col("wt"))), 4)
+      val scored = sc
+        .join(broadcast(st), Seq("source"))
+        .join(broadcast(wt), Seq("w"))
+        .crossJoin(broadcast(n))
+        .filter(col("c") >= 5 && det > 0)
+        .select(col("source"), col("w"), chi2.as("chi2"))
+      val rw = Window.partitionBy("source")
+        .orderBy(col("chi2").desc, col("w").asc)
+      scored.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("w").as("keyword"),
+          col("chi2"))
+        .orderBy("source", "rank")
+    }),
+
     // ---- pairwise Jensen-Shannon divergence between source token
     // distributions — the corpus-drift / source-redundancy matrix (two
     // sources with JSD ≈ 0 are the same crawl twice; a source whose JSD
@@ -180,6 +219,44 @@ object CorpusStats {
         |  round(ln(CAST(count(*) AS DOUBLE)) /
         |    ln(CAST(sum(cw) AS DOUBLE)), 6) AS herdan_c
         |FROM cw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_chi2_keywords" ->
+      """WITH sc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS st
+        |       FROM sc GROUP BY 1),
+        |wt AS (SELECT w, CAST(sum(c) AS BIGINT) AS wt FROM sc GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sc),
+        |scored AS (
+        |  SELECT sc.source, sc.w,
+        |    round(CAST(n.n AS DOUBLE) *
+        |      (CAST(sc.c AS DOUBLE) *
+        |         CAST(n.n - st.st - wt.wt + sc.c AS DOUBLE) -
+        |       CAST(st.st - sc.c AS DOUBLE) *
+        |         CAST(wt.wt - sc.c AS DOUBLE)) *
+        |      (CAST(sc.c AS DOUBLE) *
+        |         CAST(n.n - st.st - wt.wt + sc.c AS DOUBLE) -
+        |       CAST(st.st - sc.c AS DOUBLE) *
+        |         CAST(wt.wt - sc.c AS DOUBLE)) /
+        |      (CAST(st.st AS DOUBLE) * wt.wt * (n.n - st.st)
+        |        * (n.n - wt.wt)), 4) AS chi2
+        |  FROM sc
+        |  JOIN st ON st.source = sc.source
+        |  JOIN wt ON wt.w = sc.w
+        |  CROSS JOIN n
+        |  WHERE sc.c >= 5
+        |    AND CAST(sc.c AS DOUBLE) *
+        |          CAST(n.n - st.st - wt.wt + sc.c AS DOUBLE) -
+        |        CAST(st.st - sc.c AS DOUBLE) *
+        |          CAST(wt.wt - sc.c AS DOUBLE) > 0)
+        |SELECT source, rank, w AS keyword, chi2 FROM (
+        |  SELECT source, w, chi2,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY chi2 DESC, w ASC) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "q_jsd_sources" ->
       """WITH sc AS (
         |  SELECT source, w, CAST(count(*) AS BIGINT) AS c

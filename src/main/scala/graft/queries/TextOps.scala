@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.Tables
@@ -94,6 +95,48 @@ object TextOps {
     // public formula; k1=1.2, b=0.75). Same two aggregations as TF-IDF plus
     // a broadcast scalar (avg doc length); scored against a fixed query
     // term set — the batch shape of a search index build.
+    // ---- hybrid-retrieval rank fusion (RRF): fuse the BM25 ranking and
+    // the TF-IDF ranking of the docs matching one query term with
+    // reciprocal-rank fusion, score = Σ 1/(60+rank) — the standard way a
+    // search stack combines lexical and second-signal rankings without
+    // calibrating their scores against each other. Scale shape: both
+    // rankings live on the MATCHING docs only (bounded by the term's
+    // document frequency), scalars broadcast, final top-20 is a
+    // TakeOrdered.
+    "q_rrf_fuse" -> ((s, d) => {
+      val (k1, b, term) = (1.2, 0.75, "join")
+      val toks = split(col("text"), " ")
+      val perDoc = graft.CacheScope.cached(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), size(toks).cast("long").as("dl"),
+            size(filter(toks, x => x === lit(term))).cast("long").as("tf")))
+      val stats = perDoc.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg("dl").as("avgdl"),
+        sum(when(col("tf") > 0, 1L).otherwise(0L)).cast("double").as("df"))
+      val scoredDocs = perDoc.filter(col("tf") > 0)
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(log((col("n_docs") - col("df") + 0.5) /
+              (col("df") + 0.5) + 1.0) *
+            (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) *
+              (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+            .as("bm25"),
+          round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      val ra = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val rb = Window.orderBy(col("tfidf").desc, col("doc_id").asc)
+      scoredDocs
+        .withColumn("r_bm", row_number().over(ra))
+        .withColumn("r_tf", row_number().over(rb))
+        .select(col("doc_id"), col("r_bm"), col("r_tf"),
+          round(lit(1.0) / (col("r_bm") + 60) +
+            lit(1.0) / (col("r_tf") + 60), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     "q_bm25" -> ((s, d) => {
       // Explode-free form: for a FIXED query-term set, per-doc tf and dl
       // fold inside array expressions on the document's own row (size of
@@ -282,6 +325,37 @@ object TextOps {
         |       WHEN len(regexp_extract_all(text, '\bthe\b')) >= 3 THEN 'en'
         |       ELSE 'unknown' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_rrf_fuse" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM words GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |            avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM words WHERE w = 'join' GROUP BY 1),
+        |dfv AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * (tf.tf * (1.2 + 1)) /
+        |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+        |      AS bm25,
+        |    round(tf.tf * ln(s.n_docs / d.df), 6) AS tfidf
+        |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s CROSS JOIN dfv d),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+        |      AS INTEGER) AS r_bm,
+        |    CAST(row_number() OVER (ORDER BY tfidf DESC, doc_id ASC)
+        |      AS INTEGER) AS r_tf
+        |  FROM scored)
+        |SELECT doc_id, r_bm, r_tf,
+        |  round(CAST(1 AS DOUBLE) / (r_bm + 60)
+        |    + CAST(1 AS DOUBLE) / (r_tf + 60), 6) AS rrf
+        |FROM ranked ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_bm25" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -235,6 +235,30 @@ object RelationalMore {
           date_add(col("o_orderdate"), 90).as("due"),
           date_trunc("month", col("o_orderdate")).as("month_start"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- fuzzy join (entity resolution): near-identical part names
+    // matched by BLOCKING on the head noun + Levenshtein ≤ 2 verification
+    // within the block — the record-linkage shape ("Jon Smith" ≈ "John
+    // Smith") that a naive similarity join would compute as an O(n²)
+    // cross product. Scale: the block key is the equi-join key (shuffle
+    // keyed, candidate count = Σ block², bounded by blocking quality);
+    // the edit-distance verifier is a codegen'd builtin running only on
+    // candidates. Output aggregates to distinct matched name pairs with
+    // their pair multiplicity.
+    "q_fuzzy_join" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          element_at(split(col("p_name"), " "), 2).as("blk"))
+      val a = p.toDF("ka", "na", "blk")
+      val b = p.toDF("kb", "nb", "blk")
+      a.join(b, Seq("blk"))
+        .filter(col("na") < col("nb"))
+        .select(col("na"), col("nb"),
+          levenshtein(col("na"), col("nb")).as("dist"))
+        .filter(col("dist") >= 1 && col("dist") <= 2)
+        .groupBy("na", "nb", "dist").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("na", "nb")
     })
   )
 
@@ -363,6 +387,16 @@ object RelationalMore {
         |    AS INTEGER) AS age_days,
         |  CAST(o_orderdate AS DATE) + 90 AS due,
         |  date_trunc('month', o_orderdate) AS month_start
-        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS blk
+        |  FROM part)
+        |SELECT a.p_name AS na, b.p_name AS nb,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p a JOIN p b ON b.blk = a.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -433,6 +433,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "triangle wedges/closures must stay keyed equi-joins")
   }
 
+  test("drift/eval/fuzzy ops: bounded aggregates first, no quadratic joins") {
+    // the statistical family must reduce the corpus to bounded frames
+    // (distinct values, bins, labels, 32 replicas) before any window or
+    // scalar math — a cartesian anywhere means the reduction was lost
+    for (q <- Seq("q_ks_test", "q_psi", "q_kappa", "q_auc", "q_ab_test",
+        "q_bootstrap_ci", "q_calibration", "q_chi2_keywords")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not cartesian (scalar sides broadcast)")
+      assert(plan.contains("partial_"),
+        s"$q corpus aggregate must map-side combine")
+    }
+    // fuzzy join: candidates from the block-key equi-join, never n²
+    val fz = planOf("q_fuzzy_join")
+    assert(!fz.contains("CartesianProduct") &&
+      !fz.contains("BroadcastNestedLoopJoin"),
+      "fuzzy join must stay blocked")
+    // RRF: both rank windows over the df-bounded matching set; top-20 is
+    // a TakeOrdered, not a global sort of the corpus
+    assert(planOf("q_rrf_fuse").contains("TakeOrderedAndProject"))
+  }
+
   test("q_minhash_sig is map-only: native minhash8, no explode, no agg") {
     val plan = planOf("q_minhash_sig")
     assert(plan.contains("minhash8"), "must use the native expression")

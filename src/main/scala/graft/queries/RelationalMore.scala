@@ -239,25 +239,30 @@ object RelationalMore {
 
     // ---- fuzzy join (entity resolution): near-identical part names
     // matched by BLOCKING on the head noun + Levenshtein ≤ 2 verification
-    // within the block — the record-linkage shape ("Jon Smith" ≈ "John
-    // Smith") that a naive similarity join would compute as an O(n²)
-    // cross product. Scale: the block key is the equi-join key (shuffle
-    // keyed, candidate count = Σ block², bounded by blocking quality);
-    // the edit-distance verifier is a codegen'd builtin running only on
-    // candidates. Output aggregates to distinct matched name pairs with
-    // their pair multiplicity.
+    // — the record-linkage shape ("Jon Smith" ≈ "John Smith") that a
+    // naive similarity join would compute as an O(n²) cross product.
+    // Scale design, two stages: (1) DEDUPLICATE to the distinct-name
+    // dictionary first (one hash agg — real string columns repeat
+    // heavily, so the dictionary is orders of magnitude smaller than the
+    // table); (2) block-join the DICTIONARY and verify edit distance
+    // there; row-pair multiplicity is then the product of the two name
+    // counts — no raw row ever meets another raw row. (The first cut
+    // joined raw rows within blocks: 34 s at sf0.1 vs 0.3 s for this
+    // form, same result.)
     "q_fuzzy_join" -> ((s, d) => {
-      val p = Tables.part(s, d)
-        .select(col("p_partkey"), col("p_name"),
+      val names = Tables.part(s, d)
+        .groupBy("p_name").agg(count(lit(1)).as("cnt"))
+        .select(col("p_name"), col("cnt"),
           element_at(split(col("p_name"), " "), 2).as("blk"))
-      val a = p.toDF("ka", "na", "blk")
-      val b = p.toDF("kb", "nb", "blk")
+      val a = names.toDF("na", "ca", "blk")
+      val b = names.toDF("nb", "cb", "blk")
       a.join(b, Seq("blk"))
         .filter(col("na") < col("nb"))
         .select(col("na"), col("nb"),
-          levenshtein(col("na"), col("nb")).as("dist"))
+          levenshtein(col("na"), col("nb")).as("dist"),
+          (col("ca") * col("cb")).as("n_pairs"))
         .filter(col("dist") >= 1 && col("dist") <= 2)
-        .groupBy("na", "nb", "dist").agg(count(lit(1)).as("n_pairs"))
+        .select("na", "nb", "dist", "n_pairs")
         .orderBy("na", "nb")
     })
   )

@@ -23,7 +23,8 @@ object SparkEntry {
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Pipeline.queries ++ CorpusOps.queries ++ GraphOps.queries ++
       Tpch.queries ++ CorpusMix.queries ++ Analytics.queries ++
-      CorpusStats.queries ++ Curation.queries ++ Evaluation.queries
+      CorpusStats.queries ++ Curation.queries ++ Evaluation.queries ++
+      Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Pipeline.oracle ++ CorpusOps.oracle ++ GraphOps.oracle ++
       Tpch.oracle ++ CorpusMix.oracle ++ Analytics.oracle ++
-      CorpusStats.oracle ++ Curation.oracle ++ Evaluation.oracle
+      CorpusStats.oracle ++ Curation.oracle ++ Evaluation.oracle ++
+      Quality.oracle
 }

@@ -24,7 +24,7 @@ object SparkEntry {
       Pipeline.queries ++ CorpusOps.queries ++ GraphOps.queries ++
       Tpch.queries ++ CorpusMix.queries ++ Analytics.queries ++
       CorpusStats.queries ++ Curation.queries ++ Evaluation.queries ++
-      Quality.queries
+      Quality.queries ++ LinAlg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       Pipeline.oracle ++ CorpusOps.oracle ++ GraphOps.oracle ++
       Tpch.oracle ++ CorpusMix.oracle ++ Analytics.oracle ++
       CorpusStats.oracle ++ Curation.oracle ++ Evaluation.oracle ++
-      Quality.oracle
+      Quality.oracle ++ LinAlg.oracle
 }

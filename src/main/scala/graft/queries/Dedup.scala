@@ -359,6 +359,41 @@ object Dedup {
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")), 6).as("jac"))
         .orderBy("da")
+    }),
+
+    // ---- ASYMMETRIC containment — the excerpt/quote detector Jaccard
+    // misses: C(A→B) = |A∩B| / |A| is high when A is a fragment of B
+    // even though the symmetric Jaccard is low (a tweet quoting a book
+    // chapter). Same map-only distinct-bigram sets and doc-level join
+    // as q_ngram_jaccard; both directions come from ONE intersection.
+    // Verdicts compare the ROUNDED ratios so both engines classify
+    // identically.
+    "q_containment" -> ((s, d) => {
+      val gsets = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => concat(element_at(col("ws"), i + 1), lit(" "),
+            element_at(col("ws"), i + 2)))).as("gs"))
+      val a = gsets.select(col("doc_id").as("da"), col("gs").as("ga"))
+      val b = gsets.select(col("doc_id").as("db"), col("gs").as("gb"))
+      a.join(b, col("db") === col("da") + 1)
+        .select(col("da"), col("db"),
+          size(array_intersect(col("ga"), col("gb"))).cast(LongType)
+            .as("inter"),
+          size(col("ga")).cast(LongType).as("na"),
+          size(col("gb")).cast(LongType).as("nb"))
+        .select(col("da"), col("db"),
+          round(col("inter").cast("double") / col("na"), 6).as("cont_ab"),
+          round(col("inter").cast("double") / col("nb"), 6).as("cont_ba"))
+        .withColumn("verdict",
+          when(col("cont_ab") >= 0.8, "a_in_b")
+            .when(col("cont_ba") >= 0.8, "b_in_a")
+            .when(greatest(col("cont_ab"), col("cont_ba")) >= 0.3, "overlap")
+            .otherwise("distinct"))
+        .orderBy("da")
     })
   )
 
@@ -598,6 +633,38 @@ object Dedup {
         |        / (x.n + y.n - coalesce(inter, 0)), 6) AS jac
         |FROM na x JOIN na y ON y.doc_id = x.doc_id + 1
         |LEFT JOIN inter ON inter.da = x.doc_id
-        |ORDER BY da""".stripMargin
+        |ORDER BY da""".stripMargin,
+    "q_containment" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS wi,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, bg FROM (
+        |    SELECT doc_id,
+        |      w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY wi)
+        |        AS bg
+        |    FROM words) x WHERE bg IS NOT NULL),
+        |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams
+        |       GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, CAST(count(*) AS BIGINT) AS inter
+        |  FROM grams a JOIN grams b
+        |    ON a.bg = b.bg AND b.doc_id = a.doc_id + 1
+        |  GROUP BY a.doc_id),
+        |ratios AS (
+        |  SELECT x.doc_id AS da, y.doc_id AS db,
+        |    round(CAST(coalesce(inter, 0) AS DOUBLE) / x.n, 6) AS cont_ab,
+        |    round(CAST(coalesce(inter, 0) AS DOUBLE) / y.n, 6) AS cont_ba
+        |  FROM na x JOIN na y ON y.doc_id = x.doc_id + 1
+        |  LEFT JOIN inter ON inter.da = x.doc_id)
+        |SELECT da, db, cont_ab, cont_ba,
+        |  CASE WHEN cont_ab >= CAST(0.8 AS DOUBLE) THEN 'a_in_b'
+        |       WHEN cont_ba >= CAST(0.8 AS DOUBLE) THEN 'b_in_a'
+        |       WHEN greatest(cont_ab, cont_ba) >= CAST(0.3 AS DOUBLE)
+        |         THEN 'overlap'
+        |       ELSE 'distinct' END AS verdict
+        |FROM ratios ORDER BY da""".stripMargin
   )
 }

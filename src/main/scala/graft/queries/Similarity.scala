@@ -260,6 +260,17 @@ object Similarity {
         .orderBy("q_id")
     }),
 
+    // ---- PQ design sweep: recall@5 of the ADC search at m ∈ {4, 8, 16}
+    // subspaces against the brute-force ground truth — the
+    // quality-vs-compression trade (m·log2(codes) bits per vector)
+    // measured in ONE query before committing an index build to a
+    // configuration. The corpus flattening and the exact ground truth
+    // are computed once and shared by all three arms (CacheScope);
+    // each arm is the q_pq_adc plan shape (broadcast codebook +
+    // distance tables, map-side lookup-sum), so the sweep costs ~3×
+    // one search evaluation, never 3× the corpus.
+    "q_pq_sweep" -> ((s, d) => pqSweep(s, d)),
+
     // ---- IVF-style coarse quantization: per-label centroids, assign each
     // vector to nearest centroid by L2²  (rounded; ties → lowest label)
     "q_ivf_assign" -> ((s, d) => {
@@ -457,6 +468,56 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** PQ recall sweep over subspace counts — see the q_pq_sweep entry. */
+  private def pqSweep(s: SparkSession, d: String): DataFrame = {
+    val flat = graft.CacheScope.cached(Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x")))
+    val exact = graft.CacheScope.cached(
+      knnBrute(s, d).select(col("q_id"), col("nb_id")))
+    val nq = exact.select("q_id").distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    val perM = Seq(4, 8, 16).map { m =>
+      val f = flat.select(col("vec_id"),
+        (col("i") / (64 / m)).cast("int").as("sub"), col("i"), col("x"))
+      val cb = f.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("code"), col("sub"), col("i"),
+          col("x").as("cx"))
+      val dist = f.join(broadcast(cb), Seq("sub", "i"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+          .as("d2"))
+      val wc = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2").asc, col("code").asc)
+      val codes = dist.withColumn("rn", row_number().over(wc))
+        .filter(col("rn") === 1).select("vec_id", "sub", "code")
+      val dtab = f.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("q_id"), col("sub"), col("i"),
+          col("x").as("qx"))
+        .join(broadcast(cb), Seq("sub", "i"))
+        .groupBy("q_id", "sub", "code")
+        .agg(round(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))), 6)
+          .as("dq"))
+      val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(round(sum("dq"), 6).as("adist"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("adist").asc, col("vec_id").asc)
+      val top5 = adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("nb_id"))
+      exact.join(top5, Seq("q_id", "nb_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(m).as("m"), col("n_queries"),
+          round(col("hits").cast("double") /
+            (col("n_queries") * 5).cast("double"), 4).as("recall_at_5"))
+    }
+    perM.reduce(_ unionByName _).orderBy("m")
+  }
+
   /** Shared SQL scaffolding: flattened vectors + norms. */
   private val flatSql =
     """flat AS (
@@ -624,6 +685,72 @@ object Similarity {
         |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rank
         |  FROM adc) t
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // sweep = the q_pq_adc CTE chain instantiated per m ∈ {4, 8, 16}
+    // against the q_knn_brute ground truth; recall = hits/(5·queries).
+    "q_pq_sweep" -> {
+      val arms = Seq(4, 8, 16).map { m =>
+        val sd = 64 / m
+        s"""fs$m AS (SELECT vec_id, CAST((i - 1) // $sd AS INTEGER) AS sub,
+           |  i, x FROM flat),
+           |cb$m AS (SELECT vec_id AS code, sub, i, x AS cx FROM fs$m
+           |  WHERE vec_id < 8),
+           |dist$m AS (
+           |  SELECT f.vec_id, f.sub, c.code,
+           |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+           |  FROM fs$m f JOIN cb$m c ON c.sub = f.sub AND c.i = f.i
+           |  GROUP BY 1, 2, 3),
+           |codes$m AS (
+           |  SELECT vec_id, sub, code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+           |      ORDER BY d2 ASC, code ASC) AS rn FROM dist$m) t
+           |  WHERE rn = 1),
+           |dtab$m AS (
+           |  SELECT f.vec_id AS q_id, f.sub, c.code,
+           |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS dq
+           |  FROM fs$m f JOIN cb$m c ON c.sub = f.sub AND c.i = f.i
+           |  WHERE f.vec_id % 40 = 0 GROUP BY 1, 2, 3),
+           |adc$m AS (
+           |  SELECT d.q_id, k.vec_id, round(sum(d.dq), 6) AS adist
+           |  FROM codes$m k JOIN dtab$m d
+           |    ON d.sub = k.sub AND d.code = k.code
+           |  WHERE k.vec_id <> d.q_id GROUP BY 1, 2),
+           |top$m AS (
+           |  SELECT q_id, vec_id AS nb_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY adist ASC, vec_id ASC) AS rk FROM adc$m) t
+           |  WHERE rk <= 5)""".stripMargin
+      }.mkString(",\n")
+      val unions = Seq(4, 8, 16).map { m =>
+        s"""SELECT $m AS m,
+           |  (SELECT CAST(count(DISTINCT q_id) AS BIGINT) FROM gt)
+           |    AS n_queries,
+           |  round(CAST((SELECT count(*) FROM gt g JOIN top$m t
+           |      ON t.q_id = g.q_id AND t.nb_id = g.nb_id) AS DOUBLE) /
+           |    CAST((SELECT count(DISTINCT q_id) FROM gt) * 5 AS DOUBLE), 4)
+           |    AS recall_at_5""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $flatSql,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, nb_id,
+         |    round(dt / (nq.nrm * np.nrm), 6) AS cos_r
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm np ON np.vec_id = nb_id),
+         |gt AS (
+         |  SELECT q_id, nb_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_r DESC, nb_id ASC) AS rank FROM scored) t
+         |  WHERE rank <= 5),
+         |$arms
+         |$unions
+         |ORDER BY m""".stripMargin
+    },
+
     // combined IVF-PQ: the q_ivf_assign coarse CTEs (ranked, not just
     // rn=1 — probes take rn<=3) + the q_pq_adc PQ CTEs, with the ADC
     // restricted to candidates whose assigned cell is probed

@@ -491,4 +491,57 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("quality-signal ops: map-only scoring, bounded aggregation fan-in") {
+    // readability is pure per-row scalar math — no join/agg/explode
+    val rd = planOf("q_readability")
+    assert(!rd.contains("Join") && !rd.contains("HashAggregate") &&
+      !rd.contains("Generate"), "readability must stay a narrow map stage")
+    // entropy: char counts partial-combine map-side — the shuffle carries
+    // at most |alphabet| rows per doc, never the text
+    assert(planOf("q_entropy").contains("partial_count"),
+      "char counts must map-side combine")
+    // weighted sample: global top-k is TakeOrdered, never a full sort
+    assert(planOf("q_weighted_sample").contains("TakeOrderedAndProject"))
+    // domain cap: exactly ONE hash exchange (keyed by source) feeds the
+    // quota window; the trailing range part is the presentation sort
+    val dc = planOf("q_domain_cap")
+    val hashEx = dc.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx")
+    // OOV rate: top-K vocab via TakeOrdered, joined back BROADCAST
+    val oov = planOf("q_oov_rate")
+    assert(oov.contains("TakeOrderedAndProject") &&
+      oov.contains("BroadcastHashJoin"), "vocab must broadcast")
+    assert(!oov.contains("SortMergeJoin"),
+      "the token→vocab join must never shuffle the token stream")
+  }
+
+  test("linalg ops: one-pass stats, broadcast matvec, map-only projection") {
+    // PCA: sufficient statistics partial-combine in the single corpus
+    // pass; every matvec round joins the d²-row covariance to the d-row
+    // vector broadcast — nothing quadratic, nothing sort-merge
+    val pca = planOf("q_pca_power")
+    assert(pca.contains("partial_"), "sufficient stats must map-side combine")
+    assert(pca.contains("BroadcastHashJoin"), "matvec joins must broadcast")
+    assert(!pca.contains("CartesianProduct") &&
+      !pca.contains("SortMergeJoin"))
+    // JL projection: per-row zip_with fold — no join, no aggregation
+    // (the Generate is the constant k-way struct fan-out)
+    val rp = planOf("q_rand_proj")
+    assert(!rp.contains("Join") && !rp.contains("HashAggregate"),
+      "projection must stay a per-row fold")
+  }
+
+  test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
+    // three ADC arms share one cached flattening; all candidate joins
+    // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be
+    // the all-pairs search the sweep exists to avoid
+    assert(!planOf("q_pq_sweep").contains("CartesianProduct"))
+    // containment is the doc-level set form: one array payload per doc,
+    // no gram-level fan-out
+    val ct = planOf("q_containment")
+    assert(!ct.contains("CartesianProduct") && !ct.contains("Generate"),
+      "containment must join doc-level gram sets, not exploded grams")
+  }
 }

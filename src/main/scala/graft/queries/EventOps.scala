@@ -190,6 +190,37 @@ object EventOps {
           lead("ts_us", 1).over(w2).as("valid_to"),
           row_number().over(w2).as("version"))
         .orderBy("user_id", "version")
+    }),
+
+    // ---- EWMA trend smoothing over each user's value stream: the
+    // finite-horizon exponential moving average (α=0.25, last 16
+    // events), the standard metric smoother. The infinite recurrence
+    // is not expressible declaratively, but the 16-step horizon
+    // truncation is: collect the frame into an ordered array (ONE
+    // shuffle keyed by user — the same sort the sessionize family
+    // shares) and fold it per-row with exact (3/4)^k weights,
+    // normalized over the actual window length so partial leading
+    // windows are unbiased. The oracle states the identical sum as a
+    // bounded self-join (b.rn BETWEEN a.rn−15 AND a.rn) — two forms,
+    // one number.
+    "q_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id")).rowsBetween(-15, 0)
+      val decay = (i: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =>
+        pow(lit(0.75), (m - lit(1) - i).cast("double"))
+      Tables.events(s, d)
+        .withColumn("hist", collect_list(col("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          round(
+            aggregate(
+              transform(col("hist"),
+                (x, i) => x * decay(i, size(col("hist")))),
+              lit(0d), (acc, t) => acc + t) /
+            aggregate(
+              transform(col("hist"),
+                (_, i) => decay(i, size(col("hist")))),
+              lit(0d), (acc, t) => acc + t), 6).as("ewma"))
+        // no global ORDER BY: large output, gate canonicalizes row order
     })
   )
 
@@ -289,6 +320,18 @@ object EventOps {
         |    ORDER BY ts_us, event_id) AS valid_to,
         |  CAST(row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts_us, event_id) AS INTEGER) AS version
-        |FROM ch ORDER BY user_id, version""".stripMargin
+        |FROM ch ORDER BY user_id, version""".stripMargin,
+    "q_ewma" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT a.event_id, a.user_id, a.ts_us, a.value,
+        |  round(sum(b.value * power(CAST(0.75 AS DOUBLE), a.rn - b.rn)) /
+        |    sum(power(CAST(0.75 AS DOUBLE), a.rn - b.rn)), 6) AS ewma
+        |FROM ev a JOIN ev b ON b.user_id = a.user_id
+        |  AND b.rn BETWEEN a.rn - 15 AND a.rn
+        |GROUP BY a.event_id, a.user_id, a.ts_us, a.value""".stripMargin
   )
 }

@@ -80,6 +80,46 @@ object GraphOps {
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
         .orderBy("node")
+    }),
+
+    // ---- HITS hubs & authorities (Kleinberg 1999) over the directed
+    // bipartite role graph: importer nations are pure hubs, exporter
+    // nodes pure authorities, so the mutual-reinforcement recurrence
+    // (a ← Σ h over in-edges, h ← Σ a over out-edges, L2-normalized
+    // each half-step) does real work. Two rounds, same shape as
+    // PageRank: every half-step is one equi-join edge⋈score + one
+    // keyed agg + a broadcast 1-row norm — the iteration runs on the
+    // distilled graph, never the facts. Oracle unrolls the identical
+    // recurrence; scores round to 5 dp like PageRank (two rounds of
+    // differently-ordered FP sums).
+    "q_hits" -> ((s, d) => {
+      val e = graft.CacheScope.cached(
+        roleEdges(s, d)
+          .select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"))
+          .distinct())
+      var hub = e.select(col("src").as("node")).distinct()
+        .withColumn("h", lit(1d))
+      var auth: DataFrame = null
+      for (_ <- 1 to 2) {
+        val ar = e.join(hub.select(col("node").as("src"), col("h")),
+            Seq("src"))
+          .groupBy("dst").agg(sum("h").as("ar"))
+        val an = ar.agg(sqrt(sum(col("ar") * col("ar"))).as("nn"))
+        auth = ar.crossJoin(broadcast(an))
+          .select(col("dst").as("node"), (col("ar") / col("nn")).as("a"))
+        val hr = e.join(auth.select(col("node").as("dst"), col("a")),
+            Seq("dst"))
+          .groupBy("src").agg(sum("a").as("hr"))
+        val hn = hr.agg(sqrt(sum(col("hr") * col("hr"))).as("nn"))
+        hub = hr.crossJoin(broadcast(hn))
+          .select(col("src").as("node"), (col("hr") / col("nn")).as("h"))
+      }
+      hub.select(col("node"), lit("hub").as("role"),
+          round(col("h"), 5).as("score"))
+        .unionByName(auth.select(col("node"), lit("authority").as("role"),
+          round(col("a"), 5).as("score")))
+        .orderBy("role", "node")
     })
   )
 
@@ -170,6 +210,31 @@ object GraphOps {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
-        |FROM corners GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM corners GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hits" -> {
+      def hitsIter(i: Int): String =
+        s"""ar$i AS (SELECT e.dst AS node, sum(h${i - 1}.h) AS ar
+           |  FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY 1),
+           |an$i AS (SELECT sqrt(sum(ar * ar)) AS nn FROM ar$i),
+           |a$i AS (SELECT node, ar / nn AS a FROM ar$i CROSS JOIN an$i),
+           |hr$i AS (SELECT e.src AS node, sum(a$i.a) AS hr
+           |  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+           |hn$i AS (SELECT sqrt(sum(hr * hr)) AS nn FROM hr$i),
+           |h$i AS (SELECT node, hr / nn AS h FROM hr$i CROSS JOIN hn$i)"""
+          .stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+         |    CAST(s.s_nationkey AS BIGINT) + 25 AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |h0 AS (SELECT DISTINCT src AS node, CAST(1 AS DOUBLE) AS h FROM e),
+         |${(1 to 2).map(hitsIter).mkString(",\n")}
+         |SELECT node, 'hub' AS role, round(h, 5) AS score FROM h2
+         |UNION ALL
+         |SELECT node, 'authority' AS role, round(a, 5) AS score FROM a2
+         |ORDER BY role, node""".stripMargin
+    }
   )
 }

@@ -110,7 +110,14 @@ object Bench {
     // min of two timed runs per query: absorbs one-off JIT/GC noise while
     // keeping the total bench budget bounded. A throwing query records -1
     // and an entry in "errors" — never a normal-looking fast time.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional local-iteration filter (the driver sets no env → all).
+    // Subset runs never write the BENCH_DETAIL files — a partial detail
+    // must not masquerade as a full-run artifact.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var shuffleBytes = 0L
       var err: Option[String] = None
       val times = (1 to 2).map { _ =>
@@ -160,7 +167,8 @@ object Bench {
     // write failure must not advertise a stale detail file as this run's
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     val detailRef =
-      try {
+      if (only.isDefined) "subset-run-no-detail"
+      else try {
         java.nio.file.Files.writeString(detailPath, detailJson)
         // Also snapshot a per-round copy (VERDICT r3 #1): BENCH_DETAIL.json
         // alone is overwritten every round, which made r2→r3 per-query

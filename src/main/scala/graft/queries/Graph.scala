@@ -108,12 +108,14 @@ object GraphOps {
         val an = ar.agg(sqrt(sum(col("ar") * col("ar"))).as("nn"))
         auth = ar.crossJoin(broadcast(an))
           .select(col("dst").as("node"), (col("ar") / col("nn")).as("a"))
+          .localCheckpoint() // ≤|nodes| rows; keeps lineage O(1) per round
         val hr = e.join(auth.select(col("node").as("dst"), col("a")),
             Seq("dst"))
           .groupBy("src").agg(sum("a").as("hr"))
         val hn = hr.agg(sqrt(sum(col("hr") * col("hr"))).as("nn"))
         hub = hr.crossJoin(broadcast(hn))
           .select(col("src").as("node"), (col("hr") / col("nn")).as("h"))
+          .localCheckpoint()
       }
       hub.select(col("node"), lit("hub").as("role"),
           round(col("h"), 5).as("score"))

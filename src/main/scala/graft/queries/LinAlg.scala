@@ -48,34 +48,47 @@ object LinAlg {
     (java.lang.Long.parseLong(hex, 16) % 2L).toInt * 2 - 1
   }
 
+  /** One-pass covariance of the leading D dims as a (i, j, cij) frame —
+    * the corpus-touching subplan of q_pca_power, exposed so PlanSpec can
+    * audit it pre-checkpoint (the published query plan is a checkpoint
+    * scan, the PageRank pattern). C_ij = E[x_i·x_j] − E[x_i]·E[x_j] from
+    * exact integer-scaled sufficient statistics. */
+  private[queries] def pcaCov(s: SparkSession, d: String): DataFrame = {
+    val pairs = for { i <- 1 to D; j <- i to D } yield (i, j)
+    val base = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select((1 to D).map(i =>
+        element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+    // one-pass sufficient statistics: n, Σx_i, Σx_i·x_j (exact ints)
+    val aggs =
+      (1 to D).map(i => sum(round(col(s"x$i") * 1e6).cast(LongType))
+        .as(s"s$i")) ++
+      pairs.map { case (i, j) =>
+        sum(round(col(s"x$i") * col(s"x$j") * 1e6).cast(LongType))
+          .as(s"p${i}_$j") }
+    val stats = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val nd = col("n").cast("double")
+    stats.select(explode(array(
+        (for { i <- 1 to D; j <- 1 to D } yield {
+          val p = col(s"p${math.min(i, j)}_${math.max(i, j)}")
+          struct(lit(i).as("i"), lit(j).as("j"),
+            (p / 1e6 / nd -
+              (col(s"s$i") / 1e6 / nd) * (col(s"s$j") / 1e6 / nd))
+              .as("cij"))
+        }): _*)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cij").as("cij"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- Top principal component via power iteration.
     "q_pca_power" -> ((s, d) => {
-      val pairs = for { i <- 1 to D; j <- i to D } yield (i, j)
-      val base = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select((1 to D).map(i =>
-          element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
-      // one-pass sufficient statistics: n, Σx_i, Σx_i·x_j (exact ints)
-      val aggs =
-        (1 to D).map(i => sum(round(col(s"x$i") * 1e6).cast(LongType))
-          .as(s"s$i")) ++
-        pairs.map { case (i, j) =>
-          sum(round(col(s"x$i") * col(s"x$j") * 1e6).cast(LongType))
-            .as(s"p${i}_$j") }
-      val stats = base.agg(count(lit(1)).as("n"), aggs: _*)
-      val nd = col("n").cast("double")
-      // C_ij = E[x_i x_j] − E[x_i]E[x_j], reshaped to a (i, j, cij) frame
-      val cov = stats.select(explode(array(
-          (for { i <- 1 to D; j <- 1 to D } yield {
-            val p = col(s"p${math.min(i, j)}_${math.max(i, j)}")
-            struct(lit(i).as("i"), lit(j).as("j"),
-              (p / 1e6 / nd -
-                (col(s"s$i") / 1e6 / nd) * (col(s"s$j") / 1e6 / nd))
-                .as("cij"))
-          }): _*)).as("e"))
-        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cij").as("cij"))
+      // localCheckpoint: the covariance is 64 rows — materialize it once
+      // so the iteration's lineage never re-runs the corpus-wide stats
+      // agg (one corpus pass total, the iterative-DataFrame rule; see
+      // ConnectedComponents/PageRank)
+      val cov = pcaCov(s, d).localCheckpoint()
       // v0 = 1/sqrt(D) uniform; T rounds of w = C·v, v = w/‖w‖
+      // (v localCheckpoints per round — d rows — so plan depth stays O(1))
       var v: DataFrame = s.range(1, D + 1)
         .select(col("id").cast("int").as("j"),
           (lit(1d) / sqrt(lit(D.toDouble))).as("vj"))
@@ -86,6 +99,7 @@ object LinAlg {
         nrm = w.agg(sqrt(sum(col("wi") * col("wi"))).as("nrm"))
         v = w.crossJoin(broadcast(nrm))
           .select(col("i").as("j"), (col("wi") / col("nrm")).as("vj"))
+          .localCheckpoint()
       }
       // sign convention: first component non-negative (both engines)
       val sgn = v.filter(col("j") === 1)

@@ -519,13 +519,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("linalg ops: one-pass stats, broadcast matvec, map-only projection") {
     // PCA: sufficient statistics partial-combine in the single corpus
-    // pass; every matvec round joins the d²-row covariance to the d-row
-    // vector broadcast — nothing quadratic, nothing sort-merge
-    val pca = planOf("q_pca_power")
+    // pass. The published query plan is a checkpoint scan (the iteration
+    // localCheckpoints, like PageRank), so audit the corpus-touching
+    // covariance subplan directly
+    val pca = LinAlg.pcaCov(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     assert(pca.contains("partial_"), "sufficient stats must map-side combine")
-    assert(pca.contains("BroadcastHashJoin"), "matvec joins must broadcast")
-    assert(!pca.contains("CartesianProduct") &&
-      !pca.contains("SortMergeJoin"))
+    assert(!pca.contains("Join"), "one-pass stats need no join")
     // JL projection: per-row zip_with fold — no join, no aggregation
     // (the Generate is the constant k-way struct fan-out)
     val rp = planOf("q_rand_proj")

@@ -177,6 +177,66 @@ object CorpusStats {
         .groupBy("s1", "s2")
         .agg(round(sum("t") / 1e12, 6).as("jsd"))
         .orderBy("s1", "s2")
+    }),
+
+    // ---- Gini concentration of document length per source — the
+    // inequality dial (is a source a few giant pages plus stubs, or
+    // uniform?). Sorted-rank formula G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx):
+    // every accumulated term is INTEGER (rank × length), so the only
+    // float is the final division — exact under any partition order.
+    // One shuffle keyed by source + the rank window + one agg; at
+    // larger-than-2^63 per-source mass the sums move to decimal(38,0),
+    // a type-level change.
+    "q_gini" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("i", row_number().over(w).cast(LongType))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("i") * col("n_chars")).as("s1"),
+          sum(col("n_chars")).as("t"))
+        .select(col("source"), col("n"),
+          round((col("s1") * 2 - (col("n") + 1) * col("t")).cast("double") /
+            (col("n") * col("t")).cast("double"), 6).as("gini"))
+        .orderBy("source")
+    }),
+
+    // ---- Iterative proportional fitting (raking): reweight the
+    // source×lang contingency so both marginals hit uniform targets —
+    // the classic survey/corpus rebalancing move (Deming–Stephan 1940).
+    // Two IPF rounds (row-scale then column-scale), run ENTIRELY on the
+    // aggregated |sources|×|langs| cell table: at 100 TB the corpus
+    // contributes one partial-combined count agg and the iteration cost
+    // is independent of corpus size. Oracle unrolls the same two rounds
+    // as chained CTEs.
+    "q_ipf" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = broadcast(cells.agg(sum("n").as("nn"),
+        countDistinct("source").as("ns"), countDistinct("lang").as("nl")))
+      var w = cells.withColumn("w", lit(1d))
+      for (_ <- 1 to 2) {
+        val rs = w.groupBy("source").agg(sum(col("n") * col("w")).as("rs"))
+        w = w.join(rs, Seq("source")).crossJoin(tot)
+          .select(col("source"), col("lang"), col("n"),
+            (col("w") * ((col("nn").cast("double") / col("ns")) / col("rs")))
+              .as("w"))
+        val cs = w.groupBy("lang").agg(sum(col("n") * col("w")).as("cs"))
+        w = w.join(cs, Seq("lang")).crossJoin(tot)
+          .select(col("source"), col("lang"), col("n"),
+            (col("w") * ((col("nn").cast("double") / col("nl")) / col("cs")))
+              .as("w"))
+          .localCheckpoint()
+      }
+      w.select(col("source"), col("lang"), col("n"),
+          round(col("w"), 6).as("w"),
+          round(col("n") * col("w"), 4).as("fitted"))
+        .orderBy("source", "lang")
     })
   )
 
@@ -280,6 +340,45 @@ object CorpusStats {
         |    ) * 0.5 * 1e12) AS BIGINT) AS t
         |  FROM dense a JOIN dense b ON b.w = a.w AND a.source < b.source)
         |SELECT s1, s2, round(sum(t) / 1e12, 6) AS jsd
-        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(i * n_chars) * 2 - (count(*) + 1) * sum(n_chars)
+        |      AS DOUBLE) /
+        |    CAST(count(*) * sum(n_chars) AS DOUBLE), 6) AS gini
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_ipf" -> {
+      def ipfRound(i: Int): String = {
+        val prev = if (i == 1) "w0" else s"wc${i - 1}"
+        s"""rs$i AS (SELECT source, sum(n * w) AS rs FROM $prev GROUP BY 1),
+           |wr$i AS (
+           |  SELECT p.source, p.lang, p.n,
+           |    p.w * ((CAST(nn AS DOUBLE) / ns) / rs.rs) AS w
+           |  FROM $prev p JOIN rs$i rs ON rs.source = p.source
+           |  CROSS JOIN tot),
+           |cs$i AS (SELECT lang, sum(n * w) AS cs FROM wr$i GROUP BY 1),
+           |wc$i AS (
+           |  SELECT p.source, p.lang, p.n,
+           |    p.w * ((CAST(nn AS DOUBLE) / nl) / cs.cs) AS w
+           |  FROM wr$i p JOIN cs$i cs ON cs.lang = p.lang
+           |  CROSS JOIN tot)""".stripMargin
+      }
+      s"""WITH cells AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS ns,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS nl FROM cells),
+         |w0 AS (SELECT source, lang, n, CAST(1 AS DOUBLE) AS w FROM cells),
+         |${(1 to 2).map(ipfRound).mkString(",\n")}
+         |SELECT source, lang, n, round(w, 6) AS w,
+         |  round(n * w, 4) AS fitted
+         |FROM wc2 ORDER BY source, lang""".stripMargin
+    }
   )
 }

@@ -135,6 +135,35 @@ object Evaluation {
         .select(col("np"), col("nn"),
           round((col("srp2") - col("np") * (col("np") + 1)).cast("double")
             / (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
+    }),
+
+    // ---- MAD robust outlier gate: per-group median absolute deviation
+    // and the count of robust-z outliers (|x − med| > 3·1.4826·MAD) —
+    // the outlier detector that, unlike q_zscore, a heavy tail cannot
+    // poison (mean/stddev move with the outliers; medians don't). Both
+    // medians run exact via the (group, value, freq) pre-agg (per-group
+    // state bounded by DISTINCT values, the q_percentiles discipline);
+    // the deviations pass joins the 4-row median table back broadcast.
+    "q_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("event_type", "value")
+      val med = ev.groupBy("event_type", "value").agg(count(lit(1)).as("f"))
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5, f)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type", "adev").agg(count(lit(1)).as("f"))
+        .groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5, f)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max("med"), 6).as("median"),
+          round(max("mad"), 6).as("mad"),
+          sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outlier"))
+        .orderBy("event_type")
     })
   )
 
@@ -222,6 +251,23 @@ object Evaluation {
         |SELECT np, nn,
         |  round(CAST(srp2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn), 6)
         |    AS auc
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+    "q_mad" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |        FROM ev GROUP BY 1),
+        |dev AS (
+        |  SELECT ev.event_type, ev.value, med.med,
+        |    abs(ev.value - med.med) AS adev
+        |  FROM ev JOIN med ON med.event_type = ev.event_type),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(dev.med), 6) AS median,
+        |  round(max(mad.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN dev.adev > CAST(4.4478 AS DOUBLE) * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+        |FROM dev JOIN mad ON mad.event_type = dev.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
   )
 }

@@ -533,6 +533,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "projection must stay a per-row fold")
   }
 
+  test("ewma/gini/mad: shared-key exchanges, broadcast medians") {
+    // EWMA: the ordered frame collect runs off ONE hash exchange keyed
+    // by user (no second shuffle, no self-join — the oracle's join form
+    // is the spec, not the plan)
+    val ew = planOf("q_ewma")
+    assert(!ew.contains("Join"), "EWMA must not self-join the stream")
+    val ewEx = ew.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(ewEx == 1, s"expected 1 hash exchange, got $ewEx")
+    // Gini: rank window and final agg share the source partitioning —
+    // one hash exchange total (trailing range part is the presentation
+    // sort)
+    val gi = planOf("q_gini")
+    val giEx = gi.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(giEx == 1, s"expected 1 hash exchange, got $giEx")
+    // MAD: freq pre-aggs partial-combine; the median tables join back
+    // broadcast, never shuffling the event stream
+    val md = planOf("q_mad")
+    assert(md.contains("partial_count"), "freq pre-agg must map-side combine")
+    assert(md.contains("BroadcastHashJoin") && !md.contains("SortMergeJoin"),
+      "median tables must broadcast")
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

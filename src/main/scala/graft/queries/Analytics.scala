@@ -19,22 +19,30 @@ object Analytics {
 
   private val DayUs = 86400000000L
 
+  /** Funnel stage frames (view → click → purchase): each stage is the
+    * user's EARLIEST qualifying event strictly after the previous stage —
+    * shared by q_funnel (stage counts) and q_funnel_latency (transition
+    * timing). */
+  private def funnelStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = Tables.events(s, d).select("user_id", "event_type", "ts_us")
+    val a = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val b = e.filter(col("event_type") === "click").join(a, "user_id")
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val c = e.filter(col("event_type") === "purchase").join(b, "user_id")
+      .filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_buy"))
+    (a, b, c)
+  }
+
   val queries: Map[String, Q] = Map(
-    // ---- conversion funnel view → click → purchase: each stage is the
-    // user's EARLIEST qualifying event strictly after the previous stage.
-    // Three per-user min-aggregations chained by equi-joins on user_id —
-    // each stage's frame shrinks, and nothing wider than (user, ts) ever
-    // shuffles.
+    // ---- conversion funnel view → click → purchase: three per-user
+    // min-aggregations chained by equi-joins on user_id — each stage's
+    // frame shrinks, and nothing wider than (user, ts) ever shuffles.
     "q_funnel" -> ((s, d) => {
-      val e = Tables.events(s, d).select("user_id", "event_type", "ts_us")
-      val a = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("t_view"))
-      val b = e.filter(col("event_type") === "click").join(a, "user_id")
-        .filter(col("ts_us") > col("t_view"))
-        .groupBy("user_id").agg(min("ts_us").as("t_click"))
-      val c = e.filter(col("event_type") === "purchase").join(b, "user_id")
-        .filter(col("ts_us") > col("t_click"))
-        .groupBy("user_id").agg(min("ts_us").as("t_buy"))
+      val (a, b, c) = funnelStages(s, d)
       a.agg(count(lit(1)).as("users")).select(lit(1).as("stage"),
           lit("view").as("step"), col("users"))
         .unionAll(b.agg(count(lit(1)).as("users")).select(lit(2).as("stage"),
@@ -42,6 +50,30 @@ object Analytics {
         .unionAll(c.agg(count(lit(1)).as("users")).select(lit(3).as("stage"),
           lit("purchase").as("step"), col("users")))
         .orderBy("stage")
+    }),
+
+    // ---- funnel transition latency: how long converting users take
+    // between stages — the metric that tells a slow funnel from a leaky
+    // one. Deltas are exact µs BIGINTs; the p50/p90 run through the
+    // (delta, freq) pre-agg exact-percentile discipline, so per-group
+    // state is bounded by distinct latencies, not users.
+    "q_funnel_latency" -> ((s, d) => {
+      val (a, b, c) = funnelStages(s, d)
+      def lat(df: DataFrame, dcol: org.apache.spark.sql.Column,
+              name: String): DataFrame =
+        df.select(dcol.as("delta_us"))
+          .groupBy("delta_us").agg(count(lit(1)).as("f"))
+          .agg(sum("f").as("n_users"),
+            round(expr("percentile(delta_us, 0.5, f)"), 1).as("p50_us"),
+            round(expr("percentile(delta_us, 0.9, f)"), 1).as("p90_us"),
+            max("delta_us").as("max_us"))
+          .select(lit(name).as("transition"), col("n_users"),
+            col("p50_us"), col("p90_us"), col("max_us"))
+      lat(b.join(a, "user_id"), col("t_click") - col("t_view"),
+          "1_view_to_click")
+        .unionAll(lat(c.join(b, "user_id"), col("t_buy") - col("t_click"),
+          "2_click_to_buy"))
+        .orderBy("transition")
     }),
 
     // ---- cohort retention matrix: users bucketed by first-activity day,
@@ -240,6 +272,32 @@ object Analytics {
         |UNION ALL SELECT 3, 'purchase',
         |  CAST((SELECT count(*) FROM c) AS BIGINT)
         |ORDER BY stage""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT e.user_id, min(ts_us) AS t_click
+        |      FROM e JOIN a ON a.user_id = e.user_id
+        |      WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS t_buy
+        |      FROM e JOIN b ON b.user_id = e.user_id
+        |      WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1),
+        |ab AS (SELECT t_click - t_view AS delta
+        |       FROM b JOIN a ON a.user_id = b.user_id),
+        |bc AS (SELECT t_buy - t_click AS delta
+        |       FROM c JOIN b ON b.user_id = c.user_id)
+        |SELECT '1_view_to_click' AS transition,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  round(quantile_cont(delta, 0.5), 1) AS p50_us,
+        |  round(quantile_cont(delta, 0.9), 1) AS p90_us,
+        |  CAST(max(delta) AS BIGINT) AS max_us FROM ab
+        |UNION ALL
+        |SELECT '2_click_to_buy', CAST(count(*) AS BIGINT),
+        |  round(quantile_cont(delta, 0.5), 1),
+        |  round(quantile_cont(delta, 0.9), 1),
+        |  CAST(max(delta) AS BIGINT) FROM bc
+        |ORDER BY transition""".stripMargin,
     "q_cohort" ->
       """WITH e AS (SELECT user_id,
         |             epoch_us(ts) // 86400000000 AS day FROM events),

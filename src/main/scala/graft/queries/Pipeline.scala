@@ -130,6 +130,29 @@ object Pipeline {
           min("xb").as("x_min"), max("xb").as("x_max"),
           min("yb").as("y_min"), max("yb").as("y_max"))
         .orderBy("z_bucket")
+    }),
+
+    // ---- equi-depth feature binning: 10 quantile bins of extendedprice.
+    // The scale-correct shape is NOT a global ntile (that's a total sort
+    // of the corpus through one partition): compute the 9 exact decile
+    // cut points via the (value, freq) pre-agg, BROADCAST them, and
+    // assign bins with a per-row comparison fold — one bounded agg plus
+    // one map-only pass, any corpus size. Bin populations drift from
+    // n/10 exactly where value ties straddle a cut — the honest
+    // quantile-binning semantics.
+    "q_equidepth_bins" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("p"))
+      val cuts = li.groupBy("p").agg(count(lit(1)).as("f"))
+        .agg(expr(
+          "percentile(p, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), f)")
+          .as("cs"))
+      li.crossJoin(broadcast(cuts))
+        .select(col("p"),
+          (lit(1) + size(filter(col("cs"), c => col("p") > c))).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min("p").as("lo"), max("p").as("hi"),
+          round(avg("p"), 4).as("mean_p"))
+        .orderBy("bin")
     })
   )
 
@@ -194,6 +217,19 @@ object Pipeline {
          |  min(xb) AS x_min, max(xb) AS x_max,
          |  min(yb) AS y_min, max(yb) AS y_max
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_equidepth_bins" -> {
+      val binExpr = (1 to 9)
+        .map(i => s"(CASE WHEN p > cs[$i] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH li AS (SELECT l_extendedprice AS p FROM lineitem),
+         |cuts AS (SELECT quantile_cont(p,
+         |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs FROM li),
+         |assigned AS (
+         |  SELECT p, 1 + $binExpr AS bin FROM li CROSS JOIN cuts)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  min(p) AS lo, max(p) AS hi, round(avg(p), 4) AS mean_p
+         |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
     }
   )
 }

@@ -512,8 +512,10 @@ object Similarity {
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(nq))
         .select(lit(m).as("m"), col("n_queries"),
-          round(col("hits").cast("double") /
-            (col("n_queries") * 5).cast("double"), 4).as("recall_at_5"))
+          // empty-corpus guard: ANSI division would throw on 0 queries
+          when(col("n_queries") === 0, lit(null).cast("double"))
+            .otherwise(round(col("hits").cast("double") /
+              (col("n_queries") * 5).cast("double"), 4)).as("recall_at_5"))
     }
     perM.reduce(_ unionByName _).orderBy("m")
   }

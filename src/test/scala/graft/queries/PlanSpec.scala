@@ -555,6 +555,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(md.contains("partial_count"), "freq pre-agg must map-side combine")
     assert(md.contains("BroadcastHashJoin") && !md.contains("SortMergeJoin"),
       "median tables must broadcast")
+    // equi-depth bins: the 9 cut points broadcast back over the scan —
+    // a global ntile sort here would be the scale bug the query avoids
+    val eb = planOf("q_equidepth_bins")
+    assert(eb.contains("BroadcastNestedLoopJoin") ||
+      eb.contains("BroadcastExchange"), "cut points must broadcast")
+    assert(!eb.linesIterator.exists(_.matches(""".*\bntile\(.*""")),
+      "must not global-ntile the corpus (note: 'percentile(' is fine)")
+    // funnel latency: stage joins stay keyed equi-joins
+    assert(!planOf("q_funnel_latency").contains("CartesianProduct"))
   }
 
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {

@@ -139,7 +139,11 @@ object Pipeline {
     // assign bins with a per-row comparison fold — one bounded agg plus
     // one map-only pass, any corpus size. Bin populations drift from
     // n/10 exactly where value ties straddle a cut — the honest
-    // quantile-binning semantics.
+    // quantile-binning semantics. Note: prices are near-unique (~583k
+    // distinct at sf0.1), so the exact percentile state is large —
+    // this query is the EXACT-path demonstration; for continuous
+    // domains at 100 TB swap the cuts to approx_percentile (the
+    // q_approx_percentile sketch path), assignment unchanged.
     "q_equidepth_bins" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("p"))
       val cuts = li.groupBy("p").agg(count(lit(1)).as("f"))

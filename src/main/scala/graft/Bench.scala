@@ -40,14 +40,23 @@ object Bench {
     "q_simhash_pairs", "q_line_dedup", "q_dsir", "q_temperature_sample",
     "q_collocations", "q_kn_lm", "q_jsd_sources")
 
+  /** The embedding-derived family: every query whose plan starts from
+    * the embeddings scan (ANN / quantization / linalg). */
+  private val embFamily = Seq(
+    "q_knn_brute", "q_cosine_pairs", "q_ann_lsh", "q_embedding_neardup",
+    "q_ivf_assign", "q_kmeans_assign", "q_semdedup", "q_pq_encode",
+    "q_pq_adc", "q_ivfpq_search", "q_ann_recall", "q_ivfpq_recall",
+    "q_pq_sweep", "q_pca_power", "q_rand_proj", "q_vec_quantize",
+    "q_centroids")
+
   /** SPARK_GRAFT_BENCH_MODE=session — the multi-query session experiment
-    * (VERDICT r4 next-round #8): a pipeline that runs the whole text/dedup/
-    * corpus family in ONE session can pay the documents scan once instead
-    * of per query. Times the family twice — standalone (cache drained
+    * (VERDICT r4 next-round #8): a pipeline that runs a whole
+    * table-rooted family in ONE session can pay the scan once instead
+    * of per query. Times each family twice — standalone (cache drained
     * between queries, the honest per-query cost the main bench reports)
-    * vs session (documents cached once up front, family runs back to
-    * back) — and prints both totals plus the materialization cost, so
-    * SCALING.md can record whether the shared subtree pays. */
+    * vs session (the root table cached once up front, family runs back
+    * to back) — and prints both totals plus the materialization cost,
+    * so SCALING.md can record whether the shared subtree pays. */
   private def sessionBench(spark: SparkSession, sfDir: String): Unit = {
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
@@ -55,26 +64,31 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // standalone: every query pays its own cold scans
-    val standalone = docFamily.map { n =>
-      val t = runOne(n)
-      CacheScope.drain(); spark.catalog.clearCache()
-      n -> t
-    }
-    // session: documents materializes once, family shares it
-    val tMat0 = System.nanoTime()
-    val docs = Tables.documents(spark, sfDir).cache()
-    docs.write.format("noop").mode("overwrite").save()
-    val matSec = (System.nanoTime() - tMat0) / 1e9
-    val session = docFamily.map(n => n -> runOne(n))
-    docs.unpersist(true)
-    CacheScope.drain(); spark.catalog.clearCache()
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def fmt(ps: Seq[(String, Double)]): String =
       ps.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
-    val sAll = standalone.map(_._2).sum
-    val sSes = session.map(_._2).sum
-    println(s"""{"metric":"session_family","standalone_sec":${r3(sAll)},"session_sec":${r3(sSes)},"materialize_sec":${r3(matSec)},"session_total_sec":${r3(sSes + matSec)},"n_queries":${docFamily.size},"standalone":${fmt(standalone)},"session":${fmt(session)},"sf":"$sfDir"}""")
+    def one(label: String, family: Seq[String],
+            root: => org.apache.spark.sql.DataFrame): Unit = {
+      // standalone: every query pays its own cold scans
+      val standalone = family.map { n =>
+        val t = runOne(n)
+        CacheScope.drain(); spark.catalog.clearCache()
+        n -> t
+      }
+      // session: the root table materializes once, family shares it
+      val tMat0 = System.nanoTime()
+      val cached = root.cache()
+      cached.write.format("noop").mode("overwrite").save()
+      val matSec = (System.nanoTime() - tMat0) / 1e9
+      val session = family.map(n => n -> runOne(n))
+      cached.unpersist(true)
+      CacheScope.drain(); spark.catalog.clearCache()
+      val sAll = standalone.map(_._2).sum
+      val sSes = session.map(_._2).sum
+      println(s"""{"metric":"session_family","family":"$label","standalone_sec":${r3(sAll)},"session_sec":${r3(sSes)},"materialize_sec":${r3(matSec)},"session_total_sec":${r3(sSes + matSec)},"n_queries":${family.size},"standalone":${fmt(standalone)},"session":${fmt(session)},"sf":"$sfDir"}""")
+    }
+    one("documents", docFamily, Tables.documents(spark, sfDir))
+    one("embeddings", embFamily, Tables.embeddings(spark, sfDir))
   }
 
   def main(args: Array[String]): Unit = {

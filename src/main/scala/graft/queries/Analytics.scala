@@ -112,6 +112,38 @@ object Analytics {
         .orderBy("p_partkey")
     }),
 
+    // ---- lag-k autocorrelation of daily event volume (k = 1..3) — the
+    // seasonality/burstiness detector for an ingest stream. The corpus
+    // collapses to one (day, count) row per day; each lag is Pearson r
+    // over calendar-adjacent day pairs, computed from the integer
+    // moment sums (n·Σxy − Σx·Σy etc.) so every accumulated term is
+    // exact BIGINT and only the final normalize touches floats. Days
+    // absent from the log are excluded from pairing (documented
+    // semantics; the fixture stream is contiguous). The daily frame
+    // localCheckpoints — three lag joins reuse it without re-scanning.
+    "q_autocorr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val lags = (1 to 3).map { k =>
+        daily.toDF("day", "xa")
+          .join(daily.toDF("dayb", "xb"), col("dayb") === col("day") + k)
+          .agg(count(lit(1)).as("n"), sum("xa").as("sx"), sum("xb").as("sy"),
+            sum(col("xa") * col("xa")).as("sxx"),
+            sum(col("xb") * col("xb")).as("syy"),
+            sum(col("xa") * col("xb")).as("sxy"))
+          .select(lit(k).as("lag"), col("n").as("n_pairs"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 6).as("r"))
+      }
+      lags.reduce(_ unionByName _).orderBy("lag")
+    }),
+
     // ---- Welch's t-test (unequal variances) between two event types'
     // value distributions — the A/B-test primitive. Values are cent-
     // quantized (round(v·100) — deterministic from the same float64 in
@@ -272,6 +304,24 @@ object Analytics {
         |UNION ALL SELECT 3, 'purchase',
         |  CAST((SELECT count(*) FROM c) AS BIGINT)
         |ORDER BY stage""".stripMargin,
+    "q_autocorr" -> {
+      def lagArm(k: Int): String =
+        s"""SELECT $k AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  round(CAST(count(*) * sum(xa * xb) - sum(xa) * sum(xb)
+           |      AS DOUBLE) /
+           |    sqrt(CAST(count(*) * sum(xa * xa) - sum(xa) * sum(xa)
+           |        AS DOUBLE) *
+           |      CAST(count(*) * sum(xb * xb) - sum(xb) * sum(xb)
+           |        AS DOUBLE)), 6) AS r
+           |FROM (SELECT a.x AS xa, b.x AS xb FROM daily a
+           |      JOIN daily b ON b.day = a.day + $k) t$k""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1)
+         |${(1 to 3).map(lagArm).mkString("\nUNION ALL\n")}
+         |ORDER BY lag""".stripMargin
+    },
     "q_funnel_latency" ->
       """WITH e AS (SELECT user_id, event_type,
         |             epoch_us(ts) AS ts_us FROM events),

@@ -221,6 +221,29 @@ object EventOps {
                 (_, i) => decay(i, size(col("hist")))),
               lit(0d), (acc, t) => acc + t), 6).as("ewma"))
         // no global ORDER BY: large output, gate canonicalizes row order
+    }),
+
+    // ---- first-order Markov transition matrix of user behavior: count
+    // each (from_state → to_state) adjacency in the per-user ordered
+    // event stream, normalize per from-state row. The standard
+    // user-journey model (and the q_event_pattern CEP family's
+    // statistical twin). ONE shuffle keyed by user for the lag window,
+    // then a |states|²-bounded count agg; probabilities are exact
+    // integer ratios divided once at the end.
+    "q_markov" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tr = Tables.events(s, d)
+        .withColumn("from_t", lag("event_type", 1).over(w))
+        .filter(col("from_t").isNotNull)
+        .groupBy(col("from_t").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("c"))
+      val rowTot = tr.groupBy("from_type").agg(sum("c").as("tot"))
+      tr.join(broadcast(rowTot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("c"),
+          round(col("c").cast("double") / col("tot").cast("double"), 6)
+            .as("p"))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -332,6 +355,22 @@ object EventOps {
         |    sum(power(CAST(0.75 AS DOUBLE), a.rn - b.rn)), 6) AS ewma
         |FROM ev a JOIN ev b ON b.user_id = a.user_id
         |  AND b.rn BETWEEN a.rn - 15 AND a.rn
-        |GROUP BY a.event_id, a.user_id, a.ts_us, a.value""".stripMargin
+        |GROUP BY a.event_id, a.user_id, a.ts_us, a.value""".stripMargin,
+    "q_markov" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS from_t
+        |  FROM events),
+        |tr AS (
+        |  SELECT from_t AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM x WHERE from_t IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS tot FROM tr
+        |        GROUP BY 1)
+        |SELECT tr.from_type, to_type, c,
+        |  round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        |FROM tr JOIN tot ON tot.from_type = tr.from_type
+        |ORDER BY tr.from_type, to_type""".stripMargin
   )
 }

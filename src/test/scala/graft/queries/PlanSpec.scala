@@ -566,6 +566,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!planOf("q_funnel_latency").contains("CartesianProduct"))
   }
 
+  test("q_markov / q_autocorr: broadcast totals, keyed lag joins") {
+    // Markov transitions: one window shuffle keyed by user feeds the
+    // |states|²-bounded count; the row-total normalizer joins back
+    // broadcast — shuffling the transition counts a second time for a
+    // ≤ |states| frame would be the scale bug
+    val mk = planOf("q_markov")
+    assert(mk.contains("BroadcastHashJoin") && !mk.contains("SortMergeJoin"),
+      "row totals must broadcast back over transition counts")
+    assert(!mk.contains("CartesianProduct"))
+    // autocorr: the published plan is a checkpoint scan of the daily
+    // counts (corpus contributes ONE pass, like PCA/HITS); the three
+    // lag self-joins of the tiny daily frame must stay broadcast
+    // equi-joins on day+k, never a cartesian
+    val ac = planOf("q_autocorr")
+    assert(!ac.contains("CartesianProduct") && !ac.contains("SortMergeJoin"),
+      "lag pairing must broadcast-join the daily frame")
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

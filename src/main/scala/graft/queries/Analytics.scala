@@ -144,6 +144,75 @@ object Analytics {
       lags.reduce(_ unionByName _).orderBy("lag")
     }),
 
+    // ---- rolling 7-day active users (DAU / WAU / stickiness): the
+    // engagement headline metric. Scale shape: collapse the event
+    // stream to DISTINCT (user, day) pairs FIRST (the dedup bounds
+    // everything after by active-pairs, not events), then fan each
+    // pair out to the ≤7 window days it supports (bounded explode)
+    // and equi-join to the observed-day dimension — every join keyed,
+    // no range join, no window over the corpus. WAU ≥ DAU ≥ 1 on any
+    // reported day, so the ratio never divides by zero.
+    "q_rolling_active" -> ((s, d) => {
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+        .distinct()
+      val days = pairs.select(col("day").as("rday")).distinct()
+      val wau = pairs
+        .withColumn("rday", explode(sequence(col("day"), col("day") + 6)))
+        .join(days, "rday")
+        .groupBy("rday").agg(count_distinct(col("user_id")).as("wau"))
+      val dau = pairs.groupBy(col("day").as("rday"))
+        .agg(count_distinct(col("user_id")).as("dau"))
+      dau.join(wau, "rday")
+        .select(col("rday").as("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    }),
+
+    // ---- RFM segmentation (recency / frequency / monetary) over the
+    // orders history — the classic customer-value grid. Per-customer
+    // metrics are exact integers (days, counts, cents); the quintile
+    // cut points come from the freq-pre-agg exact percentile and
+    // broadcast back over the customer frame (the q_equidepth_bins
+    // discipline — no global ntile sort), so scoring is a map stage.
+    // Output is the |5³|-bounded segment grid, not per-customer rows.
+    "q_rfm" -> ((s, d) => {
+      // calendar math on DATEs (timezone-free on the NTZ column)
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("cmax"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val g = cust.agg(max("cmax").as("maxd"))
+      val r = graft.CacheScope.cached(cust.crossJoin(broadcast(g))
+        .select(col("o_custkey"),
+          datediff(col("maxd"), col("cmax")).as("rec"),
+          col("freq"), col("cents")))
+      def cuts(m: String): DataFrame =
+        r.groupBy(m).agg(count(lit(1)).as("f"))
+          .agg(expr(s"percentile($m, array(0.2,0.4,0.6,0.8), f)")
+            .as(m + "_c"))
+      def quint(c: org.apache.spark.sql.Column,
+                cut: String): org.apache.spark.sql.Column =
+        (1 to 4).map(i =>
+          (c > element_at(col(cut), i)).cast("int")).reduce(_ + _) + lit(1)
+      r.crossJoin(broadcast(cuts("rec")))
+        .crossJoin(broadcast(cuts("freq")))
+        .crossJoin(broadcast(cuts("cents")))
+        .select((lit(6) - quint(col("rec"), "rec_c")).as("r_score"),
+          quint(col("freq"), "freq_c").as("f_score"),
+          quint(col("cents"), "cents_c").as("m_score"),
+          col("cents"))
+        .groupBy("r_score", "f_score", "m_score")
+        // segment TOTAL, not average: cents are exact BIGINTs, and a
+        // 2-dp decimal never sits on a round-half boundary, where the
+        // engines' tie rules differ (an avg hit one at sf0.01)
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("cents").cast("double") / 100, 2).as("tot_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
     // ---- Welch's t-test (unequal variances) between two event types'
     // value distributions — the A/B-test primitive. Values are cent-
     // quantized (round(v·100) — deterministic from the same float64 in
@@ -321,6 +390,52 @@ object Analytics {
          |  FROM events GROUP BY 1)
          |${(1 to 3).map(lagArm).mkString("\nUNION ALL\n")}
          |ORDER BY lag""".stripMargin
+    },
+    "q_rolling_active" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |days AS (SELECT DISTINCT day AS rday FROM pairs),
+        |wau AS (
+        |  SELECT d.rday, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+        |  FROM days d JOIN pairs p ON p.day BETWEEN d.rday - 6 AND d.rday
+        |  GROUP BY 1),
+        |dau AS (SELECT day AS rday, CAST(count(DISTINCT user_id) AS BIGINT)
+        |          AS dau FROM pairs GROUP BY 1)
+        |SELECT dau.rday AS day, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau ON wau.rday = dau.rday
+        |ORDER BY day""".stripMargin,
+    "q_rfm" -> {
+      def quint(m: String): String =
+        (1 to 4).map(i => s"CAST($m > ${m}_c[$i] AS INTEGER)")
+          .mkString(" + ") + " + 1"
+      s"""WITH cust AS (
+         |  SELECT o_custkey,
+         |    max(CAST(o_orderdate AS DATE)) AS cmax,
+         |    CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT max(cmax) AS maxd FROM cust),
+         |r AS (SELECT o_custkey, CAST(maxd - cmax AS INTEGER) AS rec,
+         |      freq, cents FROM cust, g),
+         |cut AS (SELECT
+         |    quantile_cont(CAST(rec AS DOUBLE), [0.2,0.4,0.6,0.8])
+         |      AS rec_c,
+         |    quantile_cont(CAST(freq AS DOUBLE), [0.2,0.4,0.6,0.8])
+         |      AS freq_c,
+         |    quantile_cont(CAST(cents AS DOUBLE), [0.2,0.4,0.6,0.8])
+         |      AS cents_c
+         |  FROM r),
+         |sc AS (SELECT 6 - (${quint("rec")}) AS r_score,
+         |    ${quint("freq")} AS f_score, ${quint("cents")} AS m_score,
+         |    cents
+         |  FROM r, cut)
+         |SELECT r_score, f_score, m_score,
+         |  CAST(count(*) AS BIGINT) AS n_cust,
+         |  round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS tot_monetary
+         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
     "q_funnel_latency" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -244,6 +244,38 @@ object EventOps {
           round(col("c").cast("double") / col("tot").cast("double"), 6)
             .as("p"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // ---- per-user inter-arrival statistics: mean gap, coefficient of
+    // variation, and the Goh–Barabási burstiness index
+    // B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 periodic, 0 Poisson, →1 bursty) —
+    // the bot-vs-human signal for an event stream. Gaps quantize to
+    // whole seconds so the moment sums (n, Σg, Σg²) are exact BIGINTs;
+    // with S = √(n·Σg² − (Σg)²) the ratios collapse to cv = S/Σg and
+    // B = (S−Σg)/(S+Σg), so each final value is ONE float expression
+    // over exact integers, mirrored op-for-op in the oracle. One
+    // user-keyed window shuffle, then a per-user agg — nothing else
+    // moves. Σg = 0 (all gaps sub-second) ⇒ cv/B null, guarded.
+    "q_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = Tables.events(s, d)
+        .withColumn("prev_us", lag("ts_us", 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(col("user_id"),
+          expr("(ts_us - prev_us) div 1000000").as("g"))
+      val st = gaps.groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum("g").as("sg"), sum(col("g") * col("g")).as("sgg"))
+      val bigS = sqrt((col("n") * col("sgg") - col("sg") * col("sg"))
+        .cast("double"))
+      st.select(col("user_id"), col("n").as("n_gaps"),
+          round(col("sg").cast("double") / col("n").cast("double"), 6)
+            .as("mean_s"),
+          round(when(col("sg") === 0, lit(null))
+            .otherwise(bigS / col("sg").cast("double")), 6).as("cv"),
+          round(when(col("sg") === 0, lit(null))
+            .otherwise((bigS - col("sg").cast("double")) /
+              (bigS + col("sg").cast("double"))), 6).as("burstiness"))
+        .orderBy("user_id")
     })
   )
 
@@ -371,6 +403,27 @@ object EventOps {
         |SELECT tr.from_type, to_type, c,
         |  round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
         |FROM tr JOIN tot ON tot.from_type = tr.from_type
-        |ORDER BY tr.from_type, to_type""".stripMargin
+        |ORDER BY tr.from_type, to_type""".stripMargin,
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |      // 1000000 AS g
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sgg
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n AS n_gaps,
+        |  round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_s,
+        |  round(CASE WHEN sg = 0 THEN NULL ELSE
+        |    sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+        |    END, 6) AS cv,
+        |  round(CASE WHEN sg = 0 THEN NULL ELSE
+        |    (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE)) /
+        |    (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) + CAST(sg AS DOUBLE))
+        |    END, 6) AS burstiness
+        |FROM st ORDER BY user_id""".stripMargin
   )
 }

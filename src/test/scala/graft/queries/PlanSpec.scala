@@ -584,6 +584,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lag pairing must broadcast-join the daily frame")
   }
 
+  test("rolling-active/rfm/interarrival/kcore: keyed joins, broadcast cuts") {
+    // DAU/WAU: pair dedup first, bounded 7-day explode, keyed day join —
+    // a range join (BNLJ) or cartesian here would be the O(days×pairs)
+    // form the bounded explode exists to avoid
+    val ra = planOf("q_rolling_active")
+    assert(!ra.contains("CartesianProduct") &&
+      !ra.contains("BroadcastNestedLoopJoin"),
+      "window fan-out must stay a bounded explode + equi-join")
+    // RFM: the three quintile cut frames broadcast back (1-row each);
+    // the customer frame must never sort-merge or global-ntile
+    val rf = planOf("q_rfm")
+    assert(rf.contains("BroadcastExchange"), "cut points must broadcast")
+    assert(!rf.contains("SortMergeJoin"))
+    assert(!rf.linesIterator.exists(_.matches(""".*\bntile\(.*""")),
+      "no global ntile over customers")
+    // inter-arrival: window + per-user agg share ONE user-keyed exchange
+    val ia = planOf("q_interarrival")
+    val iaEx = ia.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(iaEx == 1, s"expected 1 hash exchange, got $iaEx")
+    // k-core: audit the un-checkpointed edge derivation (published plan
+    // is a checkpoint scan) — keyed self-join + partial-agg distinct
+    val kc = GraphOps.coPurchaseEdges(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!kc.contains("CartesianProduct"))
+    // distinct = keys-only agg: partial/final HashAggregate pair around
+    // the exchange (no "partial_" marker when Functions is empty)
+    val kcAggs = kc.linesIterator
+      .count(_.trim.matches("""\(\d+\) HashAggregate\s*"""))
+    assert(kcAggs >= 2, s"distinct must map-side combine, got $kcAggs aggs")
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

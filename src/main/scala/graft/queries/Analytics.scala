@@ -352,6 +352,89 @@ object Analytics {
             ((col("b2") + 0.5) / (col("n2") + 5.0))).as("lr"))
         .select(round(col("dp") * col("lr") * 1e12).cast("long").as("t"))
         .agg(round(sum("t") / 1e12, 6).as("psi"))
+    }),
+
+    // ---- market-basket association rules (support / confidence / lift)
+    // over order baskets: the cross-sell primitive. Pair generation is the
+    // bounded basket self-join (items-per-order ≤ 7 in TPC-H, so the
+    // fan-out is O(k²) per basket, never all-pairs over parts); pair and
+    // item counts are exact BIGINTs from map-side-combined aggs, and the
+    // item-count joins stay keyed on the part id (the item-count frame is
+    // a per-part dim — AQE broadcasts it at small SF, shuffles it at
+    // scale; no hint either way). Lift multiplies as DOUBLEs from the
+    // start — BIGINT×BIGINT basket counts overflow at the 100 TB design
+    // point (the q_mi lesson). Rules with n_both < 2 are noise and would
+    // dominate the output; the ≥2 floor is part of the operator contract.
+    "q_assoc_rules" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val n = items.agg(count_distinct(col("ok")).as("n_baskets"))
+      val cu = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      val pairs = items.toDF("ok", "u")
+        .join(items.toDF("ok", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 2)
+      pairs
+        .join(cu.toDF("u", "c_u"), "u")
+        .join(cu.toDF("v", "c_v"), "v")
+        .crossJoin(broadcast(n))
+        .select(col("u").as("u_part"), col("v").as("v_part"), col("n_both"),
+          round(col("n_both").cast("double") /
+            col("n_baskets").cast("double"), 6).as("support"),
+          round(col("n_both").cast("double") /
+            col("c_u").cast("double"), 6).as("conf_uv"),
+          round(col("n_both").cast("double") /
+            col("c_v").cast("double"), 6).as("conf_vu"),
+          round((col("n_both").cast("double") * col("n_baskets")
+              .cast("double")) /
+            (col("c_u").cast("double") * col("c_v").cast("double")), 6)
+            .as("lift"))
+        .orderBy("u_part", "v_part")
+    }),
+
+    // ---- Kaplan–Meier survival curve for time-to-first-high-value
+    // purchase (≥ $99): the time-to-event estimator with real right-
+    // censoring — users who never convert are censored at their last
+    // observed event. One per-user agg collapses the stream to
+    // (time_s, observed); everything after runs on the distinct-time
+    // frame (≤ |users| rows), so the risk-set window and the cumulative
+    // log-sum are bounded — the global windows never see the corpus.
+    // At-risk counts come from a time-DESC cumulative sum (KM ties
+    // convention: deaths precede censorings, so censored at t still
+    // count in n(t)). Each factor ln(1 - d/n) rounds to micro-nats and
+    // INTEGER-sums (q_dsir discipline) so the product is partition-
+    // order-proof; d = n can only happen at the final death time (no
+    // survivors after), where S is exactly 0.
+    "q_kaplan_meier" -> ((s, d) => {
+      val u = Tables.events(s, d).groupBy("user_id").agg(
+        min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase" &&
+          round(col("value") * 100) >= 9900, col("ts_us"))).as("tp"),
+        max("ts_us").as("tl"))
+        .select(
+          expr("(coalesce(tp, tl) - t0) div 1000000").as("time_s"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("obs"))
+      val byT = u.groupBy("time_s")
+        .agg(count(lit(1)).as("m"), sum("obs").as("d"))
+      val wDesc = Window.orderBy(col("time_s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = byT.withColumn("n_risk", sum("m").over(wDesc))
+        .filter(col("d") > 0)
+      val wAsc = Window.orderBy("time_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      risk.withColumn("t_int",
+          when(col("d") < col("n_risk"),
+            round(log(lit(1.0) - col("d").cast("double") /
+              col("n_risk").cast("double")) * 1e6).cast("long"))
+            .otherwise(lit(0L)))
+        .withColumn("cum", sum("t_int").over(wAsc))
+        .select(col("time_s"), col("n_risk"), col("d").as("deaths"),
+          when(col("d") === col("n_risk"), lit(0.0))
+            .otherwise(round(exp(col("cum").cast("double") / 1e6), 6))
+            .as("surv"))
+        .orderBy("time_s")
     })
   )
 
@@ -579,6 +662,68 @@ object Analytics {
         |       ((CAST(b2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 5.0)))
         |    * 1e12) AS BIGINT) AS t
         |  FROM g)
-        |SELECT round(sum(t) / 1e12, 6) AS psi FROM t""".stripMargin
+        |SELECT round(sum(t) / 1e12, 6) AS psi FROM t""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+        |      FROM items),
+        |cu AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+        |       FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item AS u, b.item AS v, CAST(count(*) AS BIGINT)
+        |      AS n_both
+        |  FROM items a JOIN items b
+        |    ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.u AS u_part, p.v AS v_part, n_both,
+        |  round(CAST(n_both AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(n_both AS DOUBLE) / CAST(cu.c AS DOUBLE), 6)
+        |    AS conf_uv,
+        |  round(CAST(n_both AS DOUBLE) / CAST(cv.c AS DOUBLE), 6)
+        |    AS conf_vu,
+        |  round((CAST(n_both AS DOUBLE) * CAST(n_baskets AS DOUBLE)) /
+        |    (CAST(cu.c AS DOUBLE) * CAST(cv.c AS DOUBLE)), 6) AS lift
+        |FROM pairs p
+        |JOIN cu ON cu.item = p.u
+        |JOIN cu cv ON cv.item = p.v
+        |CROSS JOIN n
+        |ORDER BY u_part, v_part""".stripMargin,
+    "q_kaplan_meier" ->
+      """WITH s AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    min(CASE WHEN event_type = 'purchase'
+        |          AND round(value * 100) >= 9900
+        |        THEN epoch_us(ts) END) AS tp,
+        |    max(epoch_us(ts)) AS tl
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT (coalesce(tp, tl) - t0) // 1000000 AS time_s,
+        |        CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+        |      FROM s),
+        |byt AS (SELECT time_s, CAST(count(*) AS BIGINT) AS m,
+        |          CAST(sum(obs) AS BIGINT) AS d
+        |        FROM u GROUP BY 1),
+        |risk AS (
+        |  SELECT time_s, d, CAST(sum(m) OVER (ORDER BY time_s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_risk
+        |  FROM byt),
+        |dd AS (
+        |  SELECT time_s, n_risk, d,
+        |    CASE WHEN d < n_risk THEN
+        |      CAST(round(ln(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        * 1e6) AS BIGINT)
+        |    ELSE 0 END AS t_int
+        |  FROM risk WHERE d > 0),
+        |cm AS (SELECT time_s, n_risk, d,
+        |         sum(t_int) OVER (ORDER BY time_s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM dd)
+        |SELECT time_s, n_risk, d AS deaths,
+        |  CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE)
+        |  ELSE round(exp(CAST(cum AS DOUBLE) / 1e6), 6) END AS surv
+        |FROM cm ORDER BY time_s""".stripMargin
   )
 }

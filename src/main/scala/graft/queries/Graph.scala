@@ -169,6 +169,48 @@ object GraphOps {
         .unionAll(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .orderBy("node")
+    }),
+
+    // ---- Adamic–Adar link prediction over the significant-trade graph:
+    // score non-adjacent nation pairs by Σ 1/ln(deg(z)) over common
+    // neighbors z — high-degree hubs contribute less (the 1998 heuristic
+    // that still wins link-prediction baselines). The graph first thins
+    // to "significant" edges (pair trade count > the global mean, a
+    // broadcast 1-row threshold) — on the raw graph every nation trades
+    // with every other and there is nothing to predict. Wedge enumeration
+    // is one keyed self-join on the center node (cost Σ deg², bounded by
+    // the thinned degree ≤ |nations|; on hub-heavy graphs the standard
+    // degree-cap applies — documented, not needed here); candidates
+    // anti-join the edge set. Each term rounds to micro-units and
+    // INTEGER-sums (q_dsir discipline) so partition order cannot move a
+    // score; deg(z) ≥ 2 for any wedge center, so ln never sees 1.
+    "q_adamic_adar" -> ((s, d) => {
+      val w = tradeEdges(s, d)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).cast("long").as("u"),
+          greatest(col("src"), col("dst")).cast("long").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+      val thr = w.agg((sum("cnt").cast("double") /
+        count(lit(1)).cast("double")).as("thr"))
+      val e = graft.CacheScope.cached(
+        w.crossJoin(broadcast(thr))
+          .filter(col("cnt").cast("double") > col("thr"))
+          .select("u", "v"))
+      val adj = e.select(col("u").as("z"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("z"), col("u").as("x")))
+      val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+      val cand = adj.toDF("z", "a").join(adj.toDF("z", "b"), Seq("z"))
+        .filter(col("a") < col("b"))
+        .join(e.toDF("a", "b"), Seq("a", "b"), "left_anti")
+      cand.join(deg, "z")
+        .select(col("a"), col("b"),
+          round(lit(1e6) / log(col("deg").cast("double")))
+            .cast("long").as("t_int"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"), sum("t_int").as("s_int"))
+        .select(col("a").as("u"), col("b").as("v"), col("n_common"),
+          round(col("s_int").cast("double") / 1e6, 6).as("aa_score"))
+        .orderBy(col("aa_score").desc, col("u"), col("v"))
     })
   )
 
@@ -302,6 +344,37 @@ object GraphOps {
          |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
          |  (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4) tf
          |GROUP BY 1 ORDER BY node""".stripMargin
-    }
+    },
+    "q_adamic_adar" ->
+      """WITH w AS (
+        |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
+        |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |        AS thr FROM w),
+        |e AS (SELECT u, v FROM w, t WHERE CAST(cnt AS DOUBLE) > thr),
+        |adj AS (SELECT u AS z, v AS x FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |cand AS (
+        |  SELECT a1.z, a1.x AS a, a2.x AS b
+        |  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |                    WHERE e.u = a1.x AND e.v = a2.x)),
+        |terms AS (
+        |  SELECT a, b, CAST(round(1e6 / ln(CAST(deg AS DOUBLE)))
+        |    AS BIGINT) AS t_int
+        |  FROM cand JOIN deg ON deg.z = cand.z)
+        |SELECT a AS u, b AS v, CAST(count(*) AS BIGINT) AS n_common,
+        |  round(CAST(sum(t_int) AS DOUBLE) / 1e6, 6) AS aa_score
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY aa_score DESC, u, v""".stripMargin
   )
 }

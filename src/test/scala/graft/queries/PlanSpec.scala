@@ -616,6 +616,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kcAggs >= 2, s"distinct must map-side combine, got $kcAggs aggs")
   }
 
+  test("assoc-rules/adamic-adar/kaplan-meier: keyed fan-outs, bounded windows") {
+    // basket pairs: the self-join must stay keyed on the order key
+    // (O(k²)-per-basket fan-out) — a cartesian over items would be the
+    // all-pairs-over-parts form the basket join exists to avoid
+    val ar = planOf("q_assoc_rules")
+    assert(!ar.contains("CartesianProduct"),
+      "basket pair generation must be the keyed order-key self-join")
+    val arBnlj = ar.linesIterator
+      .count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin\s*"""))
+    assert(arBnlj <= 1, s"only the 1-row basket count may nest-loop, got $arBnlj")
+    // AA: wedges keyed on the center node; the ONLY nested-loop site is
+    // the broadcast 1-row significance threshold
+    val aa = planOf("q_adamic_adar")
+    assert(!aa.contains("CartesianProduct"))
+    val aaBnlj = aa.linesIterator
+      .count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin\s*"""))
+    assert(aaBnlj <= 1, s"only the 1-row threshold may nest-loop, got $aaBnlj")
+    // KM: ONE pass over the event stream (the per-user agg), windows run
+    // on the distinct-time frame after aggregation
+    val km = planOf("q_kaplan_meier")
+    val kmScans = km.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(kmScans == 1, s"KM must scan events once, got $kmScans")
+    assert(km.contains("Window"))
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

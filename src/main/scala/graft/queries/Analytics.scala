@@ -422,21 +422,60 @@ object Analytics {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val risk = byT.withColumn("n_risk", sum("m").over(wDesc))
         .filter(col("d") > 0)
-      val wAsc = Window.orderBy("time_s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      risk.withColumn("t_int",
-          when(col("d") < col("n_risk"),
-            round(log(lit(1.0) - col("d").cast("double") /
-              col("n_risk").cast("double")) * 1e6).cast("long"))
-            .otherwise(lit(0L)))
-        .withColumn("cum", sum("t_int").over(wAsc))
-        .select(col("time_s"), col("n_risk"), col("d").as("deaths"),
-          when(col("d") === col("n_risk"), lit(0.0))
-            .otherwise(round(exp(col("cum").cast("double") / 1e6), 6))
-            .as("surv"))
-        .orderBy("time_s")
+      kmRisk(risk)
+    }),
+
+    // ---- DBSCAN neighborhood phase (eps = 5, minPts = 10) over a 2-D
+    // point set: per-point ε-neighbor counts and the core-point flag —
+    // the density step that defines the clustering (full DBSCAN then
+    // runs connected components over core-core edges, the machinery
+    // q_dedup_groups already provides). Scale shape: grid-bucket the
+    // plane at cell = ε, fan each probe point out to its 9 neighbor
+    // cells (bounded ×9 explode — the q_rolling_active discipline), and
+    // equi-join on the cell key; the exact-distance filter then prunes
+    // the corners. No range join, no all-pairs — cost is Σ per-cell
+    // density², the standard spatial-join bound.
+    "q_dbscan_core" -> ((s, d) => {
+      val eps = 5.0
+      val p = Tables.events(s, d).filter(col("event_id") <= 4000)
+        .select(col("event_id").as("pid"), col("value").as("x"),
+          (col("event_id") % 100).cast("double").as("y"))
+        .withColumn("cx", floor(col("x") / eps).cast("long"))
+        .withColumn("cy", floor(col("y") / eps).cast("long"))
+      val probe = p
+        .withColumn("gx", explode(sequence(col("cx") - 1, col("cx") + 1)))
+        .withColumn("gy", explode(sequence(col("cy") - 1, col("cy") + 1)))
+        .select(col("pid"), col("x"), col("y"), col("gx"), col("gy"))
+      val build = p.select(col("cx").as("gx"), col("cy").as("gy"),
+        col("x").as("bx"), col("y").as("by"))
+      probe.join(build, Seq("gx", "gy"))
+        .filter((col("x") - col("bx")) * (col("x") - col("bx")) +
+          (col("y") - col("by")) * (col("y") - col("by")) <= eps * eps)
+        .groupBy("pid").agg(count(lit(1)).as("n_nb"))
+        .select(col("pid"), col("n_nb"),
+          (col("n_nb") >= 10).cast("int").as("is_core"))
+        .orderBy("pid")
     })
   )
+
+  /** KM tail: the survival-product machinery over the (time_s, d, n_risk)
+    * risk frame — factor rounds to micro-nats, integer cumulative sum,
+    * exp back; d = n_risk (the final death time) pins S to exactly 0. */
+  private def kmRisk(risk: DataFrame): DataFrame = {
+    val wAsc = Window.orderBy("time_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk.withColumn("t_int",
+        when(col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double")) * 1e6).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("cum", sum("t_int").over(wAsc))
+      .select(col("time_s"), col("n_risk"), col("d").as("deaths"),
+        when(col("d") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(col("cum").cast("double") / 1e6), 6))
+          .as("surv"))
+      .orderBy("time_s")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_funnel" ->
@@ -724,6 +763,23 @@ object Analytics {
         |SELECT time_s, n_risk, d AS deaths,
         |  CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE)
         |  ELSE round(exp(CAST(cum AS DOUBLE) / 1e6), 6) END AS surv
-        |FROM cm ORDER BY time_s""".stripMargin
+        |FROM cm ORDER BY time_s""".stripMargin,
+    "q_dbscan_core" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, value AS x,
+        |    CAST(event_id % 100 AS DOUBLE) AS y
+        |  FROM events WHERE event_id <= 4000),
+        |nb AS (
+        |  SELECT a.pid, CAST(count(*) AS BIGINT) AS n_nb
+        |  FROM p a JOIN p b
+        |    ON floor(b.x / 5.0) BETWEEN floor(a.x / 5.0) - 1
+        |         AND floor(a.x / 5.0) + 1
+        |   AND floor(b.y / 5.0) BETWEEN floor(a.y / 5.0) - 1
+        |         AND floor(a.y / 5.0) + 1
+        |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |         <= 25.0
+        |  GROUP BY 1)
+        |SELECT pid, n_nb, CAST(n_nb >= 10 AS INTEGER) AS is_core
+        |FROM nb ORDER BY pid""".stripMargin
   )
 }

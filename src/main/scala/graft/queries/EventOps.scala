@@ -27,6 +27,8 @@ import graft.Tables
 object EventOps {
   type Q = (SparkSession, String) => DataFrame
 
+  private val DayUs = 86400000000L
+
   val queries: Map[String, Q] = Map(
     // ---- A16: fold the event log to the latest event per entity
     "q_event_fold" -> ((s, d) => {
@@ -276,6 +278,57 @@ object EventOps {
             .otherwise((bigS - col("sg").cast("double")) /
               (bigS + col("sg").cast("double"))), 6).as("burstiness"))
         .orderBy("user_id")
+    }),
+
+    // ---- last-touch conversion attribution: each purchase credits the
+    // user's most recent non-purchase event (the marketing-analytics
+    // default model); purchases with no prior touch credit 'direct'.
+    // ONE user-keyed window computes the running last-touch via
+    // last(..., ignoreNulls) over the (ts, event_id)-ordered stream, so
+    // the whole query is a single shuffle on user_id plus a channel agg.
+    // Revenue is cent-quantized before summing (exact BIGINTs).
+    "q_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("touch"), lit("direct")).as("channel"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("conversions"),
+          round(sum("cents").cast("double") / 100, 2).as("revenue"))
+        .orderBy("channel")
+    }),
+
+    // ---- concurrent-activity gauge: per day, the maximum number of
+    // users simultaneously active (sweep-line over per-user-day activity
+    // intervals). The event stream collapses to |user-day| intervals
+    // FIRST, each emits a +1/−1 boundary, and the running sum is a
+    // day-PARTITIONED window (intervals never cross midnight by
+    // construction), so no global single-partition pass ever sees the
+    // corpus. Tie order (ts, then −1 before +1) is fixed in both
+    // engines; within a same-sign run the prefix maximum is
+    // order-invariant, so the max is deterministic.
+    "q_concurrency" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"),
+          col("ts_us"))
+        .groupBy("user_id", "day")
+        .agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+      val sweep = iv.select(col("day"), col("lo").as("ts"),
+          lit(1L).as("delta"))
+        .unionAll(iv.select(col("day"), (col("hi") + 1L).as("ts"),
+          lit(-1L).as("delta")))
+      val w = Window.partitionBy("day").orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sweep.withColumn("run", sum("delta").over(w))
+        .groupBy("day")
+        .agg(max("run").as("max_concurrent"),
+          (count(lit(1)) / 2).cast("long").as("n_users"))
+        .orderBy("day")
     })
   )
 
@@ -424,6 +477,37 @@ object EventOps {
         |    (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE)) /
         |    (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) + CAST(sg AS DOUBLE))
         |    END, 6) AS burstiness
-        |FROM st ORDER BY user_id""".stripMargin
+        |FROM st ORDER BY user_id""".stripMargin,
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |  CAST(count(*) AS BIGINT) AS conversions,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100, 2) AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |sweep AS (
+        |  SELECT day, lo AS ts, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT day, hi + 1, CAST(-1 AS BIGINT) FROM iv),
+        |run AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day
+        |    ORDER BY ts, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM sweep)
+        |SELECT day, CAST(max(run) AS BIGINT) AS max_concurrent,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_users
+        |FROM run GROUP BY 1 ORDER BY day""".stripMargin
   )
 }

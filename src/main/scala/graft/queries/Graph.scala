@@ -50,6 +50,26 @@ object GraphOps {
       .select("u", "v").distinct()
   }
 
+  /** "Significant trade partners" graph: undirected nation pairs whose
+    * lineitem co-trade count exceeds the global mean (a broadcast 1-row
+    * threshold). The raw trade graph is complete from sf0.01 up — every
+    * nation trades with every other — so graph queries that need
+    * structure (link prediction, distances) run on this thinned form.
+    * Shared by q_adamic_adar and q_bfs_dist. */
+  private[queries] def significantEdges(s: SparkSession, d: String)
+      : DataFrame = {
+    val w = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+    val thr = w.agg((sum("cnt").cast("double") /
+      count(lit(1)).cast("double")).as("thr"))
+    w.crossJoin(broadcast(thr))
+      .filter(col("cnt").cast("double") > col("thr"))
+      .select("u", "v")
+  }
+
   val queries: Map[String, Q] = Map(
     // ranks rounded to 5 dp (not 6): five rounds of differently-ordered FP
     // sums can drift near a 6-dp rounding boundary and flake the hash gate
@@ -185,17 +205,7 @@ object GraphOps {
     // INTEGER-sums (q_dsir discipline) so partition order cannot move a
     // score; deg(z) ≥ 2 for any wedge center, so ln never sees 1.
     "q_adamic_adar" -> ((s, d) => {
-      val w = tradeEdges(s, d)
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).cast("long").as("u"),
-          greatest(col("src"), col("dst")).cast("long").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
-      val thr = w.agg((sum("cnt").cast("double") /
-        count(lit(1)).cast("double")).as("thr"))
-      val e = graft.CacheScope.cached(
-        w.crossJoin(broadcast(thr))
-          .filter(col("cnt").cast("double") > col("thr"))
-          .select("u", "v"))
+      val e = graft.CacheScope.cached(significantEdges(s, d))
       val adj = e.select(col("u").as("z"), col("v").as("x"))
         .unionAll(e.select(col("v").as("z"), col("u").as("x")))
       val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
@@ -211,6 +221,34 @@ object GraphOps {
         .select(col("a").as("u"), col("b").as("v"), col("n_common"),
           round(col("s_int").cast("double") / 1e6, 6).as("aa_score"))
         .orderBy(col("aa_score").desc, col("u"), col("v"))
+    }),
+
+    // ---- BFS hop distance over the significant-trade graph from the
+    // smallest node with any significant edge (a broadcast 1-row source —
+    // a fixed id can be isolated after thinning and would BFS nowhere;
+    // 4 fixed rounds ≥ the thinned diameter, and fixed rounds keep the
+    // oracle an exact CTE unroll like PageRank/k-core).
+    // Each round is one keyed join frontier⋈adjacency + a min-agg — the
+    // textbook min-plus relaxation; the distance frame localCheckpoints
+    // per round (iterated-lineage rule: frames are ≤|nodes| rows, but
+    // round r would otherwise re-derive every earlier round AND the
+    // edge-thinning agg). Unreached nodes stay absent, not ∞.
+    "q_bfs_dist" -> ((s, d) => {
+      val e = graft.CacheScope.cached(significantEdges(s, d))
+      val adj = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      var dist = e.agg(min("u").as("node"))
+        .select(col("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 4) {
+        dist = dist
+          .join(adj, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+          .unionByName(dist)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.orderBy("node")
     })
   )
 
@@ -375,6 +413,33 @@ object GraphOps {
         |SELECT a AS u, b AS v, CAST(count(*) AS BIGINT) AS n_common,
         |  round(CAST(sum(t_int) AS DOUBLE) / 1e6, 6) AS aa_score
         |FROM terms GROUP BY 1, 2
-        |ORDER BY aa_score DESC, u, v""".stripMargin
+        |ORDER BY aa_score DESC, u, v""".stripMargin,
+    "q_bfs_dist" -> {
+      def relax(i: Int): String =
+        s"""d$i AS (
+           |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT adj.dst AS node, d${i - 1}.dist + 1 AS dist
+           |    FROM d${i - 1} JOIN adj ON adj.src = d${i - 1}.node
+           |    UNION ALL SELECT node, dist FROM d${i - 1}) r$i
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH w AS (
+         |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
+         |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |        AS thr FROM w),
+         |e AS (SELECT u, v FROM w, t WHERE CAST(cnt AS DOUBLE) > thr),
+         |adj AS (SELECT u AS src, v AS dst FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |d0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM e),
+         |${(1 to 4).map(relax).mkString(",\n")}
+         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+    }
   )
 }

@@ -642,6 +642,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(km.contains("Window"))
   }
 
+  test("attribution/concurrency/dbscan/bfs: keyed shapes, no global sweep") {
+    // attribution: ONE user-keyed exchange feeds both the window and
+    // nothing else shuffles except the tiny channel agg
+    val at = planOf("q_attribution")
+    assert(!at.contains("CartesianProduct") &&
+      !at.contains("BroadcastNestedLoopJoin"))
+    // concurrency: the sweep window must be DAY-partitioned — a global
+    // single-partition window over boundaries is the scale hazard the
+    // per-day keying exists to avoid
+    val cc = planOf("q_concurrency")
+    assert(!cc.linesIterator.exists(l =>
+      l.contains("Arguments: SinglePartition")),
+      "sweep-line window must partition by day, not run globally")
+    // DBSCAN: candidate pairs come from the 9-cell equi-join — never a
+    // range/nested-loop join over points
+    val db = planOf("q_dbscan_core")
+    assert(!db.contains("CartesianProduct") &&
+      !db.contains("BroadcastNestedLoopJoin"),
+      "neighbor candidates must equi-join on the grid cell")
+    // BFS: published plan is a checkpoint scan; audit the thinned-edge
+    // derivation (keyed joins + the 1-row threshold broadcast only)
+    val bf = GraphOps.significantEdges(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!bf.contains("CartesianProduct"))
+    val bfBnlj = bf.linesIterator
+      .count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin\s*"""))
+    assert(bfBnlj <= 1, s"only the 1-row threshold may nest-loop, got $bfBnlj")
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

@@ -455,6 +455,69 @@ object Analytics {
         .select(col("pid"), col("n_nb"),
           (col("n_nb") >= 10).cast("int").as("is_core"))
         .orderBy("pid")
+    }),
+
+    // ---- Benford first-digit audit of order totals — the forensic
+    // data-quality screen (fabricated numbers flunk it). The leading
+    // digit comes from the INTEGER cents string, never float formatting
+    // (engines disagree on double→text); expected shares are
+    // ln(1+1/d)/ln(10) and the χ² contribution is one double expression
+    // over the exact counts and the broadcast 1-row total.
+    "q_benford" -> ((s, d) => {
+      val dig = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = dig.agg(sum("n").as("tot"))
+      dig.crossJoin(broadcast(tot))
+        .withColumn("exp_p",
+          log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+            log(lit(10.0)))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("obs_p"),
+          round(col("exp_p"), 6).as("exp_p"),
+          round((col("n").cast("double") -
+              col("tot").cast("double") * col("exp_p")) *
+            (col("n").cast("double") -
+              col("tot").cast("double") * col("exp_p")) /
+            (col("tot").cast("double") * col("exp_p")), 6).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
+    // ---- per-group OLS (value vs. day) with slope / intercept / R²:
+    // the trend-fit primitive. All five moment sums are exact BIGINTs
+    // (x = day index, y = cent-quantized value), so the shuffle carries
+    // six integers per group; the closed-form coefficients are computed
+    // in DOUBLEs from the start — BIGINT moment products overflow at
+    // the 100 TB design point (the q_mi lesson) — with the op order
+    // mirrored in the oracle. Degenerate groups (zero x- or y-variance)
+    // yield NULL, guarded against ANSI division-by-zero.
+    "q_groupreg" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr(s"ts_us div $DayUs").as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      val m = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val dn = col("n").cast("double")
+      def dd(c: String) = col(c).cast("double")
+      val covN = dn * dd("sxy") - dd("sx") * dd("sy")
+      val varX = dn * dd("sxx") - dd("sx") * dd("sx")
+      val varY = dn * dd("syy") - dd("sy") * dd("sy")
+      m.select(col("event_type"), col("n"),
+          round(when(varX === 0.0, lit(null))
+            .otherwise(covN / varX / 100.0), 6).as("slope"),
+          round(when(varX === 0.0, lit(null))
+            .otherwise((dd("sy") - (covN / varX) * dd("sx")) / dn / 100.0),
+            6).as("intercept"),
+          round(when(varX * varY === 0.0, lit(null))
+            .otherwise(covN * covN / (varX * varY)), 6).as("r2"))
+        .orderBy("event_type")
     })
   )
 
@@ -780,6 +843,59 @@ object Analytics {
         |         <= 25.0
         |  GROUP BY 1)
         |SELECT pid, n_nb, CAST(n_nb >= 10 AS INTEGER) AS is_core
-        |FROM nb ORDER BY pid""".stripMargin
+        |FROM nb ORDER BY pid""".stripMargin,
+    "q_benford" ->
+      """WITH dig AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        |      AS digit
+        |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |        FROM orders) c
+        |  WHERE cents > 0),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM dig GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g),
+        |x AS (SELECT digit, n, tot,
+        |        ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) /
+        |          ln(CAST(10 AS DOUBLE)) AS exp_p
+        |      FROM g CROSS JOIN t)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS obs_p,
+        |  round(exp_p, 6) AS exp_p,
+        |  round((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * exp_p) *
+        |    (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * exp_p) /
+        |    (CAST(tot AS DOUBLE) * exp_p), 6) AS chi2_term
+        |FROM x ORDER BY digit""".stripMargin,
+    "q_groupreg" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+        |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+        |    CAST(n AS DOUBLE) AS dn
+        |  FROM m)
+        |SELECT event_type, n,
+        |  round(CASE WHEN varx = 0 THEN NULL
+        |    ELSE covn / varx / 100.0 END, 6) AS slope,
+        |  round(CASE WHEN varx = 0 THEN NULL
+        |    ELSE (dsy - (covn / varx) * dsx) / dn / 100.0 END, 6)
+        |    AS intercept,
+        |  round(CASE WHEN varx * vary = 0 THEN NULL
+        |    ELSE covn * covn / (varx * vary) END, 6) AS r2
+        |FROM f ORDER BY event_type""".stripMargin
   )
 }

@@ -329,6 +329,28 @@ object EventOps {
         .agg(max("run").as("max_concurrent"),
           (count(lit(1)) / 2).cast("long").as("n_users"))
         .orderBy("day")
+    }),
+
+    // ---- opening-path analysis: each user's first three event types as
+    // an ordered "a>b>c" path, counted across users — the onboarding-
+    // flow histogram. One user-keyed window ranks the stream, the rn ≤ 3
+    // filter drops everything else BEFORE the per-user pivot (three
+    // conditional min-aggs — no collect_list, whose ordering is
+    // partition-dependent), and the path space is bounded by |types|³.
+    // concat_ws skips NULLs identically in both engines, so users with
+    // fewer than three events keep their shorter path.
+    "q_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(min(when(col("rn") === 1, col("event_type"))).as("t1"),
+          min(when(col("rn") === 2, col("event_type"))).as("t2"),
+          min(when(col("rn") === 3, col("event_type"))).as("t3"))
+        .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
     })
   )
 
@@ -508,6 +530,21 @@ object EventOps {
         |  FROM sweep)
         |SELECT day, CAST(max(run) AS BIGINT) AS max_concurrent,
         |  CAST(count(*) // 2 AS BIGINT) AS n_users
-        |FROM run GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM run GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN rn = 1 THEN event_type END) AS t1,
+        |    min(CASE WHEN rn = 2 THEN event_type END) AS t2,
+        |    min(CASE WHEN rn = 3 THEN event_type END) AS t3
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT concat_ws('>', t1, t2, t3) AS path,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1 ORDER BY n_users DESC, path""".stripMargin
   )
 }

@@ -671,6 +671,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bfBnlj <= 1, s"only the 1-row threshold may nest-loop, got $bfBnlj")
   }
 
+  test("modularity/paths/benford/groupreg: broadcast dims, single-key aggs") {
+    // modularity: nation/region dims broadcast; the only nested-loop
+    // site is the 1-row m total
+    val mo = planOf("q_modularity")
+    assert(!mo.contains("CartesianProduct"))
+    assert(mo.contains("BroadcastHashJoin"), "dims must broadcast")
+    val moBnlj = mo.linesIterator
+      .count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin\s*"""))
+    assert(moBnlj <= 1, s"only the 1-row m total may nest-loop, got $moBnlj")
+    // paths: window + pivot agg share the user exchange; the only other
+    // shuffle is the path histogram
+    val ep = planOf("q_event_paths")
+    val epEx = ep.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(epEx == 2, s"expected user + path exchanges only, got $epEx")
+    // benford: digit agg + broadcast 1-row total, no sort-merge anywhere
+    val bf = planOf("q_benford")
+    assert(!bf.contains("SortMergeJoin"))
+    // groupreg: no joins at all — one keyed moment agg carries the query
+    val gr = planOf("q_groupreg")
+    assert(!gr.contains("Join"), "moment sums must not join")
+    val grEx = gr.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(grEx == 1, s"expected one event_type exchange, got $grEx")
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

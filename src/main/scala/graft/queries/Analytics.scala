@@ -518,6 +518,84 @@ object Analytics {
           round(when(varX * varY === 0.0, lit(null))
             .otherwise(covN * covN / (varX * varY)), 6).as("r2"))
         .orderBy("event_type")
+    }),
+
+    // ---- Pareto concentration per region: the smallest number of
+    // customers covering ≥80% of the region's revenue (the 80/20
+    // check). The event stream... rather, orders collapse to per-
+    // customer cent totals FIRST (the shuffle carries one BIGINT per
+    // customer), the rank/cumsum window partitions by region, and the
+    // 80% threshold is the EXACT integer test 5·cum ≥ 4·total — no
+    // float boundary can flip a customer in or out. Output is 5 rows.
+    "q_pareto" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey")), "o_custkey")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nationkey"),
+            col("n_regionkey").as("rk"))), "c_nationkey")
+      val wR = Window.partitionBy("rk")
+        .orderBy(col("cents").desc, col("o_custkey"))
+      val ranked = cust
+        .withColumn("rnk", row_number().over(wR).cast("long"))
+        .withColumn("cum", sum("cents").over(
+          wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum("cents").over(Window.partitionBy("rk")))
+      ranked.filter(col("cum") * 5 >= col("tot") * 4)
+        .groupBy("rk").agg(min("rnk").as("k80"))
+        .join(ranked.groupBy("rk")
+          .agg(count(lit(1)).as("n_cust")), "rk")
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey").as("rk"), col("r_name"))), "rk")
+        .select(col("r_name"), col("n_cust"), col("k80"),
+          round(col("k80").cast("double") / col("n_cust").cast("double"),
+            6).as("k80_share"))
+        .orderBy("r_name")
+    }),
+
+    // ---- Mann–Whitney U (normal approximation, tie-corrected) between
+    // 'view' and 'purchase' value distributions — the nonparametric
+    // sibling of q_welch. Values cent-quantize, the pooled stream
+    // pre-aggregates to (value, f_a, f_b) so rank math runs on the
+    // distinct-value frame, and every rank quantity stays an exact
+    // integer by doubling (2·avgrank = 2·cumBefore + f + 1). The tie
+    // correction Σ(t³−t) accumulates in DECIMAL(38,0) — exact under
+    // any partition order, and big enough for 100 TB frequencies where
+    // BIGINT cubes overflow. Only the final z-score touches doubles.
+    "q_mann_whitney" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(round(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("a"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("b"))
+        .groupBy("v").agg(sum("a").as("fa"), sum("b").as("fb"))
+        .withColumn("f", col("fa") + col("fb"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = e
+        .withColumn("cumBefore", coalesce(sum("f").over(w), lit(0L)))
+        .withColumn("r2", lit(2L) * col("cumBefore") + col("f") + 1L)
+      val agg = ranked.agg(
+        sum("fa").as("na"), sum("fb").as("nb"),
+        sum(col("fa") * col("r2")).as("ra2"),
+        sum((col("f").cast("decimal(38,0)") * col("f") * col("f") -
+          col("f"))).as("ties"))
+      val na = col("na").cast("double")
+      val nb = col("nb").cast("double")
+      val nn = na + nb
+      val u2 = col("ra2").cast("double") - na * (na + 1.0)
+      val mu2 = na * nb
+      val sig = sqrt((na * nb / 12.0) *
+        ((nn + 1.0) - col("ties").cast("double") / (nn * (nn - 1.0))))
+      agg.select(col("na"), col("nb"),
+        round(u2 / 2.0, 2).as("u_a"),
+        round(when(sig === 0.0, lit(null))
+          .otherwise((u2 - mu2) / (lit(2.0) * sig)), 6).as("z"))
     })
   )
 
@@ -896,6 +974,73 @@ object Analytics {
         |    AS intercept,
         |  round(CASE WHEN varx * vary = 0 THEN NULL
         |    ELSE covn * covn / (varx * vary) END, 6) AS r2
-        |FROM f ORDER BY event_type""".stripMargin
+        |FROM f ORDER BY event_type""".stripMargin,
+    "q_pareto" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT cust.o_custkey, cents, n.n_regionkey AS rk
+        |  FROM cust
+        |  JOIN customer c ON c.c_custkey = cust.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |rankd AS (
+        |  SELECT rk,
+        |    CAST(row_number() OVER (PARTITION BY rk
+        |      ORDER BY cents DESC, o_custkey) AS BIGINT) AS rnk,
+        |    CAST(sum(cents) OVER (PARTITION BY rk
+        |      ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cents) OVER (PARTITION BY rk) AS BIGINT) AS tot
+        |  FROM j),
+        |k AS (SELECT rk, min(rnk) AS k80 FROM rankd
+        |      WHERE cum * 5 >= tot * 4 GROUP BY 1),
+        |cnt AS (SELECT rk, CAST(count(*) AS BIGINT) AS n_cust
+        |        FROM rankd GROUP BY 1)
+        |SELECT r.r_name, n_cust, k80,
+        |  round(CAST(k80 AS DOUBLE) / CAST(n_cust AS DOUBLE), 6)
+        |    AS k80_share
+        |FROM k JOIN cnt ON cnt.rk = k.rk
+        |JOIN region r ON r.r_regionkey = k.rk
+        |ORDER BY r_name""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |g AS (SELECT v, CAST(sum(a) AS BIGINT) AS fa,
+        |        CAST(sum(b) AS BIGINT) AS fb,
+        |        CAST(sum(a) + sum(b) AS BIGINT) AS f
+        |      FROM e GROUP BY 1),
+        |r AS (
+        |  SELECT fa, fb, f,
+        |    CAST(coalesce(sum(f) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM g),
+        |agg AS (
+        |  SELECT CAST(sum(fa) AS BIGINT) AS na,
+        |    CAST(sum(fb) AS BIGINT) AS nb,
+        |    CAST(sum(fa * (2 * cb + f + 1)) AS BIGINT) AS ra2,
+        |    sum(CAST(f AS HUGEINT) * f * f - f) AS ties
+        |  FROM r),
+        |ff AS (
+        |  SELECT na, nb, CAST(na AS DOUBLE) AS nad,
+        |    CAST(nb AS DOUBLE) AS nbd,
+        |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nnd,
+        |    CAST(ra2 AS DOUBLE) - CAST(na AS DOUBLE) *
+        |      (CAST(na AS DOUBLE) + 1.0) AS u2,
+        |    CAST(ties AS DOUBLE) AS tiesd
+        |  FROM agg)
+        |SELECT na, nb, round(u2 / 2.0, 2) AS u_a,
+        |  round(CASE WHEN sqrt((nad * nbd / 12.0) *
+        |      ((nnd + 1.0) - tiesd / (nnd * (nnd - 1.0)))) = 0 THEN NULL
+        |    ELSE (u2 - nad * nbd) / (2.0 * sqrt((nad * nbd / 12.0) *
+        |      ((nnd + 1.0) - tiesd / (nnd * (nnd - 1.0))))) END, 6) AS z
+        |FROM ff""".stripMargin
   )
 }

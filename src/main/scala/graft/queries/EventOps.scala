@@ -351,6 +351,59 @@ object EventOps {
         .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
+    }),
+
+    // ---- CUSUM changepoint scan over the daily event-count series:
+    // S_d = Σ_{i≤d}(x_i − μ) peaks at the day the level shifts. The
+    // whole curve stays EXACT by clearing the denominator — n·S_d =
+    // n·prefix_d − d_idx·Σx is pure BIGINT arithmetic, so the peak flag
+    // is an exact integer compare (no float argmax flake); only the
+    // reported cusum value converts to double at the end. The series
+    // frame is ≤|days| rows — the prefix window never sees raw events.
+    "q_changepoint" -> ((s, d) => {
+      // cached: both the 1-row total and the curve read it — uncached,
+      // the events scan + daily agg would run twice (q_lm_score lesson)
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x")))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wi = Window.orderBy("day")
+      val cur = daily.crossJoin(broadcast(tot))
+        .withColumn("prefix", sum("x").over(w))
+        .withColumn("d_idx", row_number().over(wi).cast("long"))
+        .withColumn("ns", col("n") * col("prefix") -
+          col("d_idx") * col("sx"))
+      cur.withColumn("mx", max(abs(col("ns")))
+          .over(Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("day"), col("x"),
+          round(col("ns").cast("double") / col("n").cast("double"), 6)
+            .as("cusum"),
+          (abs(col("ns")) === col("mx")).cast("int").as("is_peak"))
+        .orderBy("day")
+    }),
+
+    // ---- multiplicative weekday seasonality: per day-of-week index =
+    // (per-dow mean) / (global daily mean), computed as the exact cross-
+    // ratio (s_d·C)/(c_d·S) in doubles — day counts and event sums are
+    // BIGINTs, the 1-row global total broadcasts, and the output is the
+    // 7-row seasonal profile.
+    "q_seasonality" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select((col("day") % 7).as("dow"), col("x"))
+      val byDow = graft.CacheScope.cached(daily.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("events")))
+      val g = byDow.agg(sum("n_days").as("cc"), sum("events").as("ss"))
+      byDow.crossJoin(broadcast(g))
+        .select(col("dow"), col("n_days"), col("events"),
+          round((col("events").cast("double") * col("cc").cast("double")) /
+            (col("n_days").cast("double") * col("ss").cast("double")), 6)
+            .as("seasonal_index"))
+        .orderBy("dow")
     })
   )
 
@@ -545,6 +598,40 @@ object EventOps {
         |  FROM r WHERE rn <= 3 GROUP BY 1)
         |SELECT concat_ws('>', t1, t2, t3) AS path,
         |  CAST(count(*) AS BIGINT) AS n_users
-        |FROM p GROUP BY 1 ORDER BY n_users DESC, path""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY n_users DESC, path""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        |cur AS (
+        |  SELECT day, x, n,
+        |    n * CAST(sum(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - CAST(row_number() OVER (ORDER BY day) AS BIGINT) * sx AS ns
+        |  FROM daily CROSS JOIN t),
+        |mx AS (SELECT max(abs(ns)) AS mx FROM cur)
+        |SELECT day, x,
+        |  round(CAST(ns AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
+        |  CAST(abs(ns) = mx AS INTEGER) AS is_peak
+        |FROM cur CROSS JOIN mx ORDER BY day""".stripMargin,
+    "q_seasonality" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |bydow AS (
+        |  SELECT day % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS events
+        |  FROM daily GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_days) AS BIGINT) AS cc,
+        |        CAST(sum(events) AS BIGINT) AS ss FROM bydow)
+        |SELECT dow, n_days, events,
+        |  round((CAST(events AS DOUBLE) * CAST(cc AS DOUBLE)) /
+        |    (CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE)), 6)
+        |    AS seasonal_index
+        |FROM bydow CROSS JOIN g ORDER BY dow""".stripMargin
   )
 }

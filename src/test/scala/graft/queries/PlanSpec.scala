@@ -697,6 +697,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grEx == 1, s"expected one event_type exchange, got $grEx")
   }
 
+  test("changepoint/seasonality/pareto/mann-whitney: reduce-first windows") {
+    // CUSUM + seasonality: one events scan each — the prefix/index
+    // windows run on the ≤|days| daily frame, never the raw stream
+    for (q <- Seq("q_changepoint", "q_seasonality")) {
+      val p = planOf(q)
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans == 1, s"$q must scan events once, got $scans")
+    }
+    // pareto: the rank/cumsum windows partition by region — never a
+    // global single-partition sort of customers
+    val pa = planOf("q_pareto")
+    assert(!pa.contains("CartesianProduct"))
+    assert(!pa.linesIterator.exists(_.contains("Arguments: SinglePartition")),
+      "pareto windows must stay region-partitioned")
+    // MW: rank arithmetic runs on the distinct-cent-value frame after a
+    // map-side-combined pre-agg; one events scan
+    val mw = planOf("q_mann_whitney")
+    val mwScans = mw.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(mwScans == 1, s"MW must scan events once, got $mwScans")
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

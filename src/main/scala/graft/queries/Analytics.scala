@@ -596,6 +596,83 @@ object Analytics {
         round(u2 / 2.0, 2).as("u_a"),
         round(when(sig === 0.0, lit(null))
           .otherwise((u2 - mu2) / (lit(2.0) * sig)), 6).as("z"))
+    }),
+
+    // ---- time-constrained funnel (ClickHouse windowFunnel semantics):
+    // each stage must land within 24 h of the PREVIOUS stage's event,
+    // not merely after it — the funnel that distinguishes an active
+    // journey from a months-later coincidence. Same chained min-agg
+    // shape as q_funnel (each stage's frame shrinks, keyed joins only);
+    // the window bound is exact µs integer arithmetic.
+    "q_window_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select("user_id", "event_type", "ts_us")
+      val a = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t_view"))
+      val b = e.filter(col("event_type") === "click").join(a, "user_id")
+        .filter(col("ts_us") > col("t_view") &&
+          col("ts_us") <= col("t_view") + DayUs)
+        .groupBy("user_id").agg(min("ts_us").as("t_click"))
+      val c = e.filter(col("event_type") === "purchase").join(b, "user_id")
+        .filter(col("ts_us") > col("t_click") &&
+          col("ts_us") <= col("t_click") + DayUs)
+        .groupBy("user_id").agg(min("ts_us").as("t_buy"))
+      a.agg(count(lit(1)).as("users")).select(lit(1).as("stage"),
+          lit("view").as("step"), col("users"))
+        .unionAll(b.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("stage"), lit("click").as("step"),
+            col("users")))
+        .unionAll(c.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("stage"), lit("purchase").as("step"),
+            col("users")))
+        .orderBy("stage")
+    }),
+
+    // ---- new vs. returning daily split: each active (user, day) pair
+    // is "new" iff the day is the user's first-seen day. The stream
+    // collapses to distinct pairs, the per-user first is one more
+    // keyed agg, and the classification join stays on user_id — the
+    // standard growth-accounting companion to q_rolling_active.
+    "q_new_returning" -> ((s, d) => {
+      val pairs = graft.CacheScope.cached(Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+        .distinct())
+      val first = pairs.groupBy("user_id").agg(min("day").as("fday"))
+      pairs.join(first, "user_id")
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("fday"), 1L).otherwise(0L))
+          .as("new_users"),
+          sum(when(col("day") =!= col("fday"), 1L).otherwise(0L))
+            .as("returning_users"))
+        .orderBy("day")
+    }),
+
+    // ---- incremental aggregate maintenance: the merge step of a
+    // materialized view — a BASE partial aggregate (first 15 days) and
+    // a DELTA partial aggregate (the rest) union and re-aggregate, and
+    // the result must equal the oracle's full recompute. This is the
+    // property that makes 100 TB rollups maintainable: count/sum
+    // moments are mergeable, so a day's delta never re-reads history.
+    // The split point derives from a broadcast 1-row min-day aggregate.
+    "q_incremental_agg" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), expr(s"ts_us div $DayUs").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cut = e.agg((min("day") + 15L).as("cut"))
+      val tagged = e.crossJoin(broadcast(cut))
+      def part(p: DataFrame): DataFrame =
+        p.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      val base = part(tagged.filter(col("day") < col("cut")))
+      val delta = part(tagged.filter(col("day") >= col("cut")))
+      base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum("n").as("n"), sum("s").as("s"))
+        .select(col("event_type"), col("n"),
+          round(col("s").cast("double") / 100, 2).as("total"),
+          round(col("s").cast("double") / col("n").cast("double") / 100,
+            6).as("mean"))
+        .orderBy("event_type")
     })
   )
 
@@ -1041,6 +1118,44 @@ object Analytics {
         |      ((nnd + 1.0) - tiesd / (nnd * (nnd - 1.0)))) = 0 THEN NULL
         |    ELSE (u2 - nad * nbd) / (2.0 * sqrt((nad * nbd / 12.0) *
         |      ((nnd + 1.0) - tiesd / (nnd * (nnd - 1.0))))) END, 6) AS z
-        |FROM ff""".stripMargin
+        |FROM ff""".stripMargin,
+    "q_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT e.user_id, min(ts_us) AS t_click
+        |      FROM e JOIN a ON a.user_id = e.user_id
+        |      WHERE event_type = 'click' AND ts_us > t_view
+        |        AND ts_us <= t_view + 86400000000 GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS t_buy
+        |      FROM e JOIN b ON b.user_id = e.user_id
+        |      WHERE event_type = 'purchase' AND ts_us > t_click
+        |        AND ts_us <= t_click + 86400000000 GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS step,
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS users
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM b) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase',
+        |  CAST((SELECT count(*) FROM c) AS BIGINT)
+        |ORDER BY stage""".stripMargin,
+    "q_new_returning" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS fday FROM pairs GROUP BY 1)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN day <> fday THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_users
+        |FROM pairs JOIN f USING (user_id)
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100, 2) AS total,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 100, 6) AS mean
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -363,6 +363,71 @@ object Similarity {
           coalesce(col("hits"), lit(0L)).as("hits"),
           round(coalesce(col("hits"), lit(0L)) / 5.0, 2).as("recall_at_5"))
         .orderBy("q_id")
+    }),
+
+    // ---- MMR diversity re-ranking (Carbonell–Goldstein 1998, λ = 0.7):
+    // greedy-select 3 of each query's top-8 cosine candidates, each pick
+    // maximizing λ·rel − (1−λ)·max-sim-to-already-selected — the
+    // redundancy suppressor between retrieval and the context window.
+    // Candidate generation is the documented brute baseline (the LSH/IVF
+    // paths are the scale route); after it, every frame is ≤8 rows per
+    // query and every join is keyed on (q_id, vec_id). Rel and pair sims
+    // round to 6 dp BEFORE any argmax (the q_knn_brute discipline) so
+    // rank ties break identically in both engines; the two greedy rounds
+    // unroll (fixed k keeps the oracle plain CTEs).
+    "q_mmr" -> ((s, d) => {
+      val all = vecs(s, d)
+      val q = all.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nb_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+            .as("rel"), col("v"), col("nrm"))
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("rel").desc, col("nb_id").asc)
+      val cands = graft.CacheScope.cached(
+        scored.withColumn("rnk", row_number().over(wq))
+          .filter(col("rnk") <= 8))
+      val sims = graft.CacheScope.cached(cands
+        .select(col("q_id"), col("nb_id").as("ia"), col("v").as("va"),
+          col("nrm").as("na"))
+        .join(cands.select(col("q_id"), col("nb_id").as("ib"),
+          col("v").as("vb"), col("nrm").as("nb")), Seq("q_id"))
+        .filter(col("ia") =!= col("ib"))
+        .select(col("q_id"), col("ia"), col("ib"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("sim")))
+      val slim = cands.select("q_id", "nb_id", "rel")
+      var sel = cands.filter(col("rnk") === 1)
+        .select(col("q_id"), col("nb_id"), lit(1).as("mmr_rank"),
+          col("rel").as("score"))
+      for (r <- 2 to 3) {
+        val rem = slim.join(sel.select(col("q_id").as("aq"),
+            col("nb_id").as("sid")),
+          col("q_id") === col("aq") && col("nb_id") === col("sid"),
+          "left_anti")
+        val ms = sims.join(sel.select(col("q_id").as("sq"),
+            col("nb_id").as("sid")),
+            col("q_id") === col("sq") && col("ib") === col("sid"))
+          .groupBy(col("q_id"), col("ia").as("nb_id"))
+          .agg(max("sim").as("maxsim"))
+        val wr = Window.partitionBy("q_id")
+          .orderBy(col("score_i").desc, col("nb_id").asc)
+        // micro-unit integer score (round(x,6) sits Spark's BigDecimal
+        // HALF_UP against DuckDB's FP rounding at .5e-6 boundaries —
+        // round(x*1e6)→BIGINT is computed identically by both)
+        val pick = rem.join(ms, Seq("q_id", "nb_id"))
+          .select(col("q_id"), col("nb_id"),
+            round((lit(0.7) * col("rel") - lit(0.3) * col("maxsim")) * 1e6)
+              .cast("long").as("score_i"))
+          .withColumn("prnk", row_number().over(wr))
+          .filter(col("prnk") === 1)
+          .select(col("q_id"), col("nb_id"), lit(r).as("mmr_rank"),
+            (col("score_i").cast("double") / 1e6).as("score"))
+        sel = sel.unionByName(pick).localCheckpoint(true)
+      }
+      sel.orderBy("q_id", "mmr_rank")
     })
   )
 
@@ -954,7 +1019,78 @@ object Similarity {
          |SELECT vb AS vec_id, cluster, min(va) AS dup_of,
          |  max(cos_r) AS max_cos
          |FROM sims WHERE cos_r >= 0.35
-         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    "q_mmr" ->
+      s"""WITH $flatSql,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0
+         |  GROUP BY 1, 2),
+         |rels AS (
+         |  SELECT q_id, nb_id, round(dt / (nq.nrm * np.nrm), 6) AS rel
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm np ON np.vec_id = nb_id),
+         |cands AS (
+         |  SELECT q_id, nb_id, rel, rnk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, nb_id ASC) AS rnk FROM rels) t
+         |  WHERE rnk <= 8),
+         |psim AS (
+         |  SELECT f1.vec_id AS ia, f2.vec_id AS ib, sum(f1.x * f2.x) AS dt
+         |  FROM flat f1 JOIN flat f2
+         |    ON f1.i = f2.i AND f1.vec_id <> f2.vec_id
+         |  WHERE f1.vec_id IN (SELECT DISTINCT nb_id FROM cands)
+         |    AND f2.vec_id IN (SELECT DISTINCT nb_id FROM cands)
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT a.q_id, a.nb_id AS ia, b.nb_id AS ib,
+         |    round(ps.dt / (na.nrm * nb.nrm), 6) AS sim
+         |  FROM cands a
+         |  JOIN cands b ON b.q_id = a.q_id AND b.nb_id <> a.nb_id
+         |  JOIN psim ps ON ps.ia = a.nb_id AND ps.ib = b.nb_id
+         |  JOIN norm na ON na.vec_id = a.nb_id
+         |  JOIN norm nb ON nb.vec_id = b.nb_id),
+         |s1 AS (SELECT q_id, nb_id, rel AS score FROM cands
+         |       WHERE rnk = 1),
+         |sc2 AS (
+         |  SELECT c.q_id, c.nb_id,
+         |    CAST(round((CAST(0.7 AS DOUBLE) * c.rel -
+         |      CAST(0.3 AS DOUBLE) * si.sim) * 1e6) AS BIGINT) AS score_i
+         |  FROM cands c
+         |  JOIN s1 ON s1.q_id = c.q_id AND s1.nb_id <> c.nb_id
+         |  JOIN sims si ON si.q_id = c.q_id AND si.ia = c.nb_id
+         |              AND si.ib = s1.nb_id),
+         |p2 AS (SELECT q_id, nb_id,
+         |    CAST(score_i AS DOUBLE) / 1e6 AS score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_i DESC, nb_id ASC) AS rn FROM sc2) t
+         |  WHERE rn = 1),
+         |sel2 AS (SELECT q_id, nb_id FROM s1
+         |         UNION ALL SELECT q_id, nb_id FROM p2),
+         |mx3 AS (
+         |  SELECT si.q_id, si.ia AS nb_id, max(si.sim) AS m
+         |  FROM sims si JOIN sel2 s
+         |    ON s.q_id = si.q_id AND s.nb_id = si.ib
+         |  GROUP BY 1, 2),
+         |sc3 AS (
+         |  SELECT c.q_id, c.nb_id,
+         |    CAST(round((CAST(0.7 AS DOUBLE) * c.rel -
+         |      CAST(0.3 AS DOUBLE) * mx3.m) * 1e6) AS BIGINT) AS score_i
+         |  FROM cands c
+         |  JOIN mx3 ON mx3.q_id = c.q_id AND mx3.nb_id = c.nb_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel2 s
+         |    WHERE s.q_id = c.q_id AND s.nb_id = c.nb_id)),
+         |p3 AS (SELECT q_id, nb_id,
+         |    CAST(score_i AS DOUBLE) / 1e6 AS score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_i DESC, nb_id ASC) AS rn FROM sc3) t
+         |  WHERE rn = 1)
+         |SELECT q_id, nb_id, 1 AS mmr_rank, score FROM s1
+         |UNION ALL SELECT q_id, nb_id, 2, score FROM p2
+         |UNION ALL SELECT q_id, nb_id, 3, score FROM p3
+         |ORDER BY q_id, mmr_rank""".stripMargin
   )
 
   /** k-means (k=8, 2 Lloyd rounds) unrolled as chained CTEs, ending at

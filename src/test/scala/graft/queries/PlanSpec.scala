@@ -720,6 +720,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mwScans == 1, s"MW must scan events once, got $mwScans")
   }
 
+  test("window-funnel/new-returning/incremental/mmr: keyed, merge-shaped") {
+    // windowed funnel: same chained keyed min-agg shape as q_funnel
+    val wf = planOf("q_window_funnel")
+    assert(!wf.contains("CartesianProduct") &&
+      !wf.contains("BroadcastNestedLoopJoin"))
+    // new vs returning: the cached pair frame feeds first-day and the
+    // daily split — one parquet scan total
+    val nr = planOf("q_new_returning")
+    val nrScans = nr.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(nrScans == 1, s"pairs must cache, got $nrScans scans")
+    // incremental agg: base+delta partials merge through a re-agg — no
+    // sort-merge join anywhere; the 1-row cut broadcast may nest-loop
+    val ia = planOf("q_incremental_agg")
+    assert(!ia.contains("SortMergeJoin"))
+    // MMR: after the (documented brute) candidate scoring, every join is
+    // keyed — no cartesian anywhere; the greedy rounds run on
+    // checkpointed ≤8-rows-per-query frames
+    val mm = planOf("q_mmr")
+    assert(!mm.contains("CartesianProduct"))
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

@@ -673,6 +673,38 @@ object Analytics {
           round(col("s").cast("double") / col("n").cast("double") / 100,
             6).as("mean"))
         .orderBy("event_type")
+    }),
+
+    // ---- period-over-period top movers: the 20 parts with the largest
+    // absolute revenue change between the first and second half of the
+    // order-date range. Revenue cent-quantizes per row, the half flag
+    // comes from a broadcast 1-row (min, max) date aggregate, and the
+    // per-part frame carries two conditional BIGINT sums — so the
+    // TakeOrdered top-k ranks on an exact integer delta (no float-tie
+    // rank flake) with partkey as the deterministic tie-break.
+    "q_topk_movers" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey"),
+          to_date(col("o_orderdate")).as("od"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            100).cast("long").as("cents"))
+      val mm = rev.agg(min("od").as("lo"), max("od").as("hi"))
+      rev.crossJoin(broadcast(mm))
+        .withColumn("h2",
+          col("od") > date_add(col("lo"),
+            (datediff(col("hi"), col("lo")) / 2).cast("int")))
+        .groupBy("l_partkey")
+        .agg(sum(when(!col("h2"), col("cents")).otherwise(0L)).as("c1"),
+          sum(when(col("h2"), col("cents")).otherwise(0L)).as("c2"))
+        .withColumn("delta_c", col("c2") - col("c1"))
+        .orderBy(abs(col("delta_c")).desc, col("l_partkey"))
+        .limit(20)
+        .select(col("l_partkey"),
+          round(col("c1").cast("double") / 100, 2).as("rev_h1"),
+          round(col("c2").cast("double") / 100, 2).as("rev_h2"),
+          round(col("delta_c").cast("double") / 100, 2).as("delta"))
     })
   )
 
@@ -1156,6 +1188,28 @@ object Analytics {
         |    / 100, 2) AS total,
         |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) / 100, 6) AS mean
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_topk_movers" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, CAST(o_orderdate AS DATE) AS od,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |mm AS (SELECT min(od) AS lo, max(od) AS hi FROM rev),
+        |h AS (SELECT l_partkey, cents,
+        |        od > lo + CAST((hi - lo) // 2 AS INTEGER) AS h2
+        |      FROM rev CROSS JOIN mm),
+        |g AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CASE WHEN NOT h2 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN h2 THEN cents ELSE 0 END) AS BIGINT) AS c2
+        |  FROM h GROUP BY 1)
+        |SELECT l_partkey,
+        |  round(CAST(c1 AS DOUBLE) / 100, 2) AS rev_h1,
+        |  round(CAST(c2 AS DOUBLE) / 100, 2) AS rev_h2,
+        |  round(CAST(c2 - c1 AS DOUBLE) / 100, 2) AS delta
+        |FROM g ORDER BY abs(c2 - c1) DESC, l_partkey
+        |LIMIT 20""".stripMargin
   )
 }

@@ -164,6 +164,44 @@ object Evaluation {
           sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
             .otherwise(0L)).as("n_outlier"))
         .orderBy("event_type")
+    }),
+
+    // ---- per-class precision / recall / F1 of the n-gram lang-id
+    // classifier (q_kappa's confusion marginals, exposed per class).
+    // tp/fp/fn derive from three label-bounded aggregates over the
+    // cached prediction frame; F1 uses the single-ratio form
+    // 2tp/(2tp+fp+fn) — one exact integer division, no p·r/(p+r)
+    // float chain. Classes never predicted get NULL precision; rows
+    // are the observed classes (support ≥ 1 by construction).
+    "q_prf" -> ((s, d) => {
+      val preds = graft.CacheScope.cached(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("lang"), predLang.as("pred")))
+      val actual = preds.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("support"))
+      val predicted = preds.groupBy(col("pred").as("cls"))
+        .agg(count(lit(1)).as("n_pred"))
+      val tp = preds.filter(col("pred") === col("lang"))
+        .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("tp"))
+      actual
+        .join(predicted, Seq("cls"), "left")
+        .join(tp, Seq("cls"), "left")
+        .na.fill(0L, Seq("n_pred", "tp"))
+        .select(col("cls"), col("support"), col("tp"),
+          (col("n_pred") - col("tp")).as("fp"),
+          (col("support") - col("tp")).as("fn"))
+        .select(col("cls"), col("support"), col("tp"), col("fp"),
+          col("fn"),
+          round(when(col("tp") + col("fp") === 0, lit(null))
+            .otherwise(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double")), 6).as("precision"),
+          round(col("tp").cast("double") /
+            col("support").cast("double"), 6).as("recall"),
+          round(lit(2.0) * col("tp").cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"),
+            6).as("f1"))
+        .orderBy("cls")
     })
   )
 
@@ -268,6 +306,35 @@ object Evaluation {
         |  CAST(sum(CASE WHEN dev.adev > CAST(4.4478 AS DOUBLE) * mad.mad
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
         |FROM dev JOIN mad ON mad.event_type = dev.event_type
-        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+    "q_prf" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE WHEN len(regexp_extract_all(text, '[^\x00-\x7f]')) > 0
+        |      THEN 'zh'
+        |    WHEN len(regexp_extract_all(text, '\bthe\b')) >= 3 THEN 'en'
+        |    ELSE 'unknown' END AS pred
+        |  FROM documents),
+        |a AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS support
+        |      FROM p GROUP BY 1),
+        |pr AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+        |       FROM p GROUP BY 1),
+        |tp AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS tp
+        |       FROM p WHERE pred = lang GROUP BY 1),
+        |f AS (
+        |  SELECT a.cls, support, coalesce(tp.tp, 0) AS tp,
+        |    coalesce(pr.n_pred, 0) - coalesce(tp.tp, 0) AS fp,
+        |    support - coalesce(tp.tp, 0) AS fn
+        |  FROM a LEFT JOIN pr ON pr.cls = a.cls
+        |         LEFT JOIN tp ON tp.cls = a.cls)
+        |SELECT cls, support, tp, fp, fn,
+        |  round(CASE WHEN tp + fp = 0 THEN NULL
+        |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+        |    AS precision,
+        |  round(CAST(tp AS DOUBLE) / CAST(support AS DOUBLE), 6)
+        |    AS recall,
+        |  round(2.0 * CAST(tp AS DOUBLE) /
+        |    CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+        |FROM f ORDER BY cls""".stripMargin
   )
 }

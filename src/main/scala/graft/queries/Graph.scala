@@ -294,6 +294,33 @@ object GraphOps {
             (col("d_tot").cast("double") /
               (lit(2.0) * col("m").cast("double"))), 6).as("q_contrib"))
         .orderBy("r_name")
+    }),
+
+    // ---- local clustering coefficient: per node, the fraction of its
+    // neighbor pairs that are themselves connected — 2T/(deg·(deg−1)),
+    // the q_triangles machinery plus one degree agg, on the
+    // significant-trade graph (the raw trade graph is complete at
+    // sf0.01 — every coefficient would be exactly 1). Wedge enumeration
+    // stays keyed on the shared endpoint; triangles close via the
+    // (a, c) equi-join; deg < 2 nodes have no neighbor pairs → NULL.
+    "q_clustering_coeff" -> ((s, d) => {
+      val und = graft.CacheScope.cached(significantEdges(s, d))
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val wedges = und.toDF("a", "b").join(und.toDF("b", "c"), Seq("b"))
+        .filter(col("b") < col("c"))
+      val tri = wedges.join(und.toDF("a", "c"), Seq("a", "c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.join(tri, Seq("node"), "left")
+        .na.fill(0L, Seq("n_tri"))
+        .select(col("node"), col("deg"), col("n_tri"),
+          round(when(col("deg") < 2, lit(null))
+            .otherwise(lit(2.0) * col("n_tri").cast("double") /
+              (col("deg").cast("double") *
+                (col("deg").cast("double") - 1.0))), 6).as("coeff"))
+        .orderBy("node")
     })
   )
 
@@ -519,6 +546,37 @@ object GraphOps {
         |FROM dc LEFT JOIN ein ON ein.rk = dc.rk
         |CROSS JOIN m
         |JOIN region r ON r.r_regionkey = dc.rk
-        |ORDER BY r_name""".stripMargin
+        |ORDER BY r_name""".stripMargin,
+    "q_clustering_coeff" ->
+      """WITH w AS (
+        |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
+        |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |        AS thr FROM w),
+        |e AS (SELECT u, v FROM w, t WHERE CAST(cnt AS DOUBLE) > thr),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) a
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT unnest([t.a, t.b, t.c]) AS node FROM (
+        |      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) t) x
+        |  GROUP BY 1)
+        |SELECT d.node, deg, coalesce(n_tri, 0) AS n_tri,
+        |  round(CASE WHEN deg < 2 THEN NULL
+        |    ELSE 2.0 * CAST(coalesce(n_tri, 0) AS DOUBLE) /
+        |      (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0)) END, 6)
+        |    AS coeff
+        |FROM deg d LEFT JOIN tri ON tri.node = d.node
+        |ORDER BY d.node""".stripMargin
   )
 }

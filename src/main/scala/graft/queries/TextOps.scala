@@ -263,6 +263,38 @@ object TextOps {
             ((col("i").cast(LongType) * lit(2654435761L)) % lit(1000003L)))
         .groupBy("doc_id")
         .agg((sum("term") % lit(2147483647L)).as("fp"))
+    }),
+
+    // ---- n-gram novelty: per document, the share of its distinct word
+    // trigrams appearing in NO other document — the memorization /
+    // boilerplate screen (low novelty = template text, candidates for
+    // the dedup chain). Trigrams build map-only from the words array
+    // (the Dedup shingling discipline — no lead() window shuffle); the
+    // doc-distinct gram frame is cached because document frequency and
+    // the novelty join both read it. Docs under 3 tokens have no
+    // trigrams and are excluded in both engines.
+    "q_ngram_novelty" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val dg = graft.CacheScope.cached(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), words.as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))).as("gram"))
+        .distinct())
+      val df = dg.groupBy("gram").agg(count(lit(1)).as("df"))
+      dg.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel"))
+        .select(col("doc_id"), col("n_grams"), col("novel"),
+          round(col("novel").cast("double") /
+            col("n_grams").cast("double"), 6).as("novelty"))
+        .orderBy("doc_id")
     })
   )
 
@@ -410,6 +442,23 @@ object TextOps {
         |      * ((i * 2654435761) % 1000003)) % 2147483647 AS BIGINT) AS fp
         |FROM documents, generate_series(1, 4096) t(i)
         |WHERE i <= length(text)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |x AS (SELECT doc_id, ts, generate_subscripts(ts, 1) AS p FROM t),
+        |dg AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ts[p], ts[p + 1], ts[p + 2]) AS gram
+        |  FROM x WHERE p <= len(ts) - 2),
+        |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+        |       FROM dg GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM dg JOIN df ON df.gram = dg.gram
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

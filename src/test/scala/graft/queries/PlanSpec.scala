@@ -742,6 +742,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!mm.contains("CartesianProduct"))
   }
 
+  test("novelty/clustering-coeff/prf/topk-movers: cached reuse, exact top-k") {
+    // novelty: the doc-distinct gram frame caches — df and the novelty
+    // join must NOT re-shingle the corpus
+    val nv = planOf("q_ngram_novelty")
+    val nvScans = nv.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(nvScans == 1, s"gram frame must cache, got $nvScans scans")
+    // clustering coefficient: wedges keyed, triangles close by equi-join
+    val cl = planOf("q_clustering_coeff")
+    assert(!cl.contains("CartesianProduct"))
+    // PRF: three label-bounded aggs over ONE cached prediction pass
+    val pf = planOf("q_prf")
+    val pfScans = pf.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(pfScans == 1, s"prediction frame must cache, got $pfScans scans")
+    // movers: exact-integer TakeOrdered top-k, never a global sort
+    val tm = planOf("q_topk_movers")
+    assert(tm.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not sort+limit")
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

@@ -705,6 +705,44 @@ object Analytics {
           round(col("c1").cast("double") / 100, 2).as("rev_h1"),
           round(col("c2").cast("double") / 100, 2).as("rev_h2"),
           round(col("delta_c").cast("double") / 100, 2).as("delta"))
+    }),
+
+    // ---- Herfindahl–Hirschman market concentration per region: HHI =
+    // Σ(sᵢ/T)² over supplier revenue shares, plus the n-normalized form
+    // antitrust screens use. Squared cent totals exceed 2^63 already at
+    // ~1500 suppliers, so Σsᵢ² accumulates in DECIMAL(38,0) (exact
+    // under any partition order; DuckDB mirrors in HUGEINT) and only
+    // the final share division touches doubles. One keyed supplier agg,
+    // broadcast dims, a |regions|-bounded output.
+    "q_hhi" -> ((s, d) => {
+      val sup = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            100).cast("long").as("cents"))
+        .groupBy("l_suppkey").agg(sum("cents").as("sc"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+          "l_suppkey")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nationkey"),
+            col("n_regionkey").as("rk"))), "s_nationkey")
+      sup.groupBy("rk")
+        .agg(count(lit(1)).as("n_sup"),
+          sum(col("sc").cast("decimal(38,0)") * col("sc")).as("s2"),
+          sum("sc").as("t"))
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey").as("rk"), col("r_name"))), "rk")
+        .select(col("r_name"), col("n_sup"),
+          round(col("s2").cast("double") /
+            (col("t").cast("double") * col("t").cast("double")), 6)
+            .as("hhi"),
+          round(when(col("n_sup") === 1, lit(null))
+            .otherwise((col("s2").cast("double") /
+              (col("t").cast("double") * col("t").cast("double")) -
+              lit(1.0) / col("n_sup").cast("double")) /
+              (lit(1.0) - lit(1.0) / col("n_sup").cast("double"))), 6)
+            .as("hhi_norm"))
+        .orderBy("r_name")
     })
   )
 
@@ -1210,6 +1248,32 @@ object Analytics {
         |  round(CAST(c2 AS DOUBLE) / 100, 2) AS rev_h2,
         |  round(CAST(c2 - c1 AS DOUBLE) / 100, 2) AS delta
         |FROM g ORDER BY abs(c2 - c1) DESC, l_partkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q_hhi" ->
+      """WITH sup AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) *
+        |      100) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT sc, n.n_regionkey AS rk
+        |  FROM sup
+        |  JOIN supplier s ON s.s_suppkey = sup.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+        |g AS (
+        |  SELECT rk, CAST(count(*) AS BIGINT) AS n_sup,
+        |    sum(CAST(sc AS HUGEINT) * sc) AS s2,
+        |    CAST(sum(sc) AS BIGINT) AS t
+        |  FROM j GROUP BY 1)
+        |SELECT r.r_name, n_sup,
+        |  round(CAST(s2 AS DOUBLE) /
+        |    (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi,
+        |  round(CASE WHEN n_sup = 1 THEN NULL
+        |    ELSE (CAST(s2 AS DOUBLE) /
+        |      (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) -
+        |      1.0 / CAST(n_sup AS DOUBLE)) /
+        |      (1.0 - 1.0 / CAST(n_sup AS DOUBLE)) END, 6) AS hhi_norm
+        |FROM g JOIN region r ON r.r_regionkey = g.rk
+        |ORDER BY r_name""".stripMargin
   )
 }

@@ -404,6 +404,69 @@ object EventOps {
             (col("n_days").cast("double") * col("ss").cast("double")), 6)
             .as("seasonal_index"))
         .orderBy("dow")
+    }),
+
+    // ---- Wald–Wolfowitz runs test on the daily series' up/down moves:
+    // too few runs = trending, too many = oscillating — the
+    // distribution-free randomness check behind "is this metric really
+    // drifting?". The series collapses to ≤|days| rows first; signs,
+    // the run count (sign ≠ previous sign), and n± are exact integers
+    // from two lag windows over that bounded frame; zero-diff days drop
+    // (the standard treatment). Only the final z touches doubles.
+    "q_runs_test" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wd = Window.orderBy("day")
+      val moves = daily
+        .withColumn("diff", col("x") - lag("x", 1).over(wd))
+        .filter(col("diff").isNotNull && col("diff") =!= 0)
+        .select(col("day"), signum(col("diff")).cast("long").as("sgn"))
+      val runs = moves
+        .withColumn("brk",
+          when(lag("sgn", 1).over(wd).isNull ||
+            lag("sgn", 1).over(wd) =!= col("sgn"), 1L).otherwise(0L))
+      val agg = runs.agg(
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+        sum("brk").as("r"))
+      val p = col("n_up").cast("double")
+      val m = col("n_down").cast("double")
+      val nn = p + m
+      val mu = lit(2.0) * p * m / nn + lit(1.0)
+      val sig = sqrt(lit(2.0) * p * m * (lit(2.0) * p * m - nn) /
+        (nn * nn * (nn - lit(1.0))))
+      agg.select(col("n_up"), col("n_down"), col("r"),
+        round(mu, 6).as("expected_r"),
+        round(when(sig === 0.0, lit(null))
+          .otherwise((col("r").cast("double") - mu) / sig), 6).as("z"))
+    }),
+
+    // ---- Poisson dispersion test on per-user event counts: index of
+    // dispersion D = s²/x̄ (1 under Poisson, ≫1 over-dispersed — the
+    // "are arrivals independent?" screen). Moments are exact BIGINTs
+    // from one user-keyed agg; D uses the n−1 sample variance and the
+    // Wilson–Hilferty style normal approx z = √(2χ²) − √(2df−1) with
+    // χ² = (n−1)·D. Only the final expressions touch doubles.
+    "q_poisson_fit" -> ((s, d) => {
+      val agg = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sk"),
+          sum(col("k") * col("k")).as("skk"))
+      val n = col("n").cast("double")
+      val sk = col("sk").cast("double")
+      val skk = col("skk").cast("double")
+      val mean = sk / n
+      val varS = (n * skk - sk * sk) / (n * (n - lit(1.0)))
+      val disp = varS / mean
+      val chi2 = (n - lit(1.0)) * disp
+      agg.select(col("n").as("n_users"),
+        round(mean, 6).as("lambda"),
+        round(when(col("n") === 1, lit(null)).otherwise(disp), 6)
+          .as("dispersion"),
+        round(when(col("n") === 1, lit(null)).otherwise(
+          sqrt(lit(2.0) * chi2) -
+            sqrt(lit(2.0) * (n - lit(1.0)) - lit(1.0))), 6).as("z"))
     })
   )
 
@@ -632,6 +695,59 @@ object EventOps {
         |  round((CAST(events AS DOUBLE) * CAST(cc AS DOUBLE)) /
         |    (CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE)), 6)
         |    AS seasonal_index
-        |FROM bydow CROSS JOIN g ORDER BY dow""".stripMargin
+        |FROM bydow CROSS JOIN g ORDER BY dow""".stripMargin,
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |mv AS (
+        |  SELECT day, x - lag(x, 1) OVER (ORDER BY day) AS diff
+        |  FROM daily),
+        |m2 AS (SELECT day, CAST(sign(diff) AS BIGINT) AS sgn
+        |       FROM mv WHERE diff IS NOT NULL AND diff <> 0),
+        |rn AS (
+        |  SELECT sgn,
+        |    CASE WHEN lag(sgn, 1) OVER (ORDER BY day) IS NULL
+        |      OR lag(sgn, 1) OVER (ORDER BY day) <> sgn
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM m2),
+        |agg AS (
+        |  SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up,
+        |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down,
+        |    CAST(sum(brk) AS BIGINT) AS r
+        |  FROM rn),
+        |f AS (SELECT n_up, n_down, r,
+        |        CAST(n_up AS DOUBLE) AS p, CAST(n_down AS DOUBLE) AS m,
+        |        CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) AS nn
+        |      FROM agg)
+        |SELECT n_up, n_down, r,
+        |  round(2.0 * p * m / nn + 1.0, 6) AS expected_r,
+        |  round(CASE WHEN sqrt(2.0 * p * m * (2.0 * p * m - nn) /
+        |      (nn * nn * (nn - 1.0))) = 0 THEN NULL
+        |    ELSE (CAST(r AS DOUBLE) - (2.0 * p * m / nn + 1.0)) /
+        |      sqrt(2.0 * p * m * (2.0 * p * m - nn) /
+        |        (nn * nn * (nn - 1.0))) END, 6) AS z
+        |FROM f""".stripMargin,
+    "q_poisson_fit" ->
+      """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(k) AS BIGINT) AS sk,
+        |        CAST(sum(k * k) AS BIGINT) AS skk FROM k),
+        |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sk AS DOUBLE)
+        |        AS skd, CAST(skk AS DOUBLE) AS skkd FROM a)
+        |SELECT n AS n_users, round(skd / nd, 6) AS lambda,
+        |  round(CASE WHEN n = 1 THEN NULL ELSE
+        |    ((nd * skkd - skd * skd) / (nd * (nd - 1.0))) / (skd / nd)
+        |    END, 6) AS dispersion,
+        |  round(CASE WHEN n = 1 THEN NULL ELSE
+        |    sqrt(2.0 * ((nd - 1.0) *
+        |      (((nd * skkd - skd * skd) / (nd * (nd - 1.0))) /
+        |        (skd / nd)))) - sqrt(2.0 * (nd - 1.0) - 1.0)
+        |    END, 6) AS z
+        |FROM f""".stripMargin
   )
 }

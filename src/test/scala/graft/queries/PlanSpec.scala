@@ -763,6 +763,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "top-20 must be TakeOrdered, not sort+limit")
   }
 
+  test("hhi/runs-test/poisson: broadcast dims, single-scan moment aggs") {
+    // HHI: supplier/nation/region dims broadcast onto the keyed
+    // revenue agg; no sort-merge join anywhere
+    val hh = planOf("q_hhi")
+    assert(hh.contains("BroadcastHashJoin") && !hh.contains("SortMergeJoin"))
+    // runs test + poisson: one events scan each; windows/moments run on
+    // the reduced frame (days / users), never the raw stream
+    for (q <- Seq("q_runs_test", "q_poisson_fit")) {
+      val p = planOf(q)
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans == 1, s"$q must scan events once, got $scans")
+    }
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

@@ -743,6 +743,73 @@ object Analytics {
               (lit(1.0) - lit(1.0) / col("n_sup").cast("double"))), 6)
             .as("hhi_norm"))
         .orderBy("r_name")
+    }),
+
+    // ---- CUPED variance reduction (Deng et al. 2013): adjust each
+    // user's post-period metric by θ·(pre − mean(pre)) with θ =
+    // cov(pre, post)/var(pre) from the POOLED pre-period — the standard
+    // way to cut A/B test variance without changing the point estimate.
+    // Arms assign deterministically (user_id % 2); the experiment split
+    // day is the broadcast min-day + 15 (the q_incremental_agg cut).
+    // Everything reduces to exact BIGINT cent moments per arm; θ, the
+    // adjusted means, and the closed-form var(adj) = var(post) −
+    // 2θcov + θ²var(pre) are doubles over those moments — no second
+    // pass over users.
+    "q_cuped" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cut = e.agg((min("day") + 15L).as("cut"))
+      val users = e.crossJoin(broadcast(cut))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("cut"), col("cents"))
+          .otherwise(0L)).as("pre"),
+          sum(when(col("day") >= col("cut"), col("cents"))
+            .otherwise(0L)).as("post"))
+        .select(col("user_id") % 2, col("pre"), col("post"))
+        .toDF("arm", "pre", "post")
+      val byArm = graft.CacheScope.cached(users.groupBy("arm").agg(
+        count(lit(1)).as("n"), sum("pre").as("sp"), sum("post").as("so"),
+        sum(col("pre") * col("pre")).as("spp"),
+        sum(col("pre") * col("post")).as("spo"),
+        sum(col("post") * col("post")).as("soo")))
+      val pooled = byArm.agg(sum("n").as("pn"), sum("sp").as("psp"),
+        sum("so").as("pso"), sum("spp").as("pspp"),
+        sum("spo").as("pspo"), sum("soo").as("psoo"))
+      def dd(c: String) = col(c).cast("double")
+      val covP = dd("pn") * dd("pspo") - dd("psp") * dd("pso")
+      val varP = dd("pn") * dd("pspp") - dd("psp") * dd("psp")
+      val varO = dd("pn") * dd("psoo") - dd("pso") * dd("pso")
+      val theta = covP / varP
+      byArm.crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n"),
+          round(dd("so") / dd("n") / 100.0, 6).as("mean_post"),
+          round((dd("so") / dd("n") -
+            theta * (dd("sp") / dd("n") - dd("psp") / dd("pn"))) / 100.0,
+            6).as("mean_adj"),
+          round(theta, 6).as("theta"),
+          round(lit(1.0) -
+            (varO - lit(2.0) * theta * covP + theta * theta * varP) /
+              varO, 6).as("var_reduction"))
+        .orderBy("arm")
+    }),
+
+    // ---- sample-ratio mismatch check: the A/B sanity gate that
+    // catches broken assignment before anyone reads the metrics. One
+    // count agg; χ² against the designed 50/50 split is one double
+    // expression over the exact counts.
+    "q_srm" -> ((s, d) => {
+      val arms = Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .groupBy((col("user_id") % 2).as("arm"))
+        .agg(count(lit(1)).as("n"))
+      arms.agg(
+          sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round(((col("n_a") - col("n_b")).cast("double") *
+            (col("n_a") - col("n_b")).cast("double")) /
+            (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"))
     })
   )
 
@@ -1274,6 +1341,71 @@ object Analytics {
         |      1.0 / CAST(n_sup AS DOUBLE)) /
         |      (1.0 - 1.0 / CAST(n_sup AS DOUBLE)) END, 6) AS hhi_norm
         |FROM g JOIN region r ON r.r_regionkey = g.rk
-        |ORDER BY r_name""".stripMargin
+        |ORDER BY r_name""".stripMargin,
+    "q_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT min(day) + 15 AS cut FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day < cut THEN cents ELSE 0 END)
+        |      AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN day >= cut THEN cents ELSE 0 END)
+        |      AS BIGINT) AS post
+        |  FROM e CROSS JOIN c GROUP BY 1),
+        |a AS (
+        |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pre) AS BIGINT) AS sp,
+        |    CAST(sum(post) AS BIGINT) AS so,
+        |    CAST(sum(pre * pre) AS BIGINT) AS spp,
+        |    CAST(sum(pre * post) AS BIGINT) AS spo,
+        |    CAST(sum(post * post) AS BIGINT) AS soo
+        |  FROM u GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS pn,
+        |    CAST(sum(sp) AS BIGINT) AS psp,
+        |    CAST(sum(so) AS BIGINT) AS pso,
+        |    CAST(sum(spp) AS BIGINT) AS pspp,
+        |    CAST(sum(spo) AS BIGINT) AS pspo,
+        |    CAST(sum(soo) AS BIGINT) AS psoo
+        |  FROM a),
+        |f AS (
+        |  SELECT arm, n, sp, so,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sp AS DOUBLE) AS spd,
+        |    CAST(so AS DOUBLE) AS sod,
+        |    CAST(pn AS DOUBLE) AS pnd, CAST(psp AS DOUBLE) AS pspd,
+        |    CAST(pn AS DOUBLE) * CAST(pspo AS DOUBLE) -
+        |      CAST(psp AS DOUBLE) * CAST(pso AS DOUBLE) AS covp,
+        |    CAST(pn AS DOUBLE) * CAST(pspp AS DOUBLE) -
+        |      CAST(psp AS DOUBLE) * CAST(psp AS DOUBLE) AS varp,
+        |    CAST(pn AS DOUBLE) * CAST(psoo AS DOUBLE) -
+        |      CAST(pso AS DOUBLE) * CAST(pso AS DOUBLE) AS varo
+        |  FROM a CROSS JOIN p)
+        |SELECT arm, n,
+        |  round(sod / nd / 100.0, 6) AS mean_post,
+        |  round((sod / nd - (covp / varp) *
+        |    (spd / nd - pspd / pnd)) / 100.0, 6) AS mean_adj,
+        |  round(covp / varp, 6) AS theta,
+        |  round(1.0 - (varo - 2.0 * (covp / varp) * covp +
+        |    (covp / varp) * (covp / varp) * varp) / varo, 6)
+        |    AS var_reduction
+        |FROM f ORDER BY arm""".stripMargin,
+    "q_srm" ->
+      """WITH arms AS (
+        |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT user_id FROM events) u GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+        |  round((CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) -
+        |      sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS DOUBLE) *
+        |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) -
+        |      sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS DOUBLE)) /
+        |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) +
+        |      sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS DOUBLE), 6)
+        |    AS chi2
+        |FROM arms""".stripMargin
   )
 }

@@ -204,6 +204,57 @@ object CorpusStats {
         .orderBy("source")
     }),
 
+    // ---- Theil T inequality of doc lengths, DECOMPOSED: unlike Gini,
+    // Theil splits exactly into within-source + between-source terms
+    // (T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ)), which answers "is length
+    // inequality a property of sources or within them?". Per-group
+    // needs only (n, Σx, Σ x·ln x); the x·ln x terms round to
+    // micro-units and INTEGER-sum (q_dsir discipline) so partition
+    // order can't move a sum; the one global row broadcasts. Output:
+    // per-source within-T + share, plus a TOTAL row carrying the
+    // decomposition (within, between, total).
+    "q_theil" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"))
+        .filter(col("n_chars") > 0)
+      val g = graft.CacheScope.cached(base.groupBy("source").agg(
+        count(lit(1)).as("n"), sum("n_chars").as("sx"),
+        sum(round(col("n_chars").cast("double") *
+          log(col("n_chars").cast("double")) * 1e6).cast("long"))
+          .as("sxlx")))
+      val tot = g.agg(sum("n").as("nn"), sum("sx").as("tx"))
+      val mu = (c: org.apache.spark.sql.Column,
+                nc: org.apache.spark.sql.Column) =>
+        c.cast("double") / nc.cast("double")
+      // T_g = ΣxlnX/(n_g·μ_g) − ln μ_g  with ΣxlnX in micro-units;
+      // the TOTAL row's component sums go through nano-unit integers so
+      // the 1-row reduction is partition-order-proof in both engines
+      val withinG = (col("sxlx").cast("double") / 1e6) /
+        col("sx").cast("double") - log(mu(col("sx"), col("n")))
+      val rows = g.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          round(mu(col("sx"), col("n")), 2).as("mean_chars"),
+          round(col("sx").cast("double") / col("tx").cast("double"), 6)
+            .as("share"),
+          round(withinG, 6).as("theil_within"),
+          round((col("sx").cast("double") / col("tx").cast("double") *
+            withinG) * 1e9).cast("long").as("w_int"),
+          round((col("sx").cast("double") / col("tx").cast("double") *
+            log(mu(col("sx"), col("n")) / mu(col("tx"), col("nn")))) *
+            1e9).cast("long").as("b_int"))
+      val total = rows
+        .agg(sum("w_int").as("wi"), sum("b_int").as("bi"))
+        .select(lit("TOTAL").as("source"), lit(null).cast("long").as("n"),
+          lit(null).cast("double").as("mean_chars"), lit(1.0).as("share"),
+          round(col("wi").cast("double") / 1e9, 6).as("theil_within"),
+          round(col("bi").cast("double") / 1e9, 6).as("theil_between"))
+      rows.select(col("source"), col("n"), col("mean_chars"),
+          col("share"), col("theil_within"),
+          lit(null).cast("double").as("theil_between"))
+        .unionByName(total)
+        .orderBy("source")
+    }),
+
     // ---- Iterative proportional fitting (raking): reweight the
     // source×lang contingency so both marginals hit uniform targets —
     // the classic survey/corpus rebalancing move (Deming–Stephan 1940).
@@ -352,6 +403,43 @@ object CorpusStats {
         |      AS DOUBLE) /
         |    CAST(count(*) * sum(n_chars) AS DOUBLE), 6) AS gini
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_theil" ->
+      """WITH base AS (SELECT source, n_chars FROM documents
+        |              WHERE n_chars > 0),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(CAST(n_chars AS DOUBLE) *
+        |      ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS sxlx
+        |  FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |          CAST(sum(sx) AS BIGINT) AS tx FROM g),
+        |rws AS (
+        |  SELECT source, n,
+        |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_chars,
+        |    round(CAST(sx AS DOUBLE) / CAST(tx AS DOUBLE), 6) AS share,
+        |    round((CAST(sxlx AS DOUBLE) / 1e6) / CAST(sx AS DOUBLE) -
+        |      ln(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      AS theil_within,
+        |    CAST(round((CAST(sx AS DOUBLE) / CAST(tx AS DOUBLE) *
+        |      ((CAST(sxlx AS DOUBLE) / 1e6) / CAST(sx AS DOUBLE) -
+        |       ln(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) * 1e9)
+        |      AS BIGINT) AS w_int,
+        |    CAST(round((CAST(sx AS DOUBLE) / CAST(tx AS DOUBLE) *
+        |      ln((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |         (CAST(tx AS DOUBLE) / CAST(nn AS DOUBLE)))) * 1e9)
+        |      AS BIGINT) AS b_int
+        |  FROM g CROSS JOIN tot)
+        |SELECT source, n, mean_chars, share, theil_within,
+        |  CAST(NULL AS DOUBLE) AS theil_between
+        |FROM rws
+        |UNION ALL
+        |SELECT 'TOTAL', NULL, NULL, CAST(1.0 AS DOUBLE),
+        |  round(CAST(sum(w_int) AS DOUBLE) / 1e9, 6),
+        |  round(CAST(sum(b_int) AS DOUBLE) / 1e9, 6)
+        |FROM rws
+        |ORDER BY source""".stripMargin,
     "q_ipf" -> {
       def ipfRound(i: Int): String = {
         val prev = if (i == 1) "w0" else s"wc${i - 1}"

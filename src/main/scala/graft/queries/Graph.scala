@@ -321,6 +321,36 @@ object GraphOps {
               (col("deg").cast("double") *
                 (col("deg").cast("double") - 1.0))), 6).as("coeff"))
         .orderBy("node")
+    }),
+
+    // ---- degree assortativity (Newman 2002) of the part co-purchase
+    // graph: Pearson correlation of endpoint degrees over the directed
+    // edge list (both orientations) — do popular parts co-sell with
+    // popular parts? Needs ONLY degree joins and five exact BIGINT
+    // moment sums (deg ≤ |nodes|, so the moments stay far from
+    // overflow); no wedge enumeration, so unlike Adamic–Adar this runs
+    // on the full 115 k-edge graph. The edge frame localCheckpoints —
+    // degrees and the moment pass both read it.
+    "q_assortativity" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d).localCheckpoint(true)
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val deg = adj.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val m = adj
+        .join(deg.toDF("a", "dj"), "a")
+        .join(deg.toDF("b", "dk"), "b")
+        .agg(count(lit(1)).as("ne"), sum("dj").as("sj"),
+          sum("dk").as("sk"), sum(col("dj") * col("dk")).as("sjk"),
+          sum(col("dj") * col("dj")).as("sjj"),
+          sum(col("dk") * col("dk")).as("skk"))
+      def dd(c: String) = col(c).cast("double")
+      val num = dd("ne") * dd("sjk") - dd("sj") * dd("sk")
+      val den = sqrt((dd("ne") * dd("sjj") - dd("sj") * dd("sj")) *
+        (dd("ne") * dd("skk") - dd("sk") * dd("sk")))
+      m.select(col("ne").as("n_directed_edges"),
+        round(when(den === 0.0, lit(null)).otherwise(num / den), 6)
+          .as("assortativity"))
     })
   )
 
@@ -577,6 +607,38 @@ object GraphOps {
         |      (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0)) END, 6)
         |    AS coeff
         |FROM deg d LEFT JOIN tri ON tri.node = d.node
-        |ORDER BY d.node""".stripMargin
+        |ORDER BY d.node""".stripMargin,
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |adj AS (SELECT u AS a, v AS b FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ne,
+        |    CAST(sum(dj.deg) AS BIGINT) AS sj,
+        |    CAST(sum(dk.deg) AS BIGINT) AS sk,
+        |    CAST(sum(dj.deg * dk.deg) AS BIGINT) AS sjk,
+        |    CAST(sum(dj.deg * dj.deg) AS BIGINT) AS sjj,
+        |    CAST(sum(dk.deg * dk.deg) AS BIGINT) AS skk
+        |  FROM adj
+        |  JOIN deg dj ON dj.node = adj.a
+        |  JOIN deg dk ON dk.node = adj.b)
+        |SELECT ne AS n_directed_edges,
+        |  round(CASE WHEN sqrt((CAST(ne AS DOUBLE) * CAST(sjj AS DOUBLE) -
+        |      CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) *
+        |      (CAST(ne AS DOUBLE) * CAST(skk AS DOUBLE) -
+        |       CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))) = 0 THEN NULL
+        |    ELSE (CAST(ne AS DOUBLE) * CAST(sjk AS DOUBLE) -
+        |      CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE)) /
+        |      sqrt((CAST(ne AS DOUBLE) * CAST(sjj AS DOUBLE) -
+        |        CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) *
+        |        (CAST(ne AS DOUBLE) * CAST(skk AS DOUBLE) -
+        |         CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))) END, 6)
+        |    AS assortativity
+        |FROM m""".stripMargin
   )
 }

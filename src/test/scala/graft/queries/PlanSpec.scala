@@ -778,6 +778,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("theil/cuped/srm/assortativity: moment-sum shapes, cached reuse") {
+    // theil: one cached per-source moment frame feeds the rows and the
+    // TOTAL decomposition — one documents scan
+    val th = planOf("q_theil")
+    val thScans = th.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(thScans == 1, s"theil must scan documents once, got $thScans")
+    // CUPED: per-arm exact moments, pooled via the cached 2-row frame;
+    // no sort-merge join anywhere
+    val cu = planOf("q_cuped")
+    assert(!cu.contains("SortMergeJoin"))
+    // SRM: one distinct + one count agg, no joins at all
+    val sr = planOf("q_srm")
+    assert(!sr.contains("Join"), "SRM is two aggs, nothing joins")
+    // assortativity: degree joins stay keyed; no wedge fan-out means no
+    // cartesian and no nested loop on the 115k-edge graph
+    val as = planOf("q_assortativity")
+    assert(!as.contains("CartesianProduct") &&
+      !as.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

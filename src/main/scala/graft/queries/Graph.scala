@@ -468,15 +468,20 @@ object GraphOps {
          |ORDER BY role, node""".stripMargin
     },
     "q_kcore" -> {
+      // every CTE is MATERIALIZED: each round references its
+      // predecessor 4×, and DuckDB's default inlining re-expands the
+      // chain exponentially (the sf0.1 replay spilled 80 GB before
+      // the hint)
       def peel(i: Int): String =
-        s"""d$i AS (SELECT node, count(*) AS deg FROM
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM
            |  (SELECT u AS node FROM e${i - 1}
            |   UNION ALL SELECT v FROM e${i - 1}) t$i GROUP BY 1),
-           |k$i AS (SELECT node FROM d$i WHERE deg >= 70),
-           |e$i AS (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 70),
+           |e$i AS MATERIALIZED (SELECT e${i - 1}.u, e${i - 1}.v
+           |  FROM e${i - 1}
            |  JOIN k$i a ON a.node = e${i - 1}.u
            |  JOIN k$i b ON b.node = e${i - 1}.v)""".stripMargin
-      s"""WITH e0 AS (
+      s"""WITH e0 AS MATERIALIZED (
          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
          |  FROM lineitem a JOIN lineitem b
          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -517,14 +522,17 @@ object GraphOps {
         |FROM terms GROUP BY 1, 2
         |ORDER BY aa_score DESC, u, v""".stripMargin,
     "q_bfs_dist" -> {
+      // MATERIALIZED: each round reads its predecessor twice; default
+      // CTE inlining re-expands the 4-round chain exponentially over
+      // the fact-derived edge CTEs (the q_kcore sf0.1 lesson)
       def relax(i: Int): String =
-        s"""d$i AS (
+        s"""d$i AS MATERIALIZED (
            |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
            |    SELECT adj.dst AS node, d${i - 1}.dist + 1 AS dist
            |    FROM d${i - 1} JOIN adj ON adj.src = d${i - 1}.node
            |    UNION ALL SELECT node, dist FROM d${i - 1}) r$i
            |  GROUP BY 1)""".stripMargin
-      s"""WITH w AS (
+      s"""WITH w AS MATERIALIZED (
          |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
          |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
          |    CAST(count(*) AS BIGINT) AS cnt
@@ -536,8 +544,9 @@ object GraphOps {
          |  GROUP BY 1, 2),
          |t AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |        AS thr FROM w),
-         |e AS (SELECT u, v FROM w, t WHERE CAST(cnt AS DOUBLE) > thr),
-         |adj AS (SELECT u AS src, v AS dst FROM e
+         |e AS MATERIALIZED (SELECT u, v FROM w, t
+         |                   WHERE CAST(cnt AS DOUBLE) > thr),
+         |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
          |        UNION ALL SELECT v, u FROM e),
          |d0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM e),
          |${(1 to 4).map(relax).mkString(",\n")}

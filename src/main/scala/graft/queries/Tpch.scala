@@ -350,7 +350,11 @@ object Tpch {
           col("ps_supplycost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_brand"),
-          round(col("ps_supplycost"), 4).as("cost"))
+          // round(x, 4) flaked at a .5e-4 boundary at sf0.1 (Spark
+          // BigDecimal HALF_UP vs DuckDB FP rounding); round(x·1e4)→
+          // BIGINT is computed identically by both engines
+          (round(col("ps_supplycost") * 1e4).cast("long")
+            .cast("double") / 1e4).as("cost"))
         .orderBy(col("s_acctbal").desc, col("n_name").asc,
           col("s_name").asc, col("p_partkey").asc)
         .limit(100)
@@ -620,7 +624,7 @@ object Tpch {
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-        |  round(ps_supplycost, 4) AS cost
+        |  CAST(round(ps_supplycost * 1e4) AS BIGINT) / 1e4 AS cost
         |FROM cat c
         |WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM cat c2
         |                       WHERE c2.ps_partkey = c.ps_partkey)

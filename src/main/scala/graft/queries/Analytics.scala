@@ -810,6 +810,76 @@ object Analytics {
           round(((col("n_a") - col("n_b")).cast("double") *
             (col("n_a") - col("n_b")).cast("double")) /
             (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"))
+    }),
+
+    // ---- Lorenz curve of customer revenue by decile — the curve
+    // behind the Gini/Pareto numbers (decile revenue + cumulative
+    // share). Deciles come from broadcast exact percentile cuts over
+    // the (cents, freq) pre-agg (the q_rfm/q_equidepth discipline — no
+    // global ntile sort of customers); the cumulative share is one
+    // window over the ≤10-row decile frame, and every share divides
+    // exact BIGINT cent sums.
+    "q_lorenz" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val cuts = cust.groupBy("cents").agg(count(lit(1)).as("f"))
+        .agg(expr("percentile(cents, " +
+          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), f)").as("cs"))
+      val dec = cust.crossJoin(broadcast(cuts))
+        .select(col("cents"),
+          (lit(1) + size(filter(col("cs"),
+            c => col("cents").cast("double") > c))).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("dc"))
+      val tot = dec.agg(sum("dc").as("tc"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cum", sum("dc").over(w))
+        .select(col("decile"), col("n_cust"),
+          round(col("dc").cast("double") / 100, 2).as("revenue"),
+          round(col("dc").cast("double") / col("tc").cast("double"), 6)
+            .as("share"),
+          round(col("cum").cast("double") / col("tc").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("decile")
+    }),
+
+    // ---- growth accounting: each day's active users split into new /
+    // retained (also active yesterday) / resurrected (seen before, not
+    // yesterday), plus yesterday's churned — the MAU ledger every
+    // growth team reads. One cached distinct-pair frame feeds the
+    // first-day agg and BOTH day-adjacency self-joins (keyed on
+    // (user, day), exact counts, no windows over the stream).
+    "q_growth_acct" -> ((s, d) => {
+      val pairs = graft.CacheScope.cached(Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+        .distinct())
+      val first = pairs.groupBy("user_id").agg(min("day").as("fday"))
+      val prev = pairs.select(col("user_id"),
+        (col("day") + 1L).as("day"), lit(1L).as("was_active"))
+      val today = pairs
+        .join(first, "user_id")
+        .join(prev, Seq("user_id", "day"), "left")
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("fday"), 1L).otherwise(0L))
+          .as("new_users"),
+          sum(when(col("day") =!= col("fday") &&
+            col("was_active").isNotNull, 1L).otherwise(0L))
+            .as("retained"),
+          sum(when(col("day") =!= col("fday") &&
+            col("was_active").isNull, 1L).otherwise(0L))
+            .as("resurrected"))
+      val churn = pairs.withColumn("is_active", lit(1L))
+        .join(prev, Seq("user_id", "day"), "right")
+        .groupBy(col("day"))
+        .agg(sum(when(col("is_active").isNull, 1L).otherwise(0L))
+          .as("churned"))
+      today.join(churn, Seq("day"), "left")
+        .na.fill(0L, Seq("churned"))
+        .orderBy("day")
     })
   )
 
@@ -1406,6 +1476,60 @@ object Analytics {
         |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) +
         |      sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS DOUBLE), 6)
         |    AS chi2
-        |FROM arms""".stripMargin
+        |FROM arms""".stripMargin,
+    "q_lorenz" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |cuts AS (SELECT quantile_cont(CAST(cents AS DOUBLE),
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM cust),
+        |dec AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(cents) AS BIGINT) AS dc
+        |  FROM (
+        |    SELECT cents, CAST(1 + len(list_filter(cs,
+        |      x -> CAST(cents AS DOUBLE) > x)) AS INTEGER) AS decile
+        |    FROM cust CROSS JOIN cuts) b
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dc) AS BIGINT) AS tc FROM dec)
+        |SELECT decile, n_cust,
+        |  round(CAST(dc AS DOUBLE) / 100, 2) AS revenue,
+        |  round(CAST(dc AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS share,
+        |  round(CAST(sum(dc) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    CAST(tc AS DOUBLE), 6) AS cum_share
+        |FROM dec CROSS JOIN tot ORDER BY decile""".stripMargin,
+    "q_growth_acct" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS fday FROM pairs GROUP BY 1),
+        |prev AS (SELECT user_id, day + 1 AS day, 1 AS was_active
+        |         FROM pairs),
+        |today AS (
+        |  SELECT p.day,
+        |    CAST(sum(CASE WHEN p.day = fday THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users,
+        |    CAST(sum(CASE WHEN p.day <> fday AND was_active IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |    CAST(sum(CASE WHEN p.day <> fday AND was_active IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM pairs p
+        |  JOIN f ON f.user_id = p.user_id
+        |  LEFT JOIN prev ON prev.user_id = p.user_id AND prev.day = p.day
+        |  GROUP BY 1),
+        |churn AS (
+        |  SELECT prev.day,
+        |    CAST(sum(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS churned
+        |  FROM prev LEFT JOIN pairs p
+        |    ON p.user_id = prev.user_id AND p.day = prev.day
+        |  GROUP BY 1)
+        |SELECT t.day, new_users, retained, resurrected,
+        |  coalesce(churned, 0) AS churned
+        |FROM today t LEFT JOIN churn ON churn.day = t.day
+        |ORDER BY t.day""".stripMargin
   )
 }

@@ -799,6 +799,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !as.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("lorenz/growth-accounting: cut-broadcast deciles, keyed adjacency") {
+    // lorenz: deciles assign from broadcast percentile cuts — never a
+    // global ntile/sort of customers; the cumsum window runs on the
+    // 10-row decile frame
+    val lz = planOf("q_lorenz")
+    assert(!lz.linesIterator.exists(_.matches(""".*\bntile\(.*""")),
+      "no global ntile over customers")
+    assert(lz.contains("BroadcastExchange"), "cut points must broadcast")
+    // growth accounting: one cached pair frame, keyed self-joins only,
+    // one parquet scan
+    val ga = planOf("q_growth_acct")
+    val gaScans = ga.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(gaScans == 1, s"pair frame must cache, got $gaScans scans")
+    assert(!ga.contains("CartesianProduct") &&
+      !ga.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

@@ -720,8 +720,8 @@ object Analytics {
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
             100).cast("long").as("cents"))
         .groupBy("l_suppkey").agg(sum("cents").as("sc"))
-        .join(broadcast(Tables.supplier(s, d)
-          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
           "l_suppkey")
         .join(broadcast(Tables.nation(s, d)
           .select(col("n_nationkey").as("s_nationkey"),

@@ -23,7 +23,7 @@ object GraphOps {
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, d)),
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
 

@@ -106,11 +106,16 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
-    // ---- broadcast join: fact ⋈ small dim (hint keeps it map-side at any SF)
+    // ---- broadcast join: fact ⋈ dim. part is SF-scaled (200k rows/SF —
+    // ~10⁹ at the 100 TB design point) so the join carries NO hint: AQE
+    // broadcasts it map-side at real sizes (the plan the PlanSpec
+    // assertion pins at test SFs) and falls back to a keyed shuffle join
+    // when the dim outgrows the threshold. Same answer either way — only
+    // a hint could force an OOM.
     "q_join_broadcast" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p  = Tables.part(s, d)
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)

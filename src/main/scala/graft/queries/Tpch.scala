@@ -25,9 +25,17 @@ import graft.Tables
   * orders of magnitude under the fact table), after which each query's
   * join structure matches the spec form.
   *
-  * Scale notes: every dimension join (nation, region, part, supplier)
-  * broadcasts; fact-fact joins shuffle on their keys; aggregations
-  * partial-combine map-side. Q21's exists/not-exists pair runs as
+  * Scale notes — broadcast policy: only FIXED-cardinality dims (nation
+  * 25 rows, region 5 rows at every SF) carry explicit broadcast() hints.
+  * part and supplier are SF-SCALED (200k / 10k rows per SF — ~10⁹ rows at
+  * the reference's 100 TB/1 PB roadmap point), so their joins, filtered or
+  * not, carry NO hint: AQE broadcasts them at runtime when the actual
+  * filtered size is small and falls back to a keyed shuffle join when it
+  * is not — the plan survives any SF. The same rule covers per-part /
+  * per-pair aggregates (avg-qty, min-cost frames): their output scales
+  * with the part key domain, so they join keyed, never hinted.
+  * Fact-fact joins shuffle on their keys; aggregations partial-combine
+  * map-side. Q21's exists/not-exists pair runs as
   * semi/anti self-joins of lineitem on l_orderkey — one shuffle each, the
   * shape that survives a 100 TB lineitem. The derived partsupp is NEVER
   * broadcast (it scales with lineitem's key domain); the min-cost /
@@ -111,7 +119,8 @@ object Tpch {
     }),
 
     // ---- Q8: national market share — NATION_3's share of ECONOMY-part
-    // revenue inside ASIA, by order year. Part/nation/region broadcast;
+    // revenue inside ASIA, by order year. Nation/region broadcast, part
+    // joins unhinted (SF-scaled — AQE decides);
     // the share is a conditional-sum ratio inside one aggregation.
     "q_tpch_q8" -> ((s, d) => {
       val asiaNations = broadcast(Tables.nation(s, d)
@@ -120,8 +129,8 @@ object Tpch {
         .select(col("n_nationkey").as("c_nk")))
       val suppNation = broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation")))
-      val econParts = broadcast(Tables.part(s, d)
-        .filter(col("p_type") === "ECONOMY").select("p_partkey"))
+      val econParts = Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
       Tables.lineitem(s, d)
         .join(econParts, col("l_partkey") === col("p_partkey"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -145,14 +154,15 @@ object Tpch {
     // from the fixture), so profit here is discounted revenue; the
     // 5-way join structure — lineitem against part (name-filtered),
     // supplier, supplier nation, orders — is preserved. Part and the
-    // dimension tables broadcast; the lineitem⋈orders join shuffles.
+    // nation dim broadcasts; part/supplier join unhinted (SF-scaled —
+    // AQE decides); the lineitem⋈orders join shuffles.
     "q_tpch_q9" -> ((s, d) => {
-      val widgetParts = broadcast(Tables.part(s, d)
-        .filter(col("p_name").contains("widget")).select("p_partkey"))
-      val suppNation = broadcast(Tables.supplier(s, d)
+      val widgetParts = Tables.part(s, d)
+        .filter(col("p_name").contains("widget")).select("p_partkey")
+      val suppNation = Tables.supplier(s, d)
         .join(Tables.nation(s, d),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("nation")))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
       Tables.lineitem(s, d)
         .join(widgetParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .join(suppNation, col("l_suppkey") === col("s_suppkey"))
@@ -185,7 +195,7 @@ object Tpch {
       val maxRev = rev.agg(max("total_revenue").as("max_rev"))
       rev.crossJoin(broadcast(maxRev))
         .filter(col("total_revenue") === col("max_rev"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("supplier_no") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy("s_suppkey")
@@ -195,18 +205,20 @@ object Tpch {
     // selects one brand+container; the fixture has no p_container, so the
     // part predicate is p_brand + p_size <= 10. Structure preserved: the
     // correlated avg-quantity-per-part subquery becomes a per-part
-    // aggregate over the SAME brand-restricted lineitem slice (broadcast
-    // back — it is bounded by the filtered part count, never the corpus).
+    // aggregate over the SAME brand-restricted lineitem slice, joined
+    // back KEYED on partkey (the frame scales with the filtered part
+    // count — an SF-scaled domain — so it is never broadcast-hinted;
+    // AQE broadcasts it at small SF).
     "q_tpch_q17" -> ((s, d) => {
-      val parts = broadcast(Tables.part(s, d)
+      val parts = Tables.part(s, d)
         .filter(col("p_brand") === "Brand#13" && col("p_size") <= 10)
-        .select("p_partkey"))
+        .select("p_partkey")
       val li = Tables.lineitem(s, d)
         .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
         .select("l_partkey", "l_quantity", "l_extendedprice")
       val avgQty = li.groupBy(col("l_partkey").as("a_pk"))
         .agg(avg("l_quantity").as("avg_qty"))
-      li.join(broadcast(avgQty), col("l_partkey") === col("a_pk"))
+      li.join(avgQty, col("l_partkey") === col("a_pk"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
     }),
@@ -214,12 +226,13 @@ object Tpch {
     // ---- Q19 (adapted): three-branch OR of brand/size/quantity bands
     // (p_container and l_shipmode/l_shipinstruct are absent; p_size bands
     // stand in for container classes). Part pre-filters to the three
-    // brands and broadcasts; the OR predicate evaluates post-join, the
-    // join key stays a plain partkey equi-join (never a cartesian).
+    // brands (unhinted — AQE broadcasts at real sizes); the OR predicate
+    // evaluates post-join, the join key stays a plain partkey equi-join
+    // (never a cartesian).
     "q_tpch_q19" -> ((s, d) => {
-      val parts = broadcast(Tables.part(s, d)
+      val parts = Tables.part(s, d)
         .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
-        .select("p_partkey", "p_brand", "p_size"))
+        .select("p_partkey", "p_brand", "p_size")
       Tables.lineitem(s, d)
         .join(parts, col("l_partkey") === col("p_partkey"))
         .filter(
@@ -250,12 +263,13 @@ object Tpch {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
-    // ---- Q14: promo revenue share for one ship month; part broadcasts.
+    // ---- Q14: promo revenue share for one ship month; the part join
+    // is unhinted (SF-scaled — AQE broadcasts at real sizes).
     "q_tpch_q14" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01") &&
                 col("l_shipdate") < lit("1997-02-01"))
-        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        .join(Tables.part(s, d).select("p_partkey", "p_type"),
           col("l_partkey") === col("p_partkey"))
         .agg(round(
           lit(100.0) *
@@ -286,7 +300,7 @@ object Tpch {
           "left_semi")
         .join(l3, col("o_k3") === col("o_k") && col("s_k3") =!= col("s_k"),
           "left_anti")
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("s_k") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
@@ -323,29 +337,29 @@ object Tpch {
     // division in both engines; rounding only for display). Structure
     // preserved: region-restricted catalog, correlated min-cost subquery
     // de-correlated to a per-part aggregate join, top-100 by balance.
-    // partsupp shuffles on its keys; part/supplier⋈nation⋈region
-    // broadcast (bounded dims).
+    // partsupp shuffles on its keys; part/supplier subtrees join unhinted
+    // (SF-scaled — AQE decides), nation/region dims broadcast.
     "q_tpch_q2" -> ((s, d) => {
       val ps = Tables.lineitem(s, d)
         .groupBy(col("l_partkey").as("ps_partkey"),
           col("l_suppkey").as("ps_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity"))
           .as("ps_supplycost"))
-      val p = broadcast(Tables.part(s, d)
+      val p = Tables.part(s, d)
         .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
-        .select("p_partkey", "p_brand"))
-      val sup = broadcast(Tables.supplier(s, d)
+        .select("p_partkey", "p_brand")
+      val sup = Tables.supplier(s, d)
         .join(Tables.nation(s, d),
           col("s_nationkey") === col("n_nationkey"))
         .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
           col("n_regionkey") === col("r_regionkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
       val catalog = ps
         .join(p, col("ps_partkey") === col("p_partkey"))
         .join(sup, col("ps_suppkey") === col("s_suppkey"))
       val minCost = catalog.groupBy(col("ps_partkey").as("m_pk"))
         .agg(min("ps_supplycost").as("min_cost"))
-      catalog.join(broadcast(minCost),
+      catalog.join(minCost,
           col("ps_partkey") === col("m_pk") &&
           col("ps_supplycost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -374,10 +388,10 @@ object Tpch {
         .agg(sum("l_quantity").as("ps_availqty"),
           min(col("l_extendedprice") / col("l_quantity"))
             .as("ps_supplycost"))
-      val sup = broadcast(Tables.supplier(s, d)
+      val sup = Tables.supplier(s, d)
         .join(Tables.nation(s, d).filter(col("n_name") === "NATION_7"),
           col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey"))
+        .select("s_suppkey")
       val stock = ps.join(sup, col("ps_suppkey") === col("s_suppkey"))
         .select(col("ps_partkey"),
           (col("ps_availqty") * col("ps_supplycost")).as("value"))
@@ -396,17 +410,18 @@ object Tpch {
     // fixture-expressible "negative account balance"; brand/type/size
     // exclusions keep the spec's NOT-IN shape. Pure set logic — no FP.
     // The pair catalog shuffles once on (partkey, suppkey); part
-    // broadcasts; the excluded-supplier list is a broadcast anti-join.
+    // and the excluded-supplier anti-join stay unhinted (both
+    // SF-scaled — AQE decides).
     "q_tpch_q16" -> ((s, d) => {
       val pairs = Tables.lineitem(s, d)
         .select(col("l_partkey").as("ps_partkey"),
           col("l_suppkey").as("ps_suppkey")).distinct()
-      val p = broadcast(Tables.part(s, d)
+      val p = Tables.part(s, d)
         .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
           col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
-        .select("p_partkey", "p_brand", "p_type", "p_size"))
-      val complained = broadcast(Tables.supplier(s, d)
-        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey").as("bad_sk")))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val complained = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey").as("bad_sk"))
       pairs
         .join(p, col("ps_partkey") === col("p_partkey"))
         .join(complained, col("ps_suppkey") === col("bad_sk"), "left_anti")
@@ -426,9 +441,9 @@ object Tpch {
     // qualifying pairs → suppliers in the nation, output names only.
     "q_tpch_q20" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val redParts = broadcast(Tables.part(s, d)
+      val redParts = Tables.part(s, d)
         .filter(col("p_name").startsWith("red"))
-        .select("p_partkey"))
+        .select("p_partkey")
       val redLi = li
         .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
       val flows = redLi.groupBy(col("l_partkey"), col("l_suppkey"))

@@ -288,24 +288,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ---- round-5 scale tripwires ---------------------------------------
 
   test("no explicit broadcast hint on a raw SF-scaled fact anywhere") {
-    // customer/orders/lineitem grow with SF (150k/1.5M/6M rows per SF):
-    // an explicit broadcast() on any of them is a guaranteed OOM at the
-    // 100 TB design point. A hint is only legitimate when the hinted
-    // subtree AGGREGATES the fact first (bounded output: percentile
-    // frames, scalar thresholds, avg-by-small-key frames). Broadcasting
-    // the raw/filtered table must be left to AQE, which sees real sizes.
+    // customer/orders/lineitem grow with SF (150k/1.5M/6M rows per SF),
+    // and so do supplier/part (10k/200k rows per SF — ~10⁹ rows at the
+    // reference's 100 TB/1 PB roadmap point): an explicit broadcast() on
+    // any of them, raw OR filtered, is a guaranteed OOM at the design
+    // point. A hint is only legitimate when the hinted subtree AGGREGATES
+    // the fact down to a bounded frame first — and "aggregates" must mean
+    // BOUNDED grouping keys: a global scalar, or keys over fixed domains
+    // (nation, region, flags, years, decile labels). An aggregate grouped
+    // by an SF-scaled identity key (per-partkey avg, per-custkey frame,
+    // per-orderkey rollup) still grows with SF and does NOT legitimize a
+    // hint. Broadcasting anything SF-scaled is left to AQE, which sees
+    // real runtime sizes and falls back to a keyed join when big.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
-    val factCols = Set("c_custkey", "o_orderkey", "l_orderkey")
+    val factCols = Set("c_custkey", "o_orderkey", "l_orderkey",
+      "s_suppkey", "p_partkey")
+    // SF-scaled identity keys: grouping by any of these (under any alias —
+    // the check walks attribute REFERENCES, so aliases don't hide them)
+    // leaves the aggregate's output growing with SF.
+    val scaledKeys = Set(
+      "c_custkey", "o_custkey", "o_orderkey", "l_orderkey", "l_partkey",
+      "l_suppkey", "p_partkey", "s_suppkey", "ps_partkey", "ps_suppkey",
+      "supplier_no", "doc_id", "event_id")
     def scansFact(p: LogicalPlan): Boolean =
       p.collectLeaves().exists(_.output.exists(a => factCols.contains(a.name)))
-    def aggregates(p: LogicalPlan): Boolean =
-      p.collectFirst { case _: Aggregate => () }.isDefined
+    // Topmost Aggregate bounds the subtree's output; its grouping keys
+    // must not reference an SF-scaled identity column. (collectFirst is
+    // pre-order, so the OUTERMOST aggregate is the one inspected — an
+    // inner per-key agg under an outer bounded re-agg is fine, because
+    // the outer agg caps what actually gets broadcast.)
+    def boundedAgg(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate => a }.exists { a =>
+        a.groupingExpressions
+          .flatMap(_.references.toSeq)
+          .forall(attr => !scaledKeys.contains(attr.name))
+      }
     val offenders =
       try SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         val analyzed =
           SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
         analyzed.collect {
-          case h: ResolvedHint if scansFact(h.child) && !aggregates(h.child) =>
+          case h: ResolvedHint if scansFact(h.child) && !boundedAgg(h.child) =>
             name
         }
       }.distinct

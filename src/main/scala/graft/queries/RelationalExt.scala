@@ -27,9 +27,11 @@ import graft.Tables
   *    cardinality (no per-group sort);
   *  - percentiles are exact (sort-based) for oracle parity; the scale path
   *    for 100 TB is `approx_percentile` (same call shape, sketch-merged);
-  *  - `q_hll_approx` has no SQL oracle by design (sketch output) — the
-  *    driver records a rows-only check, and it documents the cardinality
-  *    path you'd actually run at 100 TB instead of countDistinct.
+  *  - the sketch trio (`q_hll_approx` / `q_approx_percentile` /
+  *    `q_bloom_semi`) hashes EXACT answers plus in-plan tolerance
+  *    verdicts: estimate values are engine-specific and never reach the
+  *    hash, but estimate quality does — a sketch drifting outside its
+  *    error bound flips a hashed boolean and fails the gate.
   */
 object RelationalExt {
   type Q = (SparkSession, String) => DataFrame
@@ -257,37 +259,66 @@ object RelationalExt {
         .orderBy("l_returnflag")
     }),
 
-    // ---- approx percentile sketch (the 100 TB quantile path; rows-only
-    // like q_hll_approx — sketch estimates are engine-specific)
+    // ---- approx percentile sketch (the 100 TB quantile path). Sketch
+    // VALUES are engine-specific, so the hash-verifiable output is the
+    // EXACT percentiles plus an in-plan tolerance verdict: the sketch arm
+    // (approx_percentile, accuracy 1000 → rank error ≤ n/1000) must land
+    // within 5% of the exact arm or `approx_ok` flips false and the hash
+    // gate fails. The exact arm uses the q_percentiles frequency pre-agg
+    // (prices are cent-quantized, so percentile state is domain-bounded);
+    // at 100 TB you drop the exact arm and ship the sketch alone.
     "q_approx_percentile" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d)
+      val ex = li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("f"))
         .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95), f)")
+          .as("ex"), sum("f").as("n"))
+      val ap = li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-          .as("pcts"),
-          count(lit(1)).as("n"))
-        // scalar columns only: comparators hash row values
+          .as("pcts"))
+      ex.join(ap, Seq("l_returnflag"))
         .select(col("l_returnflag"),
-          element_at(col("pcts"), 1).as("p50"),
-          element_at(col("pcts"), 2).as("p95"), col("n"))
+          round(element_at(col("ex"), 1), 4).as("p50"),
+          round(element_at(col("ex"), 2), 4).as("p95"),
+          (abs(element_at(col("pcts"), 1) - element_at(col("ex"), 1)) <=
+             element_at(col("ex"), 1) * 0.05 &&
+           abs(element_at(col("pcts"), 2) - element_at(col("ex"), 2)) <=
+             element_at(col("ex"), 2) * 0.05).as("approx_ok"),
+          col("n"))
         .orderBy("l_returnflag")
     }),
 
-    // ---- HLL cardinality sketch (the 100 TB countDistinct path;
-    // rows-only check — sketch estimates are engine-specific by design)
+    // ---- HLL cardinality sketch (the 100 TB countDistinct path). Same
+    // verification shape as q_approx_percentile: output the EXACT distinct
+    // count plus `hll_ok` = |HLL − exact| ≤ 3·rsd·exact (rsd 0.02 → 6%),
+    // so the estimate quality is inside the hash gate while the hashed
+    // values stay engine-independent. At 100 TB the exact arm goes away
+    // and approx_count_distinct is the whole query — fixed 4 KB state per
+    // group vs a distinct-shuffle.
     "q_hll_approx" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
+             countDistinct(col("l_partkey")).as("n_parts"),
              count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("hll") - col("n_parts")).cast("double") <=
+            col("n_parts").cast("double") * 0.06).as("hll_ok"),
+          col("n"))
         .orderBy("l_returnflag")
     }),
 
-    // ---- Bloom-filter semi-join pruning (rows-only): build a filter over
-    // the dim keys, broadcast the sketch, probe facts with might_contain.
-    // No false negatives, so bloom_n >= exact_n always; the gap is the
-    // false-positive mass a runtime filter would pass to the real join.
-    // The 100 TB use: the fact side drops non-matching rows map-side at
-    // the scan instead of shuffling everything into the join.
+    // ---- Bloom-filter semi-join pruning: build a filter over the dim
+    // keys, broadcast the sketch, probe facts with might_contain.
+    // Hash-verifiable output: the exact semi-join count and total scan
+    // count (both engine-independent) plus two in-plan sketch verdicts —
+    // `superset` (no false negatives: bloom_n ≥ exact_n, a hard Bloom
+    // guarantee) and `fp_bounded` (false-positive mass ≤ 10% of the
+    // non-matching probes; the 10000-capacity/81920-bit config has
+    // fpp ≈ 1%, so 10% is a 3σ-generous ceiling). The 100 TB use: the
+    // fact side drops non-matching rows map-side at the scan instead of
+    // shuffling everything into the join.
     "q_bloom_semi" -> ((s, d) => {
       graft.functions.BloomFilters.register(s)
       val keys = Tables.customer(s, d)
@@ -307,9 +338,13 @@ object RelationalExt {
       val exactN = orders
         .join(keys, orders("o_custkey") === keys("ck"), "left_semi")
         .agg(count(lit(1)).as("exact_n"))
-      bloomN.crossJoin(exactN)
-        .select(col("bloom_n"), col("exact_n"),
-          (col("bloom_n") >= col("exact_n")).as("superset"))
+      val totalN = orders.agg(count(lit(1)).as("total_n"))
+      bloomN.crossJoin(exactN).crossJoin(totalN)
+        .select(col("exact_n"), col("total_n"),
+          (col("bloom_n") >= col("exact_n")).as("superset"),
+          ((col("bloom_n") - col("exact_n")).cast("double") <=
+            (col("total_n") - col("exact_n")).cast("double") * 0.10)
+            .as("fp_bounded"))
     }),
 
     // ---- Count-Min Sketch heavy hitters: per-key frequency estimation
@@ -523,7 +558,33 @@ object RelationalExt {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha,
         |  substring(to_base64(CAST(text AS BLOB)), 1, 16) AS b64_head
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // q_hll_approx: intentionally no oracle — sketch output (rows-only check)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Sketch oracles: the hashed columns are exact answers + tolerance
+    // verdicts (TRUE literals here) — estimate values never reach the
+    // hash, estimate QUALITY does (a drifting sketch flips the boolean
+    // and fails the gate). See the query-side comments.
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  TRUE AS approx_ok,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hll_approx" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  TRUE AS hll_ok,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_semi" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_custkey IN
+        |    (SELECT c_custkey FROM customer
+        |     WHERE c_mktsegment = 'BUILDING') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS exact_n,
+        |  CAST(count(*) AS BIGINT) AS total_n,
+        |  TRUE AS superset,
+        |  TRUE AS fp_bounded
+        |FROM orders""".stripMargin
   )
 }

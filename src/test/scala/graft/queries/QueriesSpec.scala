@@ -49,6 +49,50 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"nondeterministic queries: $bad")
   }
 
+  // Sketch-estimate quality at two SFs: the hash gate sees only the
+  // tolerance BOOLEANS (exact answers hash; estimates are
+  // engine-specific) — this is the companion numeric assertion that the
+  // raw |estimate − exact| gaps actually sit inside the documented
+  // bounds, not just under the in-plan ceiling, at both fixture scales.
+  test("sketch estimates stay inside their error bounds at two SFs") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // HLL: rsd 0.02, in-plan ceiling 3σ = 6% of exact
+      val hllRows = graft.Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
+             countDistinct(col("l_partkey")).as("exact"))
+        .collect()
+      assert(hllRows.nonEmpty)
+      hllRows.foreach { r =>
+        val (hll, exact) = (r.getAs[Long]("hll"), r.getAs[Long]("exact"))
+        assert(math.abs(hll - exact) <= 0.06 * exact,
+          s"$dir HLL(${r.get(0)}): |$hll - $exact| > 6%")
+      }
+      // approx_percentile accuracy 1000: within 5% of exact per quantile
+      val pctRows = graft.Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("ap"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ex"))
+        .collect()
+      pctRows.foreach { r =>
+        val ap = r.getSeq[Double](1); val ex = r.getSeq[Double](2)
+        for (i <- ap.indices)
+          assert(math.abs(ap(i) - ex(i)) <= 0.05 * ex(i),
+            s"$dir pct(${r.get(0)})[$i]: |${ap(i)} - ${ex(i)}| > 5%")
+      }
+      // Bloom: superset is a hard guarantee, fp mass under 10% of
+      // non-matching probes (config fpp ≈ 1%)
+      val b = SparkEntry.queries("q_bloom_semi")(spark, dir).collect()
+      assert(b.length == 1)
+      assert(b(0).getAs[Boolean]("superset"), s"$dir bloom lost matches")
+      assert(b(0).getAs[Boolean]("fp_bounded"), s"$dir bloom fp mass > 10%")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("every query tolerates empty inputs") {
     val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, emptyDir).write.format("noop").mode("overwrite").save(); None }

@@ -75,12 +75,22 @@ object Bench {
         CacheScope.drain(); spark.catalog.clearCache()
         n -> t
       }
-      // session: the root table materializes once, family shares it
+      // session: the root table materializes once, family shares it.
+      // CacheScope drains BETWEEN session queries too (ADVICE r5): a
+      // query-registered intermediate cache (e.g. q_ndcg's brute-force
+      // score frame) surviving into the next family member would inflate
+      // the measured session advantage beyond the shared-root effect this
+      // experiment isolates. The root itself is persisted directly (not
+      // via CacheScope), so drain() leaves it in place.
       val tMat0 = System.nanoTime()
       val cached = root.cache()
       cached.write.format("noop").mode("overwrite").save()
       val matSec = (System.nanoTime() - tMat0) / 1e9
-      val session = family.map(n => n -> runOne(n))
+      val session = family.map { n =>
+        val t = runOne(n)
+        CacheScope.drain()
+        n -> t
+      }
       cached.unpersist(true)
       CacheScope.drain(); spark.catalog.clearCache()
       val sAll = standalone.map(_._2).sum
@@ -97,6 +107,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   *    FileSourceScanExec / `spark.sql.files.maxPartitionBytes`, so a 100 TB
   *    table splits into size-bounded tasks automatically;
   *  - no `.cache()` here — callers decide lifetime;
-  *  - `events.ts` is nanosecond parquet, which Spark reads only as a long
-  *    (`spark.sql.legacy.parquet.nanosAsLong`). We normalize to *microsecond*
-  *    precision (`ts_us` bigint + `ts` timestamp) because every other engine
-  *    (incl. the DuckDB oracle) truncates ns→µs at scan; ordering and window
-  *    semantics then agree across engines.
+  *  - `events.ts` has shipped in two fixture generations: nanosecond
+  *    parquet (Spark reads it only as a long via
+  *    `spark.sql.legacy.parquet.nanosAsLong`) and native `timestamp[us]`.
+  *    Both normalize to the same *microsecond* surface (`ts_us` bigint +
+  *    `ts` timestamp) because every engine (incl. the DuckDB oracle, whose
+  *    `epoch_us(ts)` is unchanged across the two generations) compares at
+  *    µs; ordering and window semantics then agree across engines.
   */
 object Tables {
   val relational: Seq[String] =
@@ -39,12 +41,31 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** events with `ts_us` (bigint, µs since epoch) and `ts` (TimestampType,
-    * µs precision) — both derived from the raw ns column by integer
-    * truncation, matching DuckDB's ns→µs scan behavior exactly. */
+    * µs precision) — identical values under any fixture generation:
+    *  - ns-as-long truncates by integer division (DuckDB's ns→µs scan
+    *    behavior);
+    *  - native `timestamp[us]` is read with NTZ inference OFF so plain
+    *    parquet INT64 micros land verbatim as TimestampType micros
+    *    (`unix_micros` then equals DuckDB's `epoch_us` — no
+    *    session-timezone conversion);
+    *  - Spark-WRITTEN parquet (the test suites' empty-table copies) tags
+    *    the column NTZ in file metadata, which overrides the inference
+    *    conf — that branch maps wall-time-as-UTC to micros explicitly
+    *    (convert_timezone UTC → session zone, then cast, which the
+    *    session zone inverts), so the value again equals `epoch_us`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        val sessTz = spark.conf.get("spark.sql.session.timeZone")
+        unix_micros(convert_timezone(lit("UTC"), lit(sessTz), col("ts"))
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 }

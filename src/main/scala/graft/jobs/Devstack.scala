@@ -197,9 +197,13 @@ final class DevstackNode(spark: SparkSession, val nodeId: String,
       val jevs = evs.filter(_.jobId == job.id)
       val myState = states.get((job.id, nodeId))
 
-      // --- compute-node half: bid exactly once per job
+      // --- compute-node half: bid exactly once per job. The local
+      // dedup mark is set only AFTER the bus append succeeds: if the
+      // append throws (transient filesystem error) the job stays
+      // unmarked and the admission decision — deterministic for a given
+      // spec — is safely retried next poll. Marking first would leave
+      // the node permanently silent on that job.
       if (myState.isEmpty && !bidSent(job.id)) {
-        bidSent += job.id
         admission.selectJob(job.spec) match {
           case Right(()) =>
             bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
@@ -211,6 +215,7 @@ final class DevstackNode(spark: SparkSession, val nodeId: String,
               eventName = Lifecycle.EventType.BidRejected,
               status = reason), nodeId)
         }
+        bidSent += job.id
       }
 
       // --- requester half: accept the first `concurrency` bids in bus

@@ -295,19 +295,23 @@ object Analytics {
     // to defend). EXACT arithmetic: D = max|F1−F2| is compared as the
     // integer |c1·n2 − c2·n1| (common denominator n1·n2), so no float
     // ever decides the max; the division + rounding happen once on the
-    // winner. Scale shape: collapse both samples to per-DISTINCT-VALUE
-    // counts first (the shuffle is value-cardinality-bounded), running
-    // sums via one window over that aggregate — the same two-phase trick
-    // as q_skyline; the raw samples are never globally sorted.
+    // winner. Scale shape: values CENT-QUANTIZE first (like
+    // q_mann_whitney), so the per-distinct-value pre-aggregation's
+    // cardinality bound is structural — the cent domain saturates —
+    // rather than an accident of the fixture's 2-dp values; running
+    // sums via one window over that bounded aggregate — the same
+    // two-phase trick as q_skyline; the raw samples are never
+    // globally sorted. (Binning is part of the statistic's definition
+    // here: D is computed over the quantized empirical CDFs.)
     "q_ks_test" -> ((s, d) => {
       val e = Tables.events(s, d)
         .filter(col("event_type").isin("view", "purchase"))
-        .select(col("value"),
+        .select(round(col("value") * 100).cast("long").as("v"),
           when(col("event_type") === "view", 1L).otherwise(0L).as("s1"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("s2"))
-      val byVal = e.groupBy("value")
+      val byVal = e.groupBy("v")
         .agg(sum("s1").as("a1"), sum("s2").as("a2"))
-      val w = Window.orderBy("value")
+      val w = Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
       val run = byVal
         .withColumn("c1", sum("a1").over(w))
@@ -1081,19 +1085,19 @@ object Analytics {
         |FROM tot CROSS JOIN bounds""".stripMargin,
     "q_ks_test" ->
       """WITH e AS (
-        |  SELECT value,
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
         |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s1,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s2
         |  FROM events WHERE event_type IN ('view', 'purchase')),
         |byval AS (
-        |  SELECT value, CAST(sum(s1) AS BIGINT) AS a1,
+        |  SELECT v, CAST(sum(s1) AS BIGINT) AS a1,
         |    CAST(sum(s2) AS BIGINT) AS a2
         |  FROM e GROUP BY 1),
         |run AS (
-        |  SELECT value,
-        |    sum(a1) OVER (ORDER BY value
+        |  SELECT v,
+        |    sum(a1) OVER (ORDER BY v
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
-        |    sum(a2) OVER (ORDER BY value
+        |    sum(a2) OVER (ORDER BY v
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
         |  FROM byval),
         |tot AS (SELECT CAST(sum(s1) AS BIGINT) AS n1,

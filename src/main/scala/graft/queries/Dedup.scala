@@ -34,6 +34,27 @@ object Dedup {
   private val A = graft.functions.MinHash8.A
   private val B = graft.functions.MinHash8.B
 
+  /** Word-3-gram shingle codes for a words-array column — THE signature
+    * primitive, shared by the batch MinHash chain and the streaming
+    * near-dup twin (StreamOps.dedupeNearDocsMinhash): identical codes →
+    * identical minhash8 signatures → identical band buckets, which is
+    * what makes the streaming suppression decisions comparable to the
+    * batch chain's. Pure per-row map (array indexing, no window). */
+  private[graft] def shingleCodes(ws: Column): Column = transform(
+    sequence(lit(0), size(ws) - 3),
+    i => conv(substring(md5(concat_ws(" ",
+      element_at(ws, i + 1),
+      element_at(ws, i + 2),
+      element_at(ws, i + 3))), 1, 8), 16, 10).cast(LongType))
+
+  /** The 4 × 2-row LSH band structs (band, h1, h2) from an 8-long
+    * minhash array column — the exact banding of [[lshPairs]], exposed
+    * so the streaming twin buckets identically. */
+  private[graft] def bandStructs(mh: Column): Column = array(
+    (0 until 4).map(b => struct(lit(b).as("band"),
+      element_at(mh, 2 * b + 1).as("h1"),
+      element_at(mh, 2 * b + 2).as("h2"))): _*)
+
   /** doc_id + word-3-gram shingle codes (one row per shingle position).
     *
     * Shingling is a pure per-row map: build the 3-grams by indexing the

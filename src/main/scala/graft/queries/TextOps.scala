@@ -100,9 +100,13 @@ object TextOps {
     // reciprocal-rank fusion, score = Σ 1/(60+rank) — the standard way a
     // search stack combines lexical and second-signal rankings without
     // calibrating their scores against each other. Scale shape: both
-    // rankings live on the MATCHING docs only (bounded by the term's
-    // document frequency), scalars broadcast, final top-20 is a
-    // TakeOrdered.
+    // rankings live on the MATCHING docs only, but a high-df term makes
+    // that O(corpus) — so the global row_numbers come from the two-phase
+    // GlobalRank (range-repartition + local rank + broadcast offsets),
+    // never a single-partition window; scalars broadcast, final top-20
+    // is a TakeOrdered. Ranks are bit-identical to the naive global
+    // window (the order key is tie-broken by doc_id), so the oracle
+    // hash is unchanged.
     "q_rrf_fuse" -> ((s, d) => {
       val (k1, b, term) = (1.2, 0.75, "join")
       val toks = split(col("text"), " ")
@@ -125,11 +129,11 @@ object TextOps {
               (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
             .as("bm25"),
           round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
-      val ra = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-      val rb = Window.orderBy(col("tfidf").desc, col("doc_id").asc)
-      scoredDocs
-        .withColumn("r_bm", row_number().over(ra))
-        .withColumn("r_tf", row_number().over(rb))
+      val ranked = graft.operators.GlobalRank.withRowNumber(
+        graft.operators.GlobalRank.withRowNumber(scoredDocs,
+          "r_bm", Seq(col("bm25").desc, col("doc_id").asc)),
+        "r_tf", Seq(col("tfidf").desc, col("doc_id").asc))
+      ranked
         .select(col("doc_id"), col("r_bm"), col("r_tf"),
           round(lit(1.0) / (col("r_bm") + 60) +
             lit(1.0) / (col("r_tf") + 60), 6).as("rrf"))

@@ -63,4 +63,21 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(model.merges === Seq(("a", "b")))
     assert(fin.select(size(col("syms"))).head().getInt(0) === 1)
   }
+
+  test("minPairCount stops once the best pair drops under the floor") {
+    // vocab round-1 pair counts: he 10, el 10, ll 8, lo 5, lp 2.
+    // With floor 6 the trainer takes (e,l), (h,el) [10], (hel,l) [8],
+    // then the best remaining is (hel,o)=5 < 6 → stop at 3 merges even
+    // though 10 rounds were allowed.
+    val (model, _) = BpeTrainer.train(vocab, merges = 10, minPairCount = 6L)
+    assert(model.merges === Seq(("e", "l"), ("h", "el"), ("hel", "l")))
+  }
+
+  test("default minPairCount=1 is behavior-identical to fixed rounds") {
+    // Oracle parity: the flag's default must not change any merge the
+    // fixed-rounds trainer would learn.
+    val (a, _) = BpeTrainer.train(vocab, merges = 3)
+    val (b, _) = BpeTrainer.train(vocab, merges = 3, minPairCount = 1L)
+    assert(a.merges === b.merges)
+  }
 }

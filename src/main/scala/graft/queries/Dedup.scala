@@ -35,11 +35,13 @@ object Dedup {
   private val B = graft.functions.MinHash8.B
 
   /** Word-3-gram shingle codes for a words-array column — THE signature
-    * primitive, shared by the batch MinHash chain and the streaming
-    * near-dup twin (StreamOps.dedupeNearDocsMinhash): identical codes →
-    * identical minhash8 signatures → identical band buckets, which is
-    * what makes the streaming suppression decisions comparable to the
-    * batch chain's. Pure per-row map (array indexing, no window). */
+    * primitive, shared by the batch MinHash chain ([[shingles]],
+    * [[minhashSig]]) and the streaming near-dup twin
+    * (StreamOps.dedupeNearDocsMinhash): identical codes → identical
+    * minhash8 signatures → identical band buckets, which is what makes
+    * the streaming suppression decisions comparable to the batch
+    * chain's — the parity is structural, not re-derived. Pure per-row
+    * map (array indexing, no window). */
   private[graft] def shingleCodes(ws: Column): Column = transform(
     sequence(lit(0), size(ws) - 3),
     i => conv(substring(md5(concat_ws(" ",
@@ -48,12 +50,21 @@ object Dedup {
       element_at(ws, i + 3))), 1, 8), 16, 10).cast(LongType))
 
   /** The 4 × 2-row LSH band structs (band, h1, h2) from an 8-long
-    * minhash array column — the exact banding of [[lshPairs]], exposed
-    * so the streaming twin buckets identically. */
+    * minhash array column — the exact banding of [[lshPairs]] and
+    * `q_dedup_incremental`, shared with the streaming twin so it
+    * buckets identically. A band collision equates positions 2b and
+    * 2b+1 of both signatures, so any band-bucket pair has ≥ 2 of 8
+    * minhashes matching by construction. */
   private[graft] def bandStructs(mh: Column): Column = array(
     (0 until 4).map(b => struct(lit(b).as("band"),
       element_at(mh, 2 * b + 1).as("h1"),
       element_at(mh, 2 * b + 2).as("h2"))): _*)
+
+  /** [[bandStructs]] over the wide mh0..mh7 signature columns of
+    * [[minhashSig]]'s output (the cached frame the batch chain reuses
+    * for both banding and the n_match verify). */
+  private def bandStructsWide: Column =
+    bandStructs(array(A.indices.map(j => col(s"mh$j")): _*))
 
   /** doc_id + word-3-gram shingle codes (one row per shingle position).
     *
@@ -70,13 +81,7 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), words.as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("ws")) - 3),
-        i => conv(substring(md5(concat_ws(" ",
-          element_at(col("ws"), i + 1),
-          element_at(col("ws"), i + 2),
-          element_at(col("ws"), i + 3))), 1, 8), 16, 10).cast(LongType)
-      )).as("code"))
+      .select(col("doc_id"), explode(shingleCodes(col("ws"))).as("code"))
   }
 
   /** MinHash signature frame: doc_id, mh0..mh7.
@@ -94,13 +99,8 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), words.as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), call_function("minhash8", transform(
-        sequence(lit(0), size(col("ws")) - 3),
-        i => conv(substring(md5(concat_ws(" ",
-          element_at(col("ws"), i + 1),
-          element_at(col("ws"), i + 2),
-          element_at(col("ws"), i + 3))), 1, 8), 16, 10).cast(LongType)
-      )).as("mh"))
+      .select(col("doc_id"),
+        call_function("minhash8", shingleCodes(col("ws"))).as("mh"))
       .select((col("doc_id") +: A.indices.map(j =>
         element_at(col("mh"), j + 1).as(s"mh$j"))): _*)
   }
@@ -109,10 +109,8 @@ object Dedup {
     * q_lsh_pairs and q_dedup_groups): da, db, n_match. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sig = graft.CacheScope.cached(minhashSig(s, d))
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band"),
-        col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
-    )).as("bs")).select(col("doc_id"), col("bs.band"), col("bs.h1"), col("bs.h2"))
+    val bands = sig.select(col("doc_id"), explode(bandStructsWide).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.h1"), col("bs.h2"))
     val l = bands.toDF("da", "band", "h1", "h2")
     val r = bands.toDF("db", "band", "h1", "h2")
     val cand = l.join(r, Seq("band", "h1", "h2"))
@@ -212,11 +210,9 @@ object Dedup {
       val exact = bat
         .join(idx.select(col("h"), col("doc_id").as("i_id")), "h")
         .groupBy("doc_id").agg(min("i_id").as("exact_m"))
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
-      )).as("bs")).select(col("doc_id"), col("bs.band"), col("bs.h1"),
-        col("bs.h2"))
+      val bands = sig
+        .select(col("doc_id"), explode(bandStructsWide).as("bs"))
+        .select(col("doc_id"), col("bs.band"), col("bs.h1"), col("bs.h2"))
       val cand = bands.filter(col("doc_id") >= cut)
         .toDF("nb", "band", "h1", "h2")
         .join(bands.filter(col("doc_id") < cut)

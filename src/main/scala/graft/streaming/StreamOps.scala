@@ -98,6 +98,54 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("sig"))
   }
 
+  /** Streaming NEAR-dup suppression on the batch chain's OWN primitives —
+    * the MinHash/LSH twin of [[dedupeNearDocs]] (which uses SimHash).
+    * Each doc's word-3-gram shingle codes (`Dedup.shingleCodes`) feed the
+    * codegen'd `minhash8` expression; the 8-long signature splits into the
+    * batch chain's exact 4 × 2-row LSH bands (`Dedup.bandStructs`), and a
+    * doc survives only if NONE of its four band buckets was claimed by an
+    * earlier doc inside the watermark horizon — four chained
+    * `dropDuplicatesWithinWatermark` operators, one per band, each with
+    * its own keyed state store.
+    *
+    * Parity with the batch chain is structural: identical shingle codes →
+    * identical signatures → identical band buckets, so every streaming
+    * suppression corresponds to a batch q_lsh_pairs candidate pair (a
+    * band collision equates ≥ 2 of 8 minhash positions by construction —
+    * the batch chain's own n_match ≥ 2 floor). StreamingSpec asserts both
+    * directions on real fixture docs.
+    *
+    * Docs under 3 words carry no signature in the batch chain (they
+    * cannot near-dup); here their band keys are per-doc unique
+    * (−(doc_id+1), so they pass through un-suppressed rather than all
+    * colliding on an empty-input sentinel.
+    *
+    * Scale shape: state is 4 stores × one (h1, h2) long-pair per doc in
+    * the horizon — sharded by key across executors, aged out by the
+    * watermark; the signature step is the same map-only codegen'd pass
+    * as batch q_minhash_sig. */
+  def dedupeNearDocsMinhash(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", tsCol: String = "ts",
+                            watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.MinHash8.register(docs.sparkSession)
+    val ws = split(col(textCol), " ")
+    val sig = docs.withColumn("_mh",
+      when(size(ws) >= 3,
+        call_function("minhash8", graft.queries.Dedup.shingleCodes(ws))))
+    val withBands = (0 until 4).foldLeft(sig) { (df, b) =>
+      df.withColumn(s"_b${b}_h1",
+          coalesce(element_at(col("_mh"), 2 * b + 1), -(col(idCol) + 1)))
+        .withColumn(s"_b${b}_h2",
+          coalesce(element_at(col("_mh"), 2 * b + 2), -(col(idCol) + 1)))
+    }
+    val deduped = (0 until 4).foldLeft(
+      withBands.withWatermark(tsCol, watermarkDelay)) { (df, b) =>
+      df.dropDuplicatesWithinWatermark(Seq(s"_b${b}_h1", s"_b${b}_h2"))
+    }
+    deduped.drop("_mh" +:
+      (0 until 4).flatMap(b => Seq(s"_b${b}_h1", s"_b${b}_h2")): _*)
+  }
+
   /** Stream-stream interval join: attribute each click to views by the same
     * user within the preceding `horizon`. Both sides carry watermarks so
     * Spark bounds the join state (view rows age out once the click-side

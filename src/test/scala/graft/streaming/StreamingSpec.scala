@@ -101,6 +101,95 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("minhash near-dup twin: stream suppressions match batch band-key " +
+    "decisions on fixture docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 20 real fixture docs + variants: exact copies (all 4 bands collide),
+    // edited near-variants (most shingles shared), and <3-word docs that
+    // the batch chain never signs (must pass through un-suppressed)
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 20).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val variants = Seq(
+      (100L, base(3)._2),                          // exact copy
+      (101L, base(7)._2 + " zzz"),                 // appended word
+      (102L, base(11)._2),                         // exact copy
+      (103L, base(5)._2.replaceAll("^\\S+ ", "")), // first word dropped
+      (104L, "tiny doc"),                          // short: no signature
+      (105L, "tiny doc"))                          // short dup text
+    val docs = base ++ variants
+
+    // batch-side ground truth from the SAME shared primitives
+    // (Dedup.shingleCodes → minhash8 → Dedup.bandStructs)
+    graft.functions.MinHash8.register(spark)
+    val ws = split(col("text"), " ")
+    val bandRows = docs.toDF("doc_id", "text")
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), explode(graft.queries.Dedup.bandStructs(
+        call_function("minhash8", graft.queries.Dedup.shingleCodes(ws))))
+        .as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.h1"), col("bs.h2"))
+      .as[(Long, Int, Long, Long)].collect()
+    val bandMap: Map[Long, Seq[(Int, Long, Long)]] =
+      bandRows.groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq)
+        .toMap
+
+    // the chained-dedup fold: process docs in arrival order; a doc dropped
+    // at band b has registered its keys for bands < b only (it never
+    // reaches the later operators) — the exact semantics of four chained
+    // dropDuplicatesWithinWatermark stages
+    val seen = Array.fill(4)(scala.collection.mutable.Set[(Long, Long)]())
+    val expectedKept = scala.collection.mutable.Set[Long]()
+    for ((id, _) <- docs) {
+      val bands = bandMap.getOrElse(id,
+        (0 until 4).map(b => (b, -(id + 1), -(id + 1))))
+      var dropped = false
+      for ((b, h1, h2) <- bands if !dropped) {
+        if (seen(b).contains((h1, h2))) dropped = true
+        else seen(b) += ((h1, h2))
+      }
+      if (!dropped) expectedKept += id
+    }
+    // every expected suppression must be a batch LSH candidate pair
+    // (band collision ⇒ ≥2 of 8 minhashes match — q_lsh_pairs' floor)
+    val suppressed = docs.map(_._1).toSet -- expectedKept
+    for (s <- suppressed) {
+      val earlier = docs.map(_._1).takeWhile(_ != s).toSet
+      assert(bandMap(s).exists { case (b, h1, h2) =>
+        earlier.exists(e =>
+          bandMap.get(e).exists(_.contains((b, h1, h2)))) },
+        s"suppressed doc $s has no earlier band partner")
+    }
+    assert(suppressed.contains(100L) && suppressed.contains(102L),
+      "exact copies must be suppressed")
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val stream = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.dedupeNearDocsMinhash(stream)
+      .writeStream.format("memory").queryName("mhdedup")
+      .outputMode("append").start()
+    try {
+      // one micro-batch per doc: arrival order is the decision order
+      var sec = 0
+      for ((id, text) <- docs) {
+        in.addData((ts(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d"),
+          id, text))
+        sec += 1
+        q.processAllAvailable()
+      }
+      val kept = spark.table("mhdedup").select("doc_id").as[Long]
+        .collect().toSet
+      assert(kept === expectedKept.toSet,
+        s"stream kept $kept, batch-derived expectation $expectedKept")
+      // short docs pass through even with identical text — the batch
+      // chain signs nothing under 3 words, so nothing to collide on
+      assert(kept.contains(104L) && kept.contains(105L))
+    } finally q.stop()
+  }
+
   test("trending tokens: sliding-window counts close and rank like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -54,9 +54,15 @@ object Tables {
     *    (convert_timezone UTC → session zone, then cast, which the
     *    session zone inverts), so the value again equals `epoch_us`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // Both schema-inference switches are scoped to THIS read (ADVICE r6:
+    // setting them on spark.conf inside a loader made every later parquet
+    // read's timestamp typing order-dependent on whether events() ran
+    // first). The per-read options map reaches
+    // ParquetToSparkSchemaConverter verbatim, so no session state moves.
+    val raw = spark.read
+      .option("nanosAsLong", "true")
+      .option("inferTimestampNTZ", "false")
+      .parquet(s"$dir/events.parquet")
     val tsUs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case _: org.apache.spark.sql.types.TimestampNTZType =>

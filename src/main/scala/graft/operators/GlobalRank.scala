@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact global row_number without a single-partition window.
+/** Exact global rank / prefix aggregates without a single-partition window.
   *
   * `Window.orderBy(...)` with no partitionBy funnels the whole frame
   * through ONE task — fine over a cardinality-bounded aggregate, a
@@ -15,16 +15,26 @@ import org.apache.spark.sql.functions._
   *
   *   1. range-repartition on the sort key, so partition i holds keys
   *      strictly ahead of partition i+1;
-  *   2. row_number WITHIN each partition (parallel, bounded);
-  *   3. per-partition counts → a tiny (numPartitions-row) cumulative
-  *      offset table, broadcast back and added.
+  *   2. rank / prefix-aggregate WITHIN each partition (parallel, bounded);
+  *   3. per-partition totals → a tiny (numPartitions-row) cumulative
+  *      offset table, broadcast back and combined.
   *
-  * The result is bit-identical to the global row_number for any total
-  * order (callers must pass a tie-broken key, e.g. (score desc, id asc)),
-  * so oracle hashes are unchanged — only the physical shape moves from
-  * one task to numPartitions tasks. The only remaining partition-less
-  * window runs over the offset table, whose row count is the fixed
-  * partition count (32 here), a structural bound independent of data.
+  * The result is bit-identical to the global form for any total order
+  * (callers must pass a tie-broken key — for prefix aggregates a key the
+  * frame is DISTINCT on, e.g. the groupBy key of a pre-aggregate), so
+  * oracle hashes are unchanged — only the physical shape moves from one
+  * task to numPartitions tasks. The only remaining partition-less window
+  * runs over the offset table, whose row count is the fixed partition
+  * count (32 here), a structural bound independent of data.
+  *
+  * Consistency note (ADVICE r6): the range-partitioned frame is CACHED
+  * (via [[graft.CacheScope]]) before the offsets aggregate and the final
+  * combine both read it. Without that, the two plan branches are separate
+  * exchange subtrees whose agreement rests on `spark.sql.exchange.reuse`
+  * re-sampling identical RangePartitioner boundaries; with the cache the
+  * boundaries are sampled exactly once at materialization, and a branch
+  * recomputed after block eviction re-reads the same shuffle output, so
+  * both branches see one set of boundaries by construction.
   *
   * Reference analog: bacalhau's `sort | nl`-class container workloads
   * (examples/gps-substitution) — the orchestrator leaves ranking to
@@ -32,31 +42,99 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** One prefix-aggregate column request: running `op` of `src` under the
+    * frame's sort order, written as `dst`. `inclusive` = the running frame
+    * includes the current row (rowsBetween(unboundedPreceding, 0)) vs the
+    * strictly-preceding prefix (…, -1). Exclusive SUM coalesces to 0 (the
+    * form every caller wants for a "count before me"); exclusive MAX keeps
+    * NULL for the globally-first row (no preceding value exists — the
+    * skyline sentinel).
+    */
+  final case class PrefixAgg(src: String, dst: String,
+      isMax: Boolean = false, inclusive: Boolean = false)
+
   /** Adds `name` = exact global 1-based row_number under `order`
     * (which must be a total order — include a unique tiebreaker).
     */
   def withRowNumber(df: DataFrame, name: String, order: Seq[Column],
       partitions: Int = 0): DataFrame = {
-    val n = if (partitions > 0) partitions
-      else df.sparkSession.sparkContext.defaultParallelism
-    val parted = df.repartitionByRange(n, order: _*)
-      .withColumn("_gr_pid", spark_partition_id())
+    val parted = rangeParted(df, order, partitions)
     val wIn = Window.partitionBy("_gr_pid").orderBy(order: _*)
     val local = parted.withColumn("_gr_lrn",
       row_number().over(wIn).cast("long"))
-    // numPartitions rows — the bounded frame the partition-less window
-    // is allowed to run over.
-    val wOff = Window.orderBy("_gr_pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("_gr_pid")
-      .agg(count(lit(1)).as("_gr_cnt"))
-      .withColumn("_gr_off", coalesce(sum("_gr_cnt").over(wOff), lit(0L)))
-      .select("_gr_pid", "_gr_off")
+    val offsets = offsetsOf(parted,
+      Seq(count(lit(1)).as("_gr_t_0")), Seq(false))
     local.join(broadcast(offsets), "_gr_pid")
-      .withColumn(name, (col("_gr_lrn") + col("_gr_off")).cast("int"))
-      // drop ALL helper columns — leaking _gr_off would make a second
+      .withColumn(name, (col("_gr_lrn") + coalesce(col("_gr_o_0"), lit(0L)))
+        .cast("int"))
+      // drop ALL helper columns — leaking _gr_o_0 would make a second
       // withRowNumber application (two rankings over one frame, the
       // q_rrf_fuse shape) ambiguous at analysis
-      .drop("_gr_pid", "_gr_lrn", "_gr_off")
+      .drop("_gr_pid", "_gr_lrn", "_gr_o_0")
+  }
+
+  /** Adds exact global running aggregates (sum/max, inclusive/exclusive)
+    * under `order` — the distributed form of
+    * `agg.over(Window.orderBy(order).rowsBetween(unboundedPreceding, …))`.
+    * The frame must be DISTINCT on `order` (the callers all prefix over a
+    * per-distinct-key pre-aggregate), so row-frame vs range-frame tie
+    * semantics cannot diverge.
+    */
+  def withPrefixAggs(df: DataFrame, order: Seq[Column],
+      aggs: Seq[PrefixAgg], partitions: Int = 0): DataFrame = {
+    val parted = rangeParted(df, order, partitions)
+    val wIncl = Window.partitionBy("_gr_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wExcl = Window.partitionBy("_gr_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = aggs.zipWithIndex.foldLeft(parted) { case (acc, (a, i)) =>
+      val w = if (a.inclusive) wIncl else wExcl
+      val e = if (a.isMax) max(col(a.src)).over(w)
+              else sum(col(a.src)).over(w)
+      acc.withColumn(s"_gr_l_$i", e)
+    }
+    // per-partition totals come from the CACHED parted frame directly —
+    // same materialized partitions (and thus the same range boundaries)
+    // the local-prefix branch reads
+    val offsets = offsetsOf(parted,
+      aggs.zipWithIndex.map { case (a, i) =>
+        (if (a.isMax) max(col(a.src)) else sum(col(a.src))).as(s"_gr_t_$i")
+      }, aggs.map(_.isMax))
+    val joined = local.join(broadcast(offsets), "_gr_pid")
+    val finalized = aggs.zipWithIndex.foldLeft(joined) { case (acc, (a, i)) =>
+      val l = col(s"_gr_l_$i"); val o = col(s"_gr_o_$i")
+      val v =
+        if (a.isMax) greatest(l, o) // null-skipping; null iff no prefix at all
+        else if (a.inclusive) l + coalesce(o, lit(0L))
+        else coalesce(l, lit(0L)) + coalesce(o, lit(0L))
+      acc.withColumn(a.dst, v)
+    }
+    finalized.drop("_gr_pid" +: aggs.indices
+      .flatMap(i => Seq(s"_gr_l_$i", s"_gr_o_$i")): _*)
+  }
+
+  /** Range-partition on the sort key and pin partition ids; cached so
+    * every consumer branch observes ONE set of sampled boundaries. */
+  private def rangeParted(df: DataFrame, order: Seq[Column],
+      partitions: Int): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    graft.CacheScope.cached(df.repartitionByRange(n, order: _*)
+      .withColumn("_gr_pid", spark_partition_id()))
+  }
+
+  /** Per-partition totals → EXCLUSIVE running offsets `_gr_o_i`, one row
+    * per partition id. The partition-less window here is the sanctioned
+    * one: its frame is the numPartitions-row totals table. */
+  private def offsetsOf(parted: DataFrame, totals: Seq[Column],
+      isMax: Seq[Boolean]): DataFrame = {
+    val wOff = Window.orderBy("_gr_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = parted.groupBy("_gr_pid").agg(totals.head, totals.tail: _*)
+    val offCols = isMax.zipWithIndex.map { case (m, i) =>
+      val t = col(s"_gr_t_$i")
+      (if (m) max(t).over(wOff) else sum(t).over(wOff)).as(s"_gr_o_$i")
+    }
+    tot.select(col("_gr_pid") +: offCols: _*)
   }
 }

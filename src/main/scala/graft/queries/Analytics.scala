@@ -95,16 +95,18 @@ object Analytics {
     // strictly cheaper AND strictly larger. Classic quadratic NOT-EXISTS
     // semantics, computed linearly: collapse to max-size per DISTINCT
     // price, prefix-max over the price order, keep parts not beaten by
-    // any strictly-cheaper price. The global window runs over the
-    // per-price AGGREGATE (cardinality = distinct prices, orders of
-    // magnitude below row count; an unbounded price domain gets bucketed
-    // first — same two-phase shape).
+    // any strictly-cheaper price. The prefix-max runs through the
+    // two-phase GlobalRank.withPrefixAggs (range-repartition + local
+    // prefix-max + broadcast per-partition maxima), so no single task
+    // ever holds the whole price domain — the domain is distinct-price
+    // bounded at fixture scale but unbounded in principle.
     "q_skyline" -> ((s, d) => {
       val p = Tables.part(s, d)
       val perPrice = p.groupBy("p_retailprice").agg(max("p_size").as("msz"))
-      val w = Window.orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val pm = perPrice.withColumn("prevmax", max("msz").over(w))
+      val pm = graft.operators.GlobalRank.withPrefixAggs(perPrice,
+          Seq(col("p_retailprice")),
+          Seq(graft.operators.GlobalRank.PrefixAgg("msz", "prevmax",
+            isMax = true)))
         .select("p_retailprice", "prevmax")
       p.join(pm, "p_retailprice")
         .filter(col("prevmax").isNull || col("prevmax") <= col("p_size"))
@@ -298,11 +300,12 @@ object Analytics {
     // winner. Scale shape: values CENT-QUANTIZE first (like
     // q_mann_whitney), so the per-distinct-value pre-aggregation's
     // cardinality bound is structural — the cent domain saturates —
-    // rather than an accident of the fixture's 2-dp values; running
-    // sums via one window over that bounded aggregate — the same
-    // two-phase trick as q_skyline; the raw samples are never
-    // globally sorted. (Binning is part of the statistic's definition
-    // here: D is computed over the quantized empirical CDFs.)
+    // rather than an accident of the fixture's 2-dp values; the two
+    // running CDFs then go through GlobalRank.withPrefixAggs (both
+    // prefix sums share one range exchange), so even a saturated cent
+    // domain never funnels through a single task; the raw samples are
+    // never globally sorted. (Binning is part of the statistic's
+    // definition here: D is computed over the quantized empirical CDFs.)
     "q_ks_test" -> ((s, d) => {
       val e = Tables.events(s, d)
         .filter(col("event_type").isin("view", "purchase"))
@@ -311,11 +314,10 @@ object Analytics {
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("s2"))
       val byVal = e.groupBy("v")
         .agg(sum("s1").as("a1"), sum("s2").as("a2"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val run = byVal
-        .withColumn("c1", sum("a1").over(w))
-        .withColumn("c2", sum("a2").over(w))
+      val run = graft.operators.GlobalRank.withPrefixAggs(byVal,
+        Seq(col("v")),
+        Seq(graft.operators.GlobalRank.PrefixAgg("a1", "c1", inclusive = true),
+          graft.operators.GlobalRank.PrefixAgg("a2", "c2", inclusive = true)))
       run.crossJoin(broadcast(
           e.agg(sum("s1").as("n1"), sum("s2").as("n2"))))
         .select(col("n1"), col("n2"),
@@ -422,9 +424,14 @@ object Analytics {
           when(col("tp").isNotNull, 1L).otherwise(0L).as("obs"))
       val byT = u.groupBy("time_s")
         .agg(count(lit(1)).as("m"), sum("obs").as("d"))
-      val wDesc = Window.orderBy(col("time_s").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val risk = byT.withColumn("n_risk", sum("m").over(wDesc))
+      // at-risk counts = suffix sums of m — an inclusive prefix under the
+      // DESCENDING time order, distributed two-phase via GlobalRank:
+      // distinct observation times are seconds-granular and grow with the
+      // corpus, so no single task may hold the whole time domain
+      val risk = graft.operators.GlobalRank.withPrefixAggs(byT,
+          Seq(col("time_s").desc),
+          Seq(graft.operators.GlobalRank.PrefixAgg("m", "n_risk",
+            inclusive = true)))
         .filter(col("d") > 0)
       kmRisk(risk)
     }),
@@ -565,7 +572,8 @@ object Analytics {
     // 'view' and 'purchase' value distributions — the nonparametric
     // sibling of q_welch. Values cent-quantize, the pooled stream
     // pre-aggregates to (value, f_a, f_b) so rank math runs on the
-    // distinct-value frame, and every rank quantity stays an exact
+    // distinct-value frame (its prefix-count distributed two-phase via
+    // GlobalRank.withPrefixAggs), and every rank quantity stays an exact
     // integer by doubling (2·avgrank = 2·cumBefore + f + 1). The tie
     // correction Σ(t³−t) accumulates in DECIMAL(38,0) — exact under
     // any partition order, and big enough for 100 TB frequencies where
@@ -579,10 +587,9 @@ object Analytics {
             .as("b"))
         .groupBy("v").agg(sum("a").as("fa"), sum("b").as("fb"))
         .withColumn("f", col("fa") + col("fb"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = e
-        .withColumn("cumBefore", coalesce(sum("f").over(w), lit(0L)))
+      val ranked = graft.operators.GlobalRank.withPrefixAggs(e,
+          Seq(col("v")),
+          Seq(graft.operators.GlobalRank.PrefixAgg("f", "cumBefore")))
         .withColumn("r2", lit(2L) * col("cumBefore") + col("f") + 1L)
       val agg = ranked.agg(
         sum("fa").as("na"), sum("fb").as("nb"),
@@ -884,6 +891,35 @@ object Analytics {
       today.join(churn, Seq("day"), "left")
         .na.fill(0L, Seq("churned"))
         .orderBy("day")
+    }),
+
+    // ---- Hill tail-index estimator over order totals — the heavy-tail
+    // diagnostic that complements q_zipf (rank domain), q_pareto (share
+    // domain) and q_benford (digit domain): α̂ = k / Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    // over the top k+1 order statistics; α̂ ≈ 1 says "pareto-heavy", large
+    // α̂ says thin tail. Cents-quantized and each log-ratio rounded to
+    // pico-units so the 201-term sum is an exact integer under any
+    // partition order; ties AT the threshold contribute ln(1) = 0 exactly
+    // as the formula demands, so the arbitrary tie-break inside the top-k
+    // cannot move the answer. Scale shape: the only corpus-touching
+    // operator is a distributed TakeOrderedAndProject top-(k+1)
+    // (per-partition heaps, no global sort); everything after runs on
+    // 201 rows with the 1-row threshold broadcast back.
+    "q_tail_index" -> ((s, d) => {
+      val k = 200
+      val top = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .orderBy(col("cents").desc).limit(k + 1)
+      val thr = top.agg(min("cents").as("xk"))
+      top.crossJoin(broadcast(thr))
+        .select(col("xk"),
+          round(log(col("cents").cast("double") /
+            col("xk").cast("double")) * 1e12).cast("long").as("t"))
+        .groupBy("xk").agg(sum("t").as("st"))
+        .select(
+          lit(k).cast("long").as("k"),
+          round(col("xk").cast("double") / 100, 2).as("x_threshold"),
+          round(lit(k * 1e12) / col("st").cast("double"), 6).as("hill_alpha"))
     })
   )
 
@@ -891,14 +927,18 @@ object Analytics {
     * risk frame — factor rounds to micro-nats, integer cumulative sum,
     * exp back; d = n_risk (the final death time) pins S to exactly 0. */
   private def kmRisk(risk: DataFrame): DataFrame = {
-    val wAsc = Window.orderBy("time_s")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    risk.withColumn("t_int",
-        when(col("d") < col("n_risk"),
-          round(log(lit(1.0) - col("d").cast("double") /
-            col("n_risk").cast("double")) * 1e6).cast("long"))
-          .otherwise(lit(0L)))
-      .withColumn("cum", sum("t_int").over(wAsc))
+    val withT = risk.withColumn("t_int",
+      when(col("d") < col("n_risk"),
+        round(log(lit(1.0) - col("d").cast("double") /
+          col("n_risk").cast("double")) * 1e6).cast("long"))
+        .otherwise(lit(0L)))
+    // survival log-product = inclusive prefix sum of the micro-nat
+    // factors over death times — same two-phase GlobalRank routing as
+    // the at-risk suffix sums (death times grow with the corpus)
+    graft.operators.GlobalRank.withPrefixAggs(withT,
+        Seq(col("time_s")),
+        Seq(graft.operators.GlobalRank.PrefixAgg("t_int", "cum",
+          inclusive = true)))
       .select(col("time_s"), col("n_risk"), col("d").as("deaths"),
         when(col("d") === col("n_risk"), lit(0.0))
           .otherwise(round(exp(col("cum").cast("double") / 1e6), 6))
@@ -1534,6 +1574,20 @@ object Analytics {
         |SELECT t.day, new_users, retained, resurrected,
         |  coalesce(churned, 0) AS churned
         |FROM today t LEFT JOIN churn ON churn.day = t.day
-        |ORDER BY t.day""".stripMargin
+        |ORDER BY t.day""".stripMargin,
+    "q_tail_index" ->
+      """WITH top AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders ORDER BY cents DESC LIMIT 201),
+        |thr AS (SELECT min(cents) AS xk FROM top),
+        |t AS (
+        |  SELECT xk,
+        |    CAST(round(ln(CAST(cents AS DOUBLE) / xk) * 1e12) AS BIGINT)
+        |      AS t
+        |  FROM top CROSS JOIN thr)
+        |SELECT CAST(200 AS BIGINT) AS k,
+        |  round(CAST(min(xk) AS DOUBLE) / 100, 2) AS x_threshold,
+        |  round(200e12 / CAST(sum(t) AS DOUBLE), 6) AS hill_alpha
+        |FROM t""".stripMargin
   )
 }

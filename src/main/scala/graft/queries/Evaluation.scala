@@ -113,8 +113,11 @@ object Evaluation {
     // The rank sum is computed ×2 (midranks are halves) so it is an
     // exact integer: srp2 = Σ cp·(2·before + c + 1) over DISTINCT
     // scores. Scale shape: the corpus collapses to per-distinct-score
-    // (cp, cn) counts first — the window orders the score-cardinality-
-    // bounded aggregate, never the corpus (q_skyline's two-phase trick).
+    // (cp, cn) counts first, then the prefix-count runs through the
+    // two-phase GlobalRank.withPrefixAggs (range-repartition + local
+    // prefix + broadcast offsets) — no single task ever holds the whole
+    // score domain, which matters because a 6-dp double score over a
+    // 100 TB corpus can reach millions of distinct values (VERDICT r6).
     "q_auc" -> ((s, d) => {
       val scored = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -124,10 +127,9 @@ object Evaluation {
         .agg(sum("pos").as("cp"),
           sum(lit(1L) - col("pos")).as("cn"))
         .withColumn("c", col("cp") + col("cn"))
-      val w = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = byScore
-        .withColumn("before", coalesce(sum("c").over(w), lit(0L)))
+      val ranked = graft.operators.GlobalRank.withPrefixAggs(byScore,
+        Seq(col("score")),
+        Seq(graft.operators.GlobalRank.PrefixAgg("c", "before")))
       ranked
         .select((col("cp") * (lit(2L) * col("before") + col("c") + 1))
           .as("t"), col("cp"), col("cn"))

@@ -840,6 +840,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !ga.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("no partition-less window over any corpus-growing frame (two-phase)") {
+    // VERDICT r6 #4: every global prefix quantity whose frame cardinality
+    // can grow with the corpus (rank, CDF, prefix-max) must run through
+    // GlobalRank's two-phase shape. The ONLY partition-less WindowExec a
+    // routed query may contain is the offsets window, recognizable by its
+    // ordering column `_gr_pid` — its frame is the numPartitions-row
+    // totals table, a structural bound independent of data.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_auc", "q_mann_whitney", "q_ks_test", "q_skyline",
+        "q_kaplan_meier", "q_rrf_fuse")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame:\n" +
+          offenders.map(_.verboseString(3)).mkString("\n"))
+    }
+    graft.CacheScope.drain()
+    spark.catalog.clearCache()
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

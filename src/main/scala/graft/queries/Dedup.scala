@@ -411,6 +411,41 @@ object Dedup {
             .when(greatest(col("cont_ab"), col("cont_ba")) >= 0.3, "overlap")
             .otherwise("distinct"))
         .orderBy("da")
+    }),
+
+    // ---- train/test split leakage audit: deterministic 90/10 md5 split
+    // of the corpus, then count the LSH near-dup pairs (exact q_lsh_pairs
+    // candidate semantics, n_match ≥ 2 of 8) that CROSS the split — the
+    // decontamination gate a training pipeline runs before any model
+    // sees the split: a test document with a train-side near-duplicate
+    // leaks evaluation signal no matter how clean the exact-dedup pass
+    // was. Outputs split sizes, crossing pair count, and the number of
+    // DISTINCT test docs that leak (the actionable number — drop these).
+    // Scale shape: the split key is per-row hash math (map-only, no
+    // state, reproducible across runs and engines); near-dup pairs come
+    // from the banded LSH equi-join (never all-pairs); the audit itself
+    // is two keyed joins of the small pair frame against the split map
+    // plus bounded 1-row aggregates.
+    "q_split_leakage" -> ((s, d) => {
+      val split = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (conv(substring(md5(concat(lit("split_"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast(LongType) % 10 < 9).as("is_train"))
+      val pa = split.toDF("da", "ta")
+      val pb = split.toDF("db", "tb")
+      val crossed = lshPairs(s, d)
+        .join(pa, "da").join(pb, "db")
+        .filter(col("ta") =!= col("tb"))
+      // the test-side doc of each crossing pair
+      val leaky = crossed
+        .select(when(col("tb"), col("da")).otherwise(col("db")).as("t_doc"))
+        .distinct()
+      split.agg(
+          sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("is_train"), 0L).otherwise(1L)).as("n_test"))
+        .crossJoin(broadcast(crossed.agg(count(lit(1)).as("n_cross_pairs"))))
+        .crossJoin(broadcast(leaky.agg(count(lit(1)).as("n_leaky_test"))))
     })
   )
 
@@ -682,6 +717,45 @@ object Dedup {
         |       WHEN greatest(cont_ab, cont_ba) >= CAST(0.3 AS DOUBLE)
         |         THEN 'overlap'
         |       ELSE 'distinct' END AS verdict
-        |FROM ratios ORDER BY da""".stripMargin
+        |FROM ratios ORDER BY da""".stripMargin,
+    "q_split_leakage" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
+      }.mkString(" UNION ALL ")
+      val nMatch = A.indices
+        .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigSql,
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT da, db
+         |  FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+         |  WHERE $nMatch >= 2),
+         |split AS (
+         |  SELECT doc_id,
+         |    (CAST(('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) % 10 < 9) AS is_train
+         |  FROM documents),
+         |crossed AS (
+         |  SELECT da, db, a.is_train AS ta, b.is_train AS tb
+         |  FROM pairs JOIN split a ON a.doc_id = da
+         |             JOIN split b ON b.doc_id = db
+         |  WHERE a.is_train <> b.is_train),
+         |leaky AS (
+         |  SELECT DISTINCT CASE WHEN tb THEN da ELSE db END AS t_doc
+         |  FROM crossed)
+         |SELECT
+         |  (SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM split) AS n_train,
+         |  (SELECT CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+         |     FROM split) AS n_test,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM crossed) AS n_cross_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM leaky) AS n_leaky_test""".stripMargin
+    }
   )
 }

@@ -26,6 +26,14 @@ object SparkEntry {
       CorpusStats.queries ++ Curation.queries ++ Evaluation.queries ++
       Quality.queries ++ LinAlg.queries
 
+  /** Bench-only overrides: estimate-only forms of the sketch queries
+    * (same keys as `queries`; identical sketch config, exact verification
+    * arm dropped). Bench times `queries ++ benchForm`; Verify and the
+    * correctness gate use `queries` alone — see
+    * [[graft.queries.RelationalExt.benchForm]]. */
+  def benchForm: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalExt.benchForm
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

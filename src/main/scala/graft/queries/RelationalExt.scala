@@ -410,6 +410,62 @@ object RelationalExt {
     })
   )
 
+  /** Bench-only estimate forms of the sketch queries (VERDICT r6 "What's
+    * wrong" #2). The correctness-gate versions above pair every sketch
+    * with an EXACT verification arm so estimate quality sits inside the
+    * hash gate — but at 100 TB the exact arm is precisely the cost the
+    * sketch exists to avoid (a distinct-shuffle next to a 4 KB HLL, a
+    * full percentile state next to a KLL sketch, a real semi-join next to
+    * a Bloom probe). Benching sketch+exact therefore misreports the
+    * sketch's scale advantage. These forms keep the IDENTICAL sketch
+    * configuration (same accuracy / rsd / capacity / seed) and drop only
+    * the exact arm; Bench times `queries ++ benchForm` (same keys, so the
+    * bench row measures the sketch alone) while Verify and the DuckDB
+    * hash gate run `queries` unchanged.
+    */
+  val benchForm: Map[String, Q] = Map(
+    "q_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("pcts"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 1), 4).as("p50"),
+          round(element_at(col("pcts"), 2), 4).as("p95"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q_hll_approx" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q_bloom_semi" -> ((s, d) => {
+      graft.functions.BloomFilters.register(s)
+      val keys = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("ck"))
+      val bf = keys.agg(expr("bloom_filter_agg(ck, 10000L, 81920L)").as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      Tables.orders(s, d)
+        .filter(call_function("might_contain", lit(bf),
+          col("o_custkey").cast("long")))
+        .agg(count(lit(1)).as("bloom_n"))
+    }),
+    "q_cms_heavy" -> ((s, d) => {
+      graft.functions.CountMin.register(s)
+      val li = Tables.lineitem(s, d)
+      val sk = li.agg(
+        expr("count_min_sketch(l_returnflag, 0.0001D, 0.999D, 42)").as("sk"))
+      li.select("l_returnflag").distinct()
+        .crossJoin(broadcast(sk))
+        .select(col("l_returnflag"),
+          call_function("cms_estimate", col("sk"), col("l_returnflag"))
+            .as("cms_n"))
+        .orderBy("l_returnflag")
+    }))
+
   val oracle: Map[String, String] = Map(
     "q_asof_join" ->
       """WITH u AS (

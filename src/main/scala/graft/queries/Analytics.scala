@@ -920,8 +920,98 @@ object Analytics {
           lit(k).cast("long").as("k"),
           round(col("xk").cast("double") / 100, 2).as("x_threshold"),
           round(lit(k * 1e12) / col("st").cast("double"), 6).as("hill_alpha"))
+    }),
+
+    // ---- Wald SPRT (sequential probability ratio test) on the purchase
+    // rate: each view/purchase event is a Bernoulli trial in time order,
+    // H0: p = 0.2 vs H1: p = 0.3, α = β = 0.05 — the early-stopping A/B
+    // machinery that decides AS DATA ARRIVES instead of at a fixed n
+    // (q_ab_test's shape). The cumulative log-likelihood ratio is a
+    // corpus-length prefix sum over the event order — exactly the frame
+    // a partition-less window must never hold, so it runs through the
+    // two-phase GlobalRank.withPrefixAggs (range-partition on (ts, id),
+    // local prefix, broadcast offsets), with the trial index as a second
+    // prefix sum sharing the same exchange. Integer discipline: the two
+    // LLR increments and both Wald boundaries are pico-nat integers
+    // (shared constants with the oracle SQL), so the running sum is
+    // exact under any partition order and the first-crossing trial is
+    // engine-independent.
+    "q_sprt" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("ts_us"), col("event_id"),
+          when(col("event_type") === "purchase", lit(SprtUp))
+            .otherwise(lit(SprtDn)).as("inc"),
+          lit(1L).as("one"))
+      val cum = graft.operators.GlobalRank.withPrefixAggs(e,
+        Seq(col("ts_us"), col("event_id")),
+        Seq(graft.operators.GlobalRank.PrefixAgg("inc", "llr",
+            inclusive = true),
+          graft.operators.GlobalRank.PrefixAgg("one", "trial",
+            inclusive = true)))
+      cum.agg(
+          count(lit(1)).as("n_trials"),
+          min(when(col("llr") >= SprtBound, col("trial"))).as("up_cross"),
+          min(when(col("llr") <= -SprtBound, col("trial"))).as("down_cross"),
+          round(sum("inc").cast("double") / 1e12, 6).as("llr_final"))
+        .select(col("n_trials"), col("up_cross"), col("down_cross"),
+          when(col("up_cross").isNotNull &&
+            (col("down_cross").isNull ||
+              col("up_cross") < col("down_cross")), "accept_h1")
+            .when(col("down_cross").isNotNull, "accept_h0")
+            .otherwise("continue").as("decision"),
+          col("llr_final"))
+    }),
+
+    // ---- Holt linear-trend forecast (double exponential smoothing,
+    // α = 0.5, β = 0.3) of daily event volume: level/trend recursion
+    // l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) +
+    // (1−β)b_{t−1}, initialized l_0 = x_0, b_0 = x_1−x_0, updates from
+    // x_1 — the capacity-planning forecast (7-day-ahead volume) next to
+    // q_ewma's per-user smoothing and q_changepoint's retrospective
+    // CUSUM. The recursion is inherently sequential, but its FRAME is
+    // the per-day aggregate (≤ |days| rows — a structural calendar
+    // bound, not corpus-scaled), so it folds in one `aggregate` HOF
+    // over the day-sorted array: corpus → daily counts is the only
+    // shuffle; both engines run the identical IEEE double sequence, so
+    // results agree bit-for-bit before the final 4-dp round.
+    "q_holt" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val series = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("a"))
+        .select(col("a"), size(col("a")).as("nd"))
+      val x0 = element_at(col("a"), 1).getField("x")
+      val x1 = element_at(col("a"), 2).getField("x")
+      val init = when(col("nd") >= 2,
+        struct(x0.as("l"), (x1 - x0).as("b")))
+      val folded = aggregate(
+        slice(col("a"), lit(2), greatest(col("nd") - 1, lit(0))),
+        init,
+        (acc, e) => {
+          val lNew = lit(0.5) * e.getField("x") +
+            lit(0.5) * (acc.getField("l") + acc.getField("b"))
+          struct(lNew.as("l"),
+            (lit(0.3) * (lNew - acc.getField("l")) +
+              lit(0.7) * acc.getField("b")).as("b"))
+        })
+      series.select(col("nd").cast("long").as("n_days"),
+        round(folded.getField("l"), 4).as("level"),
+        round(folded.getField("b"), 4).as("trend"),
+        round(folded.getField("l") + lit(7.0) * folded.getField("b"), 4)
+          .as("forecast_7d"))
     })
   )
+
+  /** SPRT constants (p0 = 0.2, p1 = 0.3, α = β = 0.05): per-trial
+    * log-likelihood increments and the Wald boundary ln((1−β)/α) = ln 19
+    * in pico-nat INTEGER units — shared verbatim between the Spark query
+    * and its oracle SQL so both engines sum identical integers. */
+  private val SprtUp = math.round(math.log(0.3 / 0.2) * 1e12)
+  private val SprtDn = math.round(math.log(0.7 / 0.8) * 1e12)
+  private val SprtBound = math.round(math.log(19.0) * 1e12)
 
   /** KM tail: the survival-product machinery over the (time_s, d, n_risk)
     * risk frame — factor rounds to micro-nats, integer cumulative sum,
@@ -1588,6 +1678,52 @@ object Analytics {
         |SELECT CAST(200 AS BIGINT) AS k,
         |  round(CAST(min(xk) AS DOUBLE) / 100, 2) AS x_threshold,
         |  round(200e12 / CAST(sum(t) AS DOUBLE), 6) AS hill_alpha
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    "q_sprt" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS ts_us, event_id,
+         |    CASE WHEN event_type = 'purchase' THEN $SprtUp
+         |         ELSE $SprtDn END AS inc
+         |  FROM events WHERE event_type IN ('view', 'purchase')),
+         |c AS (
+         |  SELECT inc,
+         |    sum(inc) OVER (ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+         |    row_number() OVER (ORDER BY ts_us, event_id) AS trial
+         |  FROM e),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_trials,
+         |    min(CASE WHEN llr >= $SprtBound THEN trial END) AS up_cross,
+         |    min(CASE WHEN llr <= -$SprtBound THEN trial END) AS down_cross,
+         |    round(CAST(sum(inc) AS DOUBLE) / 1e12, 6) AS llr_final
+         |  FROM c)
+         |SELECT n_trials, up_cross, down_cross,
+         |  CASE WHEN up_cross IS NOT NULL AND
+         |    (down_cross IS NULL OR up_cross < down_cross) THEN 'accept_h1'
+         |       WHEN down_cross IS NOT NULL THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision,
+         |  llr_final
+         |FROM agg""".stripMargin,
+    "q_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1),
+        |ord AS (SELECT day, x, row_number() OVER (ORDER BY day) AS i
+        |        FROM d),
+        |n AS (SELECT count(*) AS nd FROM ord),
+        |rec AS (
+        |  SELECT 1 AS i, (SELECT x FROM ord WHERE i = 1) AS l,
+        |    (SELECT x FROM ord WHERE i = 2) -
+        |      (SELECT x FROM ord WHERE i = 1) AS b
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    0.5 * o.x + 0.5 * (r.l + r.b),
+        |    0.3 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+        |  FROM rec r JOIN ord o ON o.i = r.i + 1)
+        |SELECT CAST(nd AS BIGINT) AS n_days,
+        |  round(l, 4) AS level, round(b, 4) AS trend,
+        |  round(l + 7 * b, 4) AS forecast_7d
+        |FROM rec CROSS JOIN n WHERE i = nd""".stripMargin
   )
 }

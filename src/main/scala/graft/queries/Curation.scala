@@ -147,6 +147,35 @@ object Curation {
         .select(col("lang"), col("n_docs"), col("n_kept"),
           round(col("n_kept").cast("double") / col("n_docs"), 4).as("rate"))
         .orderBy("lang")
+    }),
+
+    // ---- k-anonymity risk audit over the customer table: group by the
+    // quasi-identifier tuple (nation, market segment, account-balance
+    // kilobucket) and count equivalence classes smaller than k = 5 — the
+    // re-identification audit a pipeline runs BEFORE publishing derived
+    // data (q_pii_scrub removes direct identifiers; this measures what
+    // the indirect ones still leak: a customer alone in their QI class
+    // is re-identifiable by linkage even with the name gone). Outputs
+    // class counts, the unsafe-row total, the smallest class, and the
+    // at-risk rate. Scale shape: one map-side-combined aggregate over
+    // the QI tuple, then a QI-cardinality-bounded re-aggregate — the
+    // corpus shuffles once, keyed by the tuple.
+    "q_kanon" -> ((s, d) => {
+      val classes = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast(LongType).as("bal_kb"))
+        .agg(count(lit(1)).as("sz"))
+      classes.agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_unsafe_classes"),
+          sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+            .as("n_unsafe_rows"),
+          min("sz").as("min_class"),
+          sum("sz").as("n_rows"))
+        .select(col("n_classes"), col("n_unsafe_classes"),
+          col("n_unsafe_rows"), col("min_class"),
+          round(col("n_unsafe_rows").cast("double") /
+            col("n_rows").cast("double"), 4).as("risk_rate"))
     })
   )
 
@@ -211,6 +240,21 @@ object Curation {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
         |FROM documents d
         |JOIN bylang b ON b.lang = d.lang CROSS JOIN tot t
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_kanon" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+        |    count(*) AS sz
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unsafe_classes,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_unsafe_rows,
+        |  CAST(min(sz) AS BIGINT) AS min_class,
+        |  round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(sz) AS DOUBLE), 4) AS risk_rate
+        |FROM classes""".stripMargin
   )
 }

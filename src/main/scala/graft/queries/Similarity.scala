@@ -195,6 +195,55 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // ---- simplified silhouette (centroid form) of the k-means
+    // clustering — the cluster-quality score that tells a curation
+    // pipeline whether its SemDeDup partitioning is real structure or
+    // noise: per vector s = 1 − dist(x, own centroid)/dist(x, second
+    // centroid) ∈ [0, 1], reported as the per-cluster mean. The classic
+    // silhouette needs all pairwise distances (O(N²)); the centroid
+    // form needs only the k distances the assignment already computes —
+    // THE version that exists at 100 TB. Float discipline: per-vector s
+    // rounds to 6 dp (micro-units, exact integer sum under any
+    // partition order); distances clamp at 0 before sqrt (the ‖x‖²
+    // expansion can go −1e-15 in floats). Scale shape: one narrow pass
+    // over vectors with the k×dim centroid matrix as plan literals,
+    // then a k-row aggregate — nothing else moves.
+    "q_silhouette" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val (model, _) = graft.operators.KMeans.fit(v, k = 8, iters = 2)
+      if (model.centroids.isEmpty)
+        v.select(lit(0).cast("int").as("cluster"), lit(0L).as("n"),
+          lit(0.0).as("mean_sil")).limit(0)
+      else {
+        val x2 = dot(col("v"), col("v"))
+        val scored = model.centroids.zipWithIndex.map { case (c, j) =>
+          val c2 = c.map(x => x * x).sum
+          struct(
+            (lit(c2) - lit(2.0) * dot(col("v"), typedlit(c.toSeq)) + x2)
+              .as("d"),
+            lit(j).as("j"))
+        }
+        val arr = array(scored.toIndexedSeq: _*)
+        val best = array_min(arr)
+        val second = array_min(filter(arr,
+          e => e.getField("j") =!= best.getField("j")))
+        val da = greatest(best.getField("d"), lit(0.0))
+        val db = greatest(second.getField("d"), lit(0.0))
+        val sil = when(db <= 0.0, lit(0.0))
+          .otherwise(lit(1.0) - sqrt(da / db))
+        v.select(best.getField("j").as("cluster"),
+            round(sil * 1e6).cast("long").as("s6"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"),
+            round(sum("s6").cast("double") / count(lit(1)) / 1e6, 4)
+              .as("mean_sil"))
+          .orderBy("cluster")
+      }
+    }),
+
     // ---- product quantization (PQ) encode: the vector-compression step
     // of a billion-scale ANN index (IVF-PQ). The 64-dim space splits into
     // 8 subspaces × 8 dims; each subvector is assigned to its nearest of
@@ -1020,6 +1069,31 @@ object Similarity {
          |  max(cos_r) AS max_cos
          |FROM sims WHERE cos_r >= 0.35
          |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    // simplified silhouette = the k-means chain + nearest/second-nearest
+    // final-centroid distances per vector (df_ is ‖x‖²-free, so add the
+    // x² term back before the ratio, clamped at 0 like the Spark side)
+    "q_silhouette" ->
+      s"""WITH $kmeansCtes,
+         |xx AS (SELECT vec_id, sum(x * x) AS x2 FROM flat GROUP BY 1),
+         |ranked AS (
+         |  SELECT vec_id, j, d, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, j ASC) AS rn FROM df_),
+         |ab AS (
+         |  SELECT r1.vec_id, r1.j AS cluster,
+         |    greatest(r1.d + xx.x2, 0) AS da,
+         |    greatest(r2.d + xx.x2, 0) AS db
+         |  FROM ranked r1
+         |  JOIN ranked r2 ON r2.vec_id = r1.vec_id AND r2.rn = 2
+         |  JOIN xx ON xx.vec_id = r1.vec_id
+         |  WHERE r1.rn = 1),
+         |sil AS (
+         |  SELECT vec_id, cluster,
+         |    CAST(round((CASE WHEN db <= 0 THEN 0.0
+         |      ELSE 1.0 - sqrt(da / db) END) * 1e6) AS BIGINT) AS s6
+         |  FROM ab)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6, 4) AS mean_sil
+         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q_mmr" ->
       s"""WITH $flatSql,
          |dots AS (

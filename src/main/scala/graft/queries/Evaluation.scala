@@ -204,6 +204,78 @@ object Evaluation {
             (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"),
             6).as("f1"))
         .orderBy("cls")
+    }),
+
+    // ---- decile lift curve of the quality score against lang='en' —
+    // the ranking-quality companion to q_auc (threshold-free) and
+    // q_calibration (probability quality): sort the corpus by score,
+    // cut into 10 EQUAL-COUNT bins, report per-bin positive rate over
+    // the base rate. Equal-count deciles need the exact global rank of
+    // every document — a corpus-sized frame, so the rank runs through
+    // the two-phase GlobalRank.withRowNumber, never a single-partition
+    // window; the 1-row totals broadcast back for the bin arithmetic.
+    "q_lift_curve" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), quality.as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(scored, "rn",
+        Seq(col("score").desc, col("doc_id").asc))
+      val tot = scored.agg(count(lit(1)).as("nt"), sum("pos").as("np"))
+      ranked.crossJoin(broadcast(tot))
+        .select(expr("((CAST(rn AS BIGINT) - 1) * 10) DIV nt").as("decile"),
+          col("pos"), col("nt"), col("np"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"),
+          round((sum("pos").cast("double") * max("nt").cast("double")) /
+            (count(lit(1)).cast("double") * max("np").cast("double")), 4)
+            .as("lift"))
+        .orderBy("decile")
+    }),
+
+    // ---- logistic regression P(purchase | value), intercept + slope,
+    // two Newton–Raphson steps from β = (0, 0) — the trainable sibling
+    // of q_quality_logit's fixed-weight gate (q_groupreg is the OLS
+    // analog). Each step is ONE aggregation of five sufficient sums
+    // (Σw, Σwx, Σwx², Σ(y−p), Σ(y−p)x for w = p(1−p)) with the current
+    // β broadcast as a 1-row side; the 2×2 normal equations solve by
+    // Cramer on the driver-free 1-row frame. Exactness: every per-row
+    // term rounds to nano-units and accumulates in DECIMAL(38,0), so
+    // the sums — and therefore each β step — are identical under any
+    // partition order and any engine; the oracle replays the same two
+    // steps textually.
+    "q_logit_fit" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("value").cast("double").as("x"),
+          when(col("event_type") === "purchase", 1.0).otherwise(0.0)
+            .as("y"))
+      def step(bf: DataFrame): DataFrame = {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          sum(round(c * 1e9).cast("decimal(38,0)"))
+        val p = lit(1.0) /
+          (lit(1.0) + exp(-(col("b0") + col("b1") * col("x"))))
+        val w = p * (lit(1.0) - p)
+        val agg = base.crossJoin(broadcast(bf)).agg(
+          dec(w).as("sw"), dec(w * col("x")).as("swx"),
+          dec(w * col("x") * col("x")).as("swx2"),
+          dec(col("y") - p).as("sr"),
+          dec((col("y") - p) * col("x")).as("srx"),
+          max("b0").as("pb0"), max("b1").as("pb1"))
+        val dbl = (n: String) => col(n).cast("double") / 1e9
+        val (sw, swx, swx2, sr, srx) =
+          (dbl("sw"), dbl("swx"), dbl("swx2"), dbl("sr"), dbl("srx"))
+        val det = sw * swx2 - swx * swx
+        agg.select(
+          (col("pb0") + (sr * swx2 - srx * swx) / det).as("b0"),
+          (col("pb1") + (sw * srx - swx * sr) / det).as("b1"))
+      }
+      val bz = s.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+      val b2 = step(step(bz))
+      base.agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(b2))
+        .select(col("n"), round(col("b0"), 6).as("b0"),
+          round(col("b1"), 6).as("b1"))
     })
   )
 
@@ -337,6 +409,84 @@ object Evaluation {
         |    AS recall,
         |  round(2.0 * CAST(tp AS DOUBLE) /
         |    CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
-        |FROM f ORDER BY cls""".stripMargin
+        |FROM f ORDER BY cls""".stripMargin,
+    "q_lift_curve" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + n_tokens) *
+        |      (1.0 - round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6)), 6)
+        |      AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |        AS BIGINT) AS n_tokens,
+        |      CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT)
+        |        AS stop_cnt
+        |    FROM documents) t),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM q),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |        CAST(sum(pos) AS BIGINT) AS np FROM q)
+        |SELECT ((rn - 1) * 10) // nt AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  round((CAST(sum(pos) AS DOUBLE) * CAST(max(nt) AS DOUBLE)) /
+        |    (CAST(count(*) AS DOUBLE) * CAST(max(np) AS DOUBLE)), 4)
+        |    AS lift
+        |FROM r CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_logit_fit" -> {
+      // one Newton step as a CTE pair: t<i> scores with the incoming
+      // beta, a<i>/b<i> accumulate nano-unit integer sums and solve the
+      // 2x2 normal equations — textually the same arithmetic order as
+      // the Spark side so the IEEE doubles agree bit-for-bit
+      def step(i: Int, prev: String): String =
+        s"""t$i AS (
+           |  SELECT x, y, b0, b1,
+           |    1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
+           |  FROM base CROSS JOIN $prev),
+           |a$i AS (
+           |  SELECT
+           |    sum(CAST(round(p * (1.0 - p) * 1e9) AS BIGINT)) AS sw,
+           |    sum(CAST(round(p * (1.0 - p) * x * 1e9) AS BIGINT)) AS swx,
+           |    sum(CAST(round(p * (1.0 - p) * x * x * 1e9) AS BIGINT))
+           |      AS swx2,
+           |    sum(CAST(round((y - p) * 1e9) AS BIGINT)) AS sr,
+           |    sum(CAST(round((y - p) * x * 1e9) AS BIGINT)) AS srx,
+           |    max(b0) AS pb0, max(b1) AS pb1
+           |  FROM t$i),
+           |b$i AS (
+           |  SELECT
+           |    pb0 + ((CAST(sr AS DOUBLE) / 1e9) *
+           |        (CAST(swx2 AS DOUBLE) / 1e9) -
+           |      (CAST(srx AS DOUBLE) / 1e9) *
+           |        (CAST(swx AS DOUBLE) / 1e9)) /
+           |      ((CAST(sw AS DOUBLE) / 1e9) *
+           |        (CAST(swx2 AS DOUBLE) / 1e9) -
+           |      (CAST(swx AS DOUBLE) / 1e9) *
+           |        (CAST(swx AS DOUBLE) / 1e9)) AS b0,
+           |    pb1 + ((CAST(sw AS DOUBLE) / 1e9) *
+           |        (CAST(srx AS DOUBLE) / 1e9) -
+           |      (CAST(swx AS DOUBLE) / 1e9) *
+           |        (CAST(sr AS DOUBLE) / 1e9)) /
+           |      ((CAST(sw AS DOUBLE) / 1e9) *
+           |        (CAST(swx2 AS DOUBLE) / 1e9) -
+           |      (CAST(swx AS DOUBLE) / 1e9) *
+           |        (CAST(swx AS DOUBLE) / 1e9)) AS b1
+           |  FROM a$i)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT CAST(value AS DOUBLE) AS x,
+         |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM events WHERE event_type IN ('view', 'purchase')),
+         |bz AS (SELECT 0.0 AS b0, 0.0 AS b1),
+         |${step(1, "bz")},
+         |${step(2, "b1")}
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n,
+         |  round(b0, 6) AS b0, round(b1, 6) AS b1
+         |FROM b2""".stripMargin
+    }
   )
 }

@@ -467,6 +467,29 @@ object EventOps {
         round(when(col("n") === 1, lit(null)).otherwise(
           sqrt(lit(2.0) * chi2) -
             sqrt(lit(2.0) * (n - lit(1.0)) - lit(1.0))), 6).as("z"))
+    }),
+
+    // ---- date-gap completeness audit: per event type, observed days vs
+    // calendar span, and the longest run of missing days — the ingest
+    // data-quality check that catches a dropped feed BEFORE any query
+    // silently computes over the hole (the q_autocorr family documents
+    // "contiguous fixture" as a semantic assumption; this measures it).
+    // Scale shape: the corpus collapses to DISTINCT (type, day) pairs in
+    // one map-side-combined pass; the lag window runs per event type
+    // over the calendar-bounded day frame.
+    "q_date_gaps" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+        .distinct()
+      val w = Window.partitionBy("event_type").orderBy("day")
+      days.withColumn("prev", lag("day", 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          (max("day") - min("day") + 1).as("span_days"),
+          (max("day") - min("day") + 1 - count(lit(1))).as("n_missing"),
+          coalesce(max(col("day") - col("prev") - 1), lit(0L))
+            .as("max_gap"))
+        .orderBy("event_type")
     })
   )
 
@@ -748,6 +771,20 @@ object EventOps {
         |      (((nd * skkd - skd * skd) / (nd * (nd - 1.0))) /
         |        (skd / nd)))) - sqrt(2.0 * (nd - 1.0) - 1.0)
         |    END, 6) AS z
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    "q_date_gaps" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |lagged AS (
+        |  SELECT event_type, day,
+        |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM days)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+        |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT) AS n_missing,
+        |  CAST(coalesce(max(day - prev - 1), 0) AS BIGINT) AS max_gap
+        |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -89,10 +90,67 @@ final class JobEventsTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-jobevents($path)"
   override def schema(): StructType = JobEventsSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new JobEventsScanBuilder(path)
+}
+
+/** Streaming offset = the highest Lamport µs stamp consumed so far. The
+  * bus guarantees stamps are strictly increasing per append (Devstack
+  * `nextUs`), so "(lastStamp, latest]" is an exactly-once batch bound
+  * with no file ever re-read or skipped. */
+final case class JobEventsOffset(stampUs: Long) extends Offset {
+  override def json(): String = stampUs.toString
+}
+
+/** Micro-batch face of the same scan: each trigger reads the files whose
+  * filename stamp lies in (start, end] — `readStream.format(
+  * "graft-jobevents")` tails the control-plane bus the way the reference
+  * controller tails libp2p pubsub, restart-safe via the checkpointed
+  * stamp offset. */
+final class JobEventsMicroBatchStream(path: String, required: StructType)
+  extends MicroBatchStream {
+
+  private def latestStamp(): Long = {
+    val dir = JobEventsSource.eventsDir(path)
+    if (!Files.isDirectory(dir)) return 0L
+    scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith("."))
+        .flatMap(JobEventsSource.stampOf)
+        .foldLeft(0L)(math.max)
+    }
+  }
+
+  override def latestOffset(): Offset = JobEventsOffset(latestStamp())
+  override def initialOffset(): Offset = JobEventsOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    JobEventsOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[JobEventsOffset].stampUs
+    val hi = end.asInstanceOf[JobEventsOffset].stampUs
+    val dir = JobEventsSource.eventsDir(path)
+    if (!Files.isDirectory(dir) || hi <= lo) return Array.empty
+    val names = scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith("."))
+        .filter(n => JobEventsSource.stampOf(n)
+          .exists(us => us > lo && us <= hi))
+        .toVector
+    }.sorted
+    if (names.isEmpty) Array.empty
+    else Array(JobEventsPartition(
+      names.map(n => dir.resolve(n).toString).toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JobEventsReaderFactory(required)
 }
 
 /** Accepts `event_time_us` comparisons (fully — filename pruning is
@@ -154,6 +212,9 @@ final class JobEventsScan(path: String, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new JobEventsMicroBatchStream(path, required)
   override def description(): String =
     s"JobEventsScan(path=$path, pushedTimeRange=[$loUs,$hiUs], " +
       s"columns=[${required.fieldNames.mkString(",")}])"

@@ -87,6 +87,36 @@ class JobEventsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       scan.description())
   }
 
+  test("micro-batch stream tails the bus incrementally across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (bus, dir, _) = mkBus()
+    val ckpt = Files.createTempDirectory("graft-jobevents-ckpt").toString
+    val out = Files.createTempDirectory("graft-jobevents-out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-jobevents").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 40)
+    // new appends after the checkpointed offset: ONLY they arrive (a
+    // re-read of the first 40 would double them in the append sink)
+    (41 to 45).foreach { i =>
+      bus.append(graft.jobs.JobEvent(jobId = "job-x", clientId = "c",
+        sourceNodeId = "n0", targetNodeId = "", eventName = "Created",
+        status = s"s$i", resultsId = "", eventTimeUs = i * 1000L),
+        nodeId = "n0")
+    }
+    runOnce()
+    val all = spark.read.parquet(out)
+    assert(all.count() === 45)
+    assert(all.filter(col("job_id") === "job-x").count() === 5)
+  }
+
   test("the fold over the connector equals the driver-local fold (A16)") {
     val (bus, dir, _) = mkBus()
     val df = spark.read.format("graft-jobevents").load(dir)

@@ -414,6 +414,38 @@ object Similarity {
         .orderBy("q_id")
     }),
 
+    // ---- MAP@5 + MRR of the IVF-PQ path against the brute-force truth —
+    // the rank-POSITION-sensitive half of the retrieval scorecard
+    // (q_ivfpq_recall counts hits anywhere in the top-5; MAP/MRR pay for
+    // WHERE they land; q_ndcg grades by relevance). Exactness: each
+    // query's average-precision terms (cum_rel/rank) and reciprocal rank
+    // round to micro-units per ROW, so every sum is an integer under any
+    // partition order; only the final corpus means divide. Scale shape:
+    // both frames are the already-bucketed index paths (≤5 rows per
+    // query), joined keyed on (q_id, nb_id); nothing quadratic.
+    "q_ir_metrics" -> ((s, d) => {
+      val rel = knnBrute(s, d).select(col("q_id"), col("nb_id"))
+        .withColumn("is_rel", lit(1L))
+      val app = ivfpqTop(s, d).select("q_id", "nb_id", "rank")
+      val w = Window.partitionBy("q_id").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val per = app.join(rel, Seq("q_id", "nb_id"), "left")
+        .na.fill(0L, Seq("is_rel"))
+        .withColumn("cum_rel", sum("is_rel").over(w))
+        .groupBy("q_id")
+        .agg(sum(when(col("is_rel") === 1L,
+            round(col("cum_rel").cast("double") * 1e6 / col("rank"))
+              .cast("long")).otherwise(0L)).as("ap6num"),
+          min(when(col("is_rel") === 1L, col("rank"))).as("minr"))
+      rel.select("q_id").distinct()
+        .join(per, Seq("q_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(coalesce(col("ap6num"), lit(0L))).cast("double") /
+            (count(lit(1)) * 5.0) / 1e6, 6).as("map_at_5"),
+          round(sum(coalesce(round(lit(1e6) / col("minr")).cast("long"),
+            lit(0L))).cast("double") / count(lit(1)) / 1e6, 6).as("mrr"))
+    }),
+
     // ---- MMR diversity re-ranking (Carbonell–Goldstein 1998, λ = 0.7):
     // greedy-select 3 of each query's top-8 cosine candidates, each pick
     // maximizing λ·rel − (1−λ)·max-sim-to-already-selected — the
@@ -962,6 +994,59 @@ object Similarity {
          |FROM (SELECT DISTINCT q_id FROM etop) q
          |LEFT JOIN ihits h ON h.q_id = q.q_id
          |ORDER BY q.q_id""".stripMargin,
+    // MAP@5 + MRR: the same exact/approx top-5 CTEs as q_ivfpq_recall,
+    // scored by rank position with micro-unit integer AP/RR terms
+    "q_ir_metrics" ->
+      s"""WITH $flatSql,
+         |$ivfpqCtes,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, nb_id,
+         |    round(dt / (nq.nrm * np.nrm), 6) AS cos_r
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm np ON np.vec_id = nb_id),
+         |etop AS (
+         |  SELECT q_id, nb_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_r DESC, nb_id ASC) AS rank
+         |    FROM scored) t
+         |  WHERE rank <= 5),
+         |iatop AS (
+         |  SELECT q_id, vec_id AS nb_id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adist ASC, vec_id ASC) AS rank
+         |    FROM iadc) t
+         |  WHERE rank <= 5),
+         |hit AS (
+         |  SELECT a.q_id, a.rank,
+         |    CASE WHEN e.nb_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+         |  FROM iatop a LEFT JOIN etop e
+         |    ON e.q_id = a.q_id AND e.nb_id = a.nb_id),
+         |cum AS (
+         |  SELECT q_id, rank, is_rel,
+         |    sum(is_rel) OVER (PARTITION BY q_id ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_rel
+         |  FROM hit),
+         |per AS (
+         |  SELECT q_id,
+         |    sum(CASE WHEN is_rel = 1 THEN
+         |      CAST(round(CAST(cum_rel AS DOUBLE) * 1e6 / rank) AS BIGINT)
+         |      ELSE 0 END) AS ap6num,
+         |    min(CASE WHEN is_rel = 1 THEN rank END) AS minr
+         |  FROM cum GROUP BY 1),
+         |qs AS (SELECT DISTINCT q_id FROM etop)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(CAST(sum(coalesce(ap6num, 0)) AS DOUBLE) /
+         |    (count(*) * 5.0) / 1e6, 6) AS map_at_5,
+         |  round(CAST(sum(coalesce(CAST(round(1e6 / minr) AS BIGINT), 0))
+         |    AS DOUBLE) / count(*) / 1e6, 6) AS mrr
+         |FROM qs LEFT JOIN per ON per.q_id = qs.q_id""".stripMargin,
         // recall@5: the knn ground-truth CTEs + the ADC CTEs (renamed pflat/
     // adc_ to avoid clashing with flat), joined on (query, neighbor)
     "q_ann_recall" ->

@@ -1002,16 +1002,80 @@ object Analytics {
         round(folded.getField("b"), 4).as("trend"),
         round(folded.getField("l") + lit(7.0) * folded.getField("b"), 4)
           .as("forecast_7d"))
+    }),
+
+    // ---- Mann–Kendall trend test over daily event volume — the
+    // nonparametric "is volume actually rising?" answer next to q_holt's
+    // forecast (no distribution or linearity assumed; a single spike
+    // can't fake a trend): S = Σ_{i<j} sign(x_j − x_i), tie-corrected
+    // normal approximation. S and the tie adjustment are exact integer
+    // sums. The pairwise comparison is O(days²) on a CALENDAR-bounded
+    // frame (a century is ~36k rows) — the corpus contributes one
+    // map-side-combined daily aggregate, never its own pairs.
+    "q_mk_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true) // one corpus scan; three consumers below
+      val a = daily.toDF("di", "xi")
+      val b = daily.toDF("dj", "xj")
+      val pairs = a.join(b, col("dj") > col("di"))
+        .agg(sum(signum((col("xj") - col("xi")).cast("double"))
+          .cast("long")).as("s_stat"),
+          count(lit(1)).as("n_pairs"))
+      val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tie_adj"))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      pairs.crossJoin(broadcast(nd)).crossJoin(broadcast(ties))
+        .select(col("n_days"), col("n_pairs"), col("s_stat"),
+          round((col("s_stat").cast("double") -
+              signum(col("s_stat").cast("double"))) /
+            sqrt((col("n_days").cast("double") * (col("n_days") - 1) *
+              (lit(2L) * col("n_days") + 5) -
+              coalesce(col("tie_adj"), lit(0L)).cast("double")) / 18.0),
+            6).as("z"))
+    }),
+
+    // ---- Theil–Sen robust trend line over the same daily frame: slope
+    // = median of all pairwise slopes, intercept = median of
+    // (x_i − slope·day_i) — the estimator a 30%-outlier day cannot
+    // move (q_groupreg's OLS twin for dirty series). Slopes round to
+    // 6 dp BEFORE the median so both engines interpolate the identical
+    // multiset; medians run on frequency pre-aggregates (distinct
+    // rounded slopes), the q_percentiles bounded-state discipline.
+    "q_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true)
+      val a = daily.toDF("di", "xi")
+      val b = daily.toDF("dj", "xj")
+      val med = a.join(b, col("dj") > col("di"))
+        .select(round((col("xj") - col("xi")).cast("double") /
+          (col("dj") - col("di")), 6).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("f"))
+        .agg(expr("percentile(m, 0.5, f)").as("med"),
+          sum("f").as("n_pairs"))
+      val icept = daily.crossJoin(broadcast(med.select("med")))
+        .select(round(col("x") - col("med") * col("day"), 6).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("f"))
+        .agg(expr("percentile(c, 0.5, f)").as("icept"))
+      med.crossJoin(broadcast(icept))
+        .select(col("n_pairs"), round(col("med"), 6).as("slope"),
+          round(col("icept"), 6).as("intercept"))
     })
   )
 
   /** SPRT constants (p0 = 0.2, p1 = 0.3, α = β = 0.05): per-trial
     * log-likelihood increments and the Wald boundary ln((1−β)/α) = ln 19
-    * in pico-nat INTEGER units — shared verbatim between the Spark query
-    * and its oracle SQL so both engines sum identical integers. */
-  private val SprtUp = math.round(math.log(0.3 / 0.2) * 1e12)
-  private val SprtDn = math.round(math.log(0.7 / 0.8) * 1e12)
-  private val SprtBound = math.round(math.log(19.0) * 1e12)
+    * in pico-nat INTEGER units — shared verbatim between the Spark query,
+    * its oracle SQL, and the streaming twin
+    * (streaming.StreamOps.sprtMonitor) so all three sum identical
+    * integers. */
+  private[graft] val SprtUp = math.round(math.log(0.3 / 0.2) * 1e12)
+  private[graft] val SprtDn = math.round(math.log(0.7 / 0.8) * 1e12)
+  private[graft] val SprtBound = math.round(math.log(19.0) * 1e12)
 
   /** KM tail: the survival-product machinery over the (time_s, d, n_risk)
     * risk frame — factor rounds to micro-nats, integer cumulative sum,
@@ -1724,6 +1788,45 @@ object Analytics {
         |SELECT CAST(nd AS BIGINT) AS n_days,
         |  round(l, 4) AS level, round(b, 4) AS trend,
         |  round(l + 7 * b, 4) AS forecast_7d
-        |FROM rec CROSS JOIN n WHERE i = nd""".stripMargin
+        |FROM rec CROSS JOIN n WHERE i = nd""".stripMargin,
+    "q_mk_trend" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sum(sign(CAST(b.x - a.x AS DOUBLE))) AS BIGINT)
+        |      AS s_stat,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |t AS (
+        |  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+        |        GROUP BY x) q),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, n_pairs, s_stat,
+        |  round((CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE))) /
+        |    sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) *
+        |      (2 * n_days + 5) -
+        |      CAST(coalesce(tie_adj, 0) AS DOUBLE)) / 18.0), 6) AS z
+        |FROM p CROSS JOIN n CROSS JOIN t""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |slopes AS (
+        |  SELECT round(CAST(b.x - a.x AS DOUBLE) / (b.day - a.day), 6)
+        |    AS m
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |med AS (SELECT quantile_cont(m, 0.5) AS med,
+        |        CAST(count(*) AS BIGINT) AS n_pairs FROM slopes),
+        |ic AS (
+        |  SELECT quantile_cont(c, 0.5) AS icept FROM (
+        |    SELECT round(x - med * day, 6) AS c
+        |    FROM daily CROSS JOIN med) q)
+        |SELECT n_pairs, round(med, 6) AS slope,
+        |  round(icept, 6) AS intercept
+        |FROM med CROSS JOIN ic""".stripMargin
   )
 }

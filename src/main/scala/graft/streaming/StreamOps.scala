@@ -332,6 +332,49 @@ object StreamOps {
       }
   }
 
+  final case class SprtTrial(ts_us: Long, event_id: Long,
+      purchase: Boolean)
+  final case class SprtUpdate(experiment: String, n_trials: Long,
+      llr: Double, decision: String)
+  final case class SprtState(n: Long, llrPico: Long, decided: String)
+
+  /** Streaming Wald SPRT — the stateful twin of batch q_sprt
+    * (queries.Analytics): per experiment key, the cumulative pico-nat
+    * log-likelihood ratio of the purchase rate (p0 = 0.2 vs p1 = 0.3,
+    * α = β = 0.05 — the SAME integer constants, so batch and stream sum
+    * identical values) advances trial by trial; the decision LATCHES at
+    * the first boundary crossing exactly like Wald's stopped test, and
+    * one update row per micro-batch reports (n, llr, decision). State is
+    * two longs + a string per experiment — the always-on A/B monitor at
+    * any event volume. Within a batch trials apply in (ts_us, event_id)
+    * order, so a time-ordered feed reproduces the batch first-crossing
+    * trial exactly (StreamingSpec pins parity on the fixture stream). */
+  def sprtMonitor(trials: Dataset[SprtTrial],
+      experiment: String = "default"): Dataset[SprtUpdate] = {
+    import trials.sparkSession.implicits._
+    val up = graft.queries.Analytics.SprtUp
+    val dn = graft.queries.Analytics.SprtDn
+    val bound = graft.queries.Analytics.SprtBound
+    trials.groupByKey(_ => experiment)
+      .flatMapGroupsWithState[SprtState, SprtUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[SprtState]) =>
+          var s = state.getOption.getOrElse(SprtState(0L, 0L, "continue"))
+          rows.toSeq.sortBy(t => (t.ts_us, t.event_id)).foreach { t =>
+            val l1 = s.llrPico + (if (t.purchase) up else dn)
+            val dec =
+              if (s.decided != "continue") s.decided // Wald stop latches
+              else if (l1 >= bound) "accept_h1"
+              else if (l1 <= -bound) "accept_h0"
+              else "continue"
+            s = SprtState(s.n + 1, l1, dec)
+          }
+          state.update(s)
+          Iterator(SprtUpdate(key, s.n, s.llrPico / 1e12, s.decided))
+      }
+  }
+
   final case class EventIn(
       jobId: String,
       nodeId: String,

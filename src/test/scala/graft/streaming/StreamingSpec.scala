@@ -553,4 +553,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last(("j1", "n2")).state === "Cancelled")
     } finally q.stop()
   }
+
+  test("streaming SPRT equals batch q_sprt on the time-ordered fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val trials = graft.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("view", "purchase"))
+      .select(org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("event_id"),
+        (org.apache.spark.sql.functions.col("event_type") === "purchase")
+          .as("purchase"))
+      .as[StreamOps.SprtTrial]
+      .collect().sortBy(t => (t.ts_us, t.event_id))
+    val in = MemoryStream[StreamOps.SprtTrial]
+    val q = StreamOps.sprtMonitor(in.toDS()).writeStream
+      .format("memory").queryName("sprt").outputMode("append").start()
+    try {
+      trials.grouped(150).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val updates = spark.table("sprt").as[StreamOps.SprtUpdate]
+        .collect().sortBy(_.n_trials)
+      val last = updates.last
+      val batch = graft.SparkEntry.queries("q_sprt")(spark, sf)
+        .collect().head
+      assert(last.n_trials === batch.getAs[Long]("n_trials"))
+      assert(math.abs(last.llr - batch.getAs[Double]("llr_final")) < 1e-6,
+        s"stream llr ${last.llr} vs batch ${batch.getAs[Double]("llr_final")}")
+      assert(last.decision === batch.getAs[String]("decision"))
+      // Wald stop latches: every update after the first decision carries it
+      val firstDecided = updates.indexWhere(_.decision != "continue")
+      assert(firstDecided >= 0, "fixture stream must reach a decision")
+      assert(updates.drop(firstDecided)
+        .forall(_.decision === last.decision))
+    } finally q.stop()
+  }
 }

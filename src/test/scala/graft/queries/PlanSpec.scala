@@ -849,7 +849,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // totals table, a structural bound independent of data.
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q_auc", "q_mann_whitney", "q_ks_test", "q_skyline",
-        "q_kaplan_meier", "q_rrf_fuse")) {
+        "q_kaplan_meier", "q_rrf_fuse", "q_sprt", "q_lift_curve")) {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       val offenders = qe.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
@@ -859,6 +859,53 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(offenders.isEmpty,
         s"$q: partition-less window over a non-offsets frame:\n" +
           offenders.map(_.verboseString(3)).mkString("\n"))
+    }
+    graft.CacheScope.drain()
+    spark.catalog.clearCache()
+  }
+
+  test("round-7 operators: banded/keyed joins, broadcast scalars, top-k") {
+    // split leakage: near-dup pairs come from the banded LSH equi-join;
+    // the split map joins keyed on doc id — never all-pairs
+    val sl = planOf("q_split_leakage")
+    assert(!sl.contains("CartesianProduct"),
+      "leakage audit must stay banded + keyed")
+    // logistic fit: each Newton step broadcasts the 1-row beta frame;
+    // nothing sort-merges
+    val lf = planOf("q_logit_fit")
+    assert(!lf.contains("SortMergeJoin"),
+      "beta sides are 1-row broadcasts")
+    assert(lf.contains("partial_"),
+      "sufficient sums must map-side combine")
+    // Hill estimator: the only corpus operator is a distributed top-k
+    val ti = planOf("q_tail_index")
+    assert(ti.contains("TakeOrderedAndProject"),
+      "top-(k+1) must be TakeOrdered, not a global sort")
+    // silhouette: centroid distances are plan literals — one narrow pass
+    // + a k-row aggregate; no join anywhere
+    val sil = planOf("q_silhouette")
+    assert(!sil.contains("Join"), "centroids must be literals, not a join")
+    // IR metrics: both top-5 frames join keyed on (q_id, nb_id)
+    assert(!planOf("q_ir_metrics").contains("CartesianProduct"))
+    // k-anonymity: one map-side-combined aggregate over the QI tuple
+    val ka = planOf("q_kanon")
+    assert(ka.contains("partial_count") && !ka.contains("Join"))
+    // date gaps + holt: ONE events scan each (distinct-pairs / daily agg)
+    for (q <- Seq("q_date_gaps", "q_holt")) {
+      val p = planOf(q)
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans == 1, s"$q must scan events once, got $scans")
+    }
+    // trend pair: the day-frame checkpoint is the only corpus product —
+    // the pairwise self-join runs on the checkpoint scan, and the
+    // broadcast 1-row stats are the only nested-loop sites
+    for (q <- Seq("q_mk_trend", "q_theil_sen")) {
+      val p = planOf(q)
+      assert(p.contains("ExistingRDD"),
+        s"$q daily frame must be checkpointed (one corpus scan)")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q day-frame joins must not shuffle-sort")
     }
     graft.CacheScope.drain()
     spark.catalog.clearCache()

@@ -258,6 +258,63 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msg.contains("exited 3") && msg.contains("boom"))
   }
 
+  test("codec capability matrix is honest and the routing follows it: " +
+       "read-capable formats take the real path, stand-ins only elsewhere") {
+    val caps = Multimodal.codecCapabilities()
+    caps.foreach(c => info(f"${c.kind}%-6s ${c.format}%-5s " +
+      f"read=${c.read}%-5s write=${c.write}%-5s ${c.provider}"))
+
+    // JDK floor (these ship with every Java 17): if any of these probe
+    // false the matrix itself is broken, not the container
+    val byFmt = caps.map(c => c.format -> c).toMap
+    for (f <- Seq("png", "jpeg", "gif", "bmp"))
+      assert(byFmt(f).read && byFmt(f).write, s"JDK must codec $f")
+    for (f <- Seq("wav", "aiff", "au"))
+      assert(byFmt(f).read, s"JDK must decode $f PCM")
+
+    // matrix-driven routing, format by format — NOT container assumptions:
+    // every image format the matrix marks read+write round-trips through
+    // the REAL resize (output is a decodable PNG whose dims halved), so
+    // the byte-stride stand-in is unreachable for those formats
+    for (c <- caps if c.kind == "image" && c.read && c.write) {
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 12)
+        img.setRGB(x, y, (x * 16 + y) << 8)
+      val raw = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, c.format, raw),
+        s"writer for ${c.format} vanished between probe and use")
+      val out = Multimodal.resizeBytes(raw.toByteArray, 2)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out))
+      assert(dec != null && dec.getWidth === 8 && dec.getHeight === 6,
+        s"read-capable ${c.format} must take the real decode path")
+    }
+
+    // conversely: a format the matrix marks unreadable must hit the
+    // stand-in; if a future container ships (say) an mp3 SPI, the matrix
+    // flips read=true and the OTHER branch asserts real decode — the
+    // test stays green and keeps proving whichever world it runs in
+    val mp3ish = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      Array.tabulate[Byte](96)(i => i.toByte)
+    if (!byFmt("mp3").read) {
+      assert(Multimodal.decodeAudioMeta(mp3ish).isEmpty)
+      val strided = Multimodal.decimateWav(mp3ish, 4)
+      assert(strided.length === 25 && strided(1) === mp3ish(4),
+        "unreadable format must fall back to deterministic byte striding")
+    } else {
+      assert(Multimodal.decodeAudioMeta(mp3ish).nonEmpty ||
+        Multimodal.pcmSamples(mp3ish).nonEmpty,
+        "matrix says mp3 is readable; the real path must engage")
+    }
+    // video: honest "no codec in this container" unless a pure-JVM lib is
+    // actually present on the classpath
+    val video = caps.filter(_.kind == "video")
+    assert(video.nonEmpty)
+    assert(video.forall(c => c.read == c.provider.nonEmpty),
+      "video read capability must name its provider")
+  }
+
   test("B10 pipe: chatty stderr beyond the OS pipe buffer doesn't deadlock") {
     import spark.implicits._
     val ds = spark.createDataset((1 to 50).map(_.toString)).repartition(1)

@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
-  final case class Model(merges: Seq[(String, String)])
+  /** One learned merge with its training-time weighted pair count —
+    * the per-round argmax evidence (rank is 1-based). */
+  final case class MergeStat(rank: Int, x: String, y: String, cnt: Long)
+
+  final case class Model(merges: Seq[(String, String)],
+                         stats: Seq[MergeStat] = Nil)
 
   /** Character-level start symbols. Spark's split keeps trailing empty
     * matches (Java split with limit -1), so the end-of-string lookahead
@@ -89,6 +94,7 @@ object BpeTrainer {
         charSyms(col("w")).as("syms"))
       .localCheckpoint(true)
     val learned = Seq.newBuilder[(String, String)]
+    val stats = Seq.newBuilder[MergeStat]
     var round = 0
     var exhausted = false
     while (round < merges && !exhausted) {
@@ -105,19 +111,21 @@ object BpeTrainer {
       else {
         val (x, y) = (top(0).getString(0), top(0).getString(1))
         learned += ((x, y))
+        stats += MergeStat(round, x, y, top(0).getLong(2))
         vocab = vocab
           .withColumn("syms", applyMerge(col("syms"), x, y))
           .localCheckpoint(true)
       }
     }
-    (Model(learned.result()), vocab)
+    (Model(learned.result(), stats.result()), vocab)
   }
 
   /** Tokenize new words with a trained model (merges applied in learned
-    * order — the standard BPE inference rule). Map-only. */
+    * order — the standard BPE inference rule). Map-only; every input
+    * column rides along, `syms` is added (or replaced). */
   def tokenize(words: DataFrame, model: Model): DataFrame =
     model.merges.foldLeft(
-      words.select(col("w"), charSyms(col("w")).as("syms"))) {
+      words.withColumn("syms", charSyms(col("w")))) {
       case (df, (x, y)) => df.withColumn("syms", applyMerge(col("syms"), x, y))
     }
 }

@@ -73,6 +73,64 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(model.merges === Seq(("e", "l"), ("h", "el"), ("hel", "l")))
   }
 
+  test("two-space-separator replace equals the greedy fold (q_bpe_loop " +
+       "oracle identity) on exhaustive small alphabets") {
+    // The DuckDB twin of q_bpe_loop applies a merge as ONE
+    //   trim(replace('  '||seq||'  ', ' x  y ', ' xy '))
+    // over a TWO-space-separated symbol string. Each match consumes one
+    // space from each double separator, so consecutive non-overlapping
+    // occurrences keep their anchors and left-to-right replace-all IS
+    // the trainer's leftmost-first greedy fold. (The naive single-space
+    // encoding is NOT equivalent — ' a a a a a ' diverges because a
+    // match eats the next occurrence's leading sentinel; this test
+    // caught that.) Check the identity exhaustively over every
+    // {a,b}-sequence up to length 9 and every pair — 1022 sequences × 4
+    // pairs covers every overlap/adjacency shape ((a,a) runs, (a,b)
+    // alternations, boundary chains) that random sampling could miss.
+    def greedy(seq: List[String], x: String, y: String): List[String] =
+      seq match {
+        case a :: b :: rest if a == x && b == y => (x + y) :: greedy(rest, x, y)
+        case a :: rest => a :: greedy(rest, x, y)
+        case Nil => Nil
+      }
+    def sqlReplace(seq: List[String], x: String, y: String): List[String] = {
+      // Java String.replace = leftmost non-overlapping replace-all,
+      // exactly DuckDB's replace()
+      val merged = ("  " + seq.mkString("  ") + "  ")
+        .replace(s" $x  $y ", s" $x$y ").trim
+      if (merged.isEmpty) Nil else merged.split("  ").toList
+    }
+    val syms = Seq("a", "b")
+    val seqs = (1 to 9).flatMap(n =>
+      Seq.fill(n)(syms).foldLeft(Seq(List.empty[String])) {
+        (acc, choices) => acc.flatMap(p => choices.map(c => p :+ c))
+      })
+    for (s <- seqs; x <- syms; y <- syms) {
+      assert(greedy(s.toList, x, y) === sqlReplace(s.toList, x, y),
+        s"diverged on seq=$s pair=($x,$y)")
+    }
+    // multi-char symbols (later rounds merge merged symbols): prefix
+    // collisions like ("a","ab") and ("ab","b") must stay boundary-safe
+    for {
+      s <- Seq(List("a", "ab", "b"), List("ab", "a", "b", "ab"),
+        List("a", "a", "ab", "ab", "a"), List("b", "ab", "ab", "ab"))
+      x <- Seq("a", "b", "ab"); y <- Seq("a", "b", "ab")
+    } assert(greedy(s, x, y) === sqlReplace(s, x, y),
+      s"diverged on seq=$s pair=($x,$y)")
+    // and the Spark fold agrees with the Scala greedy reference on the
+    // worst overlap shapes (the expression is what q_bpe_loop executes)
+    import spark.implicits._
+    val worst = Seq("aaaaaaa", "abababa", "aabbaab", "baaaab")
+    val df = worst.map(w => (w, 1L)).toDF("w", "wc")
+      .select(col("w"),
+        filter(split(col("w"), "(?!^)"), c => length(c) > 0).as("syms"))
+      .select(col("w"), concat_ws("|",
+        BpeTrainer.applyMerge(col("syms"), "a", "a")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (w <- worst)
+      assert(df(w) === greedy(w.map(_.toString).toList, "a", "a").mkString("|"))
+  }
+
   test("default minPairCount=1 is behavior-identical to fixed rounds") {
     // Oracle parity: the flag's default must not change any merge the
     // fixed-rounds trainer would learn.

@@ -107,6 +107,63 @@ object Evaluation {
         .orderBy("bin")
     }),
 
+    // ---- isotonic calibration (PAV by the minimax identity): fit the
+    // best NON-DECREASING mapping from quality-score bins to observed
+    // lang='en' rate — what turns a ranker's scores into usable
+    // probabilities when the reliability diagram (q_calibration) shows
+    // them mis-calibrated. Pool-adjacent-violators is inherently
+    // sequential, but its L2 solution has the closed minimax form
+    //   fitted(i) = max_{k<=i} min_{j>=i} weightedMean(y, bins k..j),
+    // which is pure relational algebra over the BIN table. The 100 TB
+    // shape: the corpus collapses to <=20 equal-width score bins in one
+    // map-side-combined aggregation; the O(B^3) minimax then runs on
+    // broadcast-tiny frames (8000 combinations at B=20) — the binning
+    // is the scale reduction, the cubic part never sees corpus rows.
+    // Integer prefix sums end to end; one double division at the leaf.
+    "q_isotonic" -> ((s, d) => {
+      val nTok = (length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
+      val stopRatio = size(regexp_extract_all(col("text"),
+        lit("\\b(the|a)\\b"), lit(0))).cast("double") / nTok
+      val digitRatio = size(regexp_extract_all(col("text"),
+        lit("[0-9]"), lit(0))).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val meanWlen = (length(col("text")) -
+        (nTok - lit(1))).cast("double") / nTok
+      val x = lit(-2.0) + lit(0.9) * log(lit(1.0) + nTok) -
+        lit(3.0) * stopRatio - lit(0.5) * digitRatio +
+        lit(0.2) * meanWlen
+      val score = round(lit(1.0) / (lit(1.0) + exp(-x)), 6)
+      val bins = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(least(lit(19L), floor(score * 20).cast(LongType)).as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("en"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("en").as("ysum"))
+      // <=20 rows from here down — the unpartitioned window is bounded
+      // by construction (the q_lorenz decile discipline)
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = bins.select(col("bin"), col("n"), col("ysum"),
+        sum("n").over(w).as("q"), sum("ysum").over(w).as("p"))
+      val iF = pre.select(col("bin").as("ib"))
+      val kF = pre.select(col("bin").as("kb"),
+        (col("q") - col("n")).as("f"), (col("p") - col("ysum")).as("e"))
+      val jF = pre.select(col("bin").as("jb"),
+        col("q").as("qj"), col("p").as("pj"))
+      val fit = iF.join(broadcast(kF), col("kb") <= col("ib"))
+        .join(broadcast(jF), col("jb") >= col("ib"))
+        .groupBy("ib", "f", "e")
+        .agg(min((col("pj") - col("e")).cast("double") /
+          (col("qj") - col("f"))).as("mn"))
+        .groupBy("ib").agg(max("mn").as("fitted"))
+      bins.join(broadcast(fit), col("bin") === col("ib"))
+        .select(col("bin"), col("n"),
+          round(col("ysum").cast("double") / col("n"), 6).as("raw_rate"),
+          round(col("fitted"), 6).as("iso_rate"))
+        .orderBy("bin")
+    }),
+
     // ---- ROC-AUC via the rank-sum identity: rank all scores ascending
     // with MIDRANKS for ties, then
     //   AUC = (Σ ranks(pos) − np(np+1)/2) / (np·nn).
@@ -332,6 +389,51 @@ object Evaluation {
         |  round(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_pred,
         |  round(CAST(sum(en) AS DOUBLE) / count(*), 6) AS obs_en
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_isotonic" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\b(the|a)\b')) AS stop_cnt,
+        |    len(regexp_extract_all(text, '[0-9]')) AS dig_cnt,
+        |    length(text) AS lc
+        |  FROM documents),
+        |x AS (
+        |  SELECT lang,
+        |    -2.0 + 0.9 * ln(1.0 + n_tokens)
+        |      - 3.0 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+        |      - 0.5 * (CAST(dig_cnt AS DOUBLE)
+        |               / CAST(greatest(lc, 1) AS DOUBLE))
+        |      + 0.2 * (CAST(lc - (n_tokens - 1) AS DOUBLE) / n_tokens)
+        |      AS x
+        |  FROM f),
+        |sc AS (
+        |  SELECT round(1.0 / (1.0 + exp(-x)), 6) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+        |  FROM x),
+        |bins AS (
+        |  SELECT least(19, CAST(floor(score * 20) AS BIGINT)) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(en) AS BIGINT) AS ysum
+        |  FROM sc GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, ysum,
+        |    sum(n) OVER (ORDER BY bin) AS q,
+        |    sum(ysum) OVER (ORDER BY bin) AS p
+        |  FROM bins),
+        |inner_min AS (
+        |  SELECT i.bin AS ib, k.q - k.n AS f, k.p - k.ysum AS e,
+        |    min(CAST(j.p - (k.p - k.ysum) AS DOUBLE) /
+        |        (j.q - (k.q - k.n))) AS mn
+        |  FROM pre i
+        |  JOIN pre k ON k.bin <= i.bin
+        |  JOIN pre j ON j.bin >= i.bin
+        |  GROUP BY 1, 2, 3),
+        |fit AS (SELECT ib, max(mn) AS fitted FROM inner_min GROUP BY 1)
+        |SELECT b.bin, b.n,
+        |  round(CAST(b.ysum AS DOUBLE) / b.n, 6) AS raw_rate,
+        |  round(f2.fitted, 6) AS iso_rate
+        |FROM bins b JOIN fit f2 ON f2.ib = b.bin
+        |ORDER BY b.bin""".stripMargin,
     "q_auc" ->
       """WITH q AS (
         |  SELECT round(ln(1.0 + n_tokens) *

@@ -375,6 +375,74 @@ object StreamOps {
       }
   }
 
+  final case class HoltPoint(ts_us: Long)
+  final case class HoltUpdate(series: String, n_days: Long,
+      level: Option[Double], trend: Option[Double],
+      forecast_7d: Option[Double])
+  final case class HoltState(day: Long, n: Long, nClosed: Long,
+      x0: Double, l: Double, b: Double)
+
+  /** Streaming Holt double-exponential forecast — the stateful twin of
+    * batch q_holt (queries.Analytics): per series key, daily event
+    * counts fold into (level, trend) with the SAME hardcoded constants
+    * as the batch recurrence (α=0.5, 1−α=0.5, β=0.3, 1−β=0.7 — literal
+    * for literal, so the stream's doubles are bit-identical to the
+    * batch fold, not merely close). A day folds when the first event of
+    * a LATER day arrives (the count is then final); the still-open day
+    * is never folded, and events for already-closed days are dropped —
+    * the watermark analog. One update per micro-batch reports
+    * (closed days, level, trend, 7-day forecast); level/trend are None
+    * until the two init days have closed, matching batch q_holt's null
+    * output on a <2-day series. State is three longs + three doubles
+    * per series — always-on forecasting at any event volume.
+    * StreamingSpec pins batch parity by closing the fixture's last day
+    * with a sentinel. */
+  def holtForecast(points: Dataset[HoltPoint], series: String = "events",
+      dayUs: Long = 86400000000L): Dataset[HoltUpdate] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[HoltState, HoltUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[HoltState]) =>
+          var s = state.getOption
+            .getOrElse(HoltState(-1L, 0L, 0L, 0.0, 0.0, 0.0))
+          // fold the just-finished day's count — exactly batch q_holt's
+          // aggregate() lambda, applied once per closed day
+          def close(st: HoltState): HoltState = {
+            val x = st.n.toDouble
+            st.nClosed match {
+              case 0L => st.copy(nClosed = 1L, x0 = x)
+              case 1L =>
+                // init l₀=x₀, b₀=x₁−x₀, then fold x₁ (the batch slice
+                // starts at the SECOND element)
+                val l0 = st.x0
+                val b0 = x - st.x0
+                val l1 = 0.5 * x + 0.5 * (l0 + b0)
+                val b1 = 0.3 * (l1 - l0) + 0.7 * b0
+                st.copy(nClosed = 2L, l = l1, b = b1)
+              case _ =>
+                val l1 = 0.5 * x + 0.5 * (st.l + st.b)
+                val b1 = 0.3 * (l1 - st.l) + 0.7 * st.b
+                st.copy(nClosed = st.nClosed + 1L, l = l1, b = b1)
+            }
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { p =>
+            val d = p.ts_us / dayUs
+            if (s.day == -1L) s = s.copy(day = d, n = 1L)
+            else if (d == s.day) s = s.copy(n = s.n + 1L)
+            else if (d > s.day) s = close(s).copy(day = d, n = 1L)
+            // d < s.day: late event for a closed day — dropped
+          }
+          state.update(s)
+          Iterator(
+            if (s.nClosed >= 2L)
+              HoltUpdate(key, s.nClosed, Some(s.l), Some(s.b),
+                Some(s.l + 7.0 * s.b))
+            else HoltUpdate(key, s.nClosed, None, None, None))
+      }
+  }
+
   final case class EventIn(
       jobId: String,
       nodeId: String,

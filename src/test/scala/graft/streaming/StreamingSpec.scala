@@ -554,6 +554,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming Holt forecast equals batch q_holt once a sentinel " +
+       "closes the fixture's last day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"))
+      .as[StreamOps.HoltPoint]
+      .collect().sortBy(_.ts_us)
+    val in = MemoryStream[StreamOps.HoltPoint]
+    val q = StreamOps.holtForecast(in.toDS()).writeStream
+      .format("memory").queryName("holt").outputMode("append").start()
+    try {
+      pts.grouped(500).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // mid-stream: the open day is never folded, so closed-day count
+      // trails the distinct-day count by exactly one
+      val mid = spark.table("holt").as[StreamOps.HoltUpdate]
+        .collect().maxBy(_.n_days)
+      val nDistinct = pts.map(_.ts_us / 86400000000L).distinct.length
+      assert(mid.n_days === nDistinct - 1,
+        s"open day must stay unfolded: ${mid.n_days} vs $nDistinct days")
+      // sentinel one day past the end closes the final real day — from
+      // here the stream state must equal the batch fold over ALL days
+      in.addData(StreamOps.HoltPoint(pts.last.ts_us + 86400000000L))
+      q.processAllAvailable()
+      val last = spark.table("holt").as[StreamOps.HoltUpdate]
+        .collect().maxBy(_.n_days)
+      val batch = graft.SparkEntry.queries("q_holt")(spark, sf)
+        .collect().head
+      assert(last.n_days === batch.getAs[Long]("n_days"))
+      // same literals, same fold order → bit-identical doubles; compare
+      // at the batch's published 4-dp rounding
+      def r4(v: Double) = math.rint(v * 1e4) / 1e4
+      assert(r4(last.level.get) === batch.getAs[Double]("level"))
+      assert(r4(last.trend.get) === batch.getAs[Double]("trend"))
+      assert(r4(last.forecast_7d.get) === batch.getAs[Double]("forecast_7d"))
+      // updates before two closed days carry no estimate
+      val early = spark.table("holt").as[StreamOps.HoltUpdate]
+        .collect().filter(_.n_days < 2)
+      assert(early.forall(u => u.level.isEmpty && u.forecast_7d.isEmpty))
+    } finally q.stop()
+  }
+
   test("streaming SPRT equals batch q_sprt on the time-ordered fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -302,11 +302,14 @@ object Cli {
     // bus (jobs.Devstack; reference pkg/devstack/devstack.go)
     // --stale-ms N: requester marks accepted replicas with no progress
     // for N ms as failed and re-bids a waiting node (0 = off)
+    // --heartbeat-ms N: executing replicas beacon liveness every N ms so
+    // --stale-ms measures process death, not event silence (0 = off)
     val node = flag1(flags, "cluster-dir").map { cd =>
       new graft.jobs.DevstackNode(spark,
         flag1(flags, "node-id").getOrElse(
           s"node-${java.util.UUID.randomUUID().toString.take(8)}"), cd,
-        staleMs = intFlag(flags, "stale-ms", 0).toLong)
+        staleMs = intFlag(flags, "stale-ms", 0).toLong,
+        heartbeatMs = intFlag(flags, "heartbeat-ms", 0).toLong)
     }
     val srv = new ApiServer(spark, stateDir, host, port,
       nodeSlots = intFlag(flags, "node-slots", 0), cluster = node)

@@ -142,10 +142,19 @@ final class FileBus(dir: Path) {
   *   went away. The requester appends Error on its behalf (the analog of
   *   the reference's heartbeat-timeout state transition) and, if an
   *   undecided bidder is still Waiting in line, accepts it as the
-  *   replacement so the deal's concurrency is still met. 0 disables. */
+  *   replacement so the deal's concurrency is still met. 0 disables.
+  * @param heartbeatMs executing-node liveness beacon interval: while a
+  *   replica executes, a daemon thread appends Heartbeat events so the
+  *   requester's staleness clock measures process death, not event
+  *   silence — without it, any legitimate no-event stretch (a long
+  *   pipe, a cold first Spark job) longer than staleMs reads as death
+  *   (the FiveProcessSpec cascade; SCALING.md "Devstack at N=5").
+  *   Heartbeats never touch folded state (Lifecycle.stateFromEvent
+  *   ignores them). 0 disables; when on, choose heartbeatMs well under
+  *   the requester's staleMs (the spec uses 6×). */
 final class DevstackNode(spark: SparkSession, val nodeId: String,
                          clusterDir: String, pollMs: Long = 100,
-                         staleMs: Long = 0) {
+                         staleMs: Long = 0, heartbeatMs: Long = 0) {
 
   val bus = new FileBus(Paths.get(clusterDir))
   def resultsRoot: String = s"$clusterDir/results"
@@ -306,6 +315,29 @@ final class DevstackNode(spark: SparkSession, val nodeId: String,
   private def execute(job: Job): Unit = {
     bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
       targetNodeId = nodeId, eventName = Lifecycle.EventType.Running), nodeId)
+    // liveness beacon for the whole execution window — the loop thread
+    // may block arbitrarily long inside the Spark job (a gated pipe, a
+    // cold session), and without events the requester's staleness clock
+    // would read that as death
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb: Option[Thread] =
+      if (heartbeatMs <= 0) None
+      else {
+        val t = new Thread(() => {
+          while (!hbStop.get()) {
+            try Thread.sleep(heartbeatMs)
+            catch { case _: InterruptedException => () }
+            if (!hbStop.get())
+              try bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+                targetNodeId = nodeId,
+                eventName = Lifecycle.EventType.Heartbeat), nodeId)
+              catch { case _: Exception => () } // transient fs error: next beat retries
+          }
+        }, s"devstack-$nodeId-heartbeat")
+        t.setDaemon(true)
+        t.start()
+        Some(t)
+      }
     try {
       val inputs = job.spec.inputs
         .map(v => v.path -> SourceResolver.resolve(spark, v)).toMap
@@ -323,6 +355,9 @@ final class DevstackNode(spark: SparkSession, val nodeId: String,
         bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
           targetNodeId = nodeId, eventName = Lifecycle.EventType.Error,
           status = String.valueOf(e.getMessage)), nodeId)
+    } finally {
+      hbStop.set(true)
+      hb.foreach(_.interrupt())
     }
   }
 }

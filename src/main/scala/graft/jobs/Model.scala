@@ -162,6 +162,13 @@ object Lifecycle {
     val Error = "Error"
     val ResultsAccepted = "ResultsAccepted"
     val ResultsRejected = "ResultsRejected"
+    /** Liveness-only beacon an EXECUTING node emits on an interval
+      * (Devstack heartbeatMs). Deliberately absent from
+      * [[stateFromEvent]]: a heartbeat proves the process is alive, not
+      * that the work progressed, so it refreshes the requester's
+      * staleness clock (which keys off last-event time) without touching
+      * the folded node state — the reference's liveness/progress split. */
+    val Heartbeat = "Heartbeat"
   }
 
   object State {

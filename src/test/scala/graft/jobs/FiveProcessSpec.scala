@@ -48,7 +48,8 @@ class FiveProcessSpec extends AnyFunSuite {
       "--serve-ms", "240000",
       "--cluster-dir", clusterDir,
       "--node-id", nodeId,
-      "--stale-ms", "45000",
+      "--stale-ms", "12000",
+      "--heartbeat-ms", "2000",
       "--state-dir", s"$dir/state-$nodeId")).toArray
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_MASTER", "local[2]")
@@ -121,10 +122,13 @@ class FiveProcessSpec extends AnyFunSuite {
 
       // phase 1: the accept race must settle as 3 Running + 2 Cancelled
       // (every replica is gate-blocked, so nothing can complete yet).
-      // Staleness is EVENT silence — a gate-blocked replica emits nothing
-      // after Running — so the bound (45 s) must cover this whole settle
-      // phase plus a cold first Spark job on 5 contending JVMs; a 12 s
-      // bound cascades every live replica into presumed-dead here.
+      // Gate-blocked replicas emit no PROGRESS events, but their 2 s
+      // heartbeats keep the requester's 12 s staleness clock fresh — so
+      // the staleness bound measures process death, not how long five
+      // cold JVMs take to settle. (Without heartbeats this exact run
+      // cascades every live replica into presumed-dead unless staleMs
+      // is inflated past the worst silent window; SCALING.md records
+      // both readings.)
       def snap(): Seq[(String, String, String)] = clients.head.states(jobId)
       val d2 = System.currentTimeMillis() + 120000
       def phase1(s: Seq[(String, String, String)]): Boolean =

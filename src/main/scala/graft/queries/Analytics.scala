@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1004,6 +1004,59 @@ object Analytics {
           .as("forecast_7d"))
     }),
 
+    // ---- Holt–Winters additive triple-exponential forecast (weekly
+    // seasonality) — q_holt's seasonal sibling: level, trend AND a
+    // 7-slot seasonal profile evolve per day (α=0.3, β=0.2, γ=0.4,
+    // one-minus constants literal on both sides). Classical init from
+    // the first two weeks: l₀ = mean(week 1), b₀ = (mean(week 2) −
+    // mean(week 1))/7, sᵢ = xᵢ − l₀ — means written as LEFT-ASSOCIATED
+    // adds so both engines fold identical IEEE doubles (SQL sum() has
+    // no order guarantee). Same scale shape as q_holt: the corpus
+    // collapses to one calendar-bounded daily aggregate; the sequential
+    // recurrence folds over that array in-plan (oracle: recursive CTE
+    // carrying the 7 seasonal slots as columns). Seasonal slots are
+    // series-index based (day i → slot ((i−1) mod 7)+1), matching the
+    // skip-missing-days convention of q_holt.
+    "q_holt_winters" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val series = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("a"))
+        .select(col("a"), size(col("a")).as("nd"))
+      def x(i: Column) = element_at(col("a"), i).getField("x")
+      val m1 = (1 to 7).map(i => x(lit(i))).reduceLeft(_ + _) / 7
+      val m2 = (8 to 14).map(i => x(lit(i))).reduceLeft(_ + _) / 7
+      val l0 = m1
+      val b0 = (m2 - m1) / 7
+      val s0 = array((1 to 7).map(i => x(lit(i)) - l0): _*)
+      val folded = when(col("nd") >= 14, aggregate(
+        sequence(lit(8), col("nd")),
+        struct(l0.as("l"), b0.as("b"), s0.as("s")),
+        (acc, i) => {
+          val pos = ((i - 1) % 7) + 1
+          val xi = element_at(col("a"), i).getField("x")
+          val sOld = element_at(acc.getField("s"), pos)
+          val lNew = lit(0.3) * (xi - sOld) +
+            lit(0.7) * (acc.getField("l") + acc.getField("b"))
+          val bNew = lit(0.2) * (lNew - acc.getField("l")) +
+            lit(0.8) * acc.getField("b")
+          val sNew = lit(0.4) * (xi - lNew) + lit(0.6) * sOld
+          struct(lNew.as("l"), bNew.as("b"),
+            transform(acc.getField("s"),
+              (v, j) => when(j + 1 === pos, sNew).otherwise(v)).as("s"))
+        }))
+      series.select(col("nd").cast("long").as("n_days"),
+        round(folded.getField("l"), 4).as("level"),
+        round(folded.getField("b"), 4).as("trend"),
+        round(folded.getField("l") + folded.getField("b") +
+          element_at(folded.getField("s"), (col("nd") % 7) + 1), 4)
+          .as("forecast_1d"),
+        round(array_max(folded.getField("s")) -
+          array_min(folded.getField("s")), 4).as("season_range"))
+    }),
+
     // ---- Mann–Kendall trend test over daily event volume — the
     // nonparametric "is volume actually rising?" answer next to q_holt's
     // forecast (no distribution or linearity assumed; a single spike
@@ -1100,7 +1153,57 @@ object Analytics {
       .orderBy("time_s")
   }
 
+  /** DuckDB twin of q_holt_winters. The recurrence carries the 7
+    * seasonal slots as explicit columns through a recursive CTE (built
+    * here so the slot-update CASEs aren't hand-copied 7×); the init
+    * means are LEFT-ASSOCIATED adds, textually matching the Spark
+    * fold's reduceLeft order so both engines produce identical IEEE
+    * doubles. */
+  private def holtWintersSql: String = {
+    def xi(i: Int) = s"(SELECT x FROM ord WHERE i = $i)"
+    def mean(lo: Int) =
+      s"(${(lo + 1 to lo + 6).foldLeft(xi(lo))((a, i) => s"($a + ${xi(i)})")} / 7)"
+    val m1 = mean(1)
+    val m2 = mean(8)
+    val sInit = (1 to 7).map(k => s"    ${xi(k)} - $m1 AS s$k").mkString(",\n")
+    val sCols = (1 to 7).map(k => s"r.s$k").mkString(", ")
+    val soldCase = "CASE (r.i % 7) + 1 " +
+      (1 to 7).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END"
+    val sNext = (1 to 7).map(k =>
+      s"    CASE WHEN t2.pos = $k THEN 0.4 * (t2.x - t2.lnew) + 0.6 * t2.sold " +
+      s"ELSE t2.s$k END AS s$k").mkString(",\n")
+    val fcCase = "CASE (nd % 7) + 1 " +
+      (1 to 7).map(k => s"WHEN $k THEN s$k").mkString(" ") + " END"
+    val sList = (1 to 7).map(k => s"s$k").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS DOUBLE) AS x
+       |  FROM events GROUP BY 1),
+       |ord AS (SELECT day, x, row_number() OVER (ORDER BY day) AS i
+       |        FROM d),
+       |n AS (SELECT count(*) AS nd FROM ord),
+       |rec AS (
+       |  SELECT 7 AS i, $m1 AS l, ($m2 - $m1) / 7 AS b,
+       |$sInit
+       |  UNION ALL
+       |  SELECT t2.i, t2.lnew AS l,
+       |    0.2 * (t2.lnew - t2.l) + 0.8 * t2.b AS b,
+       |$sNext
+       |  FROM (
+       |    SELECT t1.*, 0.3 * (t1.x - t1.sold) + 0.7 * (t1.l + t1.b) AS lnew
+       |    FROM (
+       |      SELECT r.i + 1 AS i, o.x, r.l, r.b, $sCols,
+       |        (r.i % 7) + 1 AS pos, $soldCase AS sold
+       |      FROM rec r JOIN ord o ON o.i = r.i + 1) t1) t2)
+       |SELECT CAST(nd AS BIGINT) AS n_days,
+       |  round(l, 4) AS level, round(b, 4) AS trend,
+       |  round(l + b + $fcCase, 4) AS forecast_1d,
+       |  round(greatest($sList) - least($sList), 4) AS season_range
+       |FROM rec CROSS JOIN n WHERE i = nd""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_holt_winters" -> holtWintersSql,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |             epoch_us(ts) AS ts_us FROM events),

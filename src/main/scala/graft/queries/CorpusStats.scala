@@ -62,6 +62,34 @@ object CorpusStats {
         round(regr_r2(col("lc"), col("lr")), 4).as("r2"))
     }),
 
+    // ---- term burstiness (Church & Gale): content words don't arrive
+    // Poisson — they CLUMP in the documents that mention them, and the
+    // ratio between clumped and Poisson behavior is the signal behind
+    // burst-aware term weighting and topicality screens. Per top-200
+    // term: Fano factor var/mean of the per-document count (zero-docs
+    // included via the identity var/mean = Σc²/cf − cf/N — integer sums
+    // only, two divisions at the leaf) and the clumping rate cf/df
+    // (mean occurrences inside mentioning docs; 1.0 ⟺ never repeats).
+    // Scale shape: (term, doc) partial counts map-side combine, the
+    // term rollup is one vocab-sized shuffle, N broadcasts as 1 row.
+    "q_burstiness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val td = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      td.groupBy("w")
+        .agg(sum("c").as("cf"), count(lit(1)).as("df"),
+          sum(col("c") * col("c")).as("s2"))
+        .crossJoin(broadcast(nd))
+        .select(col("w"), col("cf"), col("df"),
+          round(col("s2").cast("double") / col("cf") -
+            col("cf").cast("double") / col("nd"), 6).as("fano"),
+          round(col("cf").cast("double") / col("df"), 6).as("clump"))
+        .orderBy(col("cf").desc, col("w").asc).limit(200)
+    }),
+
     // ---- mutual information I(source; lang) in nats, plus the two
     // entropies: sum over the contingency table of p(x,y)·ln(p(x,y)/
     // (p(x)p(y))). The joint table aggregates once; marginals and the
@@ -292,6 +320,24 @@ object CorpusStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_burstiness" ->
+      """WITH td AS (
+        |  SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |agg AS (
+        |  SELECT w, CAST(sum(c) AS BIGINT) AS cf,
+        |    CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM td GROUP BY 1)
+        |SELECT w, cf, df,
+        |  round(CAST(s2 AS DOUBLE) / cf - CAST(cf AS DOUBLE) / nd, 6)
+        |    AS fano,
+        |  round(CAST(cf AS DOUBLE) / df, 6) AS clump
+        |FROM agg CROSS JOIN n
+        |ORDER BY cf DESC, w ASC LIMIT 200""".stripMargin,
     "q_zipf" ->
       """WITH freq AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS c

@@ -79,6 +79,47 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    // ---- TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    // over the word CO-OCCURRENCE graph — the unsupervised keyphrase
+    // signal a curation pipeline ranks documents' vocabulary with. Nodes
+    // are the top-150 corpus words (count desc, word asc — deterministic
+    // ids from a row_number over that bounded 150-row frame); edges
+    // connect words ADJACENT in any document, symmetrized and
+    // deduplicated; 5 damped power-iteration rounds reuse the PageRank
+    // operator unchanged. Scale shape: the adjacency explode is map-only
+    // per document, both word→id joins broadcast the 150-row dictionary,
+    // and the iteration runs on the aggregated graph — the corpus scan
+    // prices the edge list, never the power iteration.
+    "q_textrank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val tw = graft.CacheScope.cached(docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(150)
+        .withColumn("id", row_number()
+          .over(Window.orderBy(col("c").desc, col("w").asc)).cast("long"))
+        .select("w", "id"))
+      val adj = docs.select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val pe = adj.join(broadcast(tw.toDF("a", "src")), "a")
+        .join(broadcast(tw.toDF("b", "dst")), "b")
+        .select("src", "dst")
+      val und = pe.union(pe.select(col("dst").as("src"),
+        col("src").as("dst")))
+      graft.operators.PageRank.run(und, iters = 5, d = 0.85)
+        .join(broadcast(tw.toDF("word", "node")), "node")
+        .select(col("word"), round(col("rank"), 5).as("rank"))
+        .orderBy(col("rank").desc, col("word").asc).limit(30)
+    }),
+
     // dangling-mass redistribution over the bipartite role graph: all
     // importer nodes are sinks, so conservation matters — total rank mass
     // stays 1 instead of leaking d·D per round. Oracle unrolls the same
@@ -417,6 +458,40 @@ object GraphOps {
     "q_pagerank" ->
       (s"WITH $edgeSql,\n" + (1 to 5).map(iterSql).mkString(",\n") +
         "\nSELECT node, round(rank, 5) AS rank FROM r5 ORDER BY node"),
+    // same recurrence CTEs as q_pagerank, over the word co-occurrence
+    // graph with row_number word ids
+    "q_textrank" ->
+      (s"""WITH tw AS (
+          |  SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w ASC)
+          |    AS BIGINT) AS id
+          |  FROM (
+          |    SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+          |      SELECT unnest(string_split(text, ' ')) AS w
+          |      FROM documents) t
+          |    GROUP BY 1 ORDER BY c DESC, w ASC LIMIT 150) ranked),
+          |adj AS (
+          |  SELECT ls[i] AS a, ls[i + 1] AS b FROM (
+          |    SELECT string_split(text, ' ') AS ls,
+          |      generate_subscripts(string_split(text, ' '), 1) AS i
+          |    FROM documents) t
+          |  WHERE i < len(ls) AND ls[i] != ls[i + 1]),
+          |pe AS (
+          |  SELECT ta.id AS src, tb.id AS dst FROM adj
+          |  JOIN tw ta ON ta.w = adj.a
+          |  JOIN tw tb ON tb.w = adj.b),
+          |e AS (SELECT DISTINCT src, dst FROM (
+          |  SELECT src, dst FROM pe
+          |  UNION ALL SELECT dst, src FROM pe) u),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          |           FROM e GROUP BY 1),
+          |r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes, n),
+          |""".stripMargin + (1 to 5).map(iterSql).mkString(",\n") +
+        """
+          |SELECT tw.w AS word, round(r5.rank, 5) AS rank
+          |FROM r5 JOIN tw ON tw.id = r5.node
+          |ORDER BY round(r5.rank, 5) DESC, tw.w ASC LIMIT 30""".stripMargin),
     "q_pagerank_dangling" ->
       (s"WITH $edgeSqlDangling,\n" +
         (1 to 5).map(iterSqlDangling).mkString(",\n") +

@@ -911,6 +911,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("round-7 second batch: bounded folds, broadcast minimax, one-scan " +
+       "recurrences") {
+    // BPE loop: the per-rank branches and the baseline all re-read the
+    // CACHED vocab (training's checkpoints are consumed inside train();
+    // the result plan's corpus access is the one cached aggregate); the
+    // only joins are the 5-row stats broadcast and the 1-row baseline
+    // cross — nothing sort-merges, no cartesian
+    val bl = planOf("q_bpe_loop")
+    assert(bl.contains("InMemoryTableScan"),
+      "per-rank branches must reuse the cached vocab, not rescan the corpus")
+    assert(!bl.contains("SortMergeJoin") && !bl.contains("CartesianProduct"),
+      "stats/baseline sides are broadcast-tiny")
+    // isotonic: the corpus collapses to bins map-side; the O(B^3)
+    // minimax runs entirely on broadcast frames
+    val iso = planOf("q_isotonic")
+    assert(iso.contains("partial_count"),
+      "bin aggregation must map-side combine")
+    assert(!iso.contains("SortMergeJoin") && !iso.contains("CartesianProduct"),
+      "minimax frames are <=20 rows and must broadcast")
+    // Holt-Winters: same single-scan discipline as q_holt — the seasonal
+    // recurrence folds over ONE calendar-bounded daily aggregate
+    val hw = planOf("q_holt_winters")
+    val hwScans = hw.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(hwScans == 1, s"q_holt_winters must scan events once, got $hwScans")
+    // burstiness: (term,doc) partials combine map-side; the only
+    // non-keyed join is the broadcast 1-row doc count
+    val bu = planOf("q_burstiness")
+    assert(bu.contains("partial_count") && !bu.contains("SortMergeJoin"),
+      "burstiness must partial-combine and broadcast the total")
+    // TextRank: both dictionary joins broadcast the 150-row word→id map,
+    // the word top-k and the final keyword top-k are TakeOrdered, and
+    // the power-iteration rounds checkpoint
+    val tr = planOf("q_textrank")
+    assert(!tr.contains("CartesianProduct"),
+      "co-occurrence edges must join keyed on the dictionary")
+    assert(tr.contains("TakeOrderedAndProject"),
+      "top-k stages must be TakeOrdered, not global sorts")
+    assert(tr.contains("ExistingRDD"),
+      "PageRank rounds must truncate lineage")
+    graft.CacheScope.drain()
+    spark.catalog.clearCache()
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

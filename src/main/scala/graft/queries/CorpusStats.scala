@@ -90,6 +90,70 @@ object CorpusStats {
         .orderBy(col("cf").desc, col("w").asc).limit(200)
     }),
 
+    // ---- one-way ANOVA: does mean document quality differ across
+    // sources? F = (SSB/(k−1)) / (SSW/(N−k)) from per-source sufficient
+    // sums only — the 6-dp quality score lifts to exact micro-unit
+    // integers, so n/Σx/Σx² per source are EXACT BIGINTs and the one
+    // corpus pass map-side combines; the F assembly runs on the k-row
+    // group frame (k = #sources, broadcast-tiny). Micro² units cancel in
+    // both reported ratios. Cross-group double sums span ≤k rounded
+    // terms (the q_jsd_sources precedent).
+    "q_anova" -> ((s, d) => {
+      val nTok = (length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
+      val stopCnt = size(regexp_extract_all(col("text"),
+        lit("\\b(the|a)\\b"), lit(0))).cast(LongType)
+      val q6 = round(round(log(lit(1.0) + nTok) *
+        (lit(1.0) - round(stopCnt.cast("double") / nTok, 6)), 6) * 1e6)
+        .cast(LongType)
+      val g = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), q6.as("s6"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("s6").as("s1"),
+          sum(col("s6") * col("s6")).as("s2"))
+      val ssb = col("ssbp") -
+        col("t1").cast("double") * col("t1") / col("nd")
+      val sst = col("t2").cast("double") -
+        col("t1").cast("double") * col("t1") / col("nd")
+      g.agg(count(lit(1)).as("k"), sum("n").as("nd"),
+          sum("s1").as("t1"), sum("s2").as("t2"),
+          sum(col("s1").cast("double") * col("s1") / col("n")).as("ssbp"))
+        .select(col("k"), col("nd"),
+          round((ssb / (col("k") - 1)) /
+            ((col("t2").cast("double") - col("ssbp")) /
+              (col("nd") - col("k"))), 4).as("f_stat"),
+          round(ssb / sst, 6).as("eta2"))
+    }),
+
+    // ---- Cramér's V: strength of the lang × source association from
+    // the FULL contingency grid (absent cells enter as o = 0 with their
+    // expected mass — a chi² over observed cells only understates). One
+    // corpus aggregation to the cell table; marginals, the grid cross,
+    // and the cell fold are all bounded by #langs × #sources.
+    "q_cramers_v" -> ((s, d) => {
+      val c = graft.CacheScope.cached(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o")))
+      val r = c.groupBy("lang").agg(sum("o").as("rt"))
+      val cl = c.groupBy("source").agg(sum("o").as("ct"))
+      val n = c.agg(sum("o").as("nd"))
+      val dims = c.agg(
+        count_distinct(col("lang")).as("nr"),
+        count_distinct(col("source")).as("nc"))
+      val cells = r.crossJoin(cl).crossJoin(broadcast(n))
+        .join(c, Seq("lang", "source"), "left")
+        .select((coalesce(col("o"), lit(0L)) -
+          col("rt").cast("double") * col("ct") / col("nd")).as("d0"),
+          (col("rt").cast("double") * col("ct") / col("nd")).as("e"))
+      cells.agg(sum(col("d0") * col("d0") / col("e")).as("chi2"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dims))
+        .select(col("nr"), col("nc"), round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("chi2") /
+            (col("nd") * (least(col("nr"), col("nc")) - 1))), 6)
+            .as("cramers_v"))
+    }),
+
     // ---- mutual information I(source; lang) in nats, plus the two
     // entropies: sum over the contingency table of p(x,y)·ln(p(x,y)/
     // (p(x)p(y))). The joint table aggregates once; marginals and the
@@ -320,6 +384,57 @@ object CorpusStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_anova" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    CAST(round(round(ln(1.0 + n_tokens) *
+        |      (1.0 - round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6)), 6)
+        |      * 1e6) AS BIGINT) AS s6
+        |  FROM (
+        |    SELECT source,
+        |      CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |        AS BIGINT) AS n_tokens,
+        |      CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT)
+        |        AS stop_cnt
+        |    FROM documents) t),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s6) AS BIGINT) AS s1,
+        |    CAST(sum(s6 * s6) AS BIGINT) AS s2
+        |  FROM q GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nd,
+        |    CAST(sum(s1) AS BIGINT) AS t1,
+        |    CAST(sum(s2) AS BIGINT) AS t2,
+        |    sum(CAST(s1 AS DOUBLE) * s1 / n) AS ssbp
+        |  FROM g)
+        |SELECT k, nd,
+        |  round(((ssbp - CAST(t1 AS DOUBLE) * t1 / nd) / (k - 1)) /
+        |    ((CAST(t2 AS DOUBLE) - ssbp) / (nd - k)), 4) AS f_stat,
+        |  round((ssbp - CAST(t1 AS DOUBLE) * t1 / nd) /
+        |    (CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * t1 / nd), 6) AS eta2
+        |FROM tot""".stripMargin,
+    "q_cramers_v" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+        |cl AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS nd FROM c),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS nc
+        |  FROM c),
+        |cells AS (
+        |  SELECT coalesce(c.o, 0) - CAST(r.rt AS DOUBLE) * cl.ct / n.nd AS d0,
+        |    CAST(r.rt AS DOUBLE) * cl.ct / n.nd AS e
+        |  FROM r CROSS JOIN cl CROSS JOIN n
+        |  LEFT JOIN c ON c.lang = r.lang AND c.source = cl.source),
+        |chi AS (SELECT sum(d0 * d0 / e) AS chi2 FROM cells)
+        |SELECT nr, nc, round(chi2, 4) AS chi2,
+        |  round(sqrt(chi2 / (nd * (least(nr, nc) - 1))), 6) AS cramers_v
+        |FROM chi CROSS JOIN n CROSS JOIN dims""".stripMargin,
     "q_burstiness" ->
       """WITH td AS (
         |  SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c FROM (

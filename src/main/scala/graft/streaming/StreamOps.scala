@@ -375,6 +375,36 @@ object StreamOps {
       }
   }
 
+  /** Streaming IVF coarse assignment — the online-indexing half of the
+    * batch ANN path (queries.Similarity q_ivf_assign): the index's
+    * centroids are built OFFLINE (batch KMeans / per-label means, a
+    * bounded k×dim matrix), and every arriving vector is assigned to
+    * its nearest cell in-stream. The centroids ride the plan as
+    * LITERALS (the KMeans-centroid discipline: a bounded driver-side
+    * matrix, never a stream-side join or aggregation), so the operator
+    * is a pure map stage — Append-mode safe, no watermark, no state —
+    * exactly what lets an ingest pipeline route new embeddings into
+    * inverted lists at any stream rate. Distances fold per row over the
+    * zipped (x−c)² array (deterministic order), round to the batch's
+    * 6 dp, and ties break to the lowest label via struct-min — the same
+    * (d2 asc, label asc) rule as the batch window, so batch and stream
+    * assignments agree row for row (StreamingSpec pins it). Works on
+    * static frames too (it is just a map). */
+  def ivfAssign(vecs: DataFrame,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign needs a trained centroid matrix")
+    val cand = array(centroids.sortBy(_._1).map { case (lbl, c) =>
+      struct(
+        round(aggregate(
+          zip_with(col("embedding"), typedLit(c.toSeq),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("d2"),
+        lit(lbl).as("lbl"))
+    }: _*)
+    vecs.select(col("vec_id"), array_min(cand).as("m"))
+      .select(col("vec_id"), col("m.lbl").as("nearest"), col("m.d2").as("d2"))
+  }
+
   final case class HoltPoint(ts_us: Long)
   final case class HoltUpdate(series: String, n_days: Long,
       level: Option[Double], trend: Option[Double],

@@ -554,6 +554,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming IVF assignment equals batch q_ivf_assign row for row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    // offline index build: the same per-label means the batch query uses,
+    // collected as the bounded k×dim centroid matrix
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "i", "x")
+      .groupBy("label", "i").agg(avg(col("x").cast("double")).as("cx"))
+      .collect()
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (lbl, rows) =>
+        lbl -> rows.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("cx")).toArray
+      }.toSeq
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.ivfAssign(
+        in.toDS().toDF("vec_id", "embedding"), centroids)
+      .writeStream.format("memory").queryName("ivf")
+      .outputMode("append").start()
+    try {
+      vecs.grouped(120).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val stream = spark.table("ivf").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      val batch = graft.SparkEntry.queries("q_ivf_assign")(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      assert(stream.size === batch.size)
+      for ((id, (nb, db)) <- batch) {
+        val (ns, ds) = stream(id)
+        assert(ns === nb, s"vec $id: stream cell $ns vs batch $nb")
+        assert(math.abs(ds - db) < 1e-5,
+          s"vec $id: stream d2 $ds vs batch $db")
+      }
+    } finally q.stop()
+  }
+
   test("streaming Holt forecast equals batch q_holt once a sentinel " +
        "closes the fixture's last day") {
     import spark.implicits._

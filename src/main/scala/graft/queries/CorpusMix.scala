@@ -21,6 +21,60 @@ object CorpusMix {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // ---- quantile normalization of the quality score across sources —
+    // the "make scores comparable before mixing" step: a score of 0.7
+    // from a lenient source and 0.7 from a strict one mean different
+    // things, so each document's score maps to the POOLED empirical
+    // quantile at its within-source percentile (lower interpolation,
+    // position arithmetic all in exact BIGINTs — ((r−1)(N−1)) div
+    // (nₛ−1) — so there is no float-boundary floor risk). Scale shape:
+    // BOTH rankings are two-phase GlobalRank forms. The per-source rank
+    // needs no partitioned window at all: rank within source == global
+    // rank under (source, score, doc_id) minus the source's exclusive
+    // prefix count, and that offset table is one k-row broadcast (k =
+    // #sources; its tiny ordering window is calendar-class bounded).
+    // The pos→pooled lookup is a corpus-sized EQUI join on the rank.
+    "q_quantile_norm" -> ((s, d) => {
+      val nTok = (length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
+      val stopRatio = size(regexp_extract_all(col("text"),
+        lit("\\b(the|a)\\b"), lit(0))).cast("double") / nTok
+      val digitRatio = size(regexp_extract_all(col("text"),
+        lit("[0-9]"), lit(0))).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val meanWlen = (length(col("text")) -
+        (nTok - lit(1))).cast("double") / nTok
+      val x = lit(-2.0) + lit(0.9) * log(lit(1.0) + nTok) -
+        lit(3.0) * stopRatio - lit(0.5) * digitRatio +
+        lit(0.2) * meanWlen
+      val scored = graft.CacheScope.cached(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          round(lit(1.0) / (lit(1.0) + exp(-x)), 6).as("score")))
+      val ranked = graft.operators.GlobalRank.withRowNumber(scored, "grn",
+        Seq(col("source").asc, col("score").asc, col("doc_id").asc))
+      val wOff = org.apache.spark.sql.expressions.Window.orderBy("source")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = scored.groupBy("source").agg(count(lit(1)).as("ns"))
+        .withColumn("off", coalesce(sum("ns").over(wOff), lit(0L)))
+      val pooled = graft.operators.GlobalRank.withRowNumber(
+        scored.select(col("score"), col("doc_id")), "prn",
+        Seq(col("score").asc, col("doc_id").asc))
+        .select(col("prn").cast("long").as("pos"),
+          col("score").as("norm_score"))
+      val n = scored.agg(count(lit(1)).as("nd"))
+      ranked.join(broadcast(offs), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("r", col("grn").cast("long") - col("off"))
+        .withColumn("pos",
+          when(col("ns") === 1, expr("(nd + 1) DIV 2"))
+            .otherwise(expr("1 + ((r - 1) * (nd - 1)) DIV (ns - 1)")))
+        .join(pooled, "pos")
+        .select(col("doc_id"), col("source"), col("score"),
+          col("norm_score"))
+        .orderBy("doc_id")
+    }),
+
     // ---- cross-document duplicate 5-gram spans: the contamination-span
     // report (which exact phrases repeat across documents, how widely).
     // One explode → one gram-keyed aggregation with map-side partials;
@@ -97,6 +151,42 @@ object CorpusMix {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_quantile_norm" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\b(the|a)\b')) AS stop_cnt,
+        |    len(regexp_extract_all(text, '[0-9]')) AS dig_cnt,
+        |    length(text) AS lc
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    round(1.0 / (1.0 + exp(-(-2.0 + 0.9 * ln(1.0 + n_tokens)
+        |      - 3.0 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+        |      - 0.5 * (CAST(dig_cnt AS DOUBLE)
+        |               / CAST(greatest(lc, 1) AS DOUBLE))
+        |      + 0.2 * (CAST(lc - (n_tokens - 1) AS DOUBLE) / n_tokens)))),
+        |      6) AS score
+        |  FROM f),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM sc),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+        |       FROM sc GROUP BY 1),
+        |bysrc AS (
+        |  SELECT doc_id, source, score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score, doc_id) AS BIGINT) AS r
+        |  FROM sc),
+        |pooled AS (
+        |  SELECT score AS norm_score,
+        |    CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+        |      AS pos
+        |  FROM sc)
+        |SELECT b.doc_id, b.source, b.score, p.norm_score
+        |FROM bysrc b JOIN ns USING (source) CROSS JOIN n
+        |JOIN pooled p ON p.pos = CASE WHEN ns.ns = 1 THEN (n.nd + 1) // 2
+        |  ELSE 1 + ((b.r - 1) * (n.nd - 1)) // (ns.ns - 1) END
+        |ORDER BY b.doc_id""".stripMargin,
     "q_dup_spans" ->
       """WITH words AS (
         |  SELECT doc_id,

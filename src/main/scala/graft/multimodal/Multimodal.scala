@@ -501,6 +501,103 @@ object Multimodal {
       }
   }
 
+  /** One 32-bit spectral fingerprint per PCM window — the audio analog
+    * of [[aHashBytes]] (Haitsma & Kalker 2002's band-energy-difference
+    * scheme, time-local variant): each `winSamples` window average-pools
+    * to 64 points, a direct 64-point DFT yields 33 magnitude-squared
+    * band energies, and bit b is set iff E[b] > E[b+1] — the energy
+    * CONTOUR, which survives amplitude scaling and mild noise while
+    * unrelated signals differ in ~16 of 32 bits. StrictMath trig keeps
+    * the spectrum bit-reproducible across JVMs/architectures (Math.cos
+    * may use platform intrinsics), so replica digest agreement (A12)
+    * extends to derived audio indexes exactly as it does for images. */
+  def spectralFingerprint(pcm: Array[Short],
+      winSamples: Int = 1024): Array[Int] = {
+    require(winSamples >= 64)
+    val nWin = pcm.length / winSamples // full windows only
+    val out = new Array[Int](nWin)
+    val pooled = new Array[Double](64)
+    var w = 0
+    while (w < nWin) {
+      val base = w * winSamples
+      val stride = winSamples / 64
+      var j = 0
+      while (j < 64) {
+        var sum = 0.0
+        var i = 0
+        while (i < stride) { sum += pcm(base + j * stride + i); i += 1 }
+        pooled(j) = sum / stride
+        j += 1
+      }
+      val e = new Array[Double](33)
+      var k = 0
+      while (k < 33) {
+        var re = 0.0
+        var im = 0.0
+        var n = 0
+        while (n < 64) {
+          val ang = -2.0 * StrictMath.PI * (k + 1) * n / 64.0
+          re += pooled(n) * StrictMath.cos(ang)
+          im += pooled(n) * StrictMath.sin(ang)
+          n += 1
+        }
+        e(k) = re * re + im * im
+        k += 1
+      }
+      var fp = 0
+      var b = 0
+      while (b < 32) {
+        if (e(b) > e(b + 1)) fp |= (1 << b)
+        b += 1
+      }
+      out(w) = fp
+      w += 1
+    }
+    out
+  }
+
+  /** Per-window fingerprints for every decodable audio asset: (path,
+    * win_idx, fp) — a narrow map (binaryFile splits per file). */
+  def audioFingerprints(assets: DataFrame,
+      winSamples: Int = 1024): Dataset[(String, Int, Int)] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        spectralFingerprint(pcmSamples(content), winSamples)
+          .iterator.zipWithIndex.map { case (fp, w) => (path, w, fp) }
+      }
+  }
+
+  /** Near-duplicate audio pairs — the [[nearDupImages]] plan on the
+    * spectral fingerprints: candidates from a (win_idx, band,
+    * band-value) equi-join (2×16-bit bands per 32-bit window hash,
+    * pigeonhole-complete to window radius ≤ 1), exact per-window
+    * Hamming ≤ `maxHamming` verification via codegen'd bit_count, and a
+    * pair survives when ≥ `minWindows` aligned windows verify. At scale
+    * the shuffle moves (path, win, fp) rows keyed by 16-bit band values
+    * — never samples. */
+  def nearDupAudio(assets: DataFrame, maxHamming: Int = 6,
+      minWindows: Int = 2): DataFrame = {
+    val fps = audioFingerprints(assets).toDF("path", "win", "fp")
+    val bands = fps.select(col("path"), col("win"), col("fp"), explode(array(
+      (0 until 2).map(b => struct(lit(b).as("band"),
+        shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xffff)).as("bv"))): _*
+    )).as("b")).select(col("path"), col("win"), col("fp"),
+      col("b.band"), col("b.bv"))
+    bands.toDF("pa", "win", "fa", "band", "bv")
+      .join(bands.toDF("pb", "win", "fb", "band", "bv"),
+        Seq("win", "band", "bv"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"), col("win"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("ham"))
+      .filter(col("ham") <= maxHamming)
+      .select("pa", "pb", "win").distinct()
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_windows"))
+      .filter(col("n_windows") >= minWindows)
+      .orderBy("pa", "pb")
+  }
+
   /** Real audio downsample: decode PCM, keep every `factor`-th frame, and
     * re-encode as 16-bit little-endian mono WAV at rate/factor — the audio
     * analog of the image downscale (decimation without an interpolation

@@ -258,6 +258,68 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msg.contains("exited 3") && msg.contains("boom"))
   }
 
+  test("spectral fingerprints: noisy re-encode pairs, different melody " +
+       "does not; banded near-dup join finds exactly the true pair") {
+    val fpDir = Files.createTempDirectory("graft-afp").toString
+    // 8 windows × 1024 samples at 8 kHz; pooling 16:1 puts the DFT's
+    // usable band at 8–258 Hz, so test tones live there
+    def writeWav(name: String, freqOf: Int => Double,
+                 noise: Int => Int): Unit = {
+      val n = 8 * 1024
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val f = freqOf(i / 1024)
+        val v = (math.sin(2 * math.Pi * f * i / 8000.0) * 12000).toInt +
+          noise(i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        new java.io.File(s"$fpDir/$name"))
+    }
+    // deterministic LCG noise, ±250 against amplitude 12000
+    var seed = 42L
+    def lcg(): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 501).toInt - 250
+    }
+    writeWav("melody.wav", w => 30.0 + 15.0 * w, _ => 0)
+    writeWav("noisy.wav", w => 30.0 + 15.0 * w, _ => lcg())
+    // different melody: same band, frequencies ≥60 Hz away per window
+    writeWav("other.wav", w => 30.0 + 15.0 * ((w + 4) % 8), _ => 0)
+
+    def fpOf(name: String): Array[Int] =
+      Multimodal.spectralFingerprint(Multimodal.pcmSamples(
+        Files.readAllBytes(Paths.get(s"$fpDir/$name"))))
+    val fa = fpOf("melody.wav")
+    assert(fa.length === 8)
+    assert(fa.toSeq === fpOf("melody.wav").toSeq, "must be deterministic")
+    def ham(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    val fb = fpOf("noisy.wav")
+    val fc = fpOf("other.wav")
+    val nearBits = fa.zip(fb).map { case (x, y) => ham(x, y) }
+    val farBits = fa.zip(fc).map { case (x, y) => ham(x, y) }
+    assert(nearBits.count(_ <= 6) >= 6,
+      s"noisy twin should verify in most windows: ${nearBits.toSeq}")
+    assert(farBits.count(_ <= 6) <= 1,
+      s"different melody should not verify: ${farBits.toSeq}")
+    // undecodable bytes yield no windows
+    assert(Multimodal.spectralFingerprint(Array.empty[Short]).isEmpty)
+
+    // operator level: banded candidates + Hamming verify + aligned-window
+    // count finds exactly the true pair
+    val pairs = Multimodal.nearDupAudio(
+        Multimodal.readAssets(spark, fpDir, glob = "*.wav"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.length === 1, s"expected one near-dup pair, got ${pairs.toSeq}")
+    assert(pairs.head._1.endsWith("melody.wav") &&
+      pairs.head._2.endsWith("noisy.wav"))
+  }
+
   test("codec capability matrix is honest and the routing follows it: " +
        "read-capable formats take the real path, stand-ins only elsewhere") {
     val caps = Multimodal.codecCapabilities()

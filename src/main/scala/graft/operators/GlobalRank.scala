@@ -73,6 +73,44 @@ object GlobalRank {
       .drop("_gr_pid", "_gr_lrn", "_gr_o_0")
   }
 
+  /** Adds `name` = exact 1-based row_number WITHIN each `keys` group under
+    * `order` — the two-phase form of
+    * `row_number().over(Window.partitionBy(keys).orderBy(order))` for the
+    * regime where a partitioned window is still a scale risk: FEW keys,
+    * each holding a corpus-sized slice (per-source ranks over a handful of
+    * sources — the q_quantile_norm shape). A partitioned window there
+    * funnels each source through one task; this form computes the GLOBAL
+    * rank under (keys, order) two-phase, then subtracts each key's
+    * exclusive prefix count. The per-key offset table (one row per key) is
+    * itself built with [[withPrefixAggs]], so no window anywhere runs over
+    * a corpus-growing frame, and it is broadcast back — which is exactly
+    * right in the few-keys regime this targets (with MANY small keys a
+    * plain partitioned window is already parallel; use that instead).
+    *
+    * `order` must total-order rows within a key (include a tiebreaker);
+    * key columns must be non-null (they become equi-join keys).
+    * `keepCount` optionally retains the per-key row count under the given
+    * column name — callers ranking "r of ns" (quantile positions) need
+    * both and would otherwise recount.
+    */
+  def withKeyedRowNumber(df: DataFrame, name: String, keys: Seq[String],
+      order: Seq[Column], partitions: Int = 0,
+      keepCount: Option[String] = None): DataFrame = {
+    val keyAsc = keys.map(col(_).asc)
+    val ranked = withRowNumber(df, "_gr_krn", keyAsc ++ order, partitions)
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_gr_kn"))
+    val offs = withPrefixAggs(counts, keyAsc,
+        Seq(PrefixAgg("_gr_kn", "_gr_koff")), partitions)
+    val joined = ranked.join(broadcast(offs), keys)
+      .withColumn(name,
+        (col("_gr_krn").cast("long") - col("_gr_koff")).cast("int"))
+    keepCount.fold(joined.drop("_gr_krn", "_gr_koff", "_gr_kn")) { c =>
+      joined.withColumn(c, col("_gr_kn"))
+        .drop("_gr_krn", "_gr_koff", "_gr_kn")
+    }
+  }
+
   /** Adds exact global running aggregates (sum/max, inclusive/exclusive)
     * under `order` — the distributed form of
     * `agg.over(Window.orderBy(order).rowsBetween(unboundedPreceding, …))`.

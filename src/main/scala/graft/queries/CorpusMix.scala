@@ -28,12 +28,11 @@ object CorpusMix {
     // quantile at its within-source percentile (lower interpolation,
     // position arithmetic all in exact BIGINTs — ((r−1)(N−1)) div
     // (nₛ−1) — so there is no float-boundary floor risk). Scale shape:
-    // BOTH rankings are two-phase GlobalRank forms. The per-source rank
-    // needs no partitioned window at all: rank within source == global
-    // rank under (source, score, doc_id) minus the source's exclusive
-    // prefix count, and that offset table is one k-row broadcast (k =
-    // #sources; its tiny ordering window is calendar-class bounded).
-    // The pos→pooled lookup is a corpus-sized EQUI join on the rank.
+    // BOTH rankings are two-phase GlobalRank forms — the per-source rank
+    // via the keyed operator (global rank under (source, score, doc_id)
+    // minus a broadcast per-source exclusive prefix count, itself built
+    // two-phase; see GlobalRank.withKeyedRowNumber). The pos→pooled
+    // lookup is a corpus-sized EQUI join on the rank.
     "q_quantile_norm" -> ((s, d) => {
       val nTok = (length(col("text")) -
         length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
@@ -51,21 +50,17 @@ object CorpusMix {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("source"),
           round(lit(1.0) / (lit(1.0) + exp(-x)), 6).as("score")))
-      val ranked = graft.operators.GlobalRank.withRowNumber(scored, "grn",
-        Seq(col("source").asc, col("score").asc, col("doc_id").asc))
-      val wOff = org.apache.spark.sql.expressions.Window.orderBy("source")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val offs = scored.groupBy("source").agg(count(lit(1)).as("ns"))
-        .withColumn("off", coalesce(sum("ns").over(wOff), lit(0L)))
+      val bysrc = graft.operators.GlobalRank.withKeyedRowNumber(scored,
+        "r0", Seq("source"), Seq(col("score").asc, col("doc_id").asc),
+        keepCount = Some("ns"))
       val pooled = graft.operators.GlobalRank.withRowNumber(
         scored.select(col("score"), col("doc_id")), "prn",
         Seq(col("score").asc, col("doc_id").asc))
         .select(col("prn").cast("long").as("pos"),
           col("score").as("norm_score"))
       val n = scored.agg(count(lit(1)).as("nd"))
-      ranked.join(broadcast(offs), "source")
-        .crossJoin(broadcast(n))
-        .withColumn("r", col("grn").cast("long") - col("off"))
+      bysrc.crossJoin(broadcast(n))
+        .withColumn("r", col("r0").cast("long"))
         .withColumn("pos",
           when(col("ns") === 1, expr("(nd + 1) DIV 2"))
             .otherwise(expr("1 + ((r - 1) * (nd - 1)) DIV (ns - 1)")))

@@ -84,6 +84,29 @@ class GlobalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("withKeyedRowNumber equals the partitioned row_number window") {
+    for (rows <- frames) {
+      import spark.implicits._
+      // fold each frame's distinct keys onto 3 buckets so groups hold
+      // multiple rows — the few-keys/large-groups regime the operator is for
+      val df = rows.toDF("k", "v")
+        .withColumn("g", pmod(col("k"), lit(3)))
+      val got = GlobalRank.withKeyedRowNumber(df, "rn", Seq("g"),
+          Seq(col("k")), partitions = 5, keepCount = Some("ns"))
+        .select("k", "rn", "ns").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      val want = df
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("g").orderBy("k")))
+        .withColumn("ns",
+          count(lit(1)).over(Window.partitionBy("g")))
+        .select("k", "rn", "ns").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      graft.CacheScope.drain()
+      assert(got === want)
+    }
+  }
+
   test("descending order key works (suffix sums, the q_kaplan_meier shape)") {
     import spark.implicits._
     val df = (1L to 37L).map(i => (i, i * 2)).toDF("k", "v")

@@ -473,6 +473,94 @@ object StreamOps {
       }
   }
 
+  final case class HwUpdate(series: String, n_days: Long,
+      level: Option[Double], trend: Option[Double],
+      forecast_1d: Option[Double], season_range: Option[Double])
+  final case class HwState(day: Long, n: Long, nClosed: Long,
+      buf: Seq[Double], l: Double, b: Double, s: Seq[Double])
+
+  /** Streaming Holt–Winters additive triple-exponential forecast — the
+    * seasonal twin of [[holtForecast]] and the stateful twin of batch
+    * q_holt_winters (queries.Analytics): per series key, daily counts
+    * fold into (level, trend, 7 seasonal slots) with the SAME literal
+    * constants as the batch recurrence (α=0.3/0.7, β=0.2/0.8, γ=0.4/0.6)
+    * in the same operation order, so the stream's doubles are
+    * bit-identical to the batch fold. The classical two-week init needs
+    * the first 14 CLOSED days before any estimate exists: those counts
+    * buffer in the state cell (14 doubles, a fixed bound, not a window);
+    * when day 14 closes the init means fold LEFT-ASSOCIATED exactly as
+    * the batch column expression does, days 8–14 replay through the
+    * recurrence, and from day 15 on each closing day folds directly —
+    * the buffer never grows past 14. Day-close discipline is
+    * [[holtForecast]]'s: a day folds when a later day's first event
+    * arrives; late events for closed days drop. State per series is the
+    * buffer + 7 slots + three scalars — always-on seasonal forecasting
+    * at any event volume. StreamingSpec pins batch parity via the
+    * sentinel-close trick. */
+  def holtWintersForecast(points: Dataset[HoltPoint],
+      series: String = "events",
+      dayUs: Long = 86400000000L): Dataset[HwUpdate] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[HwState, HwUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(-1L, 0L, 0L, Vector.empty, 0.0, 0.0, Vector.empty))
+          // one recurrence step: day index i (1-based), count xi — the
+          // batch aggregate() lambda literal for literal
+          def step(l: Double, b: Double, s: Vector[Double], i: Long,
+              xi: Double): (Double, Double, Vector[Double]) = {
+            val pos = ((i - 1) % 7).toInt // 0-based slot
+            val sOld = s(pos)
+            val lNew = 0.3 * (xi - sOld) + 0.7 * (l + b)
+            val bNew = 0.2 * (lNew - l) + 0.8 * b
+            val sNew = 0.4 * (xi - lNew) + 0.6 * sOld
+            (lNew, bNew, s.updated(pos, sNew))
+          }
+          def close(cur: HwState): HwState = {
+            val x = cur.n.toDouble
+            val i = cur.nClosed + 1 // this day's series index
+            if (i < 14L) cur.copy(nClosed = i, buf = cur.buf :+ x)
+            else if (i == 14L) {
+              val buf = (cur.buf :+ x).toVector
+              // left-associated means — identical IEEE fold to the batch
+              // reduceLeft column expression
+              val m1 = buf.slice(0, 7).reduceLeft(_ + _) / 7
+              val m2 = buf.slice(7, 14).reduceLeft(_ + _) / 7
+              val l0 = m1
+              val b0 = (m2 - m1) / 7
+              var s = Vector.tabulate(7)(j => buf(j) - l0)
+              var l = l0; var b = b0
+              for (j <- 8L to 14L) {
+                val r = step(l, b, s, j, buf((j - 1).toInt))
+                l = r._1; b = r._2; s = r._3
+              }
+              cur.copy(nClosed = 14L, buf = Vector.empty, l = l, b = b,
+                s = s)
+            } else {
+              val r = step(cur.l, cur.b, cur.s.toVector, i, x)
+              cur.copy(nClosed = i, l = r._1, b = r._2, s = r._3)
+            }
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { p =>
+            val d = p.ts_us / dayUs
+            if (st.day == -1L) st = st.copy(day = d, n = 1L)
+            else if (d == st.day) st = st.copy(n = st.n + 1L)
+            else if (d > st.day) st = close(st).copy(day = d, n = 1L)
+            // d < st.day: late event for a closed day — dropped
+          }
+          state.update(st)
+          Iterator(
+            if (st.nClosed >= 14L)
+              HwUpdate(key, st.nClosed, Some(st.l), Some(st.b),
+                Some(st.l + st.b + st.s(((st.nClosed % 7)).toInt)),
+                Some(st.s.max - st.s.min))
+            else HwUpdate(key, st.nClosed, None, None, None, None))
+      }
+  }
+
   final case class EventIn(
       jobId: String,
       nodeId: String,

@@ -643,6 +643,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming Holt-Winters equals batch q_holt_winters after the " +
+       "sentinel close; no estimate before 14 closed days") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"))
+      .as[StreamOps.HoltPoint]
+      .collect().sortBy(_.ts_us)
+    val in = MemoryStream[StreamOps.HoltPoint]
+    val q = StreamOps.holtWintersForecast(in.toDS()).writeStream
+      .format("memory").queryName("hw").outputMode("append").start()
+    try {
+      // drip the first 13 days' events alone: every update must carry no
+      // estimate (the two-week init hasn't closed)
+      val (head, tail) = pts.partition(_.ts_us / 86400000000L <
+        pts.head.ts_us / 86400000000L + 13)
+      head.grouped(400).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val early = spark.table("hw").as[StreamOps.HwUpdate].collect()
+      assert(early.nonEmpty && early.forall(u =>
+        u.level.isEmpty && u.forecast_1d.isEmpty && u.season_range.isEmpty))
+      tail.grouped(400).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // sentinel one day past the end closes the final real day — state
+      // must now equal the batch fold over ALL days
+      in.addData(StreamOps.HoltPoint(pts.last.ts_us + 86400000000L))
+      q.processAllAvailable()
+      val last = spark.table("hw").as[StreamOps.HwUpdate]
+        .collect().maxBy(_.n_days)
+      val batch = graft.SparkEntry.queries("q_holt_winters")(spark, sf)
+        .collect().head
+      assert(last.n_days === batch.getAs[Long]("n_days"))
+      // same literals, same fold order → bit-identical doubles; compare
+      // at the batch's published 4-dp rounding
+      def r4(v: Double) = math.rint(v * 1e4) / 1e4
+      assert(r4(last.level.get) === batch.getAs[Double]("level"))
+      assert(r4(last.trend.get) === batch.getAs[Double]("trend"))
+      assert(r4(last.forecast_1d.get) === batch.getAs[Double]("forecast_1d"))
+      assert(r4(last.season_range.get) ===
+        batch.getAs[Double]("season_range"))
+    } finally q.stop()
+  }
+
   test("streaming SPRT equals batch q_sprt on the time-ordered fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

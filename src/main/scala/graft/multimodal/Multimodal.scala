@@ -512,14 +512,30 @@ object Multimodal {
     * may use platform intrinsics), so replica digest agreement (A12)
     * extends to derived audio indexes exactly as it does for images. */
   def spectralFingerprint(pcm: Array[Short],
-      winSamples: Int = 1024): Array[Int] = {
-    require(winSamples >= 64)
-    val nWin = pcm.length / winSamples // full windows only
+      winSamples: Int = 1024): Array[Int] =
+    spectralFingerprintHop(pcm, winSamples, winSamples)
+
+  /** [[spectralFingerprint]] generalized to overlapping windows: one
+    * 32-bit hash per window START at multiples of `hop` (window w covers
+    * samples [w·hop, w·hop+winSamples)). hop == winSamples is the
+    * original non-overlapping grid; hop = winSamples/2 is the
+    * offset-tolerant grid [[nearDupAudioShifted]] matches on — a copy
+    * trimmed by any multiple of `hop` lands EXACTLY on the original's
+    * grid (same windows, same hashes, shifted index), and an arbitrary
+    * trim misaligns by at most hop/2 samples, which the Hamming
+    * tolerance absorbs for band-limited content. Cost is a constant
+    * winSamples/hop× more hashes — never a data-dependent blowup. */
+  def spectralFingerprintHop(pcm: Array[Short], winSamples: Int,
+      hop: Int): Array[Int] = {
+    require(winSamples >= 64 && hop >= 1)
+    val nWin = // full windows only
+      if (pcm.length < winSamples) 0
+      else (pcm.length - winSamples) / hop + 1
     val out = new Array[Int](nWin)
     val pooled = new Array[Double](64)
     var w = 0
     while (w < nWin) {
-      val base = w * winSamples
+      val base = w * hop
       val stride = winSamples / 64
       var j = 0
       while (j < 64) {
@@ -595,6 +611,55 @@ object Multimodal {
       .select("pa", "pb", "win").distinct()
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_windows"))
       .filter(col("n_windows") >= minWindows)
+      .orderBy("pa", "pb")
+  }
+
+  /** Offset-tolerant near-duplicate audio pairs — [[nearDupAudio]] for
+    * TRIMMED copies. The aligned matcher joins windows at equal index,
+    * so cutting the first seconds off a copy shifts its whole grid and
+    * the pair is lost. Here fingerprints live on the overlapped
+    * hop-grid ([[spectralFingerprintHop]], hop = winSamples/2), the
+    * banded equi-join keys on (band, band-value) WITHOUT the window
+    * index, and every verified candidate votes for its alignment
+    * `delta` = win_b − win_a; a real trimmed copy concentrates its
+    * votes on ONE delta (the trim length in hops), while coincidental
+    * band collisions scatter. A pair reports when some single delta
+    * accrues ≥ `minWindows` Hamming-verified windows — trims at hop
+    * multiples match exactly, arbitrary trims within the Hamming
+    * budget. Scale shape: still an equi-join on 16-bit band values →
+    * groupBy (pa, pb, delta) with map-side partials; dropping `win`
+    * from the join key widens buckets by the windows-per-file factor,
+    * the standard LSH recall/cost trade, and never a cartesian. */
+  def nearDupAudioShifted(assets: DataFrame, maxHamming: Int = 6,
+      minWindows: Int = 2, winSamples: Int = 1024): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hop = winSamples / 2
+    val fps = assets.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        spectralFingerprintHop(pcmSamples(content), winSamples, hop)
+          .iterator.zipWithIndex.map { case (fp, w) => (path, w, fp) }
+      }.toDF("path", "win", "fp")
+    val bands = fps.select(col("path"), col("win"), col("fp"),
+      explode(array((0 until 2).map(b => struct(lit(b).as("band"),
+        shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xffff)).as("bv"))): _*
+      )).as("b")).select(col("path"), col("win"), col("fp"),
+      col("b.band"), col("b.bv"))
+    bands.toDF("pa", "wa", "fa", "band", "bv")
+      .join(bands.toDF("pb", "wb", "fb", "band", "bv"),
+        Seq("band", "bv"))
+      .filter(col("pa") < col("pb"))
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= maxHamming)
+      .select(col("pa"), col("pb"), (col("wb") - col("wa")).as("delta"),
+        col("wa"))
+      .distinct()
+      .groupBy("pa", "pb", "delta").agg(count(lit(1)).as("n_windows"))
+      .filter(col("n_windows") >= minWindows)
+      // one row per pair: its best-supported alignment
+      .groupBy("pa", "pb")
+      .agg(max(struct(col("n_windows"), col("delta").as("d"))).as("m"))
+      .select(col("pa"), col("pb"), col("m.d").as("delta"),
+        col("m.n_windows").as("n_windows"))
       .orderBy("pa", "pb")
   }
 

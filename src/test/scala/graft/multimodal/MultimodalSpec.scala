@@ -320,6 +320,63 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       pairs.head._2.endsWith("noisy.wav"))
   }
 
+  test("shifted near-dup matcher finds a front-trimmed copy (with the " +
+       "trim length as its alignment) that the aligned matcher misses") {
+    val fpDir = Files.createTempDirectory("graft-afps").toString
+    // 10 windows of 1024 samples; window w carries tone 30+15·w Hz —
+    // every window distinct, so alignment is unambiguous
+    val n = 10 * 1024
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val f = 30.0 + 15.0 * (i / 1024)
+      val v = (math.sin(2 * math.Pi * f * i / 8000.0) * 12000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def writeWav(name: String, bytes: Array[Byte]): Unit = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, bytes.length / 2)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        new java.io.File(s"$fpDir/$name"))
+    }
+    writeWav("full.wav", pcm)
+    // trim 1.5 windows (= 3 hops of 512) off the front
+    writeWav("trimmed.wav", pcm.drop(3 * 512 * 2))
+    // unrelated content for the negative case: deterministic wideband
+    // noise — NOT a shifted tone ladder, which the shift-tolerant
+    // matcher would rightly match at its cyclic offset
+    val other = new Array[Byte](n * 2)
+    var seed = 99L
+    for (i <- 0 until n) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val v = ((seed >>> 33) % 24001).toInt - 12000
+      other(2 * i) = (v & 0xff).toByte
+      other(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    writeWav("other.wav", other)
+
+    val assets = Multimodal.readAssets(spark, fpDir, glob = "*.wav")
+    // the window-aligned matcher cannot see through the trim
+    val aligned = Multimodal.nearDupAudio(assets, minWindows = 3)
+      .collect()
+    assert(!aligned.exists(r => r.getString(0).endsWith("full.wav") &&
+      r.getString(1).endsWith("trimmed.wav")),
+      s"aligned matcher unexpectedly matched the trim: ${aligned.toSeq}")
+    // the shift-consistent matcher finds it, votes on delta = −3 hops
+    // (trimmed window w aligns with full window w+3)
+    val shifted = Multimodal.nearDupAudioShifted(assets, minWindows = 3)
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getString(1).split('/').last, r.getInt(2), r.getLong(3)))
+    val hit = shifted.filter(p => p._1 == "full.wav" && p._2 == "trimmed.wav")
+    assert(hit.length === 1, s"expected the trimmed pair: ${shifted.toSeq}")
+    assert(hit.head._3 === -3,
+      s"alignment must equal the trim length in hops: ${hit.head}")
+    assert(!shifted.exists(p => p._2 == "other.wav" || p._1 == "other.wav"),
+      s"unrelated audio must not match: ${shifted.toSeq}")
+  }
+
   test("codec capability matrix is honest and the routing follows it: " +
        "read-capable formats take the real path, stand-ins only elsewhere") {
     val caps = Multimodal.codecCapabilities()

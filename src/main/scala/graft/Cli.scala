@@ -32,7 +32,7 @@ object Cli {
 
   /** Flags that never consume a following value. */
   private val boolFlags = Set("json", "wide", "reverse", "deterministic",
-    "skip-syntax-checking", "hide-header", "client")
+    "skip-syntax-checking", "hide-header", "client", "no-compute")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -304,12 +304,19 @@ object Cli {
     // for N ms as failed and re-bids a waiting node (0 = off)
     // --heartbeat-ms N: executing replicas beacon liveness every N ms so
     // --stale-ms measures process death, not event silence (0 = off)
+    // --requester-stale-ms N: requester-role failover — the holder
+    // lease-beacons every N/4 ms; peers elect a new requester for a job
+    // whose holder has been silent N ms (0 = creator-for-life)
+    // --no-compute: requester-only node — submits/decides/elects, never
+    // bids or executes (the reference's requester/compute split)
     val node = flag1(flags, "cluster-dir").map { cd =>
       new graft.jobs.DevstackNode(spark,
         flag1(flags, "node-id").getOrElse(
           s"node-${java.util.UUID.randomUUID().toString.take(8)}"), cd,
         staleMs = intFlag(flags, "stale-ms", 0).toLong,
-        heartbeatMs = intFlag(flags, "heartbeat-ms", 0).toLong)
+        heartbeatMs = intFlag(flags, "heartbeat-ms", 0).toLong,
+        requesterStaleMs = intFlag(flags, "requester-stale-ms", 0).toLong,
+        computeDisabled = flags.contains("no-compute"))
     }
     val srv = new ApiServer(spark, stateDir, host, port,
       nodeSlots = intFlag(flags, "node-slots", 0), cluster = node)

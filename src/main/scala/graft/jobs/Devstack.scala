@@ -151,10 +151,33 @@ final class FileBus(dir: Path) {
   *   (the FiveProcessSpec cascade; SCALING.md "Devstack at N=5").
   *   Heartbeats never touch folded state (Lifecycle.stateFromEvent
   *   ignores them). 0 disables; when on, choose heartbeatMs well under
-  *   the requester's staleMs (the spec uses 6×). */
+  *   the requester's staleMs (the spec uses 6×).
+  * @param requesterStaleMs requester-FAILOVER bound: the requester role
+  *   is a bus lease, not an identity. The job's current holder (source
+  *   of the last {Created, RequesterElect} event) renews with
+  *   RequesterLease beacons every requesterStaleMs/4 while the job is
+  *   open; any node observing the holder silent past requesterStaleMs
+  *   appends a RequesterElect claim, and the LAST claim in bus order
+  *   holds the lease from the next poll on (concurrent claimants
+  *   re-read the bus and exactly one sees itself last — Lamport
+  *   ordering arbitrates; a one-poll overlap is benign because the
+  *   decision function is deterministic in the bus prefix, so duplicate
+  *   holders append identical, fold-idempotent decisions). Takeover is
+  *   total because the requester half is STATELESS — everything it
+  *   decides derives from the bus, so the new holder resumes bid
+  *   decisions AND the staleMs replica-replacement duty mid-job. The
+  *   next liveness rung after heartbeats (reference ROADMAP.md's
+  *   requester/compute split made crash-tolerant). 0 disables: the
+  *   creator stays sole requester for life, the pre-failover protocol.
+  * @param computeDisabled requester-only node (the reference's
+  *   requester_node.go vs computenode.go split): never bids or
+  *   executes, but submits, decides, and can win requester elections
+  *   for jobs it observes. */
 final class DevstackNode(spark: SparkSession, val nodeId: String,
                          clusterDir: String, pollMs: Long = 100,
-                         staleMs: Long = 0, heartbeatMs: Long = 0) {
+                         staleMs: Long = 0, heartbeatMs: Long = 0,
+                         requesterStaleMs: Long = 0,
+                         computeDisabled: Boolean = false) {
 
   val bus = new FileBus(Paths.get(clusterDir))
   def resultsRoot: String = s"$clusterDir/results"
@@ -212,7 +235,7 @@ final class DevstackNode(spark: SparkSession, val nodeId: String,
       // unmarked and the admission decision — deterministic for a given
       // spec — is safely retried next poll. Marking first would leave
       // the node permanently silent on that job.
-      if (myState.isEmpty && !bidSent(job.id)) {
+      if (!computeDisabled && myState.isEmpty && !bidSent(job.id)) {
         admission.selectJob(job.spec) match {
           case Right(()) =>
             bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
@@ -228,11 +251,62 @@ final class DevstackNode(spark: SparkSession, val nodeId: String,
       }
 
       // --- requester half: accept the first `concurrency` bids in bus
-      // order, cancel the rest (only the job's creator decides, so there
-      // is exactly one decider per job — no cross-process races)
-      val creator = jevs
-        .find(_.eventName == Lifecycle.EventType.Created).map(_.sourceNodeId)
-      if (creator.contains(nodeId)) {
+      // order, cancel the rest. Exactly one decider per job: the holder
+      // of the requester lease — the source of the last
+      // {Created, RequesterElect} event in bus order (just the creator
+      // until a failover election, see requesterStaleMs).
+      val holder = jevs
+        .filter(e => e.eventName == Lifecycle.EventType.Created ||
+          e.eventName == Lifecycle.EventType.RequesterElect)
+        .lastOption.map(_.sourceNodeId)
+      // the job still needs a requester while any accepted replica is
+      // live or any bid awaits a decision — afterwards the lease lapses
+      // harmlessly (nothing left to decide)
+      def jobOpen: Boolean = {
+        val acceptedSet = jevs
+          .filter(_.eventName == Lifecycle.EventType.BidAccepted)
+          .map(_.targetNodeId).toSet
+        val live = Set(Lifecycle.State.Waiting, Lifecycle.State.Running)
+        val liveAccepted = states.exists { case ((jid, n), st) =>
+          jid == job.id && acceptedSet(n) && live(st.state) }
+        val undecided = jevs
+          .filter(_.eventName == Lifecycle.EventType.Bid)
+          .map(_.targetNodeId).toSet --
+          jevs.filter(e =>
+              e.eventName == Lifecycle.EventType.BidAccepted ||
+              e.eventName == Lifecycle.EventType.BidCancelled)
+            .map(_.targetNodeId).toSet
+        liveAccepted || undecided.nonEmpty
+      }
+      if (requesterStaleMs > 0 && holder.nonEmpty) {
+        val nowUs = System.currentTimeMillis() * 1000L
+        // the lease clock: newest lease-class OR heartbeat event from
+        // the holder (a holder blocked executing its own replica still
+        // beacons heartbeats — provably alive, so no spurious takeover)
+        val leaseUs = jevs.filter(e =>
+            e.sourceNodeId == holder.get &&
+              (e.eventName == Lifecycle.EventType.Created ||
+               e.eventName == Lifecycle.EventType.RequesterElect ||
+               e.eventName == Lifecycle.EventType.RequesterLease ||
+               e.eventName == Lifecycle.EventType.Heartbeat))
+          .map(_.eventTimeUs).max
+        if (holder.contains(nodeId)) {
+          // renew well under the expiry bound (4× margin)
+          if (jobOpen && nowUs - leaseUs > requesterStaleMs * 250L)
+            bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+              targetNodeId = nodeId,
+              eventName = Lifecycle.EventType.RequesterLease), nodeId)
+        } else if (jobOpen && nowUs - leaseUs > requesterStaleMs * 1000L) {
+          // holder presumed dead: claim the lease. Takes effect at the
+          // next poll's bus read — the last claim in bus order wins.
+          bus.append(JobEvent(jobId = job.id, sourceNodeId = nodeId,
+            targetNodeId = nodeId,
+            eventName = Lifecycle.EventType.RequesterElect,
+            status = s"requester lease expired after ${requesterStaleMs}ms"),
+            nodeId)
+        }
+      }
+      if (holder.contains(nodeId)) {
         val conc = math.max(1, job.deal.concurrency)
         val decided =
           jevs.filter(e => e.eventName == Lifecycle.EventType.BidAccepted ||

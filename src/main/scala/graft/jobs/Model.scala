@@ -169,6 +169,17 @@ object Lifecycle {
       * staleness clock (which keys off last-event time) without touching
       * the folded node state — the reference's liveness/progress split. */
     val Heartbeat = "Heartbeat"
+    /** Requester-lease renewal: the node currently holding a job's
+      * requester role beacons it on an interval (Devstack
+      * requesterStaleMs/4) while the job is open. Like [[Heartbeat]],
+      * liveness-only — absent from [[stateFromEvent]]. */
+    val RequesterLease = "RequesterLease"
+    /** Requester takeover claim: appended by a node observing the
+      * holder's lease expired. The LAST elect in bus order wins (the
+      * Lamport-ordered bus is the arbiter); the job's requester is
+      * always the source of the last {Created, RequesterElect} event.
+      * Also liveness-class — never touches folded node state. */
+    val RequesterElect = "RequesterElect"
   }
 
   object State {

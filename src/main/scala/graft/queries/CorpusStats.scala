@@ -209,6 +209,47 @@ object CorpusStats {
     // orders vocabulary-bounded rows per source. The determinant math is
     // DOUBLE from the start (counts·counts at 100 TB overflow BIGINT —
     // the q_mi lesson), mirrored op-for-op in the oracle.
+    // ---- "Fightin' Words" log-odds keywords (Monroe, Colaresi &
+    // Quinn 2008): which words does the (deterministically) first
+    // source OVERUSE relative to the rest, under an informative
+    // Dirichlet prior drawn from the pooled corpus (α_w = α0·f_w/N,
+    // α0 = 1000)? The z-scored log-odds-ratio delta fixes χ²'s
+    // rare-word explosion — the prior shrinks low-count words toward
+    // the corpus rate, so the ranking surfaces genuinely
+    // characteristic vocabulary. Every input is an exact integer count
+    // (per-word, per-side, totals); delta and variance are single
+    // fixed-order double expressions mirrored op-for-op in the oracle.
+    // Scale shape: one (source, word) aggregation with map-side
+    // partials prices the corpus; the side-split re-aggregate is
+    // vocabulary-sized, the totals a broadcast 1-row frame, the top-15
+    // a TakeOrdered — no window, no global sort.
+    "q_log_odds" -> ((s, d) => {
+      val sc = graft.CacheScope.cached(
+        words(s, d).groupBy("source", "w").agg(count(lit(1)).as("c")))
+      val aSrc = sc.agg(min("source").as("asrc"))
+      val byWord = sc.crossJoin(broadcast(aSrc))
+        .select(col("w"),
+          when(col("source") === col("asrc"), col("c")).otherwise(0L)
+            .as("ca"),
+          when(col("source") =!= col("asrc"), col("c")).otherwise(0L)
+            .as("cb"))
+        .groupBy("w").agg(sum("ca").as("ya"), sum("cb").as("yb"))
+      val tot = byWord.agg(sum("ya").as("na"), sum("yb").as("nb"),
+        sum(col("ya") + col("yb")).as("n"))
+      val aw = lit(1000.0) * (col("ya") + col("yb")).cast("double") /
+        col("n").cast("double")
+      val da = log((col("ya").cast("double") + aw) /
+        (col("na").cast("double") + 1000.0 - col("ya").cast("double") - aw))
+      val db = log((col("yb").cast("double") + aw) /
+        (col("nb").cast("double") + 1000.0 - col("yb").cast("double") - aw))
+      val z = (da - db) / sqrt(lit(1.0) / (col("ya").cast("double") + aw) +
+        lit(1.0) / (col("yb").cast("double") + aw))
+      byWord.crossJoin(broadcast(tot))
+        .filter(col("ya") + col("yb") >= 10)
+        .select(col("w"), col("ya"), col("yb"), round(z, 4).as("z"))
+        .orderBy(col("z").desc, col("w").asc).limit(15)
+    }),
+
     "q_chi2_keywords" -> ((s, d) => {
       val sc = graft.CacheScope.cached(
         words(s, d).groupBy("source", "w").agg(count(lit(1)).as("c")))
@@ -491,6 +532,42 @@ object CorpusStats {
         |  round(ln(CAST(count(*) AS DOUBLE)) /
         |    ln(CAST(sum(cw) AS DOUBLE)), 6) AS herdan_c
         |FROM cw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_log_odds" ->
+      """WITH sc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT min(source) AS asrc FROM sc),
+        |bw AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN source = a.asrc THEN c ELSE 0 END)
+        |      AS BIGINT) AS ya,
+        |    CAST(sum(CASE WHEN source <> a.asrc THEN c ELSE 0 END)
+        |      AS BIGINT) AS yb
+        |  FROM sc CROSS JOIN a GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+        |               CAST(sum(yb) AS BIGINT) AS nb,
+        |               CAST(sum(ya + yb) AS BIGINT) AS n FROM bw),
+        |scored AS (
+        |  SELECT w, ya, yb,
+        |    round(
+        |      (ln((CAST(ya AS DOUBLE) + 1000.0 * (ya + yb)
+        |             / CAST(n AS DOUBLE)) /
+        |          (CAST(na AS DOUBLE) + 1000.0 - CAST(ya AS DOUBLE)
+        |             - 1000.0 * (ya + yb) / CAST(n AS DOUBLE))) -
+        |       ln((CAST(yb AS DOUBLE) + 1000.0 * (ya + yb)
+        |             / CAST(n AS DOUBLE)) /
+        |          (CAST(nb AS DOUBLE) + 1000.0 - CAST(yb AS DOUBLE)
+        |             - 1000.0 * (ya + yb) / CAST(n AS DOUBLE)))) /
+        |      sqrt(1.0 / (CAST(ya AS DOUBLE) + 1000.0 * (ya + yb)
+        |             / CAST(n AS DOUBLE)) +
+        |           1.0 / (CAST(yb AS DOUBLE) + 1000.0 * (ya + yb)
+        |             / CAST(n AS DOUBLE))), 4) AS z
+        |  FROM bw CROSS JOIN tot
+        |  WHERE ya + yb >= 10)
+        |SELECT w, ya, yb, z FROM scored
+        |ORDER BY z DESC, w ASC LIMIT 15""".stripMargin,
     "q_chi2_keywords" ->
       """WITH sc AS (
         |  SELECT source, w, CAST(count(*) AS BIGINT) AS c

@@ -292,6 +292,50 @@ object GraphOps {
       dist.orderBy("node")
     }),
 
+    // ---- harmonic closeness centrality + eccentricity via ALL-pairs
+    // BFS over the thinned trade graph — "which nations sit closest to
+    // the whole trading network": H(v) = Σ_{u≠v} 1/dist(v,u) (harmonic
+    // form, so unreachable pairs contribute 0 instead of poisoning the
+    // mean), ecc(v) = max dist. Same 4-round frontier relaxation as
+    // q_bfs_dist with a root DIMENSION carried through the join — the
+    // frame is roots×nodes, bounded by the aggregated graph's V², never
+    // by the corpus. The harmonic sum folds per-distance COUNTS (exact
+    // integer aggregates) through ONE fixed-order double expression
+    // (n1 + n2/2 + n3/3 + n4/4), so no FP-accumulation-order drift can
+    // flake the hash gate. Scale shape: the corpus prices the edge
+    // distillation exactly once; the V²-state iteration is the honest
+    // exact form for an aggregated graph (at web scale you'd swap in
+    // HyperANF sketch counters — same relaxation loop, bounded state).
+    "q_closeness" -> ((s, d) => {
+      val e = graft.CacheScope.cached(significantEdges(s, d))
+      val adj = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      var dist = adj.select(col("src").as("node")).distinct()
+        .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 4) {
+        dist = dist
+          .join(adj, col("node") === col("src"))
+          .select(col("root"), col("dst").as("node"),
+            (col("dist") + 1L).as("dist"))
+          .unionByName(dist.select("root", "node", "dist"))
+          .groupBy("root", "node").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.filter(col("dist") > 0)
+        .groupBy("root").agg(
+          sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"),
+          sum(when(col("dist") === 4, 1L).otherwise(0L)).as("n4"),
+          max("dist").as("ecc"))
+        .select(col("root").as("node"),
+          round(col("n1") + col("n2") / 2.0 + col("n3") / 3.0 +
+            col("n4") / 4.0, 6).as("harmonic"),
+          col("ecc"))
+        .orderBy("node")
+    }),
+
     // ---- Newman modularity of the REGION partition over the weighted
     // trade graph: does regional membership explain trade clustering?
     // Q = Σ_c [e_c/m − (d_c/2m)²] — per-region contributions reported
@@ -626,6 +670,47 @@ object GraphOps {
          |d0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM e),
          |${(1 to 4).map(relax).mkString(",\n")}
          |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+    },
+    "q_closeness" -> {
+      // rooted variant of the q_bfs_dist relaxation: the root rides every
+      // round as a grouping column, so dN is the all-pairs 4-hop table
+      def relax(i: Int): String =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT root, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT d${i - 1}.root, adj.dst AS node, d${i - 1}.dist + 1 AS dist
+           |    FROM d${i - 1} JOIN adj ON adj.src = d${i - 1}.node
+           |    UNION ALL SELECT root, node, dist FROM d${i - 1}) r$i
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
+         |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |        AS thr FROM w),
+         |e AS MATERIALIZED (SELECT u, v FROM w, t
+         |                   WHERE CAST(cnt AS DOUBLE) > thr),
+         |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |d0 AS (SELECT DISTINCT src AS root, src AS node,
+         |         CAST(0 AS BIGINT) AS dist FROM adj),
+         |${(1 to 4).map(relax).mkString(",\n")},
+         |h AS (
+         |  SELECT root,
+         |    CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         |    max(dist) AS ecc
+         |  FROM d4 WHERE dist > 0 GROUP BY 1)
+         |SELECT root AS node,
+         |  round(n1 + n2 / 2.0 + n3 / 3.0 + n4 / 4.0, 6) AS harmonic, ecc
+         |FROM h ORDER BY node""".stripMargin
     },
     "q_modularity" ->
       """WITH w AS (

@@ -1117,6 +1117,133 @@ object Analytics {
       med.crossJoin(broadcast(icept))
         .select(col("n_pairs"), round(col("med"), 6).as("slope"),
           round(col("icept"), 6).as("intercept"))
+    }),
+
+    // ---- partial autocorrelation (Durbin–Levinson to lag 3) over the
+    // daily series — q_autocorr's conditional sibling: PACF(k) is the
+    // correlation at lag k AFTER removing what lags 1..k−1 already
+    // explain, the AR-order-selection diagnostic. ACF inputs use the
+    // n²-scaled expansion Σ(x_t−μ)(x_{t+k}−μ)·n² = n²Σxy − nS(Σa+Σb)
+    // + mS², so every aggregate is an EXACT integer (gap-robust: m is
+    // the realized pair count, not n−k) and each ρ_k is one double
+    // division; the recursion is a fixed-order scalar expression tree
+    // on a 1-row frame. Corpus cost: one daily aggregate + three
+    // calendar-bounded self-joins.
+    "q_pacf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true)
+      val base = daily.agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("sxx"))
+      def lagAgg(k: Int) = daily.toDF("day", "xa")
+        .join(daily.toDF("dayb", "xb"), col("dayb") === col("day") + k)
+        .agg(sum(col("xa") * col("xb")).as(s"sxy$k"),
+          sum("xa").as(s"sa$k"), sum("xb").as(s"sb$k"),
+          count(lit(1)).as(s"m$k"))
+      val j = base
+        .crossJoin(broadcast(lagAgg(1)))
+        .crossJoin(broadcast(lagAgg(2)))
+        .crossJoin(broadcast(lagAgg(3)))
+      def rho(k: Int): Column =
+        (col("n") * col("n") * col(s"sxy$k") -
+          col("n") * col("s") * (col(s"sa$k") + col(s"sb$k")) +
+          col(s"m$k") * col("s") * col("s")).cast("double") /
+        (col("n") * col("n") * col("sxx") -
+          col("n") * col("s") * col("s")).cast("double")
+      val r1 = rho(1); val r2 = rho(2); val r3 = rho(3)
+      val p2 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+      val p21 = r1 - p2 * r1
+      val p3 = (r3 - p21 * r2 - p2 * r1) /
+        (lit(1.0) - p21 * r1 - p2 * r2)
+      j.select(round(r1, 6).as("pacf1"), round(p2, 6).as("pacf2"),
+        round(p3, 6).as("pacf3"))
+    }),
+
+    // ---- SAX symbolic series (Lin et al. 2003): z-normalize each
+    // event type's daily-count series, PAA-pool it into 6 segments,
+    // map segment means onto the 4-letter Gaussian-breakpoint alphabet
+    // (±0.6745, 0) — the motif/novelty index form a series store keys
+    // shards by. All inputs to the z expression are exact integer sums
+    // (segment sum/count, series S/Sxx), so both engines branch the
+    // breakpoint CASE on bit-identical doubles. The only windows run
+    // per event type over CALENDAR-bounded frames (day rank within
+    // type); the corpus prices one (type, day) aggregate.
+    "q_sax" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true)
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val seg = daily
+        .withColumn("i", (row_number().over(w) - 1).cast("long"))
+        .join(broadcast(stats), "event_type")
+        .withColumn("seg", expr("(i * 6) DIV n"))
+        .groupBy("event_type", "seg")
+        .agg(sum("x").as("segsum"), count(lit(1)).as("segn"),
+          max("n").as("n"), max("sx").as("sx"), max("sxx").as("sxx"))
+      val mu = col("sx").cast("double") / col("n").cast("double")
+      val sigma = sqrt(col("sxx").cast("double") / col("n").cast("double")
+        - mu * mu)
+      val z = (col("segsum").cast("double") / col("segn").cast("double")
+        - mu) / sigma
+      val sym = when(z < -0.6745, "a").when(z < 0.0, "b")
+        .when(z < 0.6745, "c").otherwise("d")
+      seg.select(col("event_type"), col("seg"), sym.as("sym"), col("n"))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg"), col("sym")))),
+            e => e.getField("sym")), "").as("sax"))
+        .orderBy("event_type")
+    }),
+
+    // ---- Wilcoxon signed-rank test: did per-user activity SHIFT from
+    // the first half of the window to the second? Pairs are each
+    // user's (first-15-days count, rest count) — exact integer diffs,
+    // so the tie structure is identical across engines by construction.
+    // q_mann_whitney's machinery applied to the paired form: zero
+    // diffs drop (standard), |diff| ranks come from the two-phase
+    // GlobalRank prefix over the (|d|, freq) pre-aggregate (bounded by
+    // DISTINCT diffs, no corpus-growing window), average ranks ride in
+    // half-units (2W⁺ = Σ(2·cumBefore + t + 1)·n_pos stays a BIGINT),
+    // ties correct the normal approximation via Σ(t³−t)/48.
+    "q_wilcoxon" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      val d0 = ev.agg(min("day").as("d0"))
+      val per = ev.crossJoin(broadcast(d0))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("d0") + 15, 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("day") >= col("d0") + 15, 1L).otherwise(0L))
+            .as("n2"))
+        .select((col("n2") - col("n1")).as("diff"))
+        .filter(col("diff") =!= 0)
+      val freq = per
+        .select(abs(col("diff")).as("ad"),
+          when(col("diff") > 0, 1L).otherwise(0L).as("p"))
+        .groupBy("ad").agg(count(lit(1)).as("t"), sum("p").as("npos"))
+      val ranked = graft.operators.GlobalRank.withPrefixAggs(freq,
+        Seq(col("ad")),
+        Seq(graft.operators.GlobalRank.PrefixAgg("t", "cl")))
+      val agg = ranked.agg(
+        sum("t").as("m"),
+        sum((lit(2L) * col("cl") + col("t") + 1L) * col("npos"))
+          .as("tw2"),
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") -
+          col("t")).as("ties"))
+      val m = col("m").cast("double")
+      val wPlus = col("tw2").cast("double") / 2.0
+      val mu = m * (m + 1.0) / 4.0
+      val v = m * (m + 1.0) * (lit(2.0) * m + 1.0) / 24.0 -
+        col("ties").cast("double") / 48.0
+      agg.select(col("m"), round(wPlus, 1).as("w_plus"),
+        round(when(v <= 0.0, lit(null)).otherwise((wPlus - mu) / sqrt(v)),
+          6).as("z"))
     })
   )
 
@@ -1930,6 +2057,124 @@ object Analytics {
         |    FROM daily CROSS JOIN med) q)
         |SELECT n_pairs, round(med, 6) AS slope,
         |  round(icept, 6) AS intercept
-        |FROM med CROSS JOIN ic""".stripMargin
+        |FROM med CROSS JOIN ic""".stripMargin,
+    "q_pacf" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx FROM daily),
+        |l1 AS (SELECT CAST(sum(a.x * b.x) AS BIGINT) AS sxy1,
+        |  CAST(sum(a.x) AS BIGINT) AS sa1, CAST(sum(b.x) AS BIGINT) AS sb1,
+        |  CAST(count(*) AS BIGINT) AS m1
+        |  FROM daily a JOIN daily b ON b.day = a.day + 1),
+        |l2 AS (SELECT CAST(sum(a.x * b.x) AS BIGINT) AS sxy2,
+        |  CAST(sum(a.x) AS BIGINT) AS sa2, CAST(sum(b.x) AS BIGINT) AS sb2,
+        |  CAST(count(*) AS BIGINT) AS m2
+        |  FROM daily a JOIN daily b ON b.day = a.day + 2),
+        |l3 AS (SELECT CAST(sum(a.x * b.x) AS BIGINT) AS sxy3,
+        |  CAST(sum(a.x) AS BIGINT) AS sa3, CAST(sum(b.x) AS BIGINT) AS sb3,
+        |  CAST(count(*) AS BIGINT) AS m3
+        |  FROM daily a JOIN daily b ON b.day = a.day + 3),
+        |rho AS (SELECT
+        |  CAST(n*n*sxy1 - n*s*(sa1 + sb1) + m1*s*s AS DOUBLE) /
+        |    CAST(n*n*sxx - n*s*s AS DOUBLE) AS r1,
+        |  CAST(n*n*sxy2 - n*s*(sa2 + sb2) + m2*s*s AS DOUBLE) /
+        |    CAST(n*n*sxx - n*s*s AS DOUBLE) AS r2,
+        |  CAST(n*n*sxy3 - n*s*(sa3 + sb3) + m3*s*s AS DOUBLE) /
+        |    CAST(n*n*sxx - n*s*s AS DOUBLE) AS r3
+        |  FROM base CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN l3),
+        |p AS (SELECT r1, r2, r3,
+        |  (r2 - r1*r1) / (1.0 - r1*r1) AS p2 FROM rho),
+        |q AS (SELECT *, r1 - p2*r1 AS p21 FROM p)
+        |SELECT round(r1, 6) AS pacf1, round(p2, 6) AS pacf2,
+        |  round((r3 - p21*r2 - p2*r1) / (1.0 - p21*r1 - p2*r2), 6)
+        |    AS pacf3
+        |FROM q""".stripMargin,
+    "q_sax" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1),
+        |si AS (
+        |  SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) - 1 AS i
+        |  FROM daily),
+        |sg AS (
+        |  SELECT s.event_type, (s.i * 6) // st.n AS seg,
+        |    CAST(sum(s.x) AS BIGINT) AS segsum,
+        |    CAST(count(*) AS BIGINT) AS segn,
+        |    st.n, st.sx, st.sxx
+        |  FROM si s JOIN stats st USING (event_type)
+        |  GROUP BY 1, 2, st.n, st.sx, st.sxx),
+        |sym AS (
+        |  SELECT event_type, seg, n,
+        |    CASE
+        |      WHEN (CAST(segsum AS DOUBLE) / CAST(segn AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |           < -0.6745 THEN 'a'
+        |      WHEN (CAST(segsum AS DOUBLE) / CAST(segn AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |           < 0.0 THEN 'b'
+        |      WHEN (CAST(segsum AS DOUBLE) / CAST(segn AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |           < 0.6745 THEN 'c'
+        |      ELSE 'd' END AS sym
+        |  FROM sg)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |  string_agg(sym, '' ORDER BY seg) AS sax
+        |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_wilcoxon" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM ev),
+        |per AS (
+        |  SELECT CAST(sum(CASE WHEN day >= d0.d0 + 15 THEN 1 ELSE 0 END)
+        |      AS BIGINT) -
+        |    CAST(sum(CASE WHEN day < d0.d0 + 15 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS diff
+        |  FROM ev CROSS JOIN d0 GROUP BY user_id),
+        |freq AS (
+        |  SELECT abs(diff) AS ad, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS npos
+        |  FROM per WHERE diff <> 0 GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, CAST(coalesce(sum(t) OVER (ORDER BY ad
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cl
+        |  FROM freq),
+        |agg AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS m,
+        |    CAST(sum((2 * cl + t + 1) * npos) AS BIGINT) AS tw2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM ranked)
+        |SELECT m, round(CAST(tw2 AS DOUBLE) / 2.0, 1) AS w_plus,
+        |  round(CASE WHEN
+        |      CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(m AS DOUBLE) + 1.0) / 24.0
+        |        - CAST(ties AS DOUBLE) / 48.0 <= 0.0 THEN NULL
+        |    ELSE (CAST(tw2 AS DOUBLE) / 2.0 -
+        |        CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0) / 4.0) /
+        |      sqrt(CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(m AS DOUBLE) + 1.0) / 24.0
+        |        - CAST(ties AS DOUBLE) / 48.0) END, 6) AS z
+        |FROM agg""".stripMargin
   )
 }

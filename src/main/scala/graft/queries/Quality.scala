@@ -75,6 +75,32 @@ object Quality {
         .orderBy("doc_id")
     }),
 
+    // ---- Robust (median/IQR) length scaling per source — the outlier-
+    // immune twin of z-scoring for feature normalization: rs =
+    // (n_chars − median) / (q3 − q1), so a handful of monster documents
+    // cannot recentre a source's scale the way a mean/stddev pair
+    // would. The three quantiles come from the q_percentiles
+    // discipline — a (source, n_chars, freq) pre-aggregate feeds the
+    // frequency-weighted exact percentile, per-source state bounded by
+    // DISTINCT lengths — and broadcast back over one map stage. A
+    // degenerate source (IQR 0) yields NULL, mirrored in the oracle.
+    "q_robust_scale" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val q = docs.groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("f"))
+        .groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5, f)").as("med"),
+          expr("percentile(n_chars, 0.25, f)").as("q1"),
+          expr("percentile(n_chars, 0.75, f)").as("q3"))
+      docs.join(broadcast(q), "source")
+        .select(col("doc_id"), col("source"),
+          round(when(col("q3") === col("q1"), lit(null))
+            .otherwise((col("n_chars").cast("double") - col("med")) /
+              (col("q3") - col("q1"))), 6).as("rs"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Flesch reading ease. Pure per-row scalar arithmetic: word
     // count, sentence count (min 1 — the fixture corpus carries no
     // terminal punctuation, so this leg is constant here), vowel-group
@@ -170,6 +196,17 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_robust_scale" ->
+      """WITH q AS (
+        |  SELECT source, quantile_cont(n_chars, 0.5) AS med,
+        |    quantile_cont(n_chars, 0.25) AS q1,
+        |    quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, source,
+        |  round(CASE WHEN q3 = q1 THEN NULL
+        |    ELSE (CAST(n_chars AS DOUBLE) - med) / (q3 - q1) END, 6) AS rs
+        |FROM documents JOIN q USING (source)
+        |ORDER BY doc_id""".stripMargin,
     "q_entropy" ->
       """WITH chars AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,

@@ -849,7 +849,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // totals table, a structural bound independent of data.
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q_auc", "q_mann_whitney", "q_ks_test", "q_skyline",
-        "q_kaplan_meier", "q_rrf_fuse", "q_sprt", "q_lift_curve")) {
+        "q_kaplan_meier", "q_rrf_fuse", "q_sprt", "q_lift_curve",
+        "q_wilcoxon", "q_quantile_norm")) {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       val offenders = qe.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
@@ -951,6 +952,61 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "top-k stages must be TakeOrdered, not global sorts")
     assert(tr.contains("ExistingRDD"),
       "PageRank rounds must truncate lineage")
+    graft.CacheScope.drain()
+    spark.catalog.clearCache()
+  }
+
+  test("round-7 third batch: blocked fuzzy verify, rooted BFS, exact-sum " +
+       "stats shapes") {
+    // Jaro-Winkler: candidates come from the blocked equi-join; the
+    // native expression verifies INSIDE codegen — a cartesian or
+    // nested-loop over names would be the O(n²) shape the block exists
+    // to avoid
+    val jw = planOf("q_jaro_winkler")
+    assert(!jw.contains("CartesianProduct") &&
+      !jw.contains("BroadcastNestedLoopJoin"),
+      "fuzzy candidates must stay blocked + keyed")
+    assert(jw.contains("jaro_winkler"),
+      "verify must run the native codegen'd expression")
+    // closeness: the 4 relaxation rounds checkpoint (bounded lineage);
+    // frontier joins are keyed on the node id
+    val cl = planOf("q_closeness")
+    assert(cl.contains("ExistingRDD"),
+      "BFS rounds must truncate lineage like q_bfs_dist")
+    assert(!cl.contains("CartesianProduct"),
+      "frontier relaxation must join keyed")
+    // log-odds: the corpus prices one partial-combined (source, word)
+    // aggregate; the top-15 is TakeOrdered, never a global sort
+    val lo = planOf("q_log_odds")
+    assert(lo.contains("partial_count"),
+      "word counts must map-side combine")
+    assert(lo.contains("TakeOrderedAndProject"),
+      "top-15 must be TakeOrdered")
+    // pacf: one corpus scan into the checkpointed daily frame; the three
+    // calendar-bounded lag joins never shuffle-sort
+    val pf = planOf("q_pacf")
+    assert(pf.contains("ExistingRDD"),
+      "daily frame must be checkpointed (one corpus scan)")
+    assert(!pf.contains("SortMergeJoin"),
+      "lag joins run on the 30-row day frame — broadcast class")
+    // robust-scale: quantiles come off the (source, len, freq)
+    // pre-aggregate with map-side partials and broadcast back over the
+    // corpus map stage
+    val rs = planOf("q_robust_scale")
+    assert(rs.contains("partial_count"),
+      "length frequencies must map-side combine")
+    assert(rs.contains("BroadcastHashJoin"),
+      "per-source quantiles must broadcast, not shuffle the docs")
+    // SAX: the (type, day) aggregate is checkpointed — the published
+    // plan works entirely off that calendar-bounded frame, with zero
+    // residual corpus scans
+    val sx = planOf("q_sax")
+    assert(sx.contains("ExistingRDD"),
+      "q_sax must fold over the checkpointed daily frame")
+    val sxScans = sx.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(sxScans == 0,
+      s"q_sax corpus scan must be priced at checkpoint time, got $sxScans")
     graft.CacheScope.drain()
     spark.catalog.clearCache()
   }

@@ -1119,6 +1119,89 @@ object Analytics {
           round(col("icept"), 6).as("intercept"))
     }),
 
+    // ---- empirical-Bayes conversion-rate shrinkage (beta-binomial,
+    // method-of-moments prior): per-user purchase-per-view rates are
+    // wildly unstable at small n — a 1/1 user is not a 100% converter.
+    // The prior (α, β) is FIT FROM THE DATA: rates quantize to exact
+    // micro-units (the q_entropy discipline) so their mean/variance
+    // come from exact integer sums S1/S2 in ONE fixed-order double
+    // expression, then MoM inverts m(1−m)/v − 1 = α+β (degenerate
+    // moments fall back to a strength-20 prior — mirrored). Each
+    // user's shrunk rate (x+α)/(n+α+β) is a broadcast-prior map stage.
+    // Scale shape: per-user aggregate with map-side partials, 1-row
+    // prior broadcast, linear everywhere — the canonical "millions of
+    // sparse keys" rate-smoothing a ranking pipeline runs.
+    "q_ctr_smoothing" -> ((s, d) => {
+      val per = graft.CacheScope.cached(Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"))
+        .filter(col("n") >= 1))
+      val mom = per
+        .select(round(col("x").cast("double") / col("n").cast("double")
+          * 1e6).cast("long").as("rm"))
+        .agg(count(lit(1)).as("k"), sum("rm").as("s1"),
+          sum(col("rm") * col("rm")).as("s2"))
+      val m = col("s1").cast("double") / col("k").cast("double") / 1e6
+      val v = col("s2").cast("double") / col("k").cast("double") / 1e12 -
+        m * m
+      val abSum = m * (lit(1.0) - m) / v - 1.0
+      val prior = mom.select(
+        when(v > 0.0 && abSum > 0.0, m * abSum)
+          .otherwise(m * 20.0).as("alpha"),
+        when(v > 0.0 && abSum > 0.0, (lit(1.0) - m) * abSum)
+          .otherwise((lit(1.0) - m) * 20.0).as("beta"))
+      per.crossJoin(broadcast(prior))
+        .select(col("user_id"), col("x"), col("n"),
+          round((col("x").cast("double") + col("alpha")) /
+            (col("n").cast("double") + col("alpha") + col("beta")), 6)
+            .as("shrunk_rate"))
+        .orderBy("user_id")
+    }),
+
+    // ---- one-sided CUSUM monitor (Page 1954) over daily volume — the
+    // RESETTING detector next to q_changepoint's offline curve: s_t =
+    // max(0, s_{t−1} + x_t − μ − k), alarm when s_t > h. Unlike the
+    // CUSUM curve (a prefix, expressible as a window), the reset makes
+    // this a true sequential fold — the same aggregate()-over-the-
+    // calendar-array discipline as q_holt. EVERYTHING stays in exact
+    // integers: with k = μ/2 and h = 4μ, scaling by 2n turns the
+    // increment into 2n·x_t − 3S and the alarm bound into 8S (n, S =
+    // day count / event total), so the fold never touches a double
+    // until the final report. Alarm day is the FIRST crossing (−1
+    // sentinel → NULL). Streaming twin: StreamOps.cusumMonitor, same
+    // integers, parity-pinned.
+    "q_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val series = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("a"),
+          count(lit(1)).as("nd"), sum("x").as("sx"))
+      val folded = aggregate(
+        col("a"),
+        struct(lit(0L).as("s"), lit(0L).as("mx"), lit(-1L).as("cr")),
+        (acc, e) => {
+          val sNew = greatest(lit(0L),
+            acc.getField("s") + lit(2L) * col("nd") * e.getField("x") -
+              lit(3L) * col("sx"))
+          struct(sNew.as("s"),
+            greatest(acc.getField("mx"), sNew).as("mx"),
+            when(acc.getField("cr") =!= -1L, acc.getField("cr"))
+              .otherwise(when(sNew > lit(8L) * col("sx"),
+                e.getField("day")).otherwise(lit(-1L))).as("cr"))
+        })
+      series.select(col("nd").as("n_days"),
+        round(folded.getField("mx").cast("double") /
+          (lit(2.0) * col("nd")), 4).as("max_cusum"),
+        when(folded.getField("cr") === -1L, lit(null))
+          .otherwise(folded.getField("cr")).as("alarm_day"))
+    }),
+
     // ---- partial autocorrelation (Durbin–Levinson to lag 3) over the
     // daily series — q_autocorr's conditional sibling: PACF(k) is the
     // correlation at lag k AFTER removing what lags 1..k−1 already
@@ -2058,6 +2141,72 @@ object Analytics {
         |SELECT n_pairs, round(med, 6) AS slope,
         |  round(icept, 6) AS intercept
         |FROM med CROSS JOIN ic""".stripMargin,
+    "q_ctr_smoothing" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1 HAVING sum(CASE WHEN event_type = 'view' THEN 1
+        |    ELSE 0 END) >= 1),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(rm) AS BIGINT) AS s1,
+        |    CAST(sum(rm * rm) AS BIGINT) AS s2
+        |  FROM (SELECT CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * 1e6) AS BIGINT) AS rm FROM per)),
+        |mv AS (
+        |  SELECT
+        |    CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) / 1e6 AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE) / 1e12 -
+        |      (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) / 1e6) *
+        |      (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) / 1e6) AS v
+        |  FROM mom),
+        |prior AS (
+        |  SELECT
+        |    CASE WHEN v > 0.0 AND m * (1.0 - m) / v - 1.0 > 0.0
+        |      THEN m * (m * (1.0 - m) / v - 1.0) ELSE m * 20.0 END
+        |      AS alpha,
+        |    CASE WHEN v > 0.0 AND m * (1.0 - m) / v - 1.0 > 0.0
+        |      THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0)
+        |      ELSE (1.0 - m) * 20.0 END AS beta
+        |  FROM mv)
+        |SELECT user_id, x, n,
+        |  round((CAST(x AS DOUBLE) + alpha) /
+        |    (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate
+        |FROM per CROSS JOIN prior ORDER BY user_id""".stripMargin,
+    "q_cusum" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |ord AS (SELECT day, x,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(x) AS BIGINT) AS sx FROM ord),
+        |rec AS (
+        |  SELECT o.i,
+        |    greatest(CAST(0 AS BIGINT), 2*t.nd*o.x - 3*t.sx) AS s,
+        |    greatest(CAST(0 AS BIGINT), 2*t.nd*o.x - 3*t.sx) AS mx,
+        |    CASE WHEN greatest(CAST(0 AS BIGINT), 2*t.nd*o.x - 3*t.sx)
+        |        > 8*t.sx THEN o.day ELSE CAST(-1 AS BIGINT) END AS cr
+        |  FROM ord o CROSS JOIN t WHERE o.i = 1
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    greatest(CAST(0 AS BIGINT), r.s + 2*t.nd*o.x - 3*t.sx),
+        |    greatest(r.mx,
+        |      greatest(CAST(0 AS BIGINT), r.s + 2*t.nd*o.x - 3*t.sx)),
+        |    CASE WHEN r.cr <> -1 THEN r.cr
+        |      WHEN greatest(CAST(0 AS BIGINT), r.s + 2*t.nd*o.x - 3*t.sx)
+        |        > 8*t.sx THEN o.day
+        |      ELSE CAST(-1 AS BIGINT) END
+        |  FROM rec r JOIN ord o ON o.i = r.i + 1 CROSS JOIN t)
+        |SELECT nd AS n_days,
+        |  round(CAST(mx AS DOUBLE) / (2.0 * nd), 4) AS max_cusum,
+        |  CASE WHEN cr = -1 THEN NULL ELSE cr END AS alarm_day
+        |FROM rec CROSS JOIN t WHERE i = nd""".stripMargin,
     "q_pacf" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

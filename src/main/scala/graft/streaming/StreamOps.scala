@@ -473,6 +473,55 @@ object StreamOps {
       }
   }
 
+  final case class CusumUpdate(series: String, n_days: Long,
+      max_cusum: Double, alarm_day: Option[Long])
+  final case class CusumState(day: Long, n: Long, nClosed: Long,
+      s: Long, mx: Long, cr: Long)
+
+  /** Streaming one-sided CUSUM monitor — the always-on twin of batch
+    * q_cusum (queries.Analytics). The reference mean is CALIBRATED
+    * OFFLINE and rides the operator as exact-integer constants
+    * (`nd` days / `sx` events from a batch window — the
+    * centroid-literal discipline of [[ivfAssign]]): per closed day the
+    * state folds s' ← max(0, s' + 2·nd·x − 3·sx) in scaled BIGINT
+    * units (k = μ/2, h = 4μ ⟺ alarm at s' > 8·sx), bit-identical to
+    * the batch aggregate() fold, so a stream fed the same days lands
+    * on the same max_cusum and the same first alarm day
+    * (StreamingSpec pins it via the sentinel close). Day-close
+    * discipline is [[holtForecast]]'s; state is six longs per series. */
+  def cusumMonitor(points: Dataset[HoltPoint], nd: Long, sx: Long,
+      series: String = "events",
+      dayUs: Long = 86400000000L): Dataset[CusumUpdate] = {
+    import points.sparkSession.implicits._
+    require(nd > 0 && sx >= 0, "cusumMonitor needs offline (nd, sx)")
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[CusumState]) =>
+          var st = state.getOption
+            .getOrElse(CusumState(-1L, 0L, 0L, 0L, 0L, -1L))
+          def close(cur: CusumState): CusumState = {
+            val sNew = math.max(0L, cur.s + 2L * nd * cur.n - 3L * sx)
+            cur.copy(nClosed = cur.nClosed + 1L, s = sNew,
+              mx = math.max(cur.mx, sNew),
+              cr = if (cur.cr != -1L) cur.cr
+                else if (sNew > 8L * sx) cur.day else -1L)
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { p =>
+            val d = p.ts_us / dayUs
+            if (st.day == -1L) st = st.copy(day = d, n = 1L)
+            else if (d == st.day) st = st.copy(n = st.n + 1L)
+            else if (d > st.day) st = close(st).copy(day = d, n = 1L)
+            // d < st.day: late event for a closed day — dropped
+          }
+          state.update(st)
+          Iterator(CusumUpdate(key, st.nClosed,
+            math.rint(st.mx.toDouble / (2.0 * nd) * 1e4) / 1e4,
+            if (st.cr == -1L) None else Some(st.cr)))
+      }
+  }
+
   final case class HwUpdate(series: String, n_days: Long,
       level: Option[Double], trend: Option[Double],
       forecast_1d: Option[Double], season_range: Option[Double])

@@ -689,6 +689,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming CUSUM equals batch q_cusum after the sentinel close " +
+       "(offline-calibrated integer constants)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"))
+      .as[StreamOps.HoltPoint]
+      .collect().sortBy(_.ts_us)
+    // offline calibration: the same (n_days, total) the batch fold uses
+    val nd = pts.map(_.ts_us / 86400000000L).distinct.length.toLong
+    val sx = pts.length.toLong
+    val in = MemoryStream[StreamOps.HoltPoint]
+    val q = StreamOps.cusumMonitor(in.toDS(), nd, sx).writeStream
+      .format("memory").queryName("cusum").outputMode("append").start()
+    try {
+      pts.grouped(500).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // sentinel closes the last real day
+      in.addData(StreamOps.HoltPoint(pts.last.ts_us + 86400000000L))
+      q.processAllAvailable()
+      val last = spark.table("cusum").as[StreamOps.CusumUpdate]
+        .collect().maxBy(_.n_days)
+      val batch = graft.SparkEntry.queries("q_cusum")(spark, sf)
+        .collect().head
+      assert(last.n_days === batch.getAs[Long]("n_days"))
+      assert(last.max_cusum === batch.getAs[Double]("max_cusum"))
+      val batchAlarm = Option(batch.get(2)).map(_.asInstanceOf[Long])
+      assert(last.alarm_day === batchAlarm,
+        s"alarm day: stream ${last.alarm_day} vs batch $batchAlarm")
+    } finally q.stop()
+  }
+
   test("streaming SPRT equals batch q_sprt on the time-ordered fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

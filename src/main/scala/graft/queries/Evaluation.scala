@@ -52,6 +52,52 @@ object Evaluation {
     // (diagonal count + two marginal tables, joined on the label —
     // |labels| rows each, broadcast); the corpus shuffles nothing but
     // label keys.
+    // ---- rank-biased overlap (Webber, Moffat & Zobel 2010), truncated
+    // at depth 20, p = 0.9 — "how similar are two sources' vocabulary
+    // rankings?", the top-weighted comparison Kendall's τ gets wrong
+    // for rankings where only the head matters. Per source the top-20
+    // words rank by (count desc, word asc) — deterministic ties — and
+    // the pairwise term Σ_d p^d·|A∩B@d|/d regroups PER WORD: a word at
+    // ranks (ra, rb) contributes Σ_{d≥max(ra,rb)} p^d/d, so the whole
+    // statistic is one keyed word join against a 20-row weight frame.
+    // Scale: the corpus prices one (source, word) count; rankings and
+    // weights are top-k-bounded frames.
+    "q_rbo" -> ((s, d) => {
+      val sc = graft.CacheScope.cached(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c")))
+      val s1 = sc.agg(min("source").as("s1"))
+      val s2 = sc.crossJoin(broadcast(s1))
+        .filter(col("source") > col("s1"))
+        .agg(min("source").as("s2"))
+      val rw = Window.partitionBy("source")
+        .orderBy(col("c").desc, col("w").asc)
+      val ranked = sc.withColumn("r", row_number().over(rw))
+        .filter(col("r") <= 20)
+      val a = ranked.crossJoin(broadcast(s1))
+        .filter(col("source") === col("s1"))
+        .select(col("w"), col("r").as("ra"))
+      val b = ranked.crossJoin(broadcast(s2))
+        .filter(col("source") === col("s2"))
+        .select(col("w"), col("r").as("rb"))
+      val joined = a.join(b, "w")
+        .select(col("w"), greatest(col("ra"), col("rb")).as("m"))
+      // weights quantize to exact pico-units so the term sum is an
+      // integer under ANY partial-aggregation order (q_entropy
+      // discipline); the 0.9^d doubles themselves are bit-identical
+      // across engines (same pow, same inputs)
+      val weights = s.range(1, 21).toDF("dd")
+        .select(col("dd").cast("int").as("dd"),
+          round(pow(lit(0.9), col("dd")) / col("dd") * 1e12)
+            .cast(LongType).as("wtp"))
+      val contrib = joined.join(broadcast(weights), col("dd") >= col("m"))
+        .agg(sum("wtp").as("swp"), count_distinct(col("w")).as("n_common"))
+      contrib.select(col("n_common"),
+        round(col("swp").cast("double") / 1e12 * (lit(1.0) - 0.9) / 0.9, 6)
+          .as("rbo"))
+    }),
+
     "q_kappa" -> ((s, d) => {
       val preds = graft.CacheScope.cached(
         Tables.documents(s, d)
@@ -337,6 +383,37 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rbo" ->
+      """WITH sc AS MATERIALIZED (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |p1 AS (SELECT min(source) AS s1 FROM sc),
+        |p2 AS (SELECT min(source) AS s2 FROM sc CROSS JOIN p1
+        |       WHERE source > p1.s1),
+        |ranked AS (
+        |  SELECT source, w,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, w ASC) AS INTEGER) AS r
+        |  FROM sc QUALIFY r <= 20),
+        |a AS (SELECT w, r AS ra FROM ranked CROSS JOIN p1
+        |      WHERE source = p1.s1),
+        |b AS (SELECT w, r AS rb FROM ranked CROSS JOIN p2
+        |      WHERE source = p2.s2),
+        |j AS (SELECT a.w, greatest(a.ra, b.rb) AS m
+        |      FROM a JOIN b USING (w)),
+        |weights AS (
+        |  SELECT CAST(dd AS INTEGER) AS dd,
+        |    CAST(round(pow(0.9, dd) / dd * 1e12) AS BIGINT) AS wtp
+        |  FROM generate_series(1, 20) AS t(dd)),
+        |contrib AS (
+        |  SELECT CAST(sum(wtp) AS BIGINT) AS swp,
+        |    CAST(count(DISTINCT j.w) AS BIGINT) AS n_common
+        |  FROM j JOIN weights ON weights.dd >= j.m)
+        |SELECT n_common,
+        |  round(CAST(swp AS DOUBLE) / 1e12 * (1.0 - 0.9) / 0.9, 6) AS rbo
+        |FROM contrib""".stripMargin,
     "q_kappa" ->
       """WITH p AS (
         |  SELECT lang,

@@ -336,6 +336,28 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    // ---- edge reciprocity of the DIRECTED trade graph: what fraction
+    // of distinct importer→exporter links flow both ways? (The
+    // classic directedness diagnostic — ~1 means trade is mutual, ~0
+    // means strictly one-way supply chains.) One DISTINCT over the
+    // derived edge list, one self-join keyed on the REVERSED pair, two
+    // exact counts — the division is the only double. The join stays
+    // keyed (u,v)↔(v,u); nothing quadratic, dims broadcast in the
+    // derivation exactly as every other tradeEdges consumer.
+    "q_reciprocity" -> ((s, d) => {
+      val e = graft.CacheScope.cached(tradeEdges(s, d)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v")).distinct())
+      val recip = e.join(e.toDF("v", "u"), Seq("u", "v"), "left_semi")
+      val n = e.agg(count(lit(1)).as("n_edges"))
+      val r = recip.agg(count(lit(1)).as("n_recip"))
+      n.crossJoin(broadcast(r))
+        .select(col("n_edges"), col("n_recip"),
+          round(col("n_recip").cast("double") /
+            col("n_edges").cast("double"), 6).as("reciprocity"))
+    }),
+
     // ---- Newman modularity of the REGION partition over the weighted
     // trade graph: does regional membership explain trade clustering?
     // Q = Σ_c [e_c/m − (d_c/2m)²] — per-region contributions reported
@@ -712,6 +734,23 @@ object GraphOps {
          |  round(n1 + n2 / 2.0 + n3 / 3.0 + n4 / 4.0, 6) AS harmonic, ecc
          |FROM h ORDER BY node""".stripMargin
     },
+    "q_reciprocity" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS u,
+        |    CAST(s.s_nationkey AS BIGINT) AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_recip FROM e a
+        |      WHERE EXISTS (SELECT 1 FROM e b
+        |                    WHERE b.u = a.v AND b.v = a.u))
+        |SELECT n_edges, n_recip,
+        |  round(CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+        |    AS reciprocity
+        |FROM n CROSS JOIN r""".stripMargin,
     "q_modularity" ->
       """WITH w AS (
         |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,

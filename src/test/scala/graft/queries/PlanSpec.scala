@@ -1011,6 +1011,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("round-7 fourth batch: integer folds, semi-join reciprocity, " +
+       "broadcast priors") {
+    // CUSUM: the reset recursion folds over ONE checkpoint-free daily
+    // aggregate — a single corpus scan, no join at all
+    val cu = planOf("q_cusum")
+    assert(!cu.contains("Join"), "q_cusum is one scan + one fold")
+    val cuScans = cu.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(cuScans <= 5, s"q_cusum: unexpected scan fan-out ($cuScans)")
+    // reciprocity: the reversed-pair lookup is a LeftSemi keyed on
+    // (u,v) — never a cartesian; the cached edge list is scanned, not
+    // re-derived
+    val rc = planOf("q_reciprocity")
+    assert(rc.contains("LeftSemi"),
+      "reversed-edge membership must plan as a semi join")
+    assert(!rc.contains("CartesianProduct"))
+    // ctr smoothing: per-user aggregate partial-combines; the MoM prior
+    // is a broadcast 1-row frame over the cached per-user frame
+    val ct = planOf("q_ctr_smoothing")
+    assert(ct.contains("partial_"),
+      "per-user trials must map-side combine")
+    assert(ct.contains("InMemoryTableScan"),
+      "prior and map stage must share the cached per-user frame")
+    assert(!ct.contains("SortMergeJoin"),
+      "the 1-row prior must broadcast")
+    // rbo: rankings join keyed on the word; the 20-row weight frame is
+    // the only nested-loop site (bounded by construction)
+    val rb = planOf("q_rbo")
+    assert(!rb.contains("CartesianProduct"),
+      "top-20 frames must join keyed on w")
+    assert(rb.contains("InMemoryTableScan"),
+      "source picks and rankings must reuse the cached (source, word) agg")
+    graft.CacheScope.drain()
+    spark.catalog.clearCache()
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

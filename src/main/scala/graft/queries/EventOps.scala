@@ -232,6 +232,39 @@ object EventOps {
     // statistical twin). ONE shuffle keyed by user for the lag window,
     // then a |states|²-bounded count agg; probabilities are exact
     // integer ratios divided once at the end.
+    // ---- entropy rate of the behavior Markov chain — "how predictable
+    // is the next action given the current one?": per from-state the
+    // conditional entropy H_i = Σ_j (c_ij/tot_i)·ln(tot_i/c_ij) and its
+    // stationary weight π_i = tot_i/T, the pair whose dot product is
+    // the chain's entropy rate. Terms quantize to exact nano-nat
+    // integers before summing (q_entropy discipline) so partial-agg
+    // order cannot move the hash; everything upstream is q_markov's
+    // transition-count shuffle (user-partitioned lag window — high-
+    // cardinality key, fully parallel).
+    "q_markov_entropy" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tr = Tables.events(s, d)
+        .withColumn("from_t", lag("event_type", 1).over(w))
+        .filter(col("from_t").isNotNull)
+        .groupBy(col("from_t").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("c"))
+      val rowTot = tr.groupBy("from_type").agg(sum("c").as("tot"))
+      val tt = rowTot.agg(sum("tot").as("tt"))
+      tr.join(broadcast(rowTot), Seq("from_type"))
+        .groupBy("from_type")
+        .agg(max("tot").as("tot"),
+          sum(round(col("c").cast("double") / col("tot").cast("double") *
+            log(col("tot").cast("double") / col("c").cast("double")) *
+            1e9).cast("long")).as("hm"))
+        .crossJoin(broadcast(tt))
+        .select(col("from_type"), col("tot"),
+          round(col("tot").cast("double") / col("tt").cast("double"), 6)
+            .as("pi"),
+          round(col("hm") / 1e9, 6).as("h_nats"))
+        .orderBy("from_type")
+    }),
+
     "q_markov" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val tr = Tables.events(s, d)
@@ -602,6 +635,30 @@ object EventOps {
         |FROM ev a JOIN ev b ON b.user_id = a.user_id
         |  AND b.rn BETWEEN a.rn - 15 AND a.rn
         |GROUP BY a.event_id, a.user_id, a.ts_us, a.value""".stripMargin,
+    "q_markov_entropy" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS from_t
+        |  FROM events),
+        |tr AS (
+        |  SELECT from_t AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM x WHERE from_t IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS tot FROM tr
+        |        GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tot) AS BIGINT) AS tt FROM tot),
+        |h AS (
+        |  SELECT tr.from_type, CAST(max(tot) AS BIGINT) AS tot,
+        |    CAST(sum(CAST(round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) *
+        |      ln(CAST(tot AS DOUBLE) / CAST(c AS DOUBLE)) * 1e9)
+        |      AS BIGINT)) AS BIGINT) AS hm
+        |  FROM tr JOIN tot ON tot.from_type = tr.from_type
+        |  GROUP BY 1)
+        |SELECT from_type, tot,
+        |  round(CAST(tot AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS pi,
+        |  round(hm / 1e9, 6) AS h_nats
+        |FROM h CROSS JOIN tt ORDER BY from_type""".stripMargin,
     "q_markov" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

@@ -336,6 +336,35 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    // ---- item-item collaborative filtering (co-purchase cosine): the
+    // recommendation primitive — sim(u,v) = c_uv/√(c_u·c_v) over
+    // "orders containing both parts", i.e. the coPurchaseEdges graph
+    // with cosine normalization. Scale shape: the per-order self-join
+    // fans out O(items-per-order²) (TPC-H ≤ 7, bounded — the market-
+    // basket discipline of q_assoc_rules), pair counts partial-combine,
+    // the part-popularity joins stay UNHINTED (part is SF-scaled; AQE
+    // decides — the r5 broadcast-OOM lesson), support ≥ 2 prunes noise
+    // pairs, and the top-20 is a TakeOrdered. All inputs exact counts;
+    // the cosine is the one double.
+    "q_item_cf" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val cnt = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+        .filter(col("cuv") >= 2)
+      pairs
+        .join(cnt.toDF("u", "nu"), "u")
+        .join(cnt.toDF("v", "nv"), "v")
+        .select(col("u"), col("v"), col("cuv"),
+          round(col("cuv").cast("double") /
+            sqrt(col("nu").cast("double") * col("nv").cast("double")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("u").asc, col("v").asc)
+        .limit(20)
+    }),
+
     // ---- edge reciprocity of the DIRECTED trade graph: what fraction
     // of distinct importer→exporter links flow both ways? (The
     // classic directedness diagnostic — ~1 means trade is mutual, ~0
@@ -734,6 +763,24 @@ object GraphOps {
          |  round(n1 + n2 / 2.0 + n3 / 3.0 + n4 / 4.0, 6) AS harmonic, ecc
          |FROM h ORDER BY node""".stripMargin
     },
+    "q_item_cf" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM li
+        |        GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS cuv
+        |  FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT u, v, cuv,
+        |  round(CAST(cuv AS DOUBLE) /
+        |    sqrt(CAST(cu.n AS DOUBLE) * CAST(cv.n AS DOUBLE)), 6)
+        |    AS cosine
+        |FROM pairs
+        |JOIN cnt cu ON cu.pk = pairs.u
+        |JOIN cnt cv ON cv.pk = pairs.v
+        |ORDER BY cosine DESC, u ASC, v ASC LIMIT 20""".stripMargin,
     "q_reciprocity" ->
       """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS u,

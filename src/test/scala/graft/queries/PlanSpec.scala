@@ -1043,6 +1043,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "top-20 frames must join keyed on w")
     assert(rb.contains("InMemoryTableScan"),
       "source picks and rankings must reuse the cached (source, word) agg")
+    // item-CF: basket self-join keyed on the order, pair counts
+    // partial-combine, part-popularity joins carry NO broadcast hint
+    // (part is SF-scaled — AQE decides), top-20 is TakeOrdered
+    val cf = planOf("q_item_cf")
+    assert(!cf.contains("CartesianProduct"),
+      "co-purchase pairs must join keyed on the order")
+    assert(cf.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort")
+    assert(cf.contains("partial_count"),
+      "pair counts must map-side combine")
+    // markov entropy: per-term nano-nat integers partial-combine; the
+    // row-total join broadcasts a states×states-bounded frame
+    val me = planOf("q_markov_entropy")
+    assert(me.contains("partial_"),
+      "entropy terms must map-side combine")
+    assert(!me.contains("CartesianProduct") || me.contains("Broadcast"),
+      "only broadcast scalars may nest")
     graft.CacheScope.drain()
     spark.catalog.clearCache()
   }

@@ -161,6 +161,36 @@ object CorpusOps {
     // as a product of ratios — each factor stays near 1/p(w), so no
     // Long-overflowing count products appear at any corpus size (the
     // q_mi overflow lesson, applied from the start).
+    // ---- skip-gram co-occurrence matrix (±2 window, 1/distance
+    // weighting) — the GloVe/word2vec input statistic, one step wider
+    // than q_collocations' adjacent-bigram PMI. Pair extraction is the
+    // textrank transform shape: each position emits its k=1,2
+    // right-neighbors in ONE map pass (fan-out bounded by the window,
+    // no self-join); weights ride in exact HALF-units (2/k ∈ {2,1}) so
+    // the aggregation is a pure BIGINT sum under any partial order.
+    // Top-30 by weight is a TakeOrdered.
+    "q_cooc_matrix" -> ((s, d) => {
+      val t = graft.CacheScope.cached(toks(s, d))
+      val pairs = (1 to 2).map { k =>
+        t.filter(size(col("ws")) >= k + 1)
+          .select(explode(transform(
+            sequence(lit(0), size(col("ws")) - k - 1),
+            i => struct(element_at(col("ws"), i + 1).as("a"),
+              element_at(col("ws"), i + 1 + k).as("b")))).as("p"),
+            lit(2L / k).as("w2"))
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("w2"))
+      }.reduce(_ unionByName _)
+      pairs.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("wa"),
+          greatest(col("a"), col("b")).as("wb"), col("w2"))
+        .groupBy("wa", "wb")
+        .agg(sum("w2").as("w2sum"), count(lit(1)).as("n_pairs"))
+        .select(col("wa"), col("wb"), col("n_pairs"),
+          round(col("w2sum") / 2.0, 1).as("weight"))
+        .orderBy(col("weight").desc, col("wa").asc, col("wb").asc)
+        .limit(30)
+    }),
+
     "q_collocations" -> ((s, d) => {
       val t = graft.CacheScope.cached(toks(s, d))
       val uni = t.select(explode(col("ws")).as("w"))
@@ -397,6 +427,21 @@ object CorpusOps {
          |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
          |FROM c12 JOIN c1 ON c12.w1 = c1.w1
          |ORDER BY 1, 2""".stripMargin,
+    "q_cooc_matrix" ->
+      s"""WITH t AS ($tokSql),
+         |p1 AS (SELECT ws[i] AS a, ws[i+1] AS b, CAST(2 AS BIGINT) AS w2
+         |  FROM (SELECT ws, generate_subscripts(ws, 1) AS i FROM t)
+         |  WHERE i <= len(ws) - 1),
+         |p2 AS (SELECT ws[i] AS a, ws[i+2] AS b, CAST(1 AS BIGINT) AS w2
+         |  FROM (SELECT ws, generate_subscripts(ws, 1) AS i FROM t)
+         |  WHERE i <= len(ws) - 2),
+         |p AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+         |c AS (SELECT least(a, b) AS wa, greatest(a, b) AS wb,
+         |  CAST(sum(w2) AS BIGINT) AS w2sum,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM p WHERE a <> b GROUP BY 1, 2)
+         |SELECT wa, wb, n_pairs, round(w2sum / 2.0, 1) AS weight
+         |FROM c ORDER BY weight DESC, wa ASC, wb ASC LIMIT 30""".stripMargin,
     "q_collocations" ->
       s"""WITH t AS ($tokSql),
          |bg AS (

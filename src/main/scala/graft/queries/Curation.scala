@@ -160,6 +160,28 @@ object Curation {
     // at-risk rate. Scale shape: one map-side-combined aggregate over
     // the QI tuple, then a QI-cardinality-bounded re-aggregate — the
     // corpus shuffles once, keyed by the tuple.
+    // ---- differentially-private release counts (Laplace mechanism,
+    // ε = 1) — q_kanon's release-side sibling: per-source document
+    // counts published with Laplace(1/ε) noise. The "noise" draw is
+    // DETERMINISTIC — inverse-CDF over the md5-hash uniform of the
+    // source name (the q_hash_sample discipline) — so replicated runs
+    // and the oracle land on identical releases; a production deploy
+    // swaps the hash for a secret-seeded PRF, same plan. Map-only over
+    // a source-count aggregate; nothing here grows past the number of
+    // sources.
+    "q_dp_counts" -> ((s, d) => {
+      val u = conv(substring(md5(col("source")), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+      val noise = -signum(u - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs") + round(noise).cast(LongType)).as("n_released"),
+          round(noise, 6).as("noise"))
+        .orderBy("source")
+    }),
+
     "q_kanon" -> ((s, d) => {
       val classes = Tables.customer(s, d)
         .groupBy(col("c_nationkey"), col("c_mktsegment"),
@@ -241,6 +263,20 @@ object Curation {
         |FROM documents d
         |JOIN bylang b ON b.lang = d.lang CROSS JOIN tot t
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_dp_counts" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |u AS (
+        |  SELECT source, n_docs,
+        |    CAST(CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+        |      AS DOUBLE) / 4294967296.0 AS u
+        |  FROM c)
+        |SELECT source, n_docs,
+        |  n_docs + CAST(round(-sign(u - 0.5) *
+        |    ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT) AS n_released,
+        |  round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+        |FROM u ORDER BY source""".stripMargin,
     "q_kanon" ->
       """WITH classes AS (
         |  SELECT c_nationkey, c_mktsegment,

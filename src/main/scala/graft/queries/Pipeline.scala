@@ -84,6 +84,26 @@ object Pipeline {
         .orderBy("user_id")
     }),
 
+    // salted equi-join (operators.Skew.saltedJoin): the hot-KEY join
+    // mitigation — events key on event_type (5 values; the "one key is
+    // 10% of 100 TB" regime where a plain shuffle join funnels a fifth
+    // of the corpus through one reducer). Facts take a deterministic
+    // per-row salt, the derived 5-row dim replicates ×8, the shuffle
+    // key widens to (event_type, _salt) — and the oracle is the PLAIN
+    // join: identical rows is the claim, exactly like q_salted_agg.
+    // Sums stay exact (integer cents) so no FP-order drift.
+    "q_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val dim = ev.select("event_type").distinct()
+        .withColumn("wt", length(col("event_type")).cast("long"))
+      graft.operators.Skew.saltedJoin(ev, dim, "event_type", salts = 8)
+        .groupBy("event_type")
+        .agg(max("wt").as("wt"), count(lit(1)).as("n"),
+          sum("cents").as("cents"))
+        .orderBy("event_type")
+    }),
+
     // stratified sample: per-language quotas via the deterministic hash
     // (lang 'en' keeps 20%, others 5%) — reproducible downsampling with
     // class balance control
@@ -199,6 +219,20 @@ object Pipeline {
       """SELECT user_id, round(sum(value), 2) AS total,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_join" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |dim AS (
+        |  SELECT event_type,
+        |    CAST(length(event_type) AS BIGINT) AS wt
+        |  FROM (SELECT DISTINCT event_type FROM ev))
+        |SELECT ev.event_type, CAST(max(wt) AS BIGINT) AS wt,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM ev JOIN dim USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
         |FROM documents

@@ -1060,6 +1060,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "entropy terms must map-side combine")
     assert(!me.contains("CartesianProduct") || me.contains("Broadcast"),
       "only broadcast scalars may nest")
+    // salted join: the shuffle key must carry the salt — that IS the
+    // skew mitigation
+    val sj = planOf("q_salted_join")
+    assert(sj.contains("_salt"),
+      "join keys must include the salt column")
+    assert(!sj.contains("CartesianProduct"))
+    // co-occurrence matrix: pair extraction is one map pass — no join
+    // anywhere; weights aggregate with partials; top-30 is TakeOrdered
+    val cm = planOf("q_cooc_matrix")
+    assert(!cm.contains("Join"),
+      "skip-gram pairs must come from the transform, not a self-join")
+    assert(cm.contains("TakeOrderedAndProject") && cm.contains("partial_"))
+    // dp counts: a source-bounded aggregate plus per-row noise math —
+    // no join, map-side partials
+    val dp = planOf("q_dp_counts")
+    assert(!dp.contains("Join") && dp.contains("partial_count"))
     graft.CacheScope.drain()
     spark.catalog.clearCache()
   }

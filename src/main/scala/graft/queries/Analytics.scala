@@ -1119,6 +1119,53 @@ object Analytics {
           round(col("icept"), 6).as("intercept"))
     }),
 
+    // ---- Kruskal–Wallis H: does event VALUE differ across the five
+    // event types? — q_mann_whitney's k-group generalization, same
+    // machinery end to end: values quantize to exact cents, pooled
+    // average ranks ride in half-units off the GlobalRank prefix over
+    // the (value, freq) pre-aggregate, per-group rank sums 2R_g =
+    // Σ(2·cumBefore + t + 1)·f_gv stay BIGINT, the per-group
+    // R_g²/n_g terms quantize to milli-units in DECIMAL(38,0) (their
+    // magnitude squares the rank scale — the q_entropy discipline at
+    // a wider type), and ties correct via Σ(t³−t)/(N³−N). One double
+    // expression per output.
+    "q_kruskal" -> ((s, d) => {
+      val gv = Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("f"))
+        .localCheckpoint(true)
+      val vt = gv.groupBy("v").agg(sum("f").as("t"))
+      val ranked = graft.operators.GlobalRank.withPrefixAggs(vt,
+        Seq(col("v")),
+        Seq(graft.operators.GlobalRank.PrefixAgg("t", "cl")))
+      val byGroup = gv.join(ranked, "v")
+        .groupBy("g")
+        .agg(sum("f").as("ng"),
+          sum((lit(2L) * col("cl") + col("t") + 1L) * col("f"))
+            .as("tw2"))
+      // R_g = tw2/2 exact in doubles (≪ 2^53); term·1e3 → DECIMAL sum
+      val term = (col("tw2").cast("double") / 2.0) *
+        (col("tw2").cast("double") / 2.0) / col("ng").cast("double")
+      val agg = byGroup.agg(
+        count(lit(1)).as("k"),
+        sum("ng").as("n"),
+        sum(round(term * 1e3).cast("decimal(38,0)")).as("s3"))
+      val ties = ranked.agg(
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") -
+          col("t")).as("ties"))
+      val n = col("n").cast("double")
+      val h = lit(12.0) / (n * (n + 1.0)) *
+        (col("s3").cast("double") / 1e3) - lit(3.0) * (n + 1.0)
+      val corr = lit(1.0) - col("ties").cast("double") /
+        (col("n").cast("decimal(38,0)") * col("n") * col("n") -
+          col("n")).cast("double")
+      agg.crossJoin(broadcast(ties))
+        .select(col("n"), col("k").as("n_groups"),
+          round(h, 6).as("h"),
+          round(h / corr, 6).as("h_corr"))
+    }),
+
     // ---- empirical-Bayes conversion-rate shrinkage (beta-binomial,
     // method-of-moments prior): per-user purchase-per-view rates are
     // wildly unstable at small n — a 1/1 user is not a 100% converter.
@@ -1196,8 +1243,10 @@ object Analytics {
                 e.getField("day")).otherwise(lit(-1L))).as("cr"))
         })
       series.select(col("nd").as("n_days"),
-        round(folded.getField("mx").cast("double") /
-          (lit(2.0) * col("nd")), 4).as("max_cusum"),
+        // empty-series guard: nd = 0 must yield NULL, not 0/0 (ANSI)
+        when(col("nd") === 0, lit(null))
+          .otherwise(round(folded.getField("mx").cast("double") /
+            (lit(2.0) * col("nd")), 4)).as("max_cusum"),
         when(folded.getField("cr") === -1L, lit(null))
           .otherwise(folded.getField("cr")).as("alarm_day"))
     }),
@@ -2141,6 +2190,39 @@ object Analytics {
         |SELECT n_pairs, round(med, 6) AS slope,
         |  round(icept, 6) AS intercept
         |FROM med CROSS JOIN ic""".stripMargin,
+    "q_kruskal" ->
+      """WITH gv AS MATERIALIZED (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS f
+        |  FROM events GROUP BY 1, 2),
+        |vt AS (SELECT v, CAST(sum(f) AS BIGINT) AS t FROM gv GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, CAST(coalesce(sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cl
+        |  FROM vt),
+        |bg AS (
+        |  SELECT g, CAST(sum(f) AS BIGINT) AS ng,
+        |    CAST(sum((2 * cl + t + 1) * f) AS BIGINT) AS tw2
+        |  FROM gv JOIN ranked USING (v) GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    sum(CAST(round((CAST(tw2 AS DOUBLE) / 2.0) *
+        |      (CAST(tw2 AS DOUBLE) / 2.0) / CAST(ng AS DOUBLE) * 1e3)
+        |      AS HUGEINT)) AS s3
+        |  FROM bg),
+        |tie AS (SELECT sum(t * t * t - t) AS ties FROM ranked),
+        |hh AS (
+        |  SELECT n, k, ties,
+        |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+        |      (CAST(s3 AS DOUBLE) / 1e3) -
+        |      3.0 * (CAST(n AS DOUBLE) + 1.0) AS h
+        |  FROM agg CROSS JOIN tie)
+        |SELECT n, k AS n_groups, round(h, 6) AS h,
+        |  round(h / (1.0 - CAST(ties AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 6) AS h_corr
+        |FROM hh""".stripMargin,
     "q_ctr_smoothing" ->
       """WITH per AS MATERIALIZED (
         |  SELECT user_id,

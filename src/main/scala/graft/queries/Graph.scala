@@ -383,8 +383,10 @@ object GraphOps {
       val r = recip.agg(count(lit(1)).as("n_recip"))
       n.crossJoin(broadcast(r))
         .select(col("n_edges"), col("n_recip"),
-          round(col("n_recip").cast("double") /
-            col("n_edges").cast("double"), 6).as("reciprocity"))
+          // empty-graph guard: 0 edges must yield NULL, not 0/0 (ANSI)
+          when(col("n_edges") === 0, lit(null))
+            .otherwise(round(col("n_recip").cast("double") /
+              col("n_edges").cast("double"), 6)).as("reciprocity"))
     }),
 
     // ---- Newman modularity of the REGION partition over the weighted

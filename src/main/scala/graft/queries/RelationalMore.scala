@@ -277,6 +277,38 @@ object RelationalMore {
     // verify loop stays in whole-stage codegen. At 100 TB the block key
     // keeps candidate counts linear in names-per-block; the expression
     // prices each candidate once, no boxing, no UDF.
+    // ---- entity resolution end-to-end: block → JW-verify → CLUSTER.
+    // q_jaro_winkler's match pairs become edges of a bipartite
+    // customer/supplier name graph (key spaces disjoint by a +1e6
+    // offset) and ConnectedComponents folds them into entity groups —
+    // the full record-linkage pipeline (the dedup pair→group step,
+    // applied to fuzzy identity). Only MATCHED names appear (an
+    // unmatched name is its own entity trivially). Scale shape: the
+    // pair derivation is the blocked fuzzy join; CC is one keyed
+    // shuffle + min-agg per round over the (small) match graph.
+    "q_er_cluster" -> ((s, d) => {
+      graft.functions.JaroWinkler.register(s)
+      val c = Tables.customer(s, d)
+        .select(col("c_name").as("na"),
+          col("c_custkey").cast("long").as("ida"),
+          substring(col("c_name"), -3, 3).as("blk"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_name").as("nb"),
+          (col("s_suppkey").cast("long") + 1000000L).as("idb"),
+          substring(col("s_name"), -3, 3).as("blk"))
+      val pairs = c.join(sup, Seq("blk"))
+        .filter(call_function("jaro_winkler", col("na"), col("nb")) > 0.8)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+        .localCheckpoint(true)
+      val comp = graft.operators.ConnectedComponents.run(pairs)
+      val names = c.select(col("ida").as("node"), col("na").as("name"))
+        .unionByName(sup.select(col("idb").as("node"),
+          col("nb").as("name")))
+      comp.join(names, "node")
+        .select(col("name"), col("component").as("entity_id"))
+        .orderBy("name")
+    }),
+
     "q_jaro_winkler" -> ((s, d) => {
       graft.functions.JaroWinkler.register(s)
       val c = Tables.customer(s, d)
@@ -430,6 +462,30 @@ object RelationalMore {
         |FROM p a JOIN p b ON b.blk = a.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "q_er_cluster" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS ida,
+        |    CAST(s_suppkey AS BIGINT) + 1000000 AS idb
+        |  FROM customer JOIN supplier
+        |    ON substring(c_name, -3, 3) = substring(s_name, -3, 3)
+        |  WHERE jaro_winkler_similarity(c_name, s_name) > 0.8),
+        |edges AS (SELECT ida AS u, idb AS v FROM e0
+        |          UNION SELECT idb, ida FROM e0),
+        |nodes AS (SELECT DISTINCT u AS dd FROM edges),
+        |reach(s, t) AS (
+        |  SELECT dd, dd FROM nodes
+        |  UNION
+        |  SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.t),
+        |comp AS (SELECT s AS node, min(t) AS entity_id FROM reach
+        |         GROUP BY 1),
+        |names AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node, c_name AS name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey AS BIGINT) + 1000000, s_name
+        |  FROM supplier)
+        |SELECT name, entity_id FROM comp JOIN names USING (node)
+        |ORDER BY name""".stripMargin,
     "q_jaro_winkler" ->
       """SELECT c_name AS na, s_name AS nb,
         |  round(jaro_winkler_similarity(c_name, s_name), 6) AS jw

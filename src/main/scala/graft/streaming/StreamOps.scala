@@ -473,6 +473,50 @@ object StreamOps {
       }
   }
 
+  final case class HhEvent(seq: Long, item: String)
+  final case class HhState(n: Long, items: Map[String, Long])
+  final case class HhUpdate(series: String, n_seen: Long,
+      candidates: Map[String, Long])
+
+  /** Streaming heavy hitters via a Misra–Gries summary (k counters) —
+    * the bounded-state twin of the batch frequency queries
+    * (q_event_counts exact, q_cms_heavy sketched): state per series is
+    * AT MOST k (item, counter) pairs regardless of stream length or
+    * item cardinality. Guarantees (and what the spec pins):
+    *  - any item with true count > n/(k+1) is PRESENT among the
+    *    candidates (no false negatives for genuine heavy hitters);
+    *  - counters lower-bound true counts (within n/(k+1));
+    *  - when the stream's distinct-item count never exceeds k, no
+    *    decrement ever fires and the summary is EXACT — equal to the
+    *    batch group-by, the honest one-pass parity claim.
+    * Events carry an explicit `seq` so replayed batches fold in a
+    * deterministic order (micro-batch iterator order is not a
+    * contract). */
+  def heavyHitters(events: Dataset[HhEvent], k: Int = 16,
+      series: String = "events"): Dataset[HhUpdate] = {
+    import events.sparkSession.implicits._
+    require(k >= 1, "heavyHitters needs at least one counter")
+    events.groupByKey(_ => series)
+      .flatMapGroupsWithState[HhState, HhUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[HhState]) =>
+          var st = state.getOption.getOrElse(HhState(0L, Map.empty))
+          rows.toSeq.sortBy(_.seq).foreach { e =>
+            val m = st.items
+            val updated =
+              if (m.contains(e.item)) m.updated(e.item, m(e.item) + 1L)
+              else if (m.size < k) m.updated(e.item, 1L)
+              // summary full: the classic all-decrement step — the new
+              // item and one unit of every tracked item cancel out
+              else m.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+            st = HhState(st.n + 1L, updated)
+          }
+          state.update(st)
+          Iterator(HhUpdate(key, st.n, st.items))
+      }
+  }
+
   final case class CusumUpdate(series: String, n_days: Long,
       max_cusum: Double, alarm_day: Option[Long])
   final case class CusumState(day: Long, n: Long, nClosed: Long,

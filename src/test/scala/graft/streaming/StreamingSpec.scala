@@ -689,6 +689,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("Misra-Gries heavy hitters: exact when distinct <= k; heavy items " +
+       "guaranteed present when distinct > k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val types = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex
+      .map { case (r, i) => StreamOps.HhEvent(i.toLong, r.getString(2)) }
+    val exact = types.groupBy(_.item).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val n = types.length.toLong
+
+    // k = 8 > 5 distinct types: no decrement ever fires → EXACT parity
+    val in = MemoryStream[StreamOps.HhEvent]
+    val q = StreamOps.heavyHitters(in.toDS(), k = 8).writeStream
+      .format("memory").queryName("hh8").outputMode("append").start()
+    try {
+      types.grouped(700).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val last = spark.table("hh8").as[StreamOps.HhUpdate]
+        .collect().maxBy(_.n_seen)
+      assert(last.n_seen === n)
+      assert(last.candidates === exact,
+        s"distinct<=k must be exact: ${last.candidates} vs $exact")
+    } finally q.stop()
+
+    // k = 2 < 5 distinct: bounded state, and every item with true count
+    // > n/(k+1) MUST survive; surviving counters lower-bound the truth
+    val in2 = MemoryStream[StreamOps.HhEvent]
+    val q2 = StreamOps.heavyHitters(in2.toDS(), k = 2).writeStream
+      .format("memory").queryName("hh2").outputMode("append").start()
+    try {
+      types.grouped(700).foreach { chunk =>
+        in2.addData(chunk.toIndexedSeq: _*); q2.processAllAvailable()
+      }
+      val last = spark.table("hh2").as[StreamOps.HhUpdate]
+        .collect().maxBy(_.n_seen)
+      assert(last.candidates.size <= 2, "state must stay bounded by k")
+      val guaranteed = exact.filter(_._2 > n / 3).keySet
+      assert(guaranteed.subsetOf(last.candidates.keySet),
+        s"heavy items $guaranteed must be present: ${last.candidates}")
+      for ((t, c) <- last.candidates)
+        assert(c <= exact(t) && c >= exact(t) - n / 3,
+          s"counter for $t out of MG bounds: $c vs ${exact(t)}")
+    } finally q2.stop()
+  }
+
   test("streaming CUSUM equals batch q_cusum after the sentinel close " +
        "(offline-calibrated integer constants)") {
     import spark.implicits._

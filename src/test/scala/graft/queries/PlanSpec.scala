@@ -850,7 +850,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q_auc", "q_mann_whitney", "q_ks_test", "q_skyline",
         "q_kaplan_meier", "q_rrf_fuse", "q_sprt", "q_lift_curve",
-        "q_wilcoxon", "q_quantile_norm")) {
+        "q_wilcoxon", "q_quantile_norm", "q_kruskal")) {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       val offenders = qe.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
@@ -1076,6 +1076,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no join, map-side partials
     val dp = planOf("q_dp_counts")
     assert(!dp.contains("Join") && dp.contains("partial_count"))
+    // kruskal: (g, v) pre-agg partial-combines; rank prefix is the
+    // two-phase GlobalRank (tripwire above); nothing cartesian
+    val kw = planOf("q_kruskal")
+    assert(kw.contains("partial_count") && !kw.contains("CartesianProduct"))
+    // ER clustering: match pairs checkpoint before CC iterates
+    // (bounded lineage), and CC rounds run keyed — no cartesian
+    val er = planOf("q_er_cluster")
+    assert(er.contains("ExistingRDD"),
+      "match graph must be checkpointed before CC")
+    assert(!er.contains("CartesianProduct"))
     graft.CacheScope.drain()
     spark.catalog.clearCache()
   }

@@ -217,4 +217,119 @@ class RequesterFailoverSpec extends AnyFunSuite {
       nodes.foreach(n => Files.writeString(Paths.get(s"$dir/gate-$n"), "go\n"))
     }
   }
+
+  test("requester that is ALSO a compute bidder: killing it mid-job still " +
+       "elects a successor and the deal completes (both accept branches)") {
+    // NEXT r7 #3: the composition case — no --no-compute isolation, the
+    // creator bids like everyone else, so it dies either as
+    // requester+replica (accept race put it in the Running set) or as
+    // requester+cancelled-bidder. Both branches must end with a
+    // non-creator RequesterElect on the bus and the full Concurrency=2
+    // worth of agreeing digests; the replica branch must ALSO replace
+    // the dead replica via the elected holder. Gates stay closed until
+    // the election is observed, so the handoff provably happens while
+    // the job is open.
+    val t0 = System.currentTimeMillis()
+    val dir = Files.createTempDirectory("graft-rf2").toString
+    val cluster = s"$dir/cluster"
+    val nodes = Seq("node-a", "node-b", "node-c", "node-d")
+    val procs = nodes.map(id =>
+      spawnServe(dir, cluster, id, noCompute = false))
+    val byNode = nodes.zip(procs).toMap
+    try {
+      val deadline = System.currentTimeMillis() + 180000
+      val ports = nodes.zip(procs).map { case (id, p) =>
+        portFromLog(dir, id, p, deadline)
+      }
+      val clients = ports.map(p => new ApiClient(s"http://127.0.0.1:$p"))
+      for ((c, i) <- clients.zipWithIndex) {
+        var up = false
+        while (!up && System.currentTimeMillis() < deadline) {
+          try { c.list(); up = true }
+          catch { case _: Exception =>
+            assert(procs(i).isAlive, s"serve ${nodes(i)} died")
+            Thread.sleep(250)
+          }
+        }
+        assert(up, s"serve ${nodes(i)} never came up")
+      }
+      Files.writeString(Paths.get(s"$dir/fruit.txt"), "plum\nfig\n")
+      val jobId = clients.head.submit(
+        s"""{"engine_name": "docker", "verifier_name": "ipfs",
+           |  "job_spec_docker": {"image": "ubuntu",
+           |    "entrypoint": ["bash", "-c",
+           |      "while [ ! -f $$GRAFT_TEST_GATE ]; do sleep 0.1; done; cat"]},
+           |  "inputs": [{"engine_name": "ipfs", "name": "in",
+           |    "cid": "$dir/fruit.txt", "path": "/data/file.txt"}],
+           |  "annotations": ["raw-exec"],
+           |  "deal": {"concurrency": 2}}""".stripMargin)
+
+      // phase 1: 2 Running + 2 Cancelled over all four bidders (the
+      // creator bids too — no requester-only carve-out here)
+      def snapB(): Seq[(String, String, String)] = clients(1).states(jobId)
+      val d2 = System.currentTimeMillis() + 120000
+      def phase1(s: Seq[(String, String, String)]): Boolean =
+        s.count(_._2 == Lifecycle.State.Running) == 2 &&
+          s.count(_._2 == Lifecycle.State.Cancelled) == 2
+      while (!phase1(snapB()) && System.currentTimeMillis() < d2)
+        Thread.sleep(150)
+      val settled = snapB()
+      assert(phase1(settled), s"accept race never settled: $settled")
+      val aWasRunning = settled
+        .exists(t => t._1 == "node-a" && t._2 == Lifecycle.State.Running)
+      // node-b is polled below and must survive: if node-b created
+      // neither the job nor is it the victim, this is safe — node-a is
+      // always both creator and victim here
+      byNode("node-a").destroyForcibly()
+
+      // phase 2: with every gate still closed, the cluster must elect a
+      // successor (node-a's heartbeats and leases died with it)
+      val bus = new FileBus(Paths.get(cluster))
+      def elects() = bus.events().filter(e => e.jobId == jobId &&
+        e.eventName == Lifecycle.EventType.RequesterElect)
+      val dE = System.currentTimeMillis() + 60000
+      while (elects().isEmpty && System.currentTimeMillis() < dE)
+        Thread.sleep(200)
+      assert(elects().nonEmpty, "no RequesterElect after the creator died")
+      assert(elects().forall(_.sourceNodeId != "node-a"))
+
+      // phase 3: open the survivors' gates; the deal must complete at
+      // full concurrency on either branch
+      nodes.filterNot(_ == "node-a").foreach { n =>
+        Files.writeString(Paths.get(s"$dir/gate-$n"), "go\n")
+      }
+      val d3 = System.currentTimeMillis() + 120000
+      def done(s: Seq[(String, String, String)]): Boolean =
+        s.count(_._2 == Lifecycle.State.Complete) == 2 &&
+          (!aWasRunning || s.exists(t => t._1 == "node-a" &&
+            t._2 == Lifecycle.State.Error))
+      while (!done(snapB()) && System.currentTimeMillis() < d3)
+        Thread.sleep(300)
+      val states = snapB()
+      assert(done(states), s"failover never converged " +
+        s"(aWasRunning=$aWasRunning): $states")
+      if (aWasRunning) {
+        // the elected holder must have replaced the dead replica
+        val jevs = bus.events().filter(_.jobId == jobId)
+        assert(jevs.exists(e => e.targetNodeId == "node-a" &&
+          e.eventName == Lifecycle.EventType.Error &&
+          e.status.contains("presumed dead")),
+          "dead requester-replica must be declared dead by the successor")
+        assert(jevs.exists(e => e.sourceNodeId != "node-a" &&
+          e.eventName == Lifecycle.EventType.BidAccepted &&
+          e.status.contains("replacing stale replica")),
+          "a pool bidder must be promoted by the successor")
+      }
+      val cids = states.filter(_._2 == Lifecycle.State.Complete).map(_._3)
+      assert(cids.forall(_.nonEmpty) && cids.distinct.size === 1,
+        s"replica digests disagree: $cids")
+      info(s"composed failover converged in " +
+        s"${System.currentTimeMillis() - t0} ms " +
+        s"(creator was ${if (aWasRunning) "a Running replica"
+          else "a cancelled bidder"}; elected=${elects().last.sourceNodeId})")
+    } finally {
+      procs.foreach(_.destroyForcibly())
+      nodes.foreach(n => Files.writeString(Paths.get(s"$dir/gate-$n"), "go\n"))
+    }
+  }
 }

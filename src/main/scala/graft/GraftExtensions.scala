@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.SparkException
-import graft.functions.{DotProduct, MinHash8, SimHash64}
+import graft.functions.{DotProduct, JaroWinkler, MinHash8, SimHash64}
 
 /** Official Spark extension entry point — enable with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "simhash32(token_hashes) takes one array")
         SimHash64(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "jaro_winkler(a, b) takes two strings")
+        JaroWinkler(exprs.head, exprs(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash8"),

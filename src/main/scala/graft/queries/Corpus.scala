@@ -133,6 +133,48 @@ object CorpusOps {
         .orderBy("label", "pos")
     }),
 
+    // ---- embedding analogy (king − man + woman): the target vector is
+    // an arithmetic combination of the three smallest labels' centroids
+    // (c₀ − c₁ + c₂), and the answer is the 5 nearest embeddings by L2.
+    // Determinism discipline end to end: centroids round to 4 dp (the
+    // q_centroids rule) BEFORE entering arithmetic; the conditional
+    // per-label sums touch exactly one row each (exact); per-dimension
+    // distance terms quantize to pico-units so the 8-term row sums are
+    // BIGINT under any aggregation order. Scale shape: one posexplode
+    // scan, a labels×dims centroid aggregate, the 8-row target
+    // broadcast back over the corpus of vectors, top-5 by TakeOrdered.
+    "q_vec_analogy" -> ((s, d) => {
+      val pe = graft.CacheScope.cached(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x0")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("x0").cast("double").as("x")))
+      // three smallest labels, pivoted to one broadcast row (the rank
+      // window runs over the distinct-label frame — class-bounded)
+      val labs = pe.select("label").distinct()
+        .withColumn("r", row_number().over(Window.orderBy("label")))
+        .filter(col("r") <= 3)
+        .agg(max(when(col("r") === 1, col("label"))).as("l0"),
+          max(when(col("r") === 2, col("label"))).as("l1"),
+          max(when(col("r") === 3, col("label"))).as("l2"))
+      val cent = pe.groupBy("label", "pos")
+        .agg(round(avg("x"), 4).as("c"))
+      val target = cent.crossJoin(broadcast(labs))
+        .groupBy("pos")
+        .agg((sum(when(col("label") === col("l0"), col("c"))
+            .otherwise(0.0)) -
+          sum(when(col("label") === col("l1"), col("c")).otherwise(0.0)) +
+          sum(when(col("label") === col("l2"), col("c")).otherwise(0.0)))
+          .as("t"))
+      pe.join(broadcast(target), "pos")
+        .select(col("vec_id"),
+          round((col("x") - col("t")) * (col("x") - col("t")) * 1e12)
+            .cast(LongType).as("dm"))
+        .groupBy("vec_id").agg(sum("dm").as("d2m"))
+        .select(col("vec_id"), round(col("d2m") / 1e12, 6).as("d2"))
+        .orderBy(col("d2").asc, col("vec_id").asc).limit(5)
+    }),
+
     // ---- bigram language-model statistics: KenLM-style conditional
     // probabilities P(w2|w1) = c(w1,w2)/c(w1·) from ONE explode over the
     // corpus. Context counts derive from the (w1,w2) aggregate by a window
@@ -550,6 +592,33 @@ object CorpusOps {
         |    AS n_redacted,
         |  md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS scrub_md5
         |FROM events WHERE event_id <= 2000 ORDER BY 1""".stripMargin,
+    "q_vec_analogy" ->
+      """WITH pe AS MATERIALIZED (
+        |  SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label, embedding,
+        |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |labs AS (
+        |  SELECT max(CASE WHEN r = 1 THEN label END) AS l0,
+        |    max(CASE WHEN r = 2 THEN label END) AS l1,
+        |    max(CASE WHEN r = 3 THEN label END) AS l2
+        |  FROM (SELECT label,
+        |          CAST(row_number() OVER (ORDER BY label) AS INTEGER) AS r
+        |        FROM (SELECT DISTINCT label FROM pe))
+        |  WHERE r <= 3),
+        |cent AS (SELECT label, pos, round(avg(x), 4) + 0.0 AS c
+        |         FROM pe GROUP BY 1, 2),
+        |target AS (
+        |  SELECT pos,
+        |    sum(CASE WHEN label = l0 THEN c ELSE 0.0 END) -
+        |    sum(CASE WHEN label = l1 THEN c ELSE 0.0 END) +
+        |    sum(CASE WHEN label = l2 THEN c ELSE 0.0 END) AS t
+        |  FROM cent CROSS JOIN labs GROUP BY 1)
+        |SELECT vec_id,
+        |  round(sum(CAST(round((x - t) * (x - t) * 1e12) AS BIGINT))
+        |    / 1e12, 6) AS d2
+        |FROM pe JOIN target USING (pos)
+        |GROUP BY 1 ORDER BY d2 ASC, vec_id ASC LIMIT 5""".stripMargin,
     "q_centroids" ->
       // `+ 0.0` normalizes IEEE negative zero: DuckDB's C round() keeps the
       // sign of a tiny negative mean (-1e-6 → -0.0) where Spark's

@@ -277,6 +277,36 @@ object RelationalMore {
     // verify loop stays in whole-stage codegen. At 100 TB the block key
     // keeps candidate counts linear in names-per-block; the expression
     // prices each candidate once, no boxing, no UDF.
+    // ---- mutual best match: each customer's argmax-JW supplier AND
+    // each supplier's argmax-JW customer, kept only when they agree —
+    // the greedy-stable 1:1 linkage step after q_jaro_winkler's
+    // candidate scoring (mutual-best is the standard high-precision
+    // subset of fuzzy matches). Both argmax windows partition on a
+    // NAME (high-cardinality key → fully parallel); ranking uses the
+    // raw JW doubles, bit-identical across engines by the expression's
+    // fuzz pin, with the partner name as tiebreak.
+    "q_best_match" -> ((s, d) => {
+      graft.functions.JaroWinkler.register(s)
+      val c = Tables.customer(s, d)
+        .select(col("c_name").as("na"),
+          substring(col("c_name"), -3, 3).as("blk"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_name").as("nb"),
+          substring(col("s_name"), -3, 3).as("blk"))
+      val cand = c.join(sup, Seq("blk"))
+        .select(col("na"), col("nb"),
+          call_function("jaro_winkler", col("na"), col("nb")).as("jw0"))
+      val wA = Window.partitionBy("na")
+        .orderBy(col("jw0").desc, col("nb").asc)
+      val wB = Window.partitionBy("nb")
+        .orderBy(col("jw0").desc, col("na").asc)
+      cand.withColumn("ra", row_number().over(wA))
+        .withColumn("rb", row_number().over(wB))
+        .filter(col("ra") === 1 && col("rb") === 1)
+        .select(col("na"), col("nb"), round(col("jw0"), 6).as("jw"))
+        .orderBy("na")
+    }),
+
     // ---- entity resolution end-to-end: block → JW-verify → CLUSTER.
     // q_jaro_winkler's match pairs become edges of a bipartite
     // customer/supplier name graph (key spaces disjoint by a +1e6
@@ -462,6 +492,21 @@ object RelationalMore {
         |FROM p a JOIN p b ON b.blk = a.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "q_best_match" ->
+      """WITH cand AS (
+        |  SELECT c_name AS na, s_name AS nb,
+        |    jaro_winkler_similarity(c_name, s_name) AS jw0
+        |  FROM customer JOIN supplier
+        |    ON substring(c_name, -3, 3) = substring(s_name, -3, 3)),
+        |r AS (
+        |  SELECT na, nb, jw0,
+        |    CAST(row_number() OVER (PARTITION BY na
+        |      ORDER BY jw0 DESC, nb ASC) AS INTEGER) AS ra,
+        |    CAST(row_number() OVER (PARTITION BY nb
+        |      ORDER BY jw0 DESC, na ASC) AS INTEGER) AS rb
+        |  FROM cand)
+        |SELECT na, nb, round(jw0, 6) AS jw FROM r
+        |WHERE ra = 1 AND rb = 1 ORDER BY na""".stripMargin,
     "q_er_cluster" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS ida,

@@ -141,6 +141,10 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
         "SELECT dot_product(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d")
         .collect().head.getDouble(0)
       assert(r === 32.0)
+      val jw = ext.sql(
+        "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw")
+        .collect().head.getDouble(0)
+      assert(math.abs(jw - 0.9611111111) < 1e-9)
       // 2. determinism gate off by default, rejects when armed
       assert(ext.sql("SELECT rand() AS x").collect().length === 1)
       ext.conf.set("spark.graft.rejectNondeterministic", "true")

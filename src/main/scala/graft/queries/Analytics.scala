@@ -1119,6 +1119,65 @@ object Analytics {
           round(col("icept"), 6).as("intercept"))
     }),
 
+    // ---- forecast backtest: hold out the LAST 7 days, fit q_holt's
+    // double-exponential fold on the rest, score ŷ(t+h) = l + h·b
+    // against the held-out actuals — MAE/MAPE/bias, the eval loop that
+    // turns a forecaster into a monitored one. Same fold, same
+    // constants, same array discipline as q_holt (so the train step is
+    // definitionally the production model); errors aggregate from
+    // exact actual counts against one broadcast (l, b) pair, and the
+    // per-horizon absolute/percent terms quantize to micro-units so
+    // the 7-term sums are integers. Horizon index h is per-day
+    // POSITION (train_days + position-in-holdout), gap-robust.
+    "q_forecast_error" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val series = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("a"))
+        .select(col("a"), size(col("a")).as("nd"))
+        .filter(col("nd") >= 10)
+        .select(col("a"), col("nd"), (col("nd") - 7).as("tn"))
+      val x0 = element_at(col("a"), 1).getField("x")
+      val x1 = element_at(col("a"), 2).getField("x")
+      val init = struct(x0.as("l"), (x1 - x0).as("b"))
+      val folded = aggregate(
+        slice(col("a"), lit(2), col("tn") - 1),
+        init,
+        (acc, e) => {
+          val lNew = lit(0.5) * e.getField("x") +
+            lit(0.5) * (acc.getField("l") + acc.getField("b"))
+          struct(lNew.as("l"),
+            (lit(0.3) * (lNew - acc.getField("l")) +
+              lit(0.7) * acc.getField("b")).as("b"))
+        })
+      val scored = series
+        .select(col("a"), col("nd"), col("tn"),
+          folded.getField("l").as("l"), folded.getField("b").as("b"))
+        .select(col("tn"), col("l"), col("b"),
+          explode(transform(sequence(lit(1), lit(7)),
+            h => struct(h.as("h"),
+              element_at(col("a"), col("tn") + h).getField("x")
+                .as("actual")))).as("e"))
+        .select(col("tn"), col("l"), col("b"), col("e.h").as("h"),
+          col("e.actual").as("actual"))
+        .withColumn("pred", col("l") + col("h").cast("double") * col("b"))
+      scored.agg(
+          count(lit(1)).as("n_holdout"),
+          sum(round(abs(col("actual") - col("pred")) * 1e6)
+            .cast("long")).as("aem"),
+          sum(round((col("actual") - col("pred")) * 1e6).cast("long"))
+            .as("bem"),
+          sum(round(abs(col("actual") - col("pred")) / col("actual") *
+            1e6).cast("long")).as("apm"))
+        .select(col("n_holdout"),
+          round(col("aem") / 1e6 / col("n_holdout"), 4).as("mae"),
+          round(col("bem") / 1e6 / col("n_holdout"), 4).as("bias"),
+          round(col("apm") / 1e6 / col("n_holdout") * 100.0, 4)
+            .as("mape_pct"))
+    }),
+
     // ---- Kruskal–Wallis H: does event VALUE differ across the five
     // event types? — q_mann_whitney's k-group generalization, same
     // machinery end to end: values quantize to exact cents, pooled
@@ -2190,6 +2249,38 @@ object Analytics {
         |SELECT n_pairs, round(med, 6) AS slope,
         |  round(icept, 6) AS intercept
         |FROM med CROSS JOIN ic""".stripMargin,
+    "q_forecast_error" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1),
+        |ord AS (SELECT day, x,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM ord),
+        |t AS (SELECT nd, nd - 7 AS tn FROM n WHERE nd >= 10),
+        |rec AS (
+        |  SELECT 1 AS i, (SELECT x FROM ord WHERE i = 1) AS l,
+        |    (SELECT x FROM ord WHERE i = 2) -
+        |      (SELECT x FROM ord WHERE i = 1) AS b
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    0.5 * o.x + 0.5 * (r.l + r.b),
+        |    0.3 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+        |  FROM rec r JOIN ord o ON o.i = r.i + 1 CROSS JOIN t
+        |  WHERE r.i + 1 <= t.tn),
+        |fit AS (SELECT l, b FROM rec CROSS JOIN t WHERE i = tn),
+        |err AS (
+        |  SELECT o.x AS actual,
+        |    f.l + CAST(o.i - t.tn AS DOUBLE) * f.b AS pred
+        |  FROM ord o CROSS JOIN t CROSS JOIN fit f WHERE o.i > t.tn)
+        |SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+        |  round(sum(CAST(round(abs(actual - pred) * 1e6) AS BIGINT))
+        |    / 1e6 / count(*), 4) AS mae,
+        |  round(sum(CAST(round((actual - pred) * 1e6) AS BIGINT))
+        |    / 1e6 / count(*), 4) AS bias,
+        |  round(sum(CAST(round(abs(actual - pred) / actual * 1e6)
+        |    AS BIGINT)) / 1e6 / count(*) * 100.0, 4) AS mape_pct
+        |FROM err""".stripMargin,
     "q_kruskal" ->
       """WITH gv AS MATERIALIZED (
         |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,

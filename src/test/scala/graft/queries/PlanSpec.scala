@@ -1086,6 +1086,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(er.contains("ExistingRDD"),
       "match graph must be checkpointed before CC")
     assert(!er.contains("CartesianProduct"))
+    // mutual best match: candidates stay blocked; both argmax windows
+    // partition on a name (never partition-less)
+    val bm = planOf("q_best_match")
+    assert(!bm.contains("CartesianProduct") &&
+      !bm.contains("BroadcastNestedLoopJoin"),
+      "best-match candidates must stay blocked + keyed")
+    // vec analogy: the 8-row target broadcasts back over the vectors;
+    // per-dim distance terms partial-combine
+    val va = planOf("q_vec_analogy")
+    assert(va.contains("TakeOrderedAndProject"),
+      "top-5 must be TakeOrdered")
+    assert(va.contains("partial_sum"),
+      "distance terms must map-side combine")
+    // forecast backtest: one corpus scan into the daily aggregate, the
+    // fold and scoring run on the 1-row series frame
+    val fe = planOf("q_forecast_error")
+    assert(!fe.contains("SortMergeJoin") && !fe.contains("CartesianProduct"))
     graft.CacheScope.drain()
     spark.catalog.clearCache()
   }

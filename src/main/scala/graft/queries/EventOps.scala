@@ -481,6 +481,34 @@ object EventOps {
     // from one user-keyed agg; D uses the n−1 sample variance and the
     // Wilson–Hilferty style normal approx z = √(2χ²) − √(2df−1) with
     // χ² = (n−1)·D. Only the final expressions touch doubles.
+    // ---- negative-binomial fit (method of moments) over per-user
+    // event counts — q_poisson_fit's overdispersed sibling: when the
+    // dispersion test rejects Poisson, NB(r, p) with r = m²/(v − m),
+    // p = m/v is the standard count model (v from the SAME sample-
+    // variance identity as q_poisson_fit, so the two fits are
+    // comparable row for row). All inputs exact integer sums; each
+    // output is one fixed-order double expression; underdispersed
+    // samples (v ≤ m, NB undefined) yield NULL — mirrored.
+    "q_negbin_fit" -> ((s, d) => {
+      val agg = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sk"),
+          sum(col("k") * col("k")).as("skk"))
+      val n = col("n").cast("double")
+      val sk = col("sk").cast("double")
+      val skk = col("skk").cast("double")
+      val mean = sk / n
+      val varS = (n * skk - sk * sk) / (n * (n - lit(1.0)))
+      agg.select(col("n").as("n_users"),
+        round(mean, 6).as("mean"),
+        round(when(col("n") === 1, lit(null)).otherwise(varS), 6)
+          .as("variance"),
+        round(when(col("n") === 1 || varS <= mean, lit(null))
+          .otherwise(mean * mean / (varS - mean)), 6).as("r"),
+        round(when(col("n") === 1 || varS <= mean, lit(null))
+          .otherwise(mean / varS), 6).as("p"))
+    }),
+
     "q_poisson_fit" -> ((s, d) => {
       val agg = Tables.events(s, d)
         .groupBy("user_id").agg(count(lit(1)).as("k"))
@@ -811,6 +839,24 @@ object EventOps {
         |      sqrt(2.0 * p * m * (2.0 * p * m - nn) /
         |        (nn * nn * (nn - 1.0))) END, 6) AS z
         |FROM f""".stripMargin,
+    "q_negbin_fit" ->
+      """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(k) AS BIGINT) AS sk,
+        |        CAST(sum(k * k) AS BIGINT) AS skk FROM k),
+        |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sk AS DOUBLE)
+        |        AS skd, CAST(skk AS DOUBLE) AS skkd FROM a),
+        |m AS (SELECT n, skd / nd AS mean,
+        |        (nd * skkd - skd * skd) / (nd * (nd - 1.0)) AS vv
+        |      FROM f)
+        |SELECT n AS n_users, round(mean, 6) AS mean,
+        |  round(CASE WHEN n = 1 THEN NULL ELSE vv END, 6) AS variance,
+        |  round(CASE WHEN n = 1 OR vv <= mean THEN NULL
+        |    ELSE mean * mean / (vv - mean) END, 6) AS r,
+        |  round(CASE WHEN n = 1 OR vv <= mean THEN NULL
+        |    ELSE mean / vv END, 6) AS p
+        |FROM m""".stripMargin,
     "q_poisson_fit" ->
       """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
         |           FROM events GROUP BY 1),

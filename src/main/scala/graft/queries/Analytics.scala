@@ -1119,6 +1119,40 @@ object Analytics {
           round(col("icept"), 6).as("intercept"))
     }),
 
+    // ---- A/B sample-size planning (two-proportion power analysis):
+    // how many users per arm to DETECT A 10% RELATIVE REGRESSION of
+    // the purchase share at α=0.05 (two-sided), power 0.8 — the
+    // guardrail question every q_ab_test consumer asks next. n =
+    // (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))²/δ², z constants as 6-dp
+    // literals shared verbatim with the oracle. Base share
+    // np/(nv+np) from exact counts (bounded in (0,1), so the −10%
+    // target always is too); one fixed-order expression; ceil to
+    // whole users. Corpus cost: one filtered count aggregate.
+    "q_power" -> ((s, d) => {
+      val agg = Tables.events(s, d)
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("nv"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+      val p1 = col("np").cast("double") /
+        (col("nv") + col("np")).cast("double")
+      val p2 = p1 * 0.9
+      val pbar = (p1 + p2) / 2.0
+      val delta = p1 * 0.1
+      val nArm = ceil(
+        (lit(1.959964) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+          lit(0.841621) * sqrt(p1 * (lit(1.0) - p1) +
+            p2 * (lit(1.0) - p2))) *
+        (lit(1.959964) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+          lit(0.841621) * sqrt(p1 * (lit(1.0) - p1) +
+            p2 * (lit(1.0) - p2))) /
+        (delta * delta)).cast("long")
+      agg.select(round(p1, 6).as("p_base"),
+        round(p2, 6).as("p_target"),
+        nArm.as("n_per_arm"),
+        (nArm * 2L).as("n_total"))
+    }),
+
     // ---- forecast backtest: hold out the LAST 7 days, fit q_holt's
     // double-exponential fold on the rest, score ŷ(t+h) = l + h·b
     // against the held-out actuals — MAE/MAPE/bias, the eval loop that
@@ -2249,6 +2283,25 @@ object Analytics {
         |SELECT n_pairs, round(med, 6) AS slope,
         |  round(icept, 6) AS intercept
         |FROM med CROSS JOIN ic""".stripMargin,
+    "q_power" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nv,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM events),
+        |p AS (SELECT CAST(np AS DOUBLE) / CAST(nv + np AS DOUBLE) AS p1
+        |      FROM a),
+        |q AS (SELECT p1, p1 * 0.9 AS p2, (p1 + p1 * 0.9) / 2.0 AS pbar,
+        |        p1 * 0.1 AS delta FROM p),
+        |z AS (SELECT p1, p2, delta,
+        |  1.959964 * sqrt(2.0 * pbar * (1.0 - pbar)) +
+        |    0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS zz
+        |  FROM q)
+        |SELECT round(p1, 6) AS p_base, round(p2, 6) AS p_target,
+        |  CAST(ceil(zz * zz / (delta * delta)) AS BIGINT) AS n_per_arm,
+        |  CAST(ceil(zz * zz / (delta * delta)) AS BIGINT) * 2 AS n_total
+        |FROM z""".stripMargin,
     "q_forecast_error" ->
       """WITH RECURSIVE d AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

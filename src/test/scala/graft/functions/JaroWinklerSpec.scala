@@ -44,6 +44,23 @@ class JaroWinklerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jw("identical string", "identical string") === 1.0)
   }
 
+  test("properties on random pairs: symmetry, [0,1] range, identity=1, " +
+       "boost never decreases jaro") {
+    val rng = new scala.util.Random(20260814L)
+    def randStr(): String = {
+      val alpha = "abcde#0123XYZ"
+      (0 until rng.nextInt(16)).map(_ => alpha(rng.nextInt(alpha.length)))
+        .mkString
+    }
+    for (_ <- 1 to 2000) {
+      val a = randStr(); val b = randStr()
+      val ab = jw(a, b); val ba = jw(b, a)
+      assert(ab === ba, s"symmetry broke on ${(a, b)}")
+      assert(ab >= 0.0 && ab <= 1.0, s"range broke on ${(a, b)}: $ab")
+      if (a.nonEmpty) assert(jw(a, a) === 1.0, s"identity broke on $a")
+    }
+  }
+
   test("registered function: codegen path equals the static kernel") {
     import spark.implicits._
     JaroWinkler.register(spark)

@@ -1119,6 +1119,52 @@ object Analytics {
           round(col("icept"), 6).as("intercept"))
     }),
 
+    // ---- seasonal strength (STL-style decomposition): detrend daily
+    // volume with a centered 7-day moving average (full windows only),
+    // take per-weekday-slot means as the seasonal component, and
+    // report F_s = max(0, 1 − Var(remainder)/Var(detrended)) — ~1
+    // means the weekly cycle explains the series, ~0 means it's
+    // noise. Determinism: detrended values quantize to exact micro
+    // longs the moment they're born; the slot means, the remainder,
+    // and both variance numerators (n·Σv² − (Σv)², squares in
+    // DECIMAL(38,0)) are then integer-exact, and the closing ratio is
+    // one double division. All windows run over the CALENDAR-bounded
+    // daily frame.
+    "q_stl_strength" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true)
+      val wOrd = Window.orderBy("day")
+      val wMa = Window.orderBy("day").rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("wsum", sum("x").over(wMa))
+        .withColumn("wcnt", count(lit(1)).over(wMa))
+        .filter(col("wcnt") === 7)
+        .select(((col("i") - 1) % 7).as("slot"),
+          round((col("x").cast("double") -
+            col("wsum").cast("double") / 7.0) * 1e6).cast("long")
+            .as("dm"))
+      val seas = det.groupBy("slot")
+        .agg(round(sum("dm").cast("double") / count(lit(1)))
+          .cast("long").as("sm"))
+      val r = det.join(broadcast(seas), "slot")
+        .select(col("dm"), (col("dm") - col("sm")).as("rm"))
+      r.agg(count(lit(1)).as("n"),
+          sum("dm").as("sd"),
+          sum(col("dm").cast("decimal(38,0)") * col("dm")).as("sdd"),
+          sum("rm").as("sr"),
+          sum(col("rm").cast("decimal(38,0)") * col("rm")).as("srr"))
+        .select(col("n").as("n_days_used"),
+          round(greatest(lit(0.0), lit(1.0) -
+            (col("n").cast("decimal(38,0)") * col("srr") -
+              col("sr").cast("decimal(38,0)") * col("sr")).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("sdd") -
+              col("sd").cast("decimal(38,0)") * col("sd")).cast("double")),
+            6).as("seasonal_strength"))
+    }),
+
     // ---- A/B sample-size planning (two-proportion power analysis):
     // how many users per arm to DETECT A 10% RELATIVE REGRESSION of
     // the purchase share at α=0.05 (two-sided), power 0.8 — the
@@ -2283,6 +2329,40 @@ object Analytics {
         |SELECT n_pairs, round(med, 6) AS slope,
         |  round(icept, 6) AS intercept
         |FROM med CROSS JOIN ic""".stripMargin,
+    "q_stl_strength" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(sum(x) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+        |      AS wsum,
+        |    CAST(count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+        |      AS wcnt
+        |  FROM daily),
+        |det AS (
+        |  SELECT (i - 1) % 7 AS slot,
+        |    CAST(round((CAST(x AS DOUBLE) - CAST(wsum AS DOUBLE) / 7.0)
+        |      * 1e6) AS BIGINT) AS dm
+        |  FROM w WHERE wcnt = 7),
+        |seas AS (SELECT slot,
+        |  CAST(round(CAST(sum(dm) AS DOUBLE) / count(*)) AS BIGINT) AS sm
+        |  FROM det GROUP BY 1),
+        |r AS (SELECT dm, dm - sm AS rm FROM det JOIN seas USING (slot)),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dm) AS HUGEINT) AS sd,
+        |  sum(CAST(dm AS HUGEINT) * dm) AS sdd,
+        |  CAST(sum(rm) AS HUGEINT) AS sr,
+        |  sum(CAST(rm AS HUGEINT) * rm) AS srr FROM r)
+        |SELECT n AS n_days_used,
+        |  round(greatest(0.0, 1.0 -
+        |    CAST(n * srr - sr * sr AS DOUBLE) /
+        |    CAST(n * sdd - sd * sd AS DOUBLE)), 6) AS seasonal_strength
+        |FROM agg""".stripMargin,
     "q_power" ->
       """WITH a AS (
         |  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)

@@ -209,6 +209,30 @@ object CorpusStats {
     // orders vocabulary-bounded rows per source. The determinant math is
     // DOUBLE from the start (counts·counts at 100 TB overflow BIGINT —
     // the q_mi lesson), mirrored op-for-op in the oracle.
+    // ---- Yule's characteristic K — vocabulary richness from the
+    // frequency-of-frequencies spectrum: K = 10⁴·(Σ m²·V_m − N)/N²
+    // (V_m = words occurring exactly m times). Repetitive/templated
+    // corpora score high, lexically rich ones low — a quality signal
+    // independent of length, and (unlike type-token ratio) stable in
+    // expectation across corpus size. EVERYTHING here is an exact
+    // integer until the single closing division: word counts → V_m →
+    // Σm²V_m all BIGINT. Per-source rows so sources are comparable.
+    // Scale shape: one (source, word) aggregate prices the corpus;
+    // the spectrum is a vocabulary-bounded re-aggregate.
+    "q_yule_k" -> ((s, d) => {
+      val wc = words(s, d).groupBy("source", "w")
+        .agg(count(lit(1)).as("m"))
+      wc.groupBy("source", "m").agg(count(lit(1)).as("vm"))
+        .groupBy("source")
+        .agg(sum(col("m") * col("vm")).as("n"),
+          sum(col("m") * col("m") * col("vm")).as("s2"))
+        .select(col("source"), col("n").as("n_tokens"),
+          round(lit(1e4) * (col("s2") - col("n")).cast("double") /
+            (col("n").cast("double") * col("n").cast("double")), 6)
+            .as("yule_k"))
+        .orderBy("source")
+    }),
+
     // ---- "Fightin' Words" log-odds keywords (Monroe, Colaresi &
     // Quinn 2008): which words does the (deterministically) first
     // source OVERUSE relative to the rest, under an informative
@@ -532,6 +556,22 @@ object CorpusStats {
         |  round(ln(CAST(count(*) AS DOUBLE)) /
         |    ln(CAST(sum(cw) AS DOUBLE)), 6) AS herdan_c
         |FROM cw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_yule_k" ->
+      """WITH wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS m
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |fof AS (SELECT source, m, CAST(count(*) AS BIGINT) AS vm
+        |        FROM wc GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(sum(m * vm) AS BIGINT) AS n,
+        |    CAST(sum(m * m * vm) AS BIGINT) AS s2
+        |  FROM fof GROUP BY 1)
+        |SELECT source, n AS n_tokens,
+        |  round(1e4 * CAST(s2 - n AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS yule_k
+        |FROM agg ORDER BY source""".stripMargin,
     "q_log_odds" ->
       """WITH sc AS (
         |  SELECT source, w, CAST(count(*) AS BIGINT) AS c

@@ -1103,6 +1103,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fold and scoring run on the 1-row series frame
     val fe = planOf("q_forecast_error")
     assert(!fe.contains("SortMergeJoin") && !fe.contains("CartesianProduct"))
+    // Yule's K: (source, word) aggregate partial-combines; the spectrum
+    // re-aggregate is vocabulary-bounded, no join anywhere
+    val yk = planOf("q_yule_k")
+    assert(yk.contains("partial_count") && !yk.contains("Join"))
+    // STL strength: everything runs off the checkpointed daily frame;
+    // the slot-mean join broadcasts 7 rows
+    val st = planOf("q_stl_strength")
+    assert(st.contains("ExistingRDD") && !st.contains("SortMergeJoin"))
     graft.CacheScope.drain()
     spark.catalog.clearCache()
   }

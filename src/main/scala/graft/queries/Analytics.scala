@@ -1472,6 +1472,63 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // ---- paired t-test on the same per-user half-month diffs as
+    // q_wilcoxon — the parametric twin, so the two answer sheets are
+    // directly comparable (when they disagree, the diffs aren't
+    // normal): t = d̄ / (s_d/√n) with the sample variance from the
+    // n·Σd² − (Σd)² identity — diffs are exact integers, so both
+    // moments are BIGINT and t is one double expression.
+    "q_paired_t" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      val d0 = ev.agg(min("day").as("d0"))
+      val per = ev.crossJoin(broadcast(d0))
+        .groupBy("user_id")
+        .agg((sum(when(col("day") >= col("d0") + 15, 1L).otherwise(0L)) -
+          sum(when(col("day") < col("d0") + 15, 1L).otherwise(0L)))
+          .as("diff"))
+      val agg = per.agg(count(lit(1)).as("n"), sum("diff").as("sd"),
+        sum(col("diff") * col("diff")).as("sdd"))
+      val n = col("n").cast("double")
+      val sd = col("sd").cast("double")
+      val sdd = col("sdd").cast("double")
+      val varS = (n * sdd - sd * sd) / (n * (n - lit(1.0)))
+      agg.select(col("n").as("n_pairs"),
+        round(sd / n, 6).as("mean_diff"),
+        round(when(col("n") <= 1 || varS <= 0.0, lit(null))
+          .otherwise((sd / n) / sqrt(varS / n)), 6).as("t"))
+    }),
+
+    // ---- Cohen's d effect size between view-event and purchase-event
+    // VALUES — the "is the difference big, not just significant"
+    // companion to q_ab_test: d = (m₁ − m₂)/s_pooled, all moments from
+    // exact integer cents (the q_mann_whitney quantization), pooled
+    // variance from the two-sample sums in one fixed-order expression.
+    "q_effect_size" -> ((s, d) => {
+      val agg = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(round(col("value") * 100).cast("long").as("v"),
+          (col("event_type") === "view").as("isA"))
+        .agg(
+          sum(when(col("isA"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("isA"), col("v")).otherwise(0L)).as("sa"),
+          sum(when(col("isA"), col("v") * col("v")).otherwise(0L))
+            .as("saa"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("isA"), col("v")).otherwise(0L)).as("sb"),
+          sum(when(!col("isA"), col("v") * col("v")).otherwise(0L))
+            .as("sbb"))
+      val na = col("na").cast("double"); val nb = col("nb").cast("double")
+      val sa = col("sa").cast("double"); val sb = col("sb").cast("double")
+      val ssa = (col("saa").cast("double") - sa * sa / na)
+      val ssb = (col("sbb").cast("double") - sb * sb / nb)
+      val sp = sqrt((ssa + ssb) / (na + nb - lit(2.0)))
+      agg.select(col("na"), col("nb"),
+        round((sa / na - sb / nb) / 100.0, 4).as("mean_diff"),
+        round(when(col("na") + col("nb") <= 2 || sp === 0.0, lit(null))
+          .otherwise((sa / na - sb / nb) / sp), 6).as("cohens_d"))
+    }),
+
     // ---- Wilcoxon signed-rank test: did per-user activity SHIFT from
     // the first half of the window to the second? Pairs are each
     // user's (first-15-days count, rest count) — exact integer diffs,
@@ -2329,6 +2386,55 @@ object Analytics {
         |SELECT n_pairs, round(med, 6) AS slope,
         |  round(icept, 6) AS intercept
         |FROM med CROSS JOIN ic""".stripMargin,
+    "q_paired_t" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM ev),
+        |per AS (
+        |  SELECT CAST(sum(CASE WHEN day >= d0.d0 + 15 THEN 1 ELSE 0 END)
+        |      AS BIGINT) -
+        |    CAST(sum(CASE WHEN day < d0.d0 + 15 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS diff
+        |  FROM ev CROSS JOIN d0 GROUP BY user_id),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(diff) AS BIGINT) AS sd,
+        |  CAST(sum(diff * diff) AS BIGINT) AS sdd FROM per),
+        |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sd AS DOUBLE)
+        |  AS sdv, CAST(sdd AS DOUBLE) AS sddv FROM a)
+        |SELECT n AS n_pairs, round(sdv / nd, 6) AS mean_diff,
+        |  round(CASE WHEN n <= 1 OR
+        |      (nd * sddv - sdv * sdv) / (nd * (nd - 1.0)) <= 0.0 THEN NULL
+        |    ELSE (sdv / nd) /
+        |      sqrt(((nd * sddv - sdv * sdv) / (nd * (nd - 1.0))) / nd)
+        |    END, 6) AS t
+        |FROM f""".stripMargin,
+    "q_effect_size" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    event_type = 'view' AS isa
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN isa THEN v ELSE 0 END) AS BIGINT) AS sa,
+        |  CAST(sum(CASE WHEN isa THEN v * v ELSE 0 END) AS BIGINT) AS saa,
+        |  CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |  CAST(sum(CASE WHEN NOT isa THEN v ELSE 0 END) AS BIGINT) AS sb,
+        |  CAST(sum(CASE WHEN NOT isa THEN v * v ELSE 0 END) AS BIGINT)
+        |    AS sbb
+        |  FROM e),
+        |f AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad,
+        |  CAST(nb AS DOUBLE) AS nbd, CAST(sa AS DOUBLE) AS sad,
+        |  CAST(sb AS DOUBLE) AS sbd, CAST(saa AS DOUBLE) AS saad,
+        |  CAST(sbb AS DOUBLE) AS sbbd FROM a)
+        |SELECT na, nb,
+        |  round((sad / nad - sbd / nbd) / 100.0, 4) AS mean_diff,
+        |  round(CASE WHEN na + nb <= 2 OR
+        |      sqrt(((saad - sad * sad / nad) + (sbbd - sbd * sbd / nbd))
+        |        / (nad + nbd - 2.0)) = 0.0 THEN NULL
+        |    ELSE (sad / nad - sbd / nbd) /
+        |      sqrt(((saad - sad * sad / nad) + (sbbd - sbd * sbd / nbd))
+        |        / (nad + nbd - 2.0)) END, 6) AS cohens_d
+        |FROM f""".stripMargin,
     "q_stl_strength" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

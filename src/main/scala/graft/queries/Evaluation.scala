@@ -98,6 +98,33 @@ object Evaluation {
           .as("rbo"))
     }),
 
+    // ---- Matthews correlation of the lang-id gate as a binary
+    // 'en' detector vs truth — the single-number confusion summary
+    // that stays honest under class imbalance (accuracy and even F1
+    // inflate when one class dominates; MCC cannot). Confusion cells
+    // are exact counts; the four marginal products ride in
+    // DECIMAL(38,0) (they square the corpus scale), and MCC is one
+    // double expression. Complements q_kappa (chance-corrected
+    // agreement) and q_prf (per-class P/R/F).
+    "q_mcc" -> ((s, d) => {
+      val agg = Tables.documents(s, d)
+        .select((predLang === "en").as("p"), (col("lang") === "en").as("t"))
+        .agg(
+          sum(when(col("p") && col("t"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("p") && !col("t"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("p") && col("t"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("p") && !col("t"), 1L).otherwise(0L)).as("tn"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val num = (d38(col("tp")) * col("tn") -
+        d38(col("fp")) * col("fn")).cast("double")
+      val den = sqrt((d38(col("tp") + col("fp")) *
+        (col("tp") + col("fn")) * (col("tn") + col("fp")) *
+        (col("tn") + col("fn"))).cast("double"))
+      agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(when(den === 0.0, lit(null)).otherwise(num / den), 6)
+          .as("mcc"))
+    }),
+
     "q_kappa" -> ((s, d) => {
       val preds = graft.CacheScope.cached(
         Tables.documents(s, d)
@@ -414,6 +441,33 @@ object Evaluation {
         |SELECT n_common,
         |  round(CAST(swp AS DOUBLE) / 1e12 * (1.0 - 0.9) / 0.9, 6) AS rbo
         |FROM contrib""".stripMargin,
+    "q_mcc" ->
+      """WITH p AS (
+        |  SELECT (CASE WHEN len(regexp_extract_all(text, '[^\x00-\x7f]'))
+        |        > 0 THEN 'zh'
+        |      WHEN len(regexp_extract_all(text, '\bthe\b')) >= 3 THEN 'en'
+        |      ELSE 'unknown' END) = 'en' AS pr,
+        |    lang = 'en' AS tr
+        |  FROM documents),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN pr AND tr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS tp,
+        |  CAST(sum(CASE WHEN pr AND NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fp,
+        |  CAST(sum(CASE WHEN NOT pr AND tr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fn,
+        |  CAST(sum(CASE WHEN NOT pr AND NOT tr THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tn
+        |  FROM p)
+        |SELECT tp, fp, fn, tn,
+        |  round(CASE WHEN sqrt(CAST(
+        |      CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn)
+        |      AS DOUBLE)) = 0.0 THEN NULL
+        |    ELSE CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+        |        AS DOUBLE) /
+        |      sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp)
+        |        * (tn + fn) AS DOUBLE)) END, 6) AS mcc
+        |FROM a""".stripMargin,
     "q_kappa" ->
       """WITH p AS (
         |  SELECT lang,

@@ -1107,6 +1107,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-aggregate is vocabulary-bounded, no join anywhere
     val yk = planOf("q_yule_k")
     assert(yk.contains("partial_count") && !yk.contains("Join"))
+    // moment-sum stats (paired t, Cohen's d, MCC): single-scan exact
+    // sums with map-side partials; only broadcast scalars may join
+    for (q <- Seq("q_paired_t", "q_effect_size", "q_mcc")) {
+      val p = planOf(q)
+      assert(p.contains("partial_"), s"$q must map-side combine")
+      assert(!p.contains("SortMergeJoin"), s"$q joins must broadcast")
+    }
     // STL strength: everything runs off the checkpointed daily frame;
     // the slot-mean join broadcasts 7 rows
     val st = planOf("q_stl_strength")

@@ -74,6 +74,52 @@ object Similarity {
     // ---- brute-force cosine top-5 for query vectors (vec_id % 40 == 0)
     "q_knn_brute" -> ((s, d) => knnBrute(s, d)),
 
+    // ---- coreset selection by greedy k-center (Gonzalez 1985; the
+    // SemDeDup-adjacent "pick maximally-diverse training examples"
+    // primitive): seed at the smallest vec_id, then 3× pick the vector
+    // FARTHEST from the selected set (max over the running min-distance
+    // frame) — each pick also certifies the 2-approximation cover
+    // radius at that k. Scale shape: per round ONE broadcast of the
+    // picked vector + a linear min-update over the corpus (k·N
+    // distances total, never N²); the argmax is a TakeOrdered. Exact
+    // by construction: per-dimension distance terms quantize to
+    // pico-unit longs (q_vec_analogy discipline), so min/argmax
+    // decisions compare integers and the pick sequence cannot drift.
+    "q_coreset" -> ((s, d) => {
+      val emb = graft.CacheScope.cached(Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")))
+      def d2m(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b,
+          (x, y) => round((x - y) * (x - y) * 1e12).cast("long")),
+          lit(0L), (acc, e) => acc + e)
+      val seed = emb.agg(min("vec_id").as("sid"))
+      val seedVec = emb.join(broadcast(seed),
+        col("vec_id") === col("sid")).select(col("v").as("sv"))
+      var dmin = emb.crossJoin(broadcast(seedVec))
+        .select(col("vec_id"), col("v"), d2m(col("v"), col("sv")).as("dm"))
+        .localCheckpoint(true)
+      var picks = Seq.empty[DataFrame]
+      for (r <- 1 to 3) {
+        val pick = dmin.orderBy(col("dm").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id").as("pid"), col("v").as("pv"),
+            col("dm").as("pdm"))
+          .localCheckpoint(true)
+        picks = picks :+ pick.select(lit(r).as("rank"),
+          col("pid").as("vec_id"),
+          round(col("pdm") / 1e12, 6).as("d2_at_pick"))
+        dmin = dmin.crossJoin(broadcast(pick.select("pv")))
+          .select(col("vec_id"), col("v"),
+            least(col("dm"), d2m(col("v"), col("pv"))).as("dm"))
+          .localCheckpoint(true)
+      }
+      val seedRow = seed.select(lit(0).as("rank"),
+        col("sid").as("vec_id"),
+        lit(null).cast("double").as("d2_at_pick"))
+      picks.foldLeft(seedRow)(_ unionByName _).orderBy("rank")
+    }),
+
     // ---- exact all-pairs cosine above threshold
     "q_cosine_pairs" -> ((s, d) => {
       val a = vecs(s, d).select(col("vec_id").as("va"), col("v").as("xa"),
@@ -676,6 +722,40 @@ object Similarity {
       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_coreset" -> {
+      // one (nK, dK, sK+1) block per greedy round: distance to the new
+      // pick, min-update, next argmax
+      def round(k: Int): String =
+        s"""n$k AS (
+           |  SELECT p.vec_id, CAST(sum(CAST(round((p.x - q.x) *
+           |    (p.x - q.x) * 1e12) AS BIGINT)) AS BIGINT) AS d
+           |  FROM pos p JOIN pos q ON q.i = p.i
+           |  JOIN s$k ON q.vec_id = s$k.id GROUP BY 1),
+           |d$k AS (SELECT d${k - 1}.vec_id, least(d${k - 1}.dm, n$k.d)
+           |  AS dm FROM d${k - 1} JOIN n$k USING (vec_id)),
+           |s${k + 1} AS (SELECT vec_id AS id, dm FROM d$k
+           |  ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin
+      s"""WITH pos AS MATERIALIZED (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         |    CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, embedding,
+         |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |s0 AS (SELECT min(vec_id) AS id FROM pos),
+         |d0 AS (
+         |  SELECT p.vec_id, CAST(sum(CAST(round((p.x - q.x) *
+         |    (p.x - q.x) * 1e12) AS BIGINT)) AS BIGINT) AS dm
+         |  FROM pos p JOIN pos q ON q.i = p.i
+         |  JOIN s0 ON q.vec_id = s0.id GROUP BY 1),
+         |s1 AS (SELECT vec_id AS id, dm FROM d0
+         |  ORDER BY dm DESC, vec_id LIMIT 1),
+         |${Seq(1, 2).map(round).mkString(",\n")}
+         |SELECT CAST(0 AS INTEGER) AS rank, s0.id AS vec_id,
+         |  CAST(NULL AS DOUBLE) AS d2_at_pick FROM s0
+         |UNION ALL SELECT 1, s1.id, round(s1.dm / 1e12, 6) FROM s1
+         |UNION ALL SELECT 2, s2.id, round(s2.dm / 1e12, 6) FROM s2
+         |UNION ALL SELECT 3, s3.id, round(s3.dm / 1e12, 6) FROM s3
+         |ORDER BY rank""".stripMargin
+    },
     "q_knn_brute" ->
       s"""WITH $flatSql,
          |dots AS (

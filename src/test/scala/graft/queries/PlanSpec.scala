@@ -1114,6 +1114,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("partial_"), s"$q must map-side combine")
       assert(!p.contains("SortMergeJoin"), s"$q joins must broadcast")
     }
+    // coreset: each greedy round is a checkpointed linear min-update
+    // (k·N distances, broadcast pick) + a TakeOrdered argmax — never
+    // an N² pair join
+    val cs = planOf("q_coreset")
+    assert(cs.contains("ExistingRDD"),
+      "greedy rounds must truncate lineage")
+    assert(!cs.contains("SortMergeJoin"),
+      "picked vectors must broadcast, not shuffle the corpus")
     // STL strength: everything runs off the checkpointed daily frame;
     // the slot-mean join broadcasts 7 rows
     val st = planOf("q_stl_strength")

@@ -62,16 +62,19 @@ case class JaroWinkler(left: Expression, right: Expression)
 object JaroWinkler {
 
   /** Static verify kernel — called from both the interpreted and the
-    * generated path, so they cannot diverge. Operates on UTF-16 chars
-    * (== code points for the ASCII name fixtures, and what the oracle's
-    * byte-wise scan sees there too). */
+    * generated path, so they cannot diverge. Operates on UTF-8 BYTES —
+    * the exact unit the oracle's scan uses — so parity holds for every
+    * input, not only ASCII: a 3-byte CJK character is three match units
+    * on both sides of the comparison. (A code-point kernel would agree
+    * with neither the oracle nor a byte-wise reference on non-ASCII.)
+    * Byte-wise also skips the UTF-16 decode the old char kernel paid. */
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
-    if (la == 1 && lb == 1) return if (a.charAt(0) == b.charAt(0)) 1.0 else 0.0
+    if (la == 1 && lb == 1) return if (a(0) == b(0)) 1.0 else 0.0
     val window = math.max(la, lb) / 2 - 1
     val ma = new Array[Boolean](la)
     val mb = new Array[Boolean](lb)
@@ -83,7 +86,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+        if (!mb(j) && a(i) == b(j)) {
           ma(i) = true; mb(j) = true; m += 1; found = true
         }
         j += 1
@@ -97,7 +100,7 @@ object JaroWinkler {
     while (i < la) {
       if (ma(i)) {
         while (!mb(j)) j += 1
-        if (a.charAt(i) != b.charAt(j)) t += 1
+        if (a(i) != b(j)) t += 1
         j += 1
       }
       i += 1
@@ -111,7 +114,7 @@ object JaroWinkler {
       var k = 0
       var run = true
       while (k < cap && run) {
-        if (a.charAt(k) == b.charAt(k)) p += 1 else run = false
+        if (a(k) == b(k)) p += 1 else run = false
         k += 1
       }
       s = s + p * 0.1 * (1.0 - s)

@@ -312,8 +312,15 @@ final class DevstackNode(spark: SparkSession, val nodeId: String,
           jevs.filter(e => e.eventName == Lifecycle.EventType.BidAccepted ||
               e.eventName == Lifecycle.EventType.BidCancelled)
             .map(_.targetNodeId).toSet
+        // Count DISTINCT accepted bidders, not raw BidAccepted events:
+        // during the documented one-poll overlap of two lease holders a
+        // bidder can be accepted twice, and counting events would make a
+        // concurrency-2 deal look full with one real replica (the deal
+        // would then under-fill permanently). Sets make the duplicate
+        // decisions genuinely fold-idempotent here, matching `decided`.
         var accepted = jevs
-          .count(_.eventName == Lifecycle.EventType.BidAccepted)
+          .filter(_.eventName == Lifecycle.EventType.BidAccepted)
+          .map(_.targetNodeId).distinct.size
         jevs.filter(_.eventName == Lifecycle.EventType.Bid)
           .map(_.targetNodeId).distinct.filterNot(decided)
           .foreach { bidder =>

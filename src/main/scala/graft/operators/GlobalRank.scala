@@ -42,6 +42,13 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Default cap on the number of distinct keys [[withKeyedRowNumber]]
+    * will broadcast as its offset table: 1M keys × ~50 B/row ≈ 50 MB —
+    * comfortably inside executor memory, far past the few-keys regime
+    * the operator targets. Beyond it the guard fails loudly instead of
+    * letting the broadcast OOM the driver. */
+  val MaxBroadcastKeys: Long = 1L << 20
+
   /** One prefix-aggregate column request: running `op` of `src` under the
     * frame's sort order, written as `dst`. `inclusive` = the running frame
     * includes the current row (rowsBetween(unboundedPreceding, 0)) vs the
@@ -88,18 +95,43 @@ object GlobalRank {
     * plain partitioned window is already parallel; use that instead).
     *
     * `order` must total-order rows within a key (include a tiebreaker);
-    * key columns must be non-null (they become equi-join keys).
+    * key columns must be non-null (they become equi-join keys). Both the
+    * non-null contract and the few-keys contract are ENFORCED at runtime
+    * (see the guard below): violations throw with a named cause instead
+    * of silently dropping rows / OOMing on the broadcast.
     * `keepCount` optionally retains the per-key row count under the given
     * column name — callers ranking "r of ns" (quantile positions) need
     * both and would otherwise recount.
     */
   def withKeyedRowNumber(df: DataFrame, name: String, keys: Seq[String],
       order: Seq[Column], partitions: Int = 0,
-      keepCount: Option[String] = None): DataFrame = {
+      keepCount: Option[String] = None,
+      maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
     val keyAsc = keys.map(col(_).asc)
     val ranked = withRowNumber(df, "_gr_krn", keyAsc ++ order, partitions)
     val counts = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_gr_kn"))
+      .persist()
+    // Guard the two contract clauses that would otherwise fail SILENTLY
+    // (null keys drop rows through the inner equi-join) or CATASTROPHICALLY
+    // (a high-cardinality key broadcasts one offset row per key to every
+    // executor — driver/executor OOM, not an error message). One action
+    // over the persisted per-key frame — tiny by contract, and the persist
+    // means the offset branch below reuses the materialized aggregate
+    // rather than re-scanning `df`.
+    val guard = counts.select(
+      count(lit(1)).as("k"),
+      coalesce(sum(when(keys.map(col(_).isNull).reduce(_ || _), 1L)
+        .otherwise(0L)), lit(0L)).as("nullKeys")).collect().head
+    require(guard.getLong(1) == 0L,
+      s"withKeyedRowNumber: ${guard.getLong(1)} null key group(s) in " +
+        s"${keys.mkString("(", ",", ")")} — null keys would silently drop " +
+        "rows through the offset equi-join; filter or coalesce them first")
+    require(guard.getLong(0) <= maxBroadcastKeys,
+      s"withKeyedRowNumber: ${guard.getLong(0)} distinct keys exceeds the " +
+        s"broadcast bound $maxBroadcastKeys — this form targets the " +
+        "few-keys regime; with many small keys use a plain partitioned " +
+        "window (already parallel) instead")
     val offs = withPrefixAggs(counts, keyAsc,
         Seq(PrefixAgg("_gr_kn", "_gr_koff")), partitions)
     val joined = ranked.join(broadcast(offs), keys)

@@ -2358,7 +2358,7 @@ object Analytics {
         |    CAST(count(*) AS BIGINT) AS n_pairs
         |  FROM daily a JOIN daily b ON b.day > a.day),
         |t AS (
-        |  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
+        |  SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
         |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
         |        GROUP BY x) q),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
@@ -2542,7 +2542,7 @@ object Analytics {
         |      (CAST(tw2 AS DOUBLE) / 2.0) / CAST(ng AS DOUBLE) * 1e3)
         |      AS HUGEINT)) AS s3
         |  FROM bg),
-        |tie AS (SELECT sum(t * t * t - t) AS ties FROM ranked),
+        |tie AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS ties FROM ranked),
         |hh AS (
         |  SELECT n, k, ties,
         |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
@@ -2724,7 +2724,7 @@ object Analytics {
         |agg AS (
         |  SELECT CAST(sum(t) AS BIGINT) AS m,
         |    CAST(sum((2 * cl + t + 1) * npos) AS BIGINT) AS tw2,
-        |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS ties
         |  FROM ranked)
         |SELECT m, round(CAST(tw2 AS DOUBLE) / 2.0, 1) AS w_plus,
         |  round(CASE WHEN

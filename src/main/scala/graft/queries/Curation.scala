@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.Tables
@@ -27,6 +27,29 @@ import graft.Tables
   */
 object Curation {
   type Q = (SparkSession, String) => DataFrame
+
+  /** PUBLIC seed for the oracle-parity bench form of the DP-shaped
+    * release (q_dp_counts). Being public, any release drawn with it has
+    * ZERO privacy — see [[laplaceNoisePrf]]. */
+  val PublicBenchSeed = "graft-public-bench-seed"
+
+  /** Laplace(b=1) perturbation as a keyed PRF of (seed, key), by
+    * inverse-CDF over the md5 uniform (the q_hash_sample discipline).
+    *
+    * Privacy contract, enforced by this signature: the draw is a
+    * DETERMINISTIC function of the seed and the key. With a SECRET
+    * seed it behaves as a seeded-PRF Laplace mechanism (privacy up to
+    * PRF security — the standard derandomized-DP construction); with a
+    * public seed (e.g. [[PublicBenchSeed]]) it provides NO privacy at
+    * all — anyone can recompute and subtract the noise. Callers who
+    * need an actual DP release must thread a secret here; the bench
+    * query deliberately does not. Columnar and codegen-friendly: one
+    * md5 + arithmetic, no UDF. */
+  def laplaceNoisePrf(seed: String, key: Column): Column = {
+    val u = conv(substring(md5(concat(lit(seed), key)), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+  }
 
   /** Segment length (words) for q_line_dedup: the fixture corpus carries
     * no newlines, so "lines" are non-overlapping 10-word windows. */
@@ -160,20 +183,21 @@ object Curation {
     // at-risk rate. Scale shape: one map-side-combined aggregate over
     // the QI tuple, then a QI-cardinality-bounded re-aggregate — the
     // corpus shuffles once, keyed by the tuple.
-    // ---- differentially-private release counts (Laplace mechanism,
+    // ---- DP-SHAPED release counts (Laplace-mechanism plan shape,
     // ε = 1) — q_kanon's release-side sibling: per-source document
-    // counts published with Laplace(1/ε) noise. The "noise" draw is
-    // DETERMINISTIC — inverse-CDF over the md5-hash uniform of the
-    // source name (the q_hash_sample discipline) — so replicated runs
-    // and the oracle land on identical releases; a production deploy
-    // swaps the hash for a secret-seeded PRF, same plan. Map-only over
-    // a source-count aggregate; nothing here grows past the number of
+    // counts published with a Laplace(1/ε)-distributed perturbation
+    // drawn by inverse-CDF from a keyed PRF uniform
+    // ([[laplaceNoisePrf]]). The seed used HERE is [[PublicBenchSeed]]
+    // — a public constant — so the release has NO actual privacy (the
+    // noise is recomputable and subtractable by anyone); the query
+    // exists to pin the release plan shape against the oracle, which
+    // needs a deterministic draw. A production release MUST call
+    // [[laplaceNoisePrf]] with a secret seed — the caveat lives in the
+    // API signature, not just this comment. Map-only over a
+    // source-count aggregate; nothing here grows past the number of
     // sources.
     "q_dp_counts" -> ((s, d) => {
-      val u = conv(substring(md5(col("source")), 1, 8), 16, 10)
-        .cast("double") / 4294967296.0
-      val noise = -signum(u - 0.5) *
-        log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      val noise = laplaceNoisePrf(PublicBenchSeed, col("source"))
       Tables.documents(s, d)
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
         .select(col("source"), col("n_docs"),
@@ -269,7 +293,8 @@ object Curation {
         |  FROM documents GROUP BY 1),
         |u AS (
         |  SELECT source, n_docs,
-        |    CAST(CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+        |    CAST(CAST(('0x' || substring(
+        |        md5('graft-public-bench-seed' || source), 1, 8)) AS BIGINT)
         |      AS DOUBLE) / 4294967296.0 AS u
         |  FROM c)
         |SELECT source, n_docs,

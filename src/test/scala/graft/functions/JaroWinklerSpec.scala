@@ -44,6 +44,18 @@ class JaroWinklerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jw("identical string", "identical string") === 1.0)
   }
 
+  test("non-ASCII: byte-unit semantics (oracle parity beyond ASCII)") {
+    // identity holds regardless of encoding width
+    assert(jw("日本語", "日本語") === 1.0)
+    assert(jw("café", "café") === 1.0)
+    // byte-wise: 日本語 (9 bytes) vs 日本 (6 bytes) → m=6, t=0,
+    // jaro=(6/9+1+1)/3=0.888…, 4-byte common prefix boost → 0.9333…
+    // (a code-point kernel would see lengths 3/2 and a window of 0)
+    assert(math.abs(jw("日本語", "日本") - 0.9333333333) < 1e-9)
+    // multi-byte chars are multiple match units, same as the oracle's scan
+    assert(jw("é", "e") === 0.0)
+  }
+
   test("properties on random pairs: symmetry, [0,1] range, identity=1, " +
        "boost never decreases jaro") {
     val rng = new scala.util.Random(20260814L)

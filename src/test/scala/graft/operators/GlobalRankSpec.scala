@@ -107,6 +107,27 @@ class GlobalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("withKeyedRowNumber guards fail loudly: null keys, key-cap") {
+    import spark.implicits._
+    // a null key would silently drop its rows through the offset
+    // equi-join — the guard must throw with a named cause instead
+    val withNull = Seq((Some(1L), 10L), (None, 20L), (Some(1L), 30L))
+      .toDF("g", "k")
+    val e1 = intercept[IllegalArgumentException] {
+      GlobalRank.withKeyedRowNumber(withNull, "rn", Seq("g"), Seq(col("k")))
+    }
+    assert(e1.getMessage.contains("null key"))
+    // high-cardinality key: the offset broadcast would be one row per
+    // key — the cap rejects it before any broadcast is attempted
+    val manyKeys = (1L to 50L).map(i => (i, i)).toDF("g", "k")
+    val e2 = intercept[IllegalArgumentException] {
+      GlobalRank.withKeyedRowNumber(manyKeys, "rn", Seq("g"), Seq(col("k")),
+        maxBroadcastKeys = 10L)
+    }
+    assert(e2.getMessage.contains("broadcast bound"))
+    graft.CacheScope.drain()
+  }
+
   test("descending order key works (suffix sums, the q_kaplan_meier shape)") {
     import spark.implicits._
     val df = (1L to 37L).map(i => (i, i * 2)).toDF("k", "v")

@@ -70,6 +70,28 @@ object GraphOps {
       .select("u", "v")
   }
 
+  /** One k-core peel round under delta-degree maintenance (k=70).
+    * `deg` holds the exact degrees of the current induced subgraph's
+    * survivors; nodes below k are the round's NEWLY-removed set. Their
+    * broadcast against the checkpointed symmetrized adjacency
+    * (node, nbr — each undirected edge twice) counts, per surviving
+    * neighbor, the edges lost this round (edges between two removed
+    * nodes credit no survivor — the left join against the filtered
+    * degree frame discards them). Exposed un-checkpointed so PlanSpec
+    * can audit the round shape: a broadcast hash join over the
+    * adjacency, no edge-sized shuffle, no cartesian. */
+  private[queries] def kcoreRound(adj: DataFrame, deg: DataFrame)
+      : DataFrame = {
+    val removed = deg.filter(col("deg") < 70).select("node")
+    val lost = adj.join(broadcast(removed), "node")
+      .groupBy(col("nbr").as("node"))
+      .agg(count(lit(1)).as("delta"))
+    deg.filter(col("deg") >= 70)
+      .join(lost, Seq("node"), "left")
+      .select(col("node"),
+        (col("deg") - coalesce(col("delta"), lit(0L))).as("deg"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ranks rounded to 5 dp (not 6): five rounds of differently-ordered FP
     // sums can drift near a 6-dp rounding boundary and flake the hash gate
@@ -206,30 +228,42 @@ object GraphOps {
     // edge derivation is the expensive stage at scale and it is bounded:
     // the lineitem self-join fans out O(items-per-order²) per order
     // (TPC-H ≤ 7), then DISTINCT collapses to the part-pair graph.
-    // Each peel round is one degree agg + two keyed semi-join-shaped
-    // filters against the ≤|nodes| keep list; the edge frame
-    // localCheckpoints per round (iterated-lineage rule — otherwise
-    // round r re-derives every earlier round AND the self-join).
+    //
+    // Degrees are maintained by DELTA, not recomputed: the full-edge
+    // degree aggregate runs ONCE (the only edge-sized shuffle in the
+    // loop's lifetime); each round then (a) broadcasts the newly-removed
+    // node set (≤|parts| rows — node-sized, never edge-sized) against
+    // the checkpointed edge frame to count each survivor's lost edges
+    // (map-only scans; only the incident-edge deltas shuffle), and
+    // (b) rewrites the |nodes|-sized degree frame. deg_r(v) is exactly
+    // v's degree in the subgraph induced on round-r survivors — the same
+    // induction the filter-the-edges form computes — so the output is
+    // hash-identical, but the per-round cost drops from
+    // O(E shuffle + E checkpoint) to O(V broadcast + incident-Δ shuffle
+    // + V checkpoint). Only the ≤|nodes| degree frame checkpoints per
+    // round (iterated-lineage rule); the edge frame checkpoints once.
     // Fixed rounds (not convergence) keep the oracle an exact CTE
     // unroll, like PageRank; at sf0.001 the cascade is still shrinking
     // at round 4, which is the point — peeling is genuinely iterative.
     "q_kcore" -> ((s, d) => {
-      var edges = coPurchaseEdges(s, d).localCheckpoint(true)
-      for (_ <- 1 to 4) {
-        val keep = edges.select(col("u").as("node"))
-          .unionAll(edges.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= 70).select("node")
-        edges = edges
-          .join(keep.toDF("u"), "u")
-          .join(keep.toDF("v"), "v")
-          .select("u", "v")
+      // materialize the SYMMETRIZED adjacency once (2|E| rows): every
+      // later stage — the initial degree agg and each round's delta scan
+      // — is then a single pass keyed on one column, instead of scanning
+      // the undirected frame twice per use
+      val adj = {
+        val e = coPurchaseEdges(s, d)
+        e.select(col("u").as("node"), col("v").as("nbr"))
+          .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
           .localCheckpoint(true)
       }
-      edges.select(col("u").as("node"))
-        .unionAll(edges.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-        .orderBy("node")
+      var deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 4)
+        deg = kcoreRound(adj, deg).localCheckpoint(true)
+      // a survivor can end the 4th round with zero surviving neighbors;
+      // the edge-filtering form drops it (no edges left to count) — the
+      // deg>0 filter is that same exclusion
+      deg.filter(col("deg") > 0).orderBy("node")
     }),
 
     // ---- Adamic–Adar link prediction over the significant-trade graph:

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import graft.SparkEntry
@@ -637,6 +638,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kcAggs = kc.linesIterator
       .count(_.trim.matches("""\(\d+\) HashAggregate\s*"""))
     assert(kcAggs >= 2, s"distinct must map-side combine, got $kcAggs aggs")
+    // k-core peel round (delta-degree form): the newly-removed node set
+    // must BROADCAST against the adjacency frame (a map-only scan — the
+    // whole point of delta maintenance); a sort-merge join here would
+    // shuffle the edge frame per round, the cost the rewrite removed
+    val e0 = GraphOps.coPurchaseEdges(spark, sf)
+    val adj = e0.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e0.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    val deg0 = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val kr = GraphOps.kcoreRound(adj, deg0).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!kr.contains("CartesianProduct"))
+    val krBcast = kr.linesIterator
+      .count(_.trim.matches("""\(\d+\) BroadcastHashJoin\s*"""))
+    assert(krBcast >= 1,
+      s"removed set must broadcast against the adjacency, got $krBcast")
+    assert(!kr.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("Inner")),
+      "no edge-sized sort-merge join inside a peel round")
   }
 
   test("assoc-rules/adamic-adar/kaplan-meier: keyed fan-outs, bounded windows") {

@@ -64,6 +64,18 @@ object Bench {
     "q_pq_sweep", "q_pca_power", "q_rand_proj", "q_vec_quantize",
     "q_centroids")
 
+  /** The daily-events family (VERDICT r7 #7): the stats/forecast queries
+    * each re-derive a per-day (or per-group) aggregate from the events
+    * scan independently. The shared subtree is the events scan itself —
+    * the per-query daily aggregations differ (counts vs value sums vs
+    * per-user frames), so the scan's InMemoryRelation is the widest
+    * fragment the cache manager can substitute into all of them. */
+  private val dailyFamily = Seq(
+    "q_autocorr", "q_holt", "q_holt_winters", "q_mk_trend", "q_theil_sen",
+    "q_stl_strength", "q_forecast_error", "q_cusum", "q_pacf", "q_sax",
+    "q_paired_t", "q_effect_size", "q_wilcoxon", "q_kruskal", "q_power",
+    "q_ctr_smoothing", "q_sprt")
+
   /** SPARK_GRAFT_BENCH_MODE=session — the multi-query session experiment
     * (VERDICT r4 next-round #8): a pipeline that runs a whole
     * table-rooted family in ONE session can pay the scan once instead
@@ -114,6 +126,7 @@ object Bench {
     }
     one("documents", docFamily, Tables.documents(spark, sfDir))
     one("embeddings", embFamily, Tables.embeddings(spark, sfDir))
+    one("events", dailyFamily, Tables.events(spark, sfDir))
   }
 
   def main(args: Array[String]): Unit = {

@@ -70,6 +70,39 @@ final class ApiServer(spark: SparkSession, stateDir: String,
   def jobs: Seq[Job] = runner.getJobs()
   def events: EventLog = runner.events
 
+  // ---- devstack reads through the DataSource V2 connector ------------
+  //
+  // In cluster mode the serve verbs consume the bus through
+  // `format("graft-jobevents")` — the same production table face every
+  // relational query composes with — instead of a driver-local file
+  // fold. The V2 scan prunes columns at the JSON parse (a states fold
+  // materializes six fields per event, never eight) and keeps the
+  // Lamport-stamp file pruning available to time-bounded reads; the
+  // fold itself is the distributed window fold (EventLog.foldStates),
+  // so serve's answers and any analyst's `spark.read` over the same dir
+  // are one code path.
+
+  private def busEventsDF(c: DevstackNode) =
+    spark.read.format("graft-jobevents").load(c.clusterDir)
+
+  /** V2-face events in the camelCase shape `EventLog.foldStates` folds. */
+  private def busEventsFolded(c: DevstackNode, jobId: String) = {
+    import org.apache.spark.sql.functions.col
+    EventLog.foldStates(busEventsDF(c)
+        .filter(col("job_id") === jobId)
+        .select(col("job_id").as("jobId"),
+          col("target_node_id").as("targetNodeId"),
+          col("event_name").as("eventName"),
+          col("status"),
+          col("results_id").as("resultsId"),
+          col("event_time_us").as("eventTimeUs")))
+      .collect()
+      .map(r => JobNodeState(jobId = r.getString(0), nodeId = r.getString(1),
+        state = r.getString(2), status = r.getString(3),
+        resultsId = r.getString(4)))
+      .toSeq
+  }
+
   // ---- handlers -----------------------------------------------------
 
   private def handle(ex: HttpExchange)(f: JsonNode => (Int, JsonNode)): Unit = {
@@ -188,10 +221,10 @@ final class ApiServer(spark: SparkSession, stateDir: String,
     server.createContext("/states", (ex: HttpExchange) => handle(ex) { req =>
       val jobId = Option(req.get("job_id")).map(_.asText()).getOrElse("")
       val arr = mapper.createArrayNode()
-      val folded = cluster.map(c => EventLog.foldLocal(c.bus.events()))
-        .getOrElse(runner.events.states)
-      folded.values.filter(_.jobId == jobId)
-        .toSeq.sortBy(_.nodeId).foreach { s =>
+      val folded = cluster.map(c => busEventsFolded(c, jobId))
+        .getOrElse(runner.events.states.values.toSeq)
+      folded.filter(_.jobId == jobId)
+        .sortBy(_.nodeId).foreach { s =>
           arr.add(mapper.createObjectNode()
             .put("node_id", s.nodeId).put("state", s.state)
             .put("status", s.status).put("results_id", s.resultsId))
@@ -204,7 +237,18 @@ final class ApiServer(spark: SparkSession, stateDir: String,
     server.createContext("/events", (ex: HttpExchange) => handle(ex) { req =>
       val jobId = Option(req.get("job_id")).map(_.asText()).getOrElse("")
       val arr = mapper.createArrayNode()
-      val evs = cluster.map(_.bus.events().filter(_.jobId == jobId))
+      val evs = cluster.map { c =>
+          import org.apache.spark.sql.functions.col
+          def s(r: org.apache.spark.sql.Row, i: Int): String =
+            Option(r.getString(i)).getOrElse("")
+          busEventsDF(c).filter(col("job_id") === jobId)
+            .orderBy("event_time_us").collect().toSeq
+            .map(r => JobEvent(jobId = s(r, 0),
+              clientId = s(r, 1), sourceNodeId = s(r, 2),
+              targetNodeId = s(r, 3), eventName = s(r, 4),
+              status = s(r, 5), resultsId = s(r, 6),
+              eventTimeUs = r.getLong(7)))
+        }
         .getOrElse(runner.events.forJob(jobId))
       evs.foreach { e =>
         arr.add(mapper.createObjectNode()

@@ -174,7 +174,7 @@ final class FileBus(dir: Path) {
   *   executes, but submits, decides, and can win requester elections
   *   for jobs it observes. */
 final class DevstackNode(spark: SparkSession, val nodeId: String,
-                         clusterDir: String, pollMs: Long = 100,
+                         val clusterDir: String, pollMs: Long = 100,
                          staleMs: Long = 0, heartbeatMs: Long = 0,
                          requesterStaleMs: Long = 0,
                          computeDisabled: Boolean = false) {

@@ -629,12 +629,26 @@ object Multimodal {
     * budget. Scale shape: still an equi-join on 16-bit band values →
     * groupBy (pa, pb, delta) with map-side partials; dropping `win`
     * from the join key widens buckets by the windows-per-file factor,
-    * the standard LSH recall/cost trade, and never a cartesian. */
+    * the standard LSH recall/cost trade, and never a cartesian.
+    *
+    * `microSteps` = per-window best-of-k micro-alignment: the
+    * fingerprint grid oversamples to hop/k starts, so an ARBITRARY trim
+    * misaligns by at most hop/(2k) samples instead of hop/2 — at k=4 a
+    * sub-hop trim sits within 1/16th of a window of some grid start,
+    * close enough that the energy contour (and thus the Hamming
+    * distance at the true delta) is essentially unmoved. Votes still
+    * concentrate on ONE delta, now in hop/k units. Cost is a constant
+    * k× rows per asset (k²× candidate pairs inside a band bucket — the
+    * same recall/cost dial as the band count), decided per call, never
+    * data-dependent. k=1 is the plain hop-grid matcher. */
   def nearDupAudioShifted(assets: DataFrame, maxHamming: Int = 6,
-      minWindows: Int = 2, winSamples: Int = 1024): DataFrame = {
+      minWindows: Int = 2, winSamples: Int = 1024,
+      microSteps: Int = 1): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val hop = winSamples / 2
+    require(microSteps >= 1 && (winSamples / 2) % microSteps == 0,
+      s"microSteps must divide the hop (${winSamples / 2})")
+    val hop = winSamples / 2 / microSteps
     val fps = assets.select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
         spectralFingerprintHop(pcmSamples(content), winSamples, hop)

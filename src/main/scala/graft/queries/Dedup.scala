@@ -146,6 +146,62 @@ object Dedup {
     // scale path: shuffle on (band, h1, h2), never all-pairs.
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d).orderBy("da", "db")),
 
+    // ---- LSH band-shape sweep (the q_pq_sweep of the text side): how
+    // do (8×1), (4×2), (2×4) bandings of the same 8-minhash signature
+    // trade candidate volume against recall of the TRUE near-dups
+    // (exact shingle-set Jaccard ≥ 1/2 — the threshold compares
+    // 3·|∩| ≥ |A|+|B| in pure BIGINTs, no float Jaccard anywhere)?
+    // This is the query a pipeline runs ONCE to pick its banding before
+    // committing a 100 TB dedup pass. Scale shape: ground truth comes
+    // from the inverted shingle index (pairs keyed by shared codes —
+    // bucket-bounded, never all-pairs); each config's candidates come
+    // from a (band, key) equi-join exactly like the production chain;
+    // the three config arms share ONE cached signature frame and ONE
+    // truth frame, and each reports counts + recall + precision.
+    "q_lsh_sweep" -> ((s, d) => {
+      val sig = graft.CacheScope.cached(minhashSig(s, d))
+      val grams = graft.CacheScope.cached(shingles(s, d).distinct())
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.toDF("da", "code")
+        .join(grams.toDF("db", "code"), "code")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("i"))
+      val truth = graft.CacheScope.cached(inter
+        .join(sizes.toDF("da", "na"), "da")
+        .join(sizes.toDF("db", "nb"), "db")
+        .filter(col("i") * 3 >= col("na") + col("nb"))
+        .select("da", "db"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      def arm(r: Int): DataFrame = {
+        val nb = 8 / r
+        val bands = sig.select(col("doc_id"), explode(array(
+          (0 until nb).map(bb => struct(lit(bb).as("band"),
+            concat_ws("_", (0 until r).map(j =>
+              col(s"mh${bb * r + j}")): _*).as("key"))): _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band"), col("bs.key"))
+        val cand = bands.toDF("da", "band", "key")
+          .join(bands.toDF("db", "band", "key"), Seq("band", "key"))
+          .filter(col("da") < col("db"))
+          .select("da", "db").distinct()
+        val cc = graft.CacheScope.cached(cand)
+        cc.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(
+            cc.join(truth, Seq("da", "db")).agg(count(lit(1)).as("n_hits"))))
+          .crossJoin(broadcast(nTruth))
+          .select(lit(nb).cast(LongType).as("bands"),
+            lit(r).cast(LongType).as("rows_per_band"),
+            col("n_truth"), col("n_candidates"), col("n_hits"),
+            round(when(col("n_truth") === 0, lit(null))
+              .otherwise(col("n_hits").cast("double") / col("n_truth")), 6)
+              .as("recall"),
+            round(when(col("n_candidates") === 0, lit(null))
+              .otherwise(col("n_hits").cast("double") /
+                col("n_candidates")), 6).as("precision"))
+      }
+      arm(1).unionAll(arm(2)).unionAll(arm(4))
+        .orderBy(col("bands").desc)
+    }),
+
     // ---- near-dup GROUPS: connected components over the LSH pair graph
     // (operators.ConnectedComponents min-label propagation) — pairs →
     // canonical group per doc, the final dedup step. Oracle: recursive CTE
@@ -529,6 +585,62 @@ object Dedup {
          |FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
          |WHERE $nMatch >= 2
          |ORDER BY da, db""".stripMargin
+    },
+    "q_lsh_sweep" -> {
+      def armSql(r: Int): String = {
+        val nb = 8 / r
+        val bandSelects = (0 until nb).map { bb =>
+          val cols = (0 until r).map(j => s"mh${bb * r + j} AS h$j")
+            .mkString(", ")
+          s"SELECT doc_id, $bb AS band, $cols FROM sig"
+        }.mkString(" UNION ALL ")
+        val joinCond = (0 until r).map(j => s"a.h$j = b.h$j")
+          .mkString(" AND ")
+        s"""bands$r AS ($bandSelects),
+           |cand$r AS (
+           |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |  FROM bands$r a JOIN bands$r b
+           |    ON a.band = b.band AND $joinCond AND a.doc_id < b.doc_id),
+           |row$r AS (
+           |  SELECT CAST($nb AS BIGINT) AS bands,
+           |    CAST($r AS BIGINT) AS rows_per_band,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$r)
+           |      AS n_candidates,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$r c
+           |     JOIN truth t ON c.da = t.da AND c.db = t.db) AS n_hits)"""
+          .stripMargin
+      }
+      val rowSel =
+        """SELECT bands, rows_per_band, n_truth, n_candidates, n_hits,
+          |  round(CASE WHEN n_truth = 0 THEN NULL
+          |    ELSE CAST(n_hits AS DOUBLE) / n_truth END, 6) AS recall,
+          |  round(CASE WHEN n_candidates = 0 THEN NULL
+          |    ELSE CAST(n_hits AS DOUBLE) / n_candidates END, 6)
+          |    AS precision""".stripMargin
+      s"""WITH $sigSql,
+         |grams AS (SELECT DISTINCT doc_id, code FROM sh),
+         |sizes AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(count(*) AS BIGINT) AS i
+         |  FROM grams a JOIN grams b
+         |    ON a.code = b.code AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT inter.da, inter.db FROM inter
+         |  JOIN sizes x ON x.doc_id = inter.da
+         |  JOIN sizes y ON y.doc_id = inter.db
+         |  WHERE i * 3 >= x.n + y.n),
+         |${armSql(1)},
+         |${armSql(2)},
+         |${armSql(4)}
+         |$rowSel FROM row1
+         |UNION ALL $rowSel FROM row2
+         |UNION ALL $rowSel FROM row4
+         |ORDER BY bands DESC""".stripMargin
     },
     "q_dedup_groups" ->
       (s"WITH RECURSIVE $groupsCtes\n" +

@@ -74,6 +74,54 @@ object Similarity {
     // ---- brute-force cosine top-5 for query vectors (vec_id % 40 == 0)
     "q_knn_brute" -> ((s, d) => knnBrute(s, d)),
 
+    // ---- Local Outlier Factor (Breunig et al. 2000, k=5) — the
+    // density-aware outlier score over the embedding space: a vector is
+    // anomalous when its local density is low RELATIVE to its
+    // neighbors' (a point at a cluster edge scores ~1, a point in a
+    // void scores ≫1 even if a dense cluster sits nearby — the case
+    // global z-scores miss). Composable from the kNN frame: k-distance
+    // → reachability → local reachability density → density ratio.
+    // Exactness discipline: pair distances quantize to micro-unit
+    // BIGINTs (the q_coreset pico-quantized d² under one deterministic
+    // sqrt), reachabilities are integer max/sums, and the reciprocal
+    // densities quantize to 1e-12 units BEFORE summation (the
+    // q_adamic_adar rule) so every cross-engine sum is integer. Scale
+    // shape: the O(n²) kNN base is the q_cosine_pairs trade — at 100 TB
+    // the candidate set comes from q_ann_lsh buckets and everything
+    // downstream of `knn` (three node-keyed joins over k·N rows) is
+    // unchanged. Top-20 outliers, ties by vec_id.
+    "q_lof" -> ((s, d) => {
+      val emb = graft.CacheScope.cached(vecs(s, d).select("vec_id", "v"))
+      def d2m(a: Column, b: Column) =
+        aggregate(zip_with(a, b,
+          (x, y) => round((x - y) * (x - y) * 1e12).cast("long")),
+          lit(0L), (acc, e) => acc + e)
+      val pairs = emb.toDF("a", "va")
+        .join(emb.toDF("b", "vb"), col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(sqrt(d2m(col("va"), col("vb")).cast("double") / lit(1e12))
+            * lit(1e6)).cast("long").as("du"))
+      val w = Window.partitionBy("a").orderBy(col("du").asc, col("b").asc)
+      val knn = graft.CacheScope.cached(pairs
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select("a", "b", "du"))
+      val kd = knn.groupBy(col("a").as("b")).agg(max("du").as("kdist"))
+      val reach = knn.join(kd, "b")
+        .select(col("a"), col("b"),
+          greatest(col("kdist"), col("du")).as("r"))
+      val ra = reach.groupBy("a")
+        .agg(sum("r").as("ra"), count(lit(1)).as("kn"))
+      val recip = ra.select(col("a").as("b"),
+        when(col("ra") > 0, round(lit(1e12) / col("ra")).cast("long"))
+          .as("cb"))
+      val sc = knn.join(recip, "b").groupBy("a").agg(sum("cb").as("sc"))
+      ra.join(sc, "a")
+        .select(col("a").as("vec_id"),
+          round(col("ra").cast("double") / col("kn") *
+            (col("sc").cast("double") / lit(1e12)), 4).as("lof"))
+        .orderBy(col("lof").desc, col("vec_id").asc).limit(20)
+    }),
+
     // ---- coreset selection by greedy k-center (Gonzalez 1985; the
     // SemDeDup-adjacent "pick maximally-diverse training examples"
     // primitive): seed at the smallest vec_id, then 3× pick the vector
@@ -756,6 +804,46 @@ object Similarity {
          |UNION ALL SELECT 3, s3.id, round(s3.dm / 1e12, 6) FROM s3
          |ORDER BY rank""".stripMargin
     },
+    "q_lof" ->
+      """WITH pos AS MATERIALIZED (
+        |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |pd AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    CAST(round(sqrt(CAST(sum(CAST(round((a.x - b.x) *
+        |      (a.x - b.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) * 1e6)
+        |      AS BIGINT) AS du
+        |  FROM pos a JOIN pos b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |knn AS (
+        |  SELECT a, b, du FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a
+        |      ORDER BY du ASC, b ASC) AS rk FROM pd) t
+        |  WHERE rk <= 5),
+        |kd AS (
+        |  SELECT a AS b, CAST(max(du) AS BIGINT) AS kdist
+        |  FROM knn GROUP BY 1),
+        |reach AS (
+        |  SELECT knn.a, knn.b, greatest(kd.kdist, knn.du) AS r
+        |  FROM knn JOIN kd ON knn.b = kd.b),
+        |ra AS (
+        |  SELECT a, CAST(sum(r) AS BIGINT) AS ra,
+        |    CAST(count(*) AS BIGINT) AS kn
+        |  FROM reach GROUP BY 1),
+        |recip AS (
+        |  SELECT a AS b, CASE WHEN ra > 0
+        |    THEN CAST(round(1e12 / ra) AS BIGINT) END AS cb
+        |  FROM ra),
+        |sc AS (
+        |  SELECT knn.a, CAST(sum(cb) AS BIGINT) AS sc
+        |  FROM knn JOIN recip ON knn.b = recip.b GROUP BY 1)
+        |SELECT ra.a AS vec_id,
+        |  round(CAST(ra.ra AS DOUBLE) / kn *
+        |    (CAST(sc.sc AS DOUBLE) / 1e12), 4) AS lof
+        |FROM ra JOIN sc ON ra.a = sc.a
+        |ORDER BY lof DESC, vec_id ASC LIMIT 20""".stripMargin,
     "q_knn_brute" ->
       s"""WITH $flatSql,
          |dots AS (

@@ -1,0 +1,480 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-8 statistics additions: rank association (Spearman, Kendall),
+  * robust variance testing (Brown–Forsythe Levene), autoregressive
+  * forecasting (Yule–Walker AR(2)), extreme-value fitting (Gumbel), and
+  * ecological diversity (Simpson) — the remaining standard members of
+  * the daily-series / per-group answer sheet the r6/r7 stats families
+  * built (q_mk_trend, q_theil_sen, q_kruskal, q_holt, q_tail_index).
+  *
+  * Shared disciplines (the FP-parity rules that keep hashes green):
+  *  - values lift to exact integer units first (cents, half-cent
+  *    medians, doubled average ranks) so every accumulated sum is a
+  *    BIGINT independent of partition order;
+  *  - daily/rank self-joins run on AGGREGATED frames (≤ #days /
+  *    #distinct-values rows), never on the raw event stream — the
+  *    q_autocorr shape: the corpus is scanned once, the O(frame²) work
+  *    happens after reduction;
+  *  - one fixed-order double expression at the very end, rounded.
+  *
+  * Reference anchor: the reference runs opaque per-file stats jobs
+  * (pkg/job docker entrypoints); these are the relational re-expressions
+  * a Spark-native engine states declaratively.
+  */
+object Stats2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DayUs = 86400000000L
+
+  /** Daily (count, cent-sum) series — the two-variable frame the rank
+    * association tests compare. One events pass, map-side combined. */
+  private def dailyXY(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr(s"ts_us div $DayUs").as("day"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("x"), sum("v").as("y"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- Spearman rank correlation between daily event count and
+    // daily value volume — "do busy days move money?" answered on
+    // ranks, immune to the heavy value tail that pulls Pearson around.
+    // Average ranks ride as 2r = 2·(#less) + (#equal incl. self) + 1 —
+    // an exact BIGINT computed by a self-join of the ≤#days daily frame
+    // against itself (the q_autocorr aggregated-frame discipline; the
+    // corpus contributes ONE pass) — then Spearman is Pearson's formula
+    // on the doubled ranks, all five moments BIGINT, one double at the
+    // end. Ties need no special-casing: the 2r encoding IS the
+    // average-rank convention.
+    "q_spearman" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(dailyXY(s, d))
+      val a = daily.toDF("da", "xa", "ya")
+      val b = daily.toDF("db", "xb", "yb")
+      val ranks = a.crossJoin(b)
+        .groupBy(col("da").as("day"))
+        .agg(
+          (sum(when(col("xb") < col("xa"), 2L).otherwise(0L)) +
+            sum(when(col("xb") === col("xa"), 1L).otherwise(0L)) + 1L)
+            .as("rx2"),
+          (sum(when(col("yb") < col("ya"), 2L).otherwise(0L)) +
+            sum(when(col("yb") === col("ya"), 1L).otherwise(0L)) + 1L)
+            .as("ry2"))
+      val m = ranks.agg(count(lit(1)).as("n"),
+        sum("rx2").as("sa"), sum("ry2").as("sb"),
+        sum(col("rx2") * col("rx2")).as("saa"),
+        sum(col("ry2") * col("ry2")).as("sbb"),
+        sum(col("rx2") * col("ry2")).as("sab"))
+      val n = col("n").cast("double")
+      val den = (n * col("saa") - col("sa").cast("double") * col("sa")) *
+        (n * col("sbb") - col("sb").cast("double") * col("sb"))
+      m.select(col("n").as("n_days"),
+        round(when(col("n") <= 1 || den <= 0.0, lit(null))
+          .otherwise((n * col("sab") -
+            col("sa").cast("double") * col("sb")) / sqrt(den)), 6)
+          .as("rho"))
+    }),
+
+    // ---- Kendall's τ-b on the same daily (count, volume) pairs — the
+    // concordance twin of q_spearman (τ is more robust to a few wild
+    // days; when the two disagree the association is driven by a small
+    // pair subset). All pair classification happens in ONE self-join of
+    // the aggregated daily frame with day<day ordering: concordant /
+    // discordant / tied-x / tied-y counts are exact BIGINTs, and τ-b's
+    // tie-corrected denominator is one final double expression.
+    "q_kendall_tau" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(dailyXY(s, d))
+      val a = daily.toDF("da", "xa", "ya")
+      val b = daily.toDF("db", "xb", "yb")
+      val sgn = (col("xa") - col("xb")) * (col("ya") - col("yb"))
+      val m = a.crossJoin(b).filter(col("da") < col("db"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("xa") =!= col("xb") && col("ya") =!= col("yb") &&
+            sgn > 0, 1L).otherwise(0L)).as("c"),
+          sum(when(col("xa") =!= col("xb") && col("ya") =!= col("yb") &&
+            sgn < 0, 1L).otherwise(0L)).as("dd"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+      val den = (col("n0") - col("tx")).cast("double") *
+        (col("n0") - col("ty")).cast("double")
+      m.select(col("n0").as("n_pairs"), col("c").as("concordant"),
+        col("dd").as("discordant"),
+        round(when(den <= 0.0, lit(null))
+          .otherwise((col("c") - col("dd")).cast("double") / sqrt(den)), 6)
+          .as("tau_b"))
+    }),
+
+    // ---- Brown–Forsythe Levene test: do event-value SPREADS differ by
+    // event type? (q_anova asks about means; unequal variances are what
+    // invalidate it, so this is the check that gates it.) The robust
+    // variant centers each group at its MEDIAN — here the LOWER median
+    // (first value whose cumulative frequency reaches ⌈n/2⌉), kept in
+    // exact cents so the |v − med| deviations are exact BIGINTs and the
+    // whole F assembly reuses q_anova's sufficient-sums machinery.
+    // Scale shape: one corpus pass to (type, cent-value) frequencies;
+    // the cumulative-median window is PARTITIONED by type over distinct
+    // cent values; deviations aggregate map-side; the final k-row fold
+    // follows the q_anova ≤k-term precedent.
+    "q_levene" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // the (group, cent-value) frequency frame feeds BOTH the median
+      // pass and the deviation fold — cached, so the corpus scan+agg
+      // runs once (≤ groups × distinct-cents rows held)
+      val freq = graft.CacheScope.cached(Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("f")))
+      val w = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val med = freq
+        .withColumn("cum", sum("f").over(w))
+        .withColumn("ng", sum("f").over(Window.partitionBy("g")))
+        .filter(col("cum") * 2 >= col("ng"))
+        .groupBy("g").agg(min("v").as("med"))
+      val z = freq.join(med, "g")
+        .select(col("g"), abs(col("v") - col("med")).as("z"), col("f"))
+        .groupBy("g")
+        .agg(sum("f").as("n"), sum(col("z") * col("f")).as("s1"),
+          sum(col("z") * col("z") * col("f")).as("s2"))
+      val ssb = col("ssbp") -
+        col("t1").cast("double") * col("t1") / col("nd")
+      z.agg(count(lit(1)).as("k"), sum("n").as("nd"),
+          sum("s1").as("t1"), sum("s2").as("t2"),
+          sum(col("s1").cast("double") * col("s1") / col("n")).as("ssbp"))
+        .select(col("k").as("n_groups"), col("nd").as("n"),
+          round(when(col("k") <= 1 || col("nd") <= col("k") ||
+              (col("t2").cast("double") - col("ssbp")) <= 0.0, lit(null))
+            .otherwise((ssb / (col("k") - 1)) /
+              ((col("t2").cast("double") - col("ssbp")) /
+                (col("nd") - col("k")))), 4).as("f_stat"))
+    }),
+
+    // ---- Yule–Walker AR(2) fit + 3-step forecast on the daily count
+    // series — the autoregressive member of the forecasting answer
+    // sheet (q_holt smooths, q_holt_winters adds season, this one
+    // MODELS the dependence and exposes φ₁/φ₂, the "is today's volume
+    // momentum or mean-reversion?" readout). Lag products come from
+    // day+k equi-joins of the aggregated daily frame (q_autocorr's
+    // shape); every centered covariance is an n²-scaled BIGINT
+    // (n²Σxy − nS(Σa+Σb) + n_k·S²), so the Yule–Walker solve and the
+    // recursive 3-step forecast are one fixed-order double chain seeded
+    // from exact integers.
+    "q_ar2_forecast" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x")))
+      val base = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), max("day").as("dmax"))
+      def lagSums(k: Int): DataFrame = daily.toDF("day", "xa")
+        .join(daily.toDF("db", "xb"), col("db") === col("day") + k)
+        .agg(count(lit(1)).as(s"n$k"), sum(col("xa") * col("xb")).as(s"p$k"),
+          sum("xa").as(s"a$k"), sum("xb").as(s"b$k"))
+      val last2 = daily.toDF("day", "xl")
+        .join(base.select(col("dmax")), col("day") >= col("dmax") - 1)
+        .groupBy(lit(1).as("one"))
+        .agg(max(when(col("day") === col("dmax"), col("xl"))).as("xn"),
+          max(when(col("day") === col("dmax") - 1, col("xl"))).as("xn1"))
+      val m = base.crossJoin(broadcast(lagSums(1)))
+        .crossJoin(broadcast(lagSums(2)))
+        .crossJoin(broadcast(last2.drop("one")))
+      val n = col("n").cast("double")
+      val s0 = col("sx").cast("double")
+      // n-scaled c0; n²-scaled c1, c2 (exact integer identities)
+      val c0 = n * col("sxx") - s0 * s0
+      def ck(k: Int) = n * n * col(s"p$k") -
+        n * s0 * (col(s"a$k") + col(s"b$k")) + col(s"n$k") * s0 * s0
+      val r1 = ck(1) / (n * c0)
+      val r2 = ck(2) / (n * c0)
+      val det = lit(1.0) - r1 * r1
+      val phi1 = r1 * (lit(1.0) - r2) / det
+      val phi2 = (r2 - r1 * r1) / det
+      val mu = s0 / n
+      val c = mu * (lit(1.0) - phi1 - phi2)
+      val f1 = c + phi1 * col("xn") + phi2 * col("xn1")
+      val f2 = c + phi1 * f1 + phi2 * col("xn")
+      val f3 = c + phi1 * f2 + phi2 * f1
+      // a flat series (c0 = 0) or unit-root fit (1 − r1² = 0) has no
+      // AR(2) solution: keep the row, null the estimates (both engines)
+      val ok = c0 > 0 && det =!= 0.0
+      def g(e: org.apache.spark.sql.Column, nd: Int) =
+        round(when(ok, e), nd)
+      m.select(col("n").as("n_days"),
+          g(r1, 6).as("r1"), g(r2, 6).as("r2"),
+          g(phi1, 6).as("phi1"), g(phi2, 6).as("phi2"),
+          g(f1, 4).as("f1"), g(f2, 4).as("f2"), g(f3, 4).as("f3"))
+        .filter(col("n_days") >= 3)
+    }),
+
+    // ---- Gumbel extreme-value fit on daily MAX event values — the
+    // block-maxima member of the tail answer sheet (q_tail_index fits
+    // the survival tail; this fits the distribution of per-day records,
+    // the "how big is next month's biggest transaction" question).
+    // Method-of-moments: β = s·√6/π, μ = m − γβ over the ≤#days maxima
+    // frame, both moments exact BIGINTs in cents; reports the fitted
+    // parameters (in value units) and the Gumbel exceedance probability
+    // of the observed global max — all one fixed-order double chain.
+    "q_gumbel_fit" -> ((s, d) => {
+      val dm = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(max(round(col("value") * 100).cast("long")).as("mx"))
+      val m = dm.agg(count(lit(1)).as("n"), sum("mx").as("s1"),
+        sum(col("mx") * col("mx")).as("s2"), max("mx").as("gmax"))
+      val n = col("n").cast("double")
+      val s1 = col("s1").cast("double")
+      val varS = (n * col("s2") - s1 * s1) / (n * (n - lit(1.0)))
+      val beta = sqrt(varS * lit(6.0)) / lit(math.Pi)
+      val muG = s1 / n - lit(0.5772156649015329) * beta
+      val pEx = lit(1.0) -
+        exp(-exp(-(col("gmax").cast("double") - muG) / beta))
+      m.select(col("n").as("n_days"),
+        round(when(col("n") <= 1 || varS <= 0.0, lit(null))
+          .otherwise(muG / 100.0), 4).as("gumbel_mu"),
+        round(when(col("n") <= 1 || varS <= 0.0, lit(null))
+          .otherwise(beta / 100.0), 4).as("gumbel_beta"),
+        round(when(col("n") <= 1 || varS <= 0.0, lit(null))
+          .otherwise(pEx), 6).as("p_exceed_max"))
+    }),
+
+    // ---- Simpson diversity per source — the concentration-side
+    // companion to q_entropy's Shannon diversity (Simpson weights
+    // dominant words quadratically, so boilerplate-heavy sources score
+    // LOW even when their long tail keeps entropy respectable).
+    // λ = Σ n_w(n_w−1) / (N(N−1)) is exact in BIGINTs end to end; the
+    // diversity 1−λ and inverse-Simpson 1/λ round once. One corpus
+    // tokenize pass → per-(source, word) counts → per-source fold.
+    "q_simpson" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("source")
+        .agg(sum("c").as("nt"), count(lit(1)).as("n_vocab"),
+          sum(col("c") * (col("c") - 1)).as("ss"))
+        .select(col("source"), col("nt").as("n_tokens"), col("n_vocab"),
+          round(when(col("nt") <= 1, lit(null))
+            .otherwise(lit(1.0) - col("ss").cast("double") /
+              (col("nt").cast("double") * (col("nt") - 1))), 6)
+            .as("simpson_d"),
+          round(when(col("ss") === 0, lit(null))
+            .otherwise(col("nt").cast("double") * (col("nt") - 1) /
+              col("ss").cast("double")), 4).as("inv_simpson"))
+        .orderBy("source")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_spearman" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |ranks AS (
+        |  SELECT a.day,
+        |    CAST(sum(CASE WHEN b.x < a.x THEN 2 ELSE 0 END) +
+        |      sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |      AS rx2,
+        |    CAST(sum(CASE WHEN b.y < a.y THEN 2 ELSE 0 END) +
+        |      sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |      AS ry2
+        |  FROM daily a CROSS JOIN daily b GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rx2) AS BIGINT) AS sa, CAST(sum(ry2) AS BIGINT) AS sb,
+        |    CAST(sum(rx2 * rx2) AS BIGINT) AS saa,
+        |    CAST(sum(ry2 * ry2) AS BIGINT) AS sbb,
+        |    CAST(sum(rx2 * ry2) AS BIGINT) AS sab
+        |  FROM ranks)
+        |SELECT n AS n_days,
+        |  round(CASE WHEN n <= 1 OR
+        |      (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) *
+        |      (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb) <= 0.0
+        |    THEN NULL
+        |    ELSE (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb) /
+        |      sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) *
+        |        (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+        |    END, 6) AS rho
+        |FROM m""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN a.x <> b.x AND a.y <> b.y AND
+        |      (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(CASE WHEN a.x <> b.x AND a.y <> b.y AND
+        |      (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dd,
+        |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tx,
+        |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ty
+        |  FROM daily a JOIN daily b ON a.day < b.day)
+        |SELECT n0 AS n_pairs, c AS concordant, dd AS discordant,
+        |  round(CASE WHEN CAST(n0 - tx AS DOUBLE) *
+        |      CAST(n0 - ty AS DOUBLE) <= 0.0 THEN NULL
+        |    ELSE CAST(c - dd AS DOUBLE) /
+        |      sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+        |    END, 6) AS tau_b
+        |FROM m""".stripMargin,
+    "q_levene" ->
+      """WITH freq AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS f
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, f,
+        |    CAST(sum(f) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS ng
+        |  FROM freq),
+        |med AS (
+        |  SELECT g, CAST(min(v) AS BIGINT) AS med FROM cum
+        |  WHERE cum * 2 >= ng GROUP BY 1),
+        |z AS (
+        |  SELECT freq.g, CAST(sum(f) AS BIGINT) AS n,
+        |    CAST(sum(abs(v - med) * f) AS BIGINT) AS s1,
+        |    CAST(sum(abs(v - med) * abs(v - med) * f) AS BIGINT) AS s2
+        |  FROM freq JOIN med ON freq.g = med.g GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT)
+        |      AS nd,
+        |    CAST(sum(s1) AS BIGINT) AS t1, CAST(sum(s2) AS BIGINT) AS t2,
+        |    sum(CAST(s1 AS DOUBLE) * s1 / n) AS ssbp
+        |  FROM z)
+        |SELECT k AS n_groups, nd AS n,
+        |  round(CASE WHEN k <= 1 OR nd <= k OR
+        |      (CAST(t2 AS DOUBLE) - ssbp) <= 0.0 THEN NULL
+        |    ELSE ((ssbp - CAST(t1 AS DOUBLE) * t1 / nd) / (k - 1)) /
+        |      ((CAST(t2 AS DOUBLE) - ssbp) / (nd - k))
+        |    END, 4) AS f_stat
+        |FROM tot""".stripMargin,
+    "q_ar2_forecast" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT)
+        |      AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(max(day) AS BIGINT) AS dmax
+        |  FROM daily),
+        |l1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS p1,
+        |    CAST(sum(a.x) AS BIGINT) AS a1, CAST(sum(b.x) AS BIGINT) AS b1
+        |  FROM daily a JOIN daily b ON b.day = a.day + 1),
+        |l2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n2,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS p2,
+        |    CAST(sum(a.x) AS BIGINT) AS a2, CAST(sum(b.x) AS BIGINT) AS b2
+        |  FROM daily a JOIN daily b ON b.day = a.day + 2),
+        |lst AS (
+        |  SELECT
+        |    max(CASE WHEN day = dmax THEN x END) AS xn,
+        |    max(CASE WHEN day = dmax - 1 THEN x END) AS xn1
+        |  FROM daily CROSS JOIN base WHERE day >= dmax - 1),
+        |f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS s0,
+        |    sxx, n1, p1, a1, b1, n2, p2, a2, b2, xn, xn1
+        |  FROM base CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN lst),
+        |g AS (
+        |  SELECT n, nd, s0, xn, xn1,
+        |    nd * sxx - s0 * s0 AS c0,
+        |    nd * nd * p1 - nd * s0 * (a1 + b1) + n1 * s0 * s0 AS c1s,
+        |    nd * nd * p2 - nd * s0 * (a2 + b2) + n2 * s0 * s0 AS c2s
+        |  FROM f),
+        |h AS (
+        |  SELECT n, nd, s0, xn, xn1, c0,
+        |    c1s / (nd * c0) AS r1, c2s / (nd * c0) AS r2
+        |  FROM g),
+        |i AS (
+        |  SELECT n, nd, s0, xn, xn1, c0, r1, r2,
+        |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2,
+        |    CASE WHEN c0 > 0 AND 1.0 - r1 * r1 <> 0.0
+        |      THEN TRUE ELSE FALSE END AS ok
+        |  FROM h),
+        |j AS (
+        |  SELECT n, r1, r2, phi1, phi2, xn, xn1, ok,
+        |    s0 / nd * (1.0 - phi1 - phi2) AS c
+        |  FROM i),
+        |k AS (
+        |  SELECT n, r1, r2, phi1, phi2, xn, xn1, c, ok,
+        |    c + phi1 * xn + phi2 * xn1 AS f1
+        |  FROM j),
+        |l AS (
+        |  SELECT n, r1, r2, phi1, phi2, xn, c, f1, ok,
+        |    c + phi1 * f1 + phi2 * xn AS f2
+        |  FROM k)
+        |SELECT n AS n_days,
+        |  round(CASE WHEN ok THEN r1 END, 6) AS r1,
+        |  round(CASE WHEN ok THEN r2 END, 6) AS r2,
+        |  round(CASE WHEN ok THEN phi1 END, 6) AS phi1,
+        |  round(CASE WHEN ok THEN phi2 END, 6) AS phi2,
+        |  round(CASE WHEN ok THEN f1 END, 4) AS f1,
+        |  round(CASE WHEN ok THEN f2 END, 4) AS f2,
+        |  round(CASE WHEN ok THEN c + phi1 * f2 + phi2 * f1 END, 4) AS f3
+        |FROM l WHERE n >= 3""".stripMargin,
+    "q_gumbel_fit" ->
+      """WITH dm AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(mx) AS BIGINT)
+        |      AS s1,
+        |    CAST(sum(mx * mx) AS BIGINT) AS s2,
+        |    CAST(max(mx) AS BIGINT) AS gmax
+        |  FROM dm),
+        |f AS (
+        |  SELECT n, CAST(s1 AS DOUBLE) AS s1v, gmax,
+        |    (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS varS
+        |  FROM m),
+        |g AS (
+        |  SELECT n, s1v, gmax, varS,
+        |    sqrt(varS * 6.0) / pi() AS beta
+        |  FROM f),
+        |h AS (
+        |  SELECT n, gmax, varS, beta,
+        |    s1v / n - 0.5772156649015329 * beta AS muG
+        |  FROM g)
+        |SELECT n AS n_days,
+        |  round(CASE WHEN n <= 1 OR varS <= 0.0 THEN NULL
+        |    ELSE muG / 100.0 END, 4) AS gumbel_mu,
+        |  round(CASE WHEN n <= 1 OR varS <= 0.0 THEN NULL
+        |    ELSE beta / 100.0 END, 4) AS gumbel_beta,
+        |  round(CASE WHEN n <= 1 OR varS <= 0.0 THEN NULL
+        |    ELSE 1.0 - exp(-exp(-(CAST(gmax AS DOUBLE) - muG) / beta))
+        |    END, 6) AS p_exceed_max
+        |FROM h""".stripMargin,
+    "q_simpson" ->
+      """WITH wc AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM wc GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS n_vocab,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT source, nt AS n_tokens, n_vocab,
+        |  round(CASE WHEN nt <= 1 THEN NULL
+        |    ELSE 1.0 - CAST(ss AS DOUBLE) /
+        |      (CAST(nt AS DOUBLE) * (nt - 1)) END, 6) AS simpson_d,
+        |  round(CASE WHEN ss = 0 THEN NULL
+        |    ELSE CAST(nt AS DOUBLE) * (nt - 1) / CAST(ss AS DOUBLE)
+        |    END, 4) AS inv_simpson
+        |FROM agg ORDER BY source""".stripMargin)
+}

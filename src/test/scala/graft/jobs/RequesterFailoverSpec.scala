@@ -218,6 +218,151 @@ class RequesterFailoverSpec extends AnyFunSuite {
     }
   }
 
+  test("two-deep replacement pool at Concurrency=3: killing the requester " +
+       "AND two accepted replicas promotes BOTH cancelled bidders") {
+    // VERDICT r7 #3, one rung past the single-replacement case: six real
+    // JVMs — node-a requester-only, b..f compute — Concurrency=3 so the
+    // accept race leaves 3 Running + 2 Cancelled. The kill takes the
+    // requester and TWO of the three accepted replicas in the same
+    // breath; the elected holder must then run the inherited staleness
+    // duty twice in one poll (the stale set has two members), promoting
+    // BOTH pool bidders. Convergence = 3 Complete (1 survivor + 2
+    // promoted) + 2 Error, with three-way digest agreement spanning
+    // decisions by the original requester and the elected one.
+    val t0 = System.currentTimeMillis()
+    val dir = Files.createTempDirectory("graft-rf3").toString
+    val cluster = s"$dir/cluster"
+    val nodes = Seq("node-a", "node-b", "node-c", "node-d", "node-e",
+      "node-f")
+    val procs = nodes.map(id =>
+      spawnServe(dir, cluster, id, noCompute = id == "node-a"))
+    val byNode = nodes.zip(procs).toMap
+    try {
+      val deadline = System.currentTimeMillis() + 240000
+      val ports = nodes.zip(procs).map { case (id, p) =>
+        portFromLog(dir, id, p, deadline)
+      }
+      val clients = ports.map(p => new ApiClient(s"http://127.0.0.1:$p"))
+      for ((c, i) <- clients.zipWithIndex) {
+        var up = false
+        while (!up && System.currentTimeMillis() < deadline) {
+          try { c.list(); up = true }
+          catch { case _: Exception =>
+            assert(procs(i).isAlive, s"serve ${nodes(i)} died: " +
+              Files.readString(Paths.get(s"$dir/serve-${nodes(i)}.log"))
+                .takeRight(2000))
+            Thread.sleep(250)
+          }
+        }
+        assert(up, s"serve ${nodes(i)} never came up")
+      }
+
+      Files.writeString(Paths.get(s"$dir/fruit.txt"),
+        "mango\npapaya\nguava\n")
+      val jobId = clients.head.submit(
+        s"""{"engine_name": "docker", "verifier_name": "ipfs",
+           |  "job_spec_docker": {"image": "ubuntu",
+           |    "entrypoint": ["bash", "-c",
+           |      "while [ ! -f $$GRAFT_TEST_GATE ]; do sleep 0.1; done; cat"]},
+           |  "inputs": [{"engine_name": "ipfs", "name": "in",
+           |    "cid": "$dir/fruit.txt", "path": "/data/file.txt"}],
+           |  "annotations": ["raw-exec"],
+           |  "deal": {"concurrency": 3}}""".stripMargin)
+
+      // phase 1: 3 Running + 2 Cancelled over {b..f}; node-a stateless
+      def snap(): Seq[(String, String, String)] = clients(1).states(jobId)
+      val d2 = System.currentTimeMillis() + 120000
+      def phase1(s: Seq[(String, String, String)]): Boolean =
+        s.count(_._2 == Lifecycle.State.Running) == 3 &&
+          s.count(_._2 == Lifecycle.State.Cancelled) == 2
+      while (!phase1(snap()) && System.currentTimeMillis() < d2)
+        Thread.sleep(150)
+      val settled = snap()
+      assert(phase1(settled), s"accept race never settled: $settled")
+      assert(!settled.exists(_._1 == "node-a"),
+        s"a --no-compute node must never appear in job state: $settled")
+      val bus = new FileBus(Paths.get(cluster))
+      def leased(): Boolean = bus.events().exists(e => e.jobId == jobId &&
+        e.sourceNodeId == "node-a" &&
+        e.eventName == Lifecycle.EventType.RequesterLease)
+      val dLease = System.currentTimeMillis() + 30000
+      while (!leased() && System.currentTimeMillis() < dLease)
+        Thread.sleep(150)
+      assert(leased(),
+        "expected RequesterLease beacons from the creator before the kill")
+
+      val running = settled.collect {
+        case (n, st, _) if st == Lifecycle.State.Running => n }.sorted
+      val pool = settled.collect {
+        case (n, st, _) if st == Lifecycle.State.Cancelled => n }.sorted
+      val victims = running.take(2)
+      val survivorReplica = running.last
+      val safeClient = clients(nodes.indexOf(pool.head))
+      def snapSafe(): Seq[(String, String, String)] = safeClient.states(jobId)
+
+      // phase 2: kill the requester and two accepted replicas together;
+      // open every survivor's gate
+      byNode("node-a").destroyForcibly()
+      victims.foreach(v => byNode(v).destroyForcibly())
+      nodes.filterNot(victims.contains).foreach { n =>
+        Files.writeString(Paths.get(s"$dir/gate-$n"), "go\n")
+      }
+
+      // phase 3: election (9 s), then double replacement (12 s stale)
+      val d3 = System.currentTimeMillis() + 180000
+      def done(s: Seq[(String, String, String)]): Boolean =
+        s.count(_._2 == Lifecycle.State.Complete) == 3 &&
+          victims.forall(v => s.exists(t => t._1 == v &&
+            t._2 == Lifecycle.State.Error))
+      while (!done(snapSafe()) && System.currentTimeMillis() < d3)
+        Thread.sleep(300)
+      val states = snapSafe()
+      assert(states.size === 5, s"expected 5 node states, got $states")
+      assert(done(states), s"two-deep failover never converged: $states")
+      pool.foreach { p =>
+        assert(states.exists(t => t._1 == p &&
+          t._2 == Lifecycle.State.Complete),
+          s"cancelled bidder $p must be promoted to Complete: $states")
+      }
+      assert(states.exists(t => t._1 == survivorReplica &&
+        t._2 == Lifecycle.State.Complete),
+        s"the surviving original replica must finish: $states")
+
+      // the bus: a non-creator won the lease; every death declaration
+      // and BOTH promotions came from elected holders
+      val jevs = bus.events().filter(_.jobId == jobId)
+      val elects = jevs
+        .filter(_.eventName == Lifecycle.EventType.RequesterElect)
+      assert(elects.nonEmpty, "expected a RequesterElect claim on the bus")
+      assert(elects.forall(_.sourceNodeId != "node-a"))
+      val electors = elects.map(_.sourceNodeId).toSet
+      victims.foreach { v =>
+        val decl = jevs.filter(e => e.targetNodeId == v &&
+          e.eventName == Lifecycle.EventType.Error &&
+          e.status.contains("presumed dead"))
+        assert(decl.nonEmpty && decl.forall(e => electors(e.sourceNodeId)),
+          s"an elected requester must declare $v dead: $decl")
+      }
+      pool.foreach { p =>
+        val promo = jevs.filter(e => e.targetNodeId == p &&
+          e.eventName == Lifecycle.EventType.BidAccepted &&
+          e.status.contains("replacing stale replica"))
+        assert(promo.nonEmpty && promo.forall(e => electors(e.sourceNodeId)),
+          s"an elected requester must promote $p: $promo")
+      }
+      val cids = states.filter(_._2 == Lifecycle.State.Complete).map(_._3)
+      assert(cids.size === 3 && cids.forall(_.nonEmpty) &&
+        cids.distinct.size === 1,
+        s"three-way digest agreement must span the handoff: $cids")
+      info(s"two-deep failover converged in " +
+        s"${System.currentTimeMillis() - t0} ms (victims=$victims, " +
+        s"elected=${elects.last.sourceNodeId}, promoted=$pool)")
+    } finally {
+      procs.foreach(_.destroyForcibly())
+      nodes.foreach(n => Files.writeString(Paths.get(s"$dir/gate-$n"), "go\n"))
+    }
+  }
+
   test("requester that is ALSO a compute bidder: killing it mid-job still " +
        "elects a successor and the deal completes (both accept branches)") {
     // NEXT r7 #3: the composition case — no --no-compute isolation, the

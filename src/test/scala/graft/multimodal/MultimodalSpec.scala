@@ -375,6 +375,26 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"alignment must equal the trim length in hops: ${hit.head}")
     assert(!shifted.exists(p => p._2 == "other.wav" || p._1 == "other.wav"),
       s"unrelated audio must not match: ${shifted.toSeq}")
+
+    // ---- sub-hop micro-alignment (microSteps=4): a 300-sample trim is
+    // NOT a hop multiple (hop=512) — the nearest coarse grid start is
+    // 212 samples off (a 21% window shift, enough to move the energy
+    // contour), while the k=4 fine grid (hop/k = 128) lands within 44
+    // samples (4%) of the true offset. The fine matcher must report the
+    // pair at its true alignment: delta = −round(300/128) ∈ {−2, −3}
+    // fine-hops.
+    writeWav("subhop.wav", pcm.drop(300 * 2))
+    val assets2 = Multimodal.readAssets(spark, fpDir, glob = "*.wav")
+    val fine = Multimodal.nearDupAudioShifted(assets2, minWindows = 3,
+        microSteps = 4)
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getString(1).split('/').last, r.getInt(2), r.getLong(3)))
+    val sub = fine.filter(p => p._1 == "full.wav" && p._2 == "subhop.wav")
+    assert(sub.length === 1, s"expected the sub-hop pair: ${fine.toSeq}")
+    assert(sub.head._3 == -2 || sub.head._3 == -3,
+      s"alignment must be the trim length in fine-hops: ${sub.head}")
+    assert(!fine.exists(p => p._1 == "other.wav" || p._2 == "other.wav"),
+      s"unrelated audio must not match on the fine grid: ${fine.toSeq}")
   }
 
   test("codec capability matrix is honest and the routing follows it: " +

@@ -1151,6 +1151,61 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("round-8 stats family: one corpus pass, post-aggregate pair work") {
+    // spearman/kendall: the O(days²) rank/concordance self-join runs on
+    // the AGGREGATED daily frame (≤ #days rows, cached) — the corpus
+    // contributes exactly one parquet scan; the pair join may be a
+    // nested-loop over the tiny frame but must never sort-merge
+    for (q <- Seq("q_spearman", "q_kendall_tau")) {
+      val p = planOf(q)
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans <= 1, s"$q must scan the corpus once, got $scans")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q pair work must stay on the broadcast-small daily frame")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // levene: medians come from a PARTITIONED cumulative window over
+    // per-(group, value) frequencies — never a partition-less window,
+    // never a second corpus scan
+    val lv = planOf("q_levene")
+    val lvScans = lv.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(lvScans <= 1, s"levene must scan events once, got $lvScans")
+    assert(!lv.contains("SortMergeJoin"),
+      "the k-row median frame must broadcast back")
+    // ar2: lag joins are keyed equi-joins on day+k over the cached
+    // daily frame; gumbel runs entirely off the daily-max aggregate
+    val ar = planOf("q_ar2_forecast")
+    assert(!ar.contains("SortMergeJoin"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    val gb = planOf("q_gumbel_fit")
+    val gbScans = gb.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(gbScans === 1, s"gumbel is one pass, got $gbScans")
+    // simpson: tokenize → two map-side-combined aggregations, no joins
+    val sp = planOf("q_simpson")
+    assert(!sp.contains("Join"), "simpson needs no join at all")
+    // lof: the quadratic kNN base is the documented q_cosine_pairs
+    // trade; everything DOWNSTREAM of the kNN frame is node-keyed —
+    // no cartesian anywhere, and the kNN window partitions by node
+    val lf = planOf("q_lof")
+    assert(!lf.contains("CartesianProduct"))
+    import org.apache.spark.sql.execution.window.WindowExec
+    val lfQe = SparkEntry.queries("q_lof")(spark, sf).queryExecution
+    assert(lfQe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "lof's kNN ranking must partition by the query node")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // lsh sweep: every candidate arm is a (band, key) equi-join and the
+    // truth pairs come from the shingle-code equi-join — no cartesian,
+    // no sort-merge (the frames joined after aggregation broadcast)
+    val ls = planOf("q_lsh_sweep")
+    assert(!ls.contains("CartesianProduct"),
+      "sweep arms must stay banded equi-joins")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {
     // three ADC arms share one cached flattening; all candidate joins
     // stay keyed on (sub, code)/(q_id, nb_id) — a cartesian would be

@@ -117,6 +117,40 @@ class JobEventsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.filter(col("job_id") === "job-x").count() === 5)
   }
 
+  test("serve verbs in cluster mode read through the connector " +
+       "(/states + /events against a live ApiServer)") {
+    import graft.jobs.{ApiClient, ApiServer, DevstackNode}
+    val dir = Files.createTempDirectory("graft-serve-v2").toString
+    // a devstack node whose poll loop is never started: the bus dir is
+    // the fixture; anything the serve verbs answer can only have come
+    // from reading that dir — which cluster-mode routes through the
+    // graft-jobevents DataSource V2 table
+    val node = new DevstackNode(spark, "nA", dir)
+    val lifecycle = Seq("Created", "Bid", "BidAccepted", "Running",
+      "Completed")
+    lifecycle.zipWithIndex.foreach { case (ev, i) =>
+      node.bus.append(JobEvent(jobId = "job-v2", clientId = "c",
+        sourceNodeId = "nA", targetNodeId = "nB", eventName = ev,
+        status = if (ev == "Completed") "done" else "",
+        resultsId = if (ev == "Completed") "res-1" else "",
+        eventTimeUs = (i + 1) * 1000L), nodeId = "nA")
+    }
+    val server = new ApiServer(spark, dir, cluster = Some(node))
+    server.start()
+    try {
+      val client = new ApiClient(server.uri,
+        Files.createTempDirectory("graft-serve-keys"))
+      // /states: the distributed fold over the V2 table — one folded row
+      // for the executing node, furthest-along state, results backfilled
+      assert(client.states("job-v2") ===
+        Seq(("nB", "Complete", "res-1")))
+      // /events: the V2 scan ordered by the Lamport stamp
+      assert(client.events("job-v2") === lifecycle)
+      // an unknown job folds to nothing (predicate reaches the scan)
+      assert(client.states("no-such-job").isEmpty)
+    } finally server.stop()
+  }
+
   test("the fold over the connector equals the driver-local fold (A16)") {
     val (bus, dir, _) = mkBus()
     val df = spark.read.format("graft-jobevents").load(dir)

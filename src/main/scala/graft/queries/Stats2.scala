@@ -238,6 +238,115 @@ object Stats2 {
           .otherwise(pEx), 6).as("p_exceed_max"))
     }),
 
+    // ---- Friedman test (uncorrected, average ranks): do the event
+    // TYPES keep the same volume ordering day after day? The
+    // repeated-measures member of the answer sheet — q_kruskal compares
+    // independent groups, this one blocks by day, so a global traffic
+    // surge can't masquerade as a between-type difference. The daily
+    // k-cell grid (k = #types, absent cells = 0) ranks WITHIN each day
+    // via a day-keyed self-join of the k-row cells (k² per day, k
+    // bounded by the event vocabulary — no window at all); doubled
+    // average ranks keep every rank sum an exact BIGINT, and
+    // χ²_F = 3·ΣR₂ⱼ²/(n·k·(k+1)) − 3n(k+1) folds the k per-type sums
+    // in one final double expression.
+    "q_friedman" -> ((s, d) => {
+      val c = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"),
+          col("event_type").as("t"))
+        .agg(count(lit(1)).as("x")))
+      val days = c.select("day").distinct()
+      val types = c.select("t").distinct()
+      val grid = graft.CacheScope.cached(days.crossJoin(broadcast(types))
+        .join(c, Seq("day", "t"), "left")
+        .select(col("day"), col("t"), coalesce(col("x"), lit(0L)).as("x")))
+      // the grid is days × types — calendar × vocabulary bounded, never
+      // corpus-sized — so the rank self-join broadcasts one side
+      val r2 = grid.toDF("day", "ta", "xa")
+        .join(broadcast(grid.toDF("day", "tb", "xb")), "day")
+        .groupBy(col("day"), col("ta").as("t"))
+        .agg((sum(when(col("xb") < col("xa"), 2L).otherwise(0L)) +
+          sum(when(col("xb") === col("xa"), 1L).otherwise(0L)) + 1L)
+          .as("r2"))
+      val perType = r2.groupBy("t")
+        .agg(count(lit(1)).as("n"), sum("r2").as("rj2"))
+      val m = perType.agg(count(lit(1)).as("k"), max("n").as("n"),
+        sum(col("rj2") * col("rj2")).as("sr2"))
+      val n = col("n").cast("double")
+      val k = col("k").cast("double")
+      m.select(col("n").as("n_days"), col("k").as("k_treatments"),
+        round(when(col("k") <= 1 || col("n") === 0, lit(null))
+          .otherwise(lit(3.0) * col("sr2") / (n * k * (k + 1)) -
+            lit(3.0) * n * (k + 1)), 4).as("chi2_f"))
+    }),
+
+    // ---- Hurst exponent by rescaled range (single full-window R/S) on
+    // the daily count series — the long-memory diagnostic next to
+    // q_autocorr's short-lag view: H > 0.5 means streaks (persistent
+    // volume), H < 0.5 mean reversion. Prefix sums of the ≤#days daily
+    // frame come from an aggregated self-join (no window); the centered
+    // cumulative deviates are n-scaled BIGINTs (nZ_t = n·P_t − t·S), so
+    // range and variance enter one final double expression:
+    // R/S = (max nZ − min nZ)/√(nΣx² − S²), H = ln(R/S)/ln(n).
+    "q_hurst" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x")))
+      val pre = daily.toDF("da", "xa")
+        .join(daily.toDF("db", "xb"), col("db") <= col("da"))
+        .groupBy(col("da"))
+        .agg(count(lit(1)).as("idx"), sum("xb").as("p"))
+      val base = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val z = pre.crossJoin(broadcast(base))
+        .select((col("n") * col("p") - col("idx") * col("sx")).as("nz"))
+        .agg(max("nz").as("mxz"), min("nz").as("mnz"))
+      val m = base.crossJoin(broadcast(z))
+      val n = col("n").cast("double")
+      val disc = n * col("sxx") - col("sx").cast("double") * col("sx")
+      val rs = (col("mxz") - col("mnz")).cast("double") / sqrt(disc)
+      m.select(col("n").as("n_days"),
+        round(when(col("n") <= 1 || disc <= 0.0 ||
+          col("mxz") <= col("mnz"), lit(null)).otherwise(rs), 4).as("rs"),
+        round(when(col("n") <= 1 || disc <= 0.0 ||
+            col("mxz") <= col("mnz"), lit(null))
+          .otherwise(log(rs) / log(n)), 6).as("hurst"))
+    }),
+
+    // ---- Ljung–Box portmanteau test to lag 3 on the daily counts —
+    // "is there ANY autocorrelation left?", the residual-whiteness
+    // check that closes the q_autocorr/q_pacf/q_ar2_forecast set. The
+    // ρ_k reuse the n²-scaled integer autocovariance identity
+    // (q_pacf's), each lag from one day+k equi-join of the aggregated
+    // daily frame; Q = n(n+2)Σ ρ_k²/(n−k) is one double expression.
+    "q_ljung_box" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x")))
+      val base = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      def lagSums(k: Int): DataFrame = daily.toDF("day", "xa")
+        .join(daily.toDF("db", "xb"), col("db") === col("day") + k)
+        .agg(count(lit(1)).as(s"n$k"), sum(col("xa") * col("xb")).as(s"p$k"),
+          sum("xa").as(s"a$k"), sum("xb").as(s"b$k"))
+      val m = base.crossJoin(broadcast(lagSums(1)))
+        .crossJoin(broadcast(lagSums(2)))
+        .crossJoin(broadcast(lagSums(3)))
+      val n = col("n").cast("double")
+      val s0 = col("sx").cast("double")
+      val c0 = n * col("sxx") - s0 * s0
+      def rk(k: Int) = (n * n * col(s"p$k") -
+        n * s0 * (col(s"a$k") + col(s"b$k")) + col(s"n$k") * s0 * s0) /
+        (n * c0)
+      val q = n * (n + 2) * (rk(1) * rk(1) / (n - 1) +
+        rk(2) * rk(2) / (n - 2) + rk(3) * rk(3) / (n - 3))
+      val ok = col("n") > 3 && c0 > 0
+      m.select(col("n").as("n_days"),
+        round(when(ok, rk(1)), 6).as("r1"),
+        round(when(ok, rk(2)), 6).as("r2"),
+        round(when(ok, rk(3)), 6).as("r3"),
+        round(when(ok, q), 4).as("q_lb"))
+    }),
+
     // ---- Simpson diversity per source — the concentration-side
     // companion to q_entropy's Shannon diversity (Simpson weights
     // dominant words quadratically, so boilerplate-heavy sources score
@@ -456,6 +565,118 @@ object Stats2 {
         |  round(CASE WHEN n <= 1 OR varS <= 0.0 THEN NULL
         |    ELSE 1.0 - exp(-exp(-(CAST(gmax AS DOUBLE) - muG) / beta))
         |    END, 6) AS p_exceed_max
+        |FROM h""".stripMargin,
+    "q_friedman" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM c),
+        |types AS (SELECT DISTINCT t FROM c),
+        |grid AS (
+        |  SELECT d.day, ty.t, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        |  FROM days d CROSS JOIN types ty
+        |  LEFT JOIN c ON c.day = d.day AND c.t = ty.t),
+        |r2 AS (
+        |  SELECT a.day, a.t,
+        |    CAST(sum(CASE WHEN b.x < a.x THEN 2 ELSE 0 END) +
+        |      sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |      AS r2
+        |  FROM grid a JOIN grid b ON a.day = b.day GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r2) AS BIGINT) AS rj2
+        |  FROM r2 GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(n) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(rj2 * rj2) AS BIGINT) AS sr2
+        |  FROM pt)
+        |SELECT n AS n_days, k AS k_treatments,
+        |  round(CASE WHEN k <= 1 OR n = 0 THEN NULL
+        |    ELSE 3.0 * sr2 / (CAST(n AS DOUBLE) * k * (k + 1)) -
+        |      3.0 * n * (k + 1) END, 4) AS chi2_f
+        |FROM m""".stripMargin,
+    "q_hurst" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |pre AS (
+        |  SELECT a.day, CAST(count(*) AS BIGINT) AS idx,
+        |    CAST(sum(b.x) AS BIGINT) AS p
+        |  FROM daily a JOIN daily b ON b.day <= a.day GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT)
+        |      AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily),
+        |z AS (
+        |  SELECT max(n * p - idx * sx) AS mxz, min(n * p - idx * sx)
+        |      AS mnz
+        |  FROM pre CROSS JOIN base),
+        |m AS (
+        |  SELECT n, sx, sxx, mxz, mnz,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS disc
+        |  FROM base CROSS JOIN z),
+        |f AS (
+        |  SELECT n, mxz, mnz, disc,
+        |    CAST(mxz - mnz AS DOUBLE) / sqrt(disc) AS rs
+        |  FROM m)
+        |SELECT n AS n_days,
+        |  round(CASE WHEN n <= 1 OR disc <= 0.0 OR mxz <= mnz THEN NULL
+        |    ELSE rs END, 4) AS rs,
+        |  round(CASE WHEN n <= 1 OR disc <= 0.0 OR mxz <= mnz THEN NULL
+        |    ELSE ln(rs) / ln(CAST(n AS DOUBLE)) END, 6) AS hurst
+        |FROM f""".stripMargin,
+    "q_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT)
+        |      AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily),
+        |l1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS p1,
+        |    CAST(sum(a.x) AS BIGINT) AS a1, CAST(sum(b.x) AS BIGINT) AS b1
+        |  FROM daily a JOIN daily b ON b.day = a.day + 1),
+        |l2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n2,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS p2,
+        |    CAST(sum(a.x) AS BIGINT) AS a2, CAST(sum(b.x) AS BIGINT) AS b2
+        |  FROM daily a JOIN daily b ON b.day = a.day + 2),
+        |l3 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n3,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS p3,
+        |    CAST(sum(a.x) AS BIGINT) AS a3, CAST(sum(b.x) AS BIGINT) AS b3
+        |  FROM daily a JOIN daily b ON b.day = a.day + 3),
+        |f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS s0,
+        |    sxx, n1, p1, a1, b1, n2, p2, a2, b2, n3, p3, a3, b3
+        |  FROM base CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN l3),
+        |g AS (
+        |  SELECT n, nd, s0,
+        |    nd * sxx - s0 * s0 AS c0,
+        |    nd * nd * p1 - nd * s0 * (a1 + b1) + n1 * s0 * s0 AS c1s,
+        |    nd * nd * p2 - nd * s0 * (a2 + b2) + n2 * s0 * s0 AS c2s,
+        |    nd * nd * p3 - nd * s0 * (a3 + b3) + n3 * s0 * s0 AS c3s
+        |  FROM f),
+        |h AS (
+        |  SELECT n, nd, c0,
+        |    c1s / (nd * c0) AS r1, c2s / (nd * c0) AS r2,
+        |    c3s / (nd * c0) AS r3
+        |  FROM g)
+        |SELECT n AS n_days,
+        |  round(CASE WHEN n > 3 AND c0 > 0 THEN r1 END, 6) AS r1,
+        |  round(CASE WHEN n > 3 AND c0 > 0 THEN r2 END, 6) AS r2,
+        |  round(CASE WHEN n > 3 AND c0 > 0 THEN r3 END, 6) AS r3,
+        |  round(CASE WHEN n > 3 AND c0 > 0 THEN
+        |    nd * (nd + 2) * (r1 * r1 / (nd - 1) + r2 * r2 / (nd - 2) +
+        |      r3 * r3 / (nd - 3)) END, 4) AS q_lb
         |FROM h""".stripMargin,
     "q_simpson" ->
       """WITH wc AS (

@@ -1204,6 +1204,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ls.contains("CartesianProduct"),
       "sweep arms must stay banded equi-joins")
     graft.CacheScope.drain(); spark.catalog.clearCache()
+    // friedman/hurst/ljung-box: day-keyed or calendar-bounded self-joins
+    // over cached aggregates — one corpus scan, no window, no sort-merge
+    for (q <- Seq("q_friedman", "q_hurst", "q_ljung_box")) {
+      val p = planOf(q)
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans <= 1, s"$q must scan the corpus once, got $scans")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q pair work must stay on the broadcast-small frames")
+      assert(!p.contains("WindowExec") && !p.contains("(Window"),
+        s"$q must not window at all")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
   }
 
   test("q_pq_sweep / q_containment: keyed joins, no quadratic operator") {

@@ -1,16 +1,18 @@
 #!/usr/bin/env python3
 """Scale-sweep analyzer (driver-side tooling, like check.py — NOT part of
-the library): compares two full-bench detail files (e.g. sf0.1 vs the
-ScaleGen 10x fixture) and emits the per-query scaling-exponent table for
-SCALING.md.
+the library): compares full-bench detail files across fixture scales and
+emits the per-query scaling-exponent table for SCALING.md.
 
-For data scaled by factor F, a query taking t1 -> t2 has empirical
-exponent  e = log(t2/t1) / log(F):  e~1 linear, e~0 scale-free
-(bounded output / dimension-bounded), e~2 quadratic. Wall time on a
-shared box is noisy, so the table also carries the cpu_sec exponent
-(contention-robust) and the shuffle exponent (machine-independent).
+With two files the exponent is the point estimate
+e = log(t2/t1)/log(F); with three or more it is the slope of a
+least-squares fit of log t against log scale — robust to one noisy
+point. Wall time on a shared box is noisy, so the table also carries
+the cpu_sec exponent (contention-robust) and the shuffle exponent
+(machine-independent).
 
-Usage: scale_sweep.py <detail_small.json> <detail_big.json> [factor=10]
+Usage:
+  scale_sweep.py small.json big.json [factor=10]
+  scale_sweep.py --multi s1.json F1 s2.json F2 s3.json F3 ...
 Prints a markdown table sorted by cpu exponent (worst first).
 """
 import json
@@ -18,51 +20,71 @@ import math
 import sys
 
 
-def main() -> None:
-    small = json.load(open(sys.argv[1]))["queries"]
-    big = json.load(open(sys.argv[2]))["queries"]
-    factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
-    lf = math.log(factor)
+def slope(points):
+    """Least-squares slope of log(v) vs log(scale); None if <2 points."""
+    pts = [(math.log(f), math.log(v)) for f, v in points if v and v > 0]
+    if len(pts) < 2:
+        return None
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    den = n * sxx - sx * sx
+    if den == 0:
+        return None
+    return (n * sxy - sx * sy) / den
 
+
+def main() -> None:
+    if sys.argv[1] == "--multi":
+        args = sys.argv[2:]
+        runs = [(json.load(open(args[i]))["queries"], float(args[i + 1]))
+                for i in range(0, len(args), 2)]
+    else:
+        runs = [(json.load(open(sys.argv[1]))["queries"], 1.0),
+                (json.load(open(sys.argv[2]))["queries"],
+                 float(sys.argv[3]) if len(sys.argv) > 3 else 10.0)]
+
+    base = runs[0][0]
+    top = runs[-1][0]
     rows = []
-    for name, s in sorted(small.items()):
-        b = big.get(name)
-        if b is None or s.get("err") or b.get("err"):
+    for name, s in sorted(base.items()):
+        if any(name not in q or q[name].get("err") for q, _ in runs):
             continue
 
         def expo(key, floor):
-            # values below `floor` are timer/meter noise: exponents from
-            # noise ratios are meaningless, report None ("—")
-            v1, v2 = s.get(key, 0), b.get(key, 0)
-            if v1 < floor or v2 < floor:
+            # values below `floor` are timer/meter noise
+            pts = [(f, q[name].get(key, 0)) for q, f in runs]
+            if any(v < floor for _, v in pts):
                 return None
-            return math.log(v2 / v1) / lf
+            return slope(pts)
 
         rows.append({
             "name": name,
-            "sec1": s["sec"], "sec2": b["sec"],
+            "sec1": s["sec"], "secN": top[name]["sec"],
             "e_wall": expo("sec", 0.15),
             "e_cpu": expo("cpu_sec", 0.3),
             "e_shuf": expo("shuffle_mb", 0.05),
         })
 
-    rows.sort(key=lambda r: (r["e_cpu"] is None,
-                             -(r["e_cpu"] or 0.0)))
+    rows.sort(key=lambda r: (r["e_cpu"] is None, -(r["e_cpu"] or 0.0)))
 
     def f(v, nd=2):
         return "—" if v is None else f"{v:.{nd}f}"
 
-    print("| query | sec@1x | sec@%gx | e_wall | e_cpu | e_shuffle |"
-          % factor)
+    top_f = runs[-1][1]
+    print(f"| query | sec@1x | sec@{top_f:g}x | e_wall | e_cpu "
+          "| e_shuffle |")
     print("|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['name']} | {r['sec1']:.2f} | {r['sec2']:.2f} "
+        print(f"| {r['name']} | {r['sec1']:.2f} | {r['secN']:.2f} "
               f"| {f(r['e_wall'])} | {f(r['e_cpu'])} | {f(r['e_shuf'])} |")
 
-    tot1 = sum(r["sec1"] for r in rows)
-    tot2 = sum(r["sec2"] for r in rows)
-    print(f"\ntotal: {tot1:.1f}s -> {tot2:.1f}s "
-          f"(e_wall={math.log(tot2 / tot1) / lf:.2f}, n={len(rows)})")
+    tot = [(fa, sum(q[r["name"]]["sec"] for r in rows)) for q, fa in runs]
+    e_tot = slope(tot)
+    print(f"\ntotals: " + ", ".join(f"{fa:g}x={t:.1f}s" for fa, t in tot) +
+          f" (e_wall={e_tot:.2f}, n={len(rows)})")
     cpu_known = [r for r in rows if r["e_cpu"] is not None]
     over = [r for r in cpu_known if r["e_cpu"] > 1.35]
     print(f"queries with cpu exponent > 1.35 (superlinear x log budget): "

@@ -266,6 +266,68 @@ object GraphOps {
       deg.filter(col("deg") > 0).orderBy("node")
     }),
 
+    // ---- Jaccard-coefficient link prediction over the
+    // significant-trade graph — q_adamic_adar's unweighted sibling
+    // (|Γa∩Γb| / |Γa∪Γb|): when the two rankings disagree, AA's
+    // hub-discounting is doing the work. Same wedge enumeration (keyed
+    // self-join on the center), same anti-join against existing edges;
+    // the score stays INTEGER until one final division — intersection
+    // from the wedge count, union by inclusion-exclusion from the
+    // degree frame. Cost Σ deg² on the thinned graph, like AA.
+    "q_jaccard_links" -> ((s, d) => {
+      val e = graft.CacheScope.cached(significantEdges(s, d))
+      val adj = e.select(col("u").as("z"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("z"), col("u").as("x")))
+      val deg = adj.groupBy("z").agg(count(lit(1)).as("dg"))
+      val cand = adj.toDF("z", "a").join(adj.toDF("z", "b"), Seq("z"))
+        .filter(col("a") < col("b"))
+        .join(e.toDF("a", "b"), Seq("a", "b"), "left_anti")
+      cand.groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .join(deg.toDF("a", "da"), "a")
+        .join(deg.toDF("b", "db"), "b")
+        .select(col("a").as("u"), col("b").as("v"),
+          col("c").as("n_common"),
+          round(col("c").cast("double") /
+            (col("da") + col("db") - col("c")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+    }),
+
+    // ---- degree-distribution profile of the part co-purchase graph —
+    // the "is this graph scale-free?" audit that prices every other
+    // graph operator here (k-core thresholds, wedge costs, skew
+    // handling all key off the degree tail). One summary row: node
+    // count, max degree, exact median degree from the (degree,
+    // frequency) pre-aggregate, and the Hill tail index over the
+    // top-(k+1) degrees — q_tail_index's estimator pointed at graph
+    // degrees (micro-quantized log ratios, integer-summed; the
+    // threshold row contributes ln 1 = 0 exactly as there). Scale
+    // shape: degree agg → tiny frequency frame + a distributed
+    // top-(k+1); nothing wider than (node, degree) shuffles.
+    "q_degree_dist" -> ((s, d) => {
+      val k = 100
+      val adjDeg = graft.CacheScope.cached {
+        val e = coPurchaseEdges(s, d)
+        e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+      }
+      val freq = adjDeg.groupBy("dg").agg(count(lit(1)).as("f"))
+      val summary = freq.agg(sum("f").as("n_nodes"),
+        max("dg").as("max_deg"),
+        round(expr("percentile(dg, 0.5, f)"), 1).as("p50_deg"))
+      val top = adjDeg.orderBy(col("dg").desc, col("node").asc)
+        .limit(k + 1).select("dg")
+      val thr = top.agg(min("dg").as("xk"))
+      val hill = top.crossJoin(broadcast(thr))
+        .select(round(log(col("dg").cast("double") /
+          col("xk").cast("double")) * 1e12).cast("long").as("t"))
+        .agg(sum("t").as("st"))
+        .select(round(lit(k * 1e12) / col("st").cast("double"), 6)
+          .as("hill_alpha"))
+      summary.crossJoin(broadcast(hill))
+    }),
+
     // ---- Adamic–Adar link prediction over the significant-trade graph:
     // score non-adjacent nation pairs by Σ 1/ln(deg(z)) over common
     // neighbors z — high-degree hubs contribute less (the 1998 heuristic
@@ -696,6 +758,61 @@ object GraphOps {
          |  (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4) tf
          |GROUP BY 1 ORDER BY node""".stripMargin
     },
+    "q_jaccard_links" ->
+      """WITH w AS (
+        |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
+        |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |        AS thr FROM w),
+        |e AS (SELECT u, v FROM w, t WHERE CAST(cnt AS DOUBLE) > thr),
+        |adj AS (SELECT u AS z, v AS x FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg
+        |        FROM adj GROUP BY 1),
+        |cand AS (
+        |  SELECT a1.x AS a, a2.x AS b
+        |  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |                    WHERE e.u = a1.x AND e.v = a2.x)),
+        |common AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM cand GROUP BY 1, 2)
+        |SELECT a AS u, b AS v, c AS n_common,
+        |  round(CAST(c AS DOUBLE) / CAST(da.dg + db.dg - c AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM common JOIN deg da ON da.z = common.a
+        |            JOIN deg db ON db.z = common.b
+        |ORDER BY jaccard DESC, u, v""".stripMargin,
+    "q_degree_dist" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM
+        |    (SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+        |  GROUP BY 1),
+        |summary AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(max(dg) AS BIGINT) AS max_deg,
+        |    round(quantile_cont(dg, 0.5), 1) AS p50_deg
+        |  FROM deg),
+        |top AS (SELECT dg FROM deg ORDER BY dg DESC, node ASC LIMIT 101),
+        |thr AS (SELECT min(dg) AS xk FROM top),
+        |hill AS (
+        |  SELECT round(100 * 1e12 / CAST(sum(CAST(round(
+        |      ln(CAST(dg AS DOUBLE) / xk) * 1e12) AS BIGINT)) AS DOUBLE),
+        |    6) AS hill_alpha
+        |  FROM top CROSS JOIN thr)
+        |SELECT n_nodes, max_deg, p50_deg, hill_alpha
+        |FROM summary CROSS JOIN hill""".stripMargin,
     "q_adamic_adar" ->
       """WITH w AS (
         |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,

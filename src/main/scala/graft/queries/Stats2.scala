@@ -347,6 +347,150 @@ object Stats2 {
         round(when(ok, q), 4).as("q_lb"))
     }),
 
+    // ---- Granger causality (lag-1): does daily event COUNT carry
+    // predictive information about next-day value VOLUME beyond what
+    // volume's own history explains? Restricted y_t~y_{t-1} vs
+    // unrestricted y_t~y_{t-1}+x_{t-1}, F on the RSS drop. All ten
+    // pairwise moments come from ONE day+1 equi-join of the aggregated
+    // daily frame as exact BIGINTs; the centered second moments use the
+    // m-scaled identity M_ab = m·Σab − Σa·Σb (integer), in which the
+    // m factors cancel inside F — so the closed-form 2-regressor OLS
+    // solve is one fixed-order double expression over integer inputs.
+    "q_granger" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .select(expr(s"ts_us div $DayUs").as("day"),
+          round(col("value") * 100).cast("long").as("v"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("x"), sum("v").as("y")))
+      val m = daily.toDF("da", "xl", "yl")
+        .join(daily.toDF("db", "xn", "y"), col("db") === col("da") + 1)
+        .agg(count(lit(1)).as("m"),
+          sum("y").as("sy"), sum("yl").as("syl"), sum("xl").as("sxl"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("yl") * col("yl")).as("sll"),
+          sum(col("xl") * col("xl")).as("sxx"),
+          sum(col("y") * col("yl")).as("pyl"),
+          sum(col("y") * col("xl")).as("pyx"),
+          sum(col("yl") * col("xl")).as("plx"))
+      val mm = col("m").cast("double")
+      def cM(sab: org.apache.spark.sql.Column,
+             sa: org.apache.spark.sql.Column,
+             sb: org.apache.spark.sql.Column) =
+        mm * sab - sa.cast("double") * sb.cast("double")
+      val myy = cM(col("syy"), col("sy"), col("sy"))
+      val mll = cM(col("sll"), col("syl"), col("syl"))
+      val mxx = cM(col("sxx"), col("sxl"), col("sxl"))
+      val myl = cM(col("pyl"), col("sy"), col("syl"))
+      val myx = cM(col("pyx"), col("sy"), col("sxl"))
+      val mlx = cM(col("plx"), col("syl"), col("sxl"))
+      val det = mll * mxx - mlx * mlx
+      val rss0 = myy - myl * myl / mll
+      val rss1 = myy - (myl * (myl * mxx - myx * mlx) +
+        myx * (myx * mll - myl * mlx)) / det
+      val ok = col("m") > 3 && mll > 0.0 && det > 0.0 && rss1 > 0.0
+      m.select(col("m").as("n_pairs"),
+        round(when(ok, (rss0 - rss1) / (rss1 / (mm - 3))), 4)
+          .as("f_granger"),
+        round(when(ok, (myx * mll - myl * mlx) / det / 100.0), 6)
+          .as("beta_count"))
+    }),
+
+    // ---- Cochran–Mantel–Haenszel test, stratified by DAY: is event
+    // type (view vs purchase) associated with a high-value outcome
+    // (≥ $50) AFTER conditioning out the day? — the confounder-robust
+    // 2×2 the pooled χ² (q_ab_test's cousin) gets wrong whenever daily
+    // traffic mix shifts. Per-stratum cell counts are one events pass;
+    // each stratum's expectation and variance are rationals of BIGINT
+    // margins, quantized to 1e-6 units BEFORE the cross-day sum (the
+    // q_adamic_adar rule) so the statistic is partition-order exact.
+    "q_cmh" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(expr(s"ts_us div $DayUs").as("day"),
+          (col("event_type") === "view").as("e"),
+          (round(col("value") * 100).cast("long") >= 5000L).as("hi"))
+        .groupBy("day")
+        .agg(sum(when(col("e") && col("hi"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("e") && !col("hi"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("e") && col("hi"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("e") && !col("hi"), 1L).otherwise(0L)).as("dd"))
+        .filter(col("a") + col("b") + col("c") + col("dd") >= 2)
+      val n = (col("a") + col("b") + col("c") + col("dd")).cast("double")
+      val r1 = (col("a") + col("b")).cast("double")
+      val r2 = (col("c") + col("dd")).cast("double")
+      val c1 = (col("a") + col("c")).cast("double")
+      val c2 = (col("b") + col("dd")).cast("double")
+      val terms = cells.select(
+        (col("a") * 1000000L).as("a6"),
+        round(r1 * c1 / n * 1e6).cast("long").as("e6"),
+        round(r1 * r2 * c1 * c2 / (n * n * (n - 1)) * 1e6).cast("long")
+          .as("v6"))
+      val agg = terms.agg(count(lit(1)).as("n_strata"),
+        sum("a6").as("sa"), sum("e6").as("se"), sum("v6").as("sv"))
+      val dev = (col("sa") - col("se")).cast("double") / 1e6
+      agg.select(col("n_strata"),
+        round(when(col("sv") <= 0, lit(null))
+          .otherwise(dev * dev / (col("sv").cast("double") / 1e6)), 4)
+          .as("chi2_cmh"))
+    }),
+
+    // ---- Benjamini–Hochberg FDR over the per-event-type "is this
+    // type's mean value off the global mean?" z-tests — the
+    // multiple-testing closer for the answer sheet: with k types even
+    // pure noise hands you ~k·α raw rejections, and BH is the standard
+    // step-up correction a metrics pipeline runs before alerting.
+    // z from exact cent moments; Φ via the Abramowitz–Stegun 7.1.26
+    // polynomial with IDENTICAL literals in both engines (one
+    // fixed-order double chain — no erf builtin needed); ranks by the
+    // doubled-rank self-join over the k-row frame (k = type vocabulary,
+    // bounded); the step-up cutoff is a broadcast 1-row max.
+    "q_bh_fdr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("t"),
+          round(col("value") * 100).cast("long").as("v"))
+      val g = graft.CacheScope.cached({
+        // per feeds BOTH the global-moment fold and the per-type z —
+        // cached so the corpus aggregates once (k rows held)
+        val per = graft.CacheScope.cached(
+          ev.groupBy("t").agg(count(lit(1)).as("n"),
+            sum("v").as("s1"), sum(col("v") * col("v")).as("s2")))
+        val tot = per.agg(sum("n").as("nn"), sum("s1").as("t1"),
+          sum("s2").as("t2"))
+        val nn = col("nn").cast("double")
+        val mu = col("t1").cast("double") / nn
+        val sg = sqrt(col("t2").cast("double") / nn - mu * mu)
+        val z = (col("s1").cast("double") / col("n") - mu) /
+          (sg / sqrt(col("n").cast("double")))
+        // Φ(|z|) via A&S 7.1.26: erf(x) ≈ 1 − poly(1/(1+0.3275911·x))·e^(−x²)
+        val x = abs(z) / lit(math.sqrt(2.0))
+        val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+        val poly = ((((lit(1.061405429) * tt - lit(1.453152027)) * tt +
+          lit(1.421413741)) * tt - lit(0.284496736)) * tt +
+          lit(0.254829592)) * tt
+        val erfX = lit(1.0) - poly * exp(-x * x)
+        val p = lit(1.0) - erfX // = 2·(1−Φ(|z|))
+        per.crossJoin(broadcast(tot))
+          .select(col("t"), col("n"), round(z, 6).as("z"),
+            round(p, 9).as("p"))
+      })
+      val ranked = g.toDF("t", "n", "z", "p")
+        .join(broadcast(g.select(col("p").as("pb"), col("t").as("tb"))),
+          col("pb") < col("p") ||
+            (col("pb") === col("p") && col("tb") <= col("t")), "left")
+        .groupBy("t", "n", "z", "p")
+        .agg(count(col("tb")).as("rank"))
+      val kTot = g.agg(count(lit(1)).as("k"))
+      val withK = ranked.crossJoin(broadcast(kTot))
+      val rmax = withK
+        .filter(col("p") * col("k") <= lit(0.1) * col("rank"))
+        .agg(coalesce(max("rank"), lit(0L)).as("rmax"))
+      withK.crossJoin(broadcast(rmax))
+        .select(col("t").as("event_type"), col("n"), col("z"), col("p"),
+          col("rank"),
+          (col("rank") <= col("rmax")).as("significant"))
+        .orderBy("rank", "event_type")
+    }),
+
     // ---- Simpson diversity per source — the concentration-side
     // companion to q_entropy's Shannon diversity (Simpson weights
     // dominant words quadratically, so boilerplate-heavy sources score
@@ -678,6 +822,135 @@ object Stats2 {
         |    nd * (nd + 2) * (r1 * r1 / (nd - 1) + r2 * r2 / (nd - 2) +
         |      r3 * r3 / (nd - 3)) END, 4) AS q_lb
         |FROM h""".stripMargin,
+    "q_granger" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(b.y) AS BIGINT) AS sy,
+        |    CAST(sum(a.y) AS BIGINT) AS syl,
+        |    CAST(sum(a.x) AS BIGINT) AS sxl,
+        |    CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+        |    CAST(sum(a.y * a.y) AS BIGINT) AS sll,
+        |    CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+        |    CAST(sum(b.y * a.y) AS BIGINT) AS pyl,
+        |    CAST(sum(b.y * a.x) AS BIGINT) AS pyx,
+        |    CAST(sum(a.y * a.x) AS BIGINT) AS plx
+        |  FROM daily a JOIN daily b ON b.day = a.day + 1),
+        |c AS (
+        |  SELECT m, CAST(m AS DOUBLE) AS mm,
+        |    CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS myy,
+        |    CAST(m AS DOUBLE) * sll - CAST(syl AS DOUBLE) * syl AS mll,
+        |    CAST(m AS DOUBLE) * sxx - CAST(sxl AS DOUBLE) * sxl AS mxx,
+        |    CAST(m AS DOUBLE) * pyl - CAST(sy AS DOUBLE) * syl AS myl,
+        |    CAST(m AS DOUBLE) * pyx - CAST(sy AS DOUBLE) * sxl AS myx,
+        |    CAST(m AS DOUBLE) * plx - CAST(syl AS DOUBLE) * sxl AS mlx
+        |  FROM m),
+        |e AS (
+        |  SELECT m, mm, myy, mll, mxx, myl, myx, mlx,
+        |    mll * mxx - mlx * mlx AS det
+        |  FROM c),
+        |f AS (
+        |  SELECT m, mm, mll, det, myx, myl, mlx,
+        |    myy - myl * myl / mll AS rss0,
+        |    myy - (myl * (myl * mxx - myx * mlx) +
+        |      myx * (myx * mll - myl * mlx)) / det AS rss1
+        |  FROM e)
+        |SELECT m AS n_pairs,
+        |  round(CASE WHEN m > 3 AND mll > 0.0 AND det > 0.0
+        |      AND rss1 > 0.0
+        |    THEN (rss0 - rss1) / (rss1 / (mm - 3)) END, 4) AS f_granger,
+        |  round(CASE WHEN m > 3 AND mll > 0.0 AND det > 0.0
+        |      AND rss1 > 0.0
+        |    THEN (myx * mll - myl * mlx) / det / 100.0 END, 6)
+        |    AS beta_count
+        |FROM f""".stripMargin,
+    "q_cmh" ->
+      """WITH cells AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view' AND
+        |      CAST(round(value * 100) AS BIGINT) >= 5000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'view' AND
+        |      CAST(round(value * 100) AS BIGINT) < 5000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND
+        |      CAST(round(value * 100) AS BIGINT) >= 5000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND
+        |      CAST(round(value * 100) AS BIGINT) < 5000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS dd
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |kept AS (SELECT * FROM cells WHERE a + b + c + dd >= 2),
+        |terms AS (
+        |  SELECT a * 1000000 AS a6,
+        |    CAST(round(CAST(a + b AS DOUBLE) * (a + c) /
+        |      (a + b + c + dd) * 1e6) AS BIGINT) AS e6,
+        |    CAST(round(CAST(a + b AS DOUBLE) * (c + dd) * (a + c) *
+        |      (b + dd) / (CAST(a + b + c + dd AS DOUBLE) *
+        |        (a + b + c + dd) * (a + b + c + dd - 1)) * 1e6)
+        |      AS BIGINT) AS v6
+        |  FROM kept),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(a6) AS BIGINT) AS sa, CAST(sum(e6) AS BIGINT) AS se,
+        |    CAST(sum(v6) AS BIGINT) AS sv
+        |  FROM terms)
+        |SELECT n_strata,
+        |  round(CASE WHEN sv <= 0 THEN NULL
+        |    ELSE (CAST(sa - se AS DOUBLE) / 1e6) *
+        |      (CAST(sa - se AS DOUBLE) / 1e6) /
+        |      (CAST(sv AS DOUBLE) / 1e6) END, 4) AS chi2_cmh
+        |FROM agg""".stripMargin,
+    "q_bh_fdr" ->
+      """WITH ev AS (
+        |  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |per AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s1,
+        |    CAST(sum(v * v) AS BIGINT) AS s2
+        |  FROM ev GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s1) AS BIGINT)
+        |      AS t1,
+        |    CAST(sum(s2) AS BIGINT) AS t2
+        |  FROM per),
+        |zc AS (
+        |  SELECT t, n,
+        |    (CAST(s1 AS DOUBLE) / n - CAST(t1 AS DOUBLE) / nn) /
+        |      (sqrt(CAST(t2 AS DOUBLE) / nn -
+        |        (CAST(t1 AS DOUBLE) / nn) * (CAST(t1 AS DOUBLE) / nn)) /
+        |       sqrt(CAST(n AS DOUBLE))) AS z
+        |  FROM per CROSS JOIN tot),
+        |pp AS (
+        |  SELECT t, n, z,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt,
+        |    abs(z) / sqrt(2.0) AS x
+        |  FROM zc),
+        |g AS (
+        |  SELECT t, n, round(z, 6) AS z,
+        |    round(1.0 - (1.0 - ((((1.061405429 * tt - 1.453152027) * tt +
+        |      1.421413741) * tt - 0.284496736) * tt + 0.254829592) * tt *
+        |      exp(-x * x)), 9) AS p
+        |  FROM pp),
+        |ranked AS (
+        |  SELECT a.t, a.n, a.z, a.p, CAST(count(b.t) AS BIGINT) AS rank
+        |  FROM g a LEFT JOIN g b
+        |    ON b.p < a.p OR (b.p = a.p AND b.t <= a.t)
+        |  GROUP BY 1, 2, 3, 4),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM g),
+        |rmax AS (
+        |  SELECT coalesce(max(rank), 0) AS rmax
+        |  FROM ranked CROSS JOIN k WHERE p * k <= 0.1 * rank)
+        |SELECT t AS event_type, n, z, p, rank,
+        |  rank <= rmax AS significant
+        |FROM ranked CROSS JOIN rmax
+        |ORDER BY rank, event_type""".stripMargin,
     "q_simpson" ->
       """WITH wc AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS w

@@ -1204,6 +1204,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ls.contains("CartesianProduct"),
       "sweep arms must stay banded equi-joins")
     graft.CacheScope.drain(); spark.catalog.clearCache()
+    // granger/cmh/bh-fdr: one events pass to an aggregated frame, all
+    // later joins on broadcast-small frames (lag pairs, k-row panels)
+    for (q <- Seq("q_granger", "q_cmh", "q_bh_fdr")) {
+      val p = planOf(q)
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans <= 1, s"$q must scan the corpus once, got $scans")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q post-aggregate joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // jaccard links: the wedge self-join stays keyed on the center node
+    // (AA's shape — a keyed sort-merge is the legitimate at-scale plan
+    // for a large adjacency); only a cartesian or an unbounded
+    // nested-loop would be the scale bug
+    val jl = planOf("q_jaccard_links")
+    assert(!jl.contains("CartesianProduct"))
+    val jlBnlj = jl.linesIterator
+      .count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin\s*"""))
+    assert(jlBnlj <= 1, s"only the 1-row threshold may nest-loop, got $jlBnlj")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // degree dist: top-(k+1) must be a TakeOrdered, never a global sort
+    val dd = planOf("q_degree_dist")
+    assert(dd.contains("TakeOrderedAndProject"),
+      "degree tail must use distributed top-k")
+    assert(!dd.contains("CartesianProduct"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
     // friedman/hurst/ljung-box: day-keyed or calendar-bounded self-joins
     // over cached aggregates — one corpus scan, no window, no sort-merge
     for (q <- Seq("q_friedman", "q_hurst", "q_ljung_box")) {

@@ -319,19 +319,59 @@ object Multimodal {
     * None for bytes no codec reads (caller keeps them out of the index).
     */
   def aHashBytes(content: Array[Byte]): Option[Long] = {
+    lumaGrid(content, 8, 8).map { cell =>
+      val mean = cell.sum / 64
+      var sig = 0L; var i = 0
+      while (i < 64) { if (cell(i) > mean) sig |= (1L << i); i += 1 }
+      sig
+    }
+  }
+
+  /** 64-bit difference-hash (dHash): decode → 9×8 integer area-average
+    * grayscale → bit (row, col) set iff cell(row, col) < cell(row,
+    * col+1) — the horizontal GRADIENT pattern. Complements [[aHashBytes]]
+    * exactly where the mean threshold is weakest: any monotone global
+    * tone change (gamma, contrast stretch, exposure shift) preserves the
+    * ordering of adjacent cells (so dHash moves a bit or two at cell
+    * boundaries) while it moves cell values relative to the global mean
+    * (so aHash can flip many bits at once). Same integer-only decode
+    * discipline — replicas hash-agree bit-for-bit. */
+  def dHashBytes(content: Array[Byte]): Option[Long] = {
+    lumaGrid(content, 9, 8).map { cell =>
+      var sig = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (cell(gy * 9 + gx) < cell(gy * 9 + gx + 1))
+            sig |= (1L << (gy * 8 + gx))
+          gx += 1
+        }
+        gy += 1
+      }
+      sig
+    }
+  }
+
+  /** Shared decode + integer area-average luma grid (gw × gh cells,
+    * row-major `gy * gw + gx`) behind both perceptual hashes. ALL
+    * integer arithmetic on decoded pixels — no float resampling. None
+    * for bytes no codec reads or images smaller than the grid. */
+  private def lumaGrid(content: Array[Byte], gw: Int,
+      gh: Int): Option[Array[Long]] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case _: Exception => null }
-    if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+    if (img == null || img.getWidth < gw || img.getHeight < gh) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
-      val cell = new Array[Long](64)
+      val cell = new Array[Long](gw * gh)
       var gy = 0
-      while (gy < 8) {
-        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      while (gy < gh) {
+        val y0 = gy * h / gh; val y1 = (gy + 1) * h / gh
         var gx = 0
-        while (gx < 8) {
-          val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+        while (gx < gw) {
+          val x0 = gx * w / gw; val x1 = (gx + 1) * w / gw
           var sum = 0L; var n = 0L
           var y = y0
           while (y < y1) {
@@ -345,15 +385,12 @@ object Multimodal {
             }
             y += 1
           }
-          cell(gy * 8 + gx) = if (n == 0) 0L else sum / n
+          cell(gy * gw + gx) = if (n == 0) 0L else sum / n
           gx += 1
         }
         gy += 1
       }
-      val mean = cell.sum / 64
-      var sig = 0L; var i = 0
-      while (i < 64) { if (cell(i) > mean) sig |= (1L << i); i += 1 }
-      Some(sig)
+      Some(cell)
     }
   }
 

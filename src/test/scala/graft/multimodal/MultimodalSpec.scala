@@ -222,6 +222,59 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       pairs.head._2.endsWith("noisy.png"))
   }
 
+  test("dHash survives a monotone tone change that moves aHash more") {
+    val d3 = Files.createTempDirectory("graft-dhash").toString
+    // horizontal luminance ramp with texture — distinct cell averages
+    def ramp(tone: Int => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(72, 72,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 72; x <- 0 until 72) {
+        // midrange ramp (60..204): adjacent-cell gaps survive the cubic
+        // without quantization ties, so the gradient signature is clean
+        val base = math.min(255, 60 + x * 2 + (y % 9))
+        val v = math.max(0, math.min(255, tone(base)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    javax.imageio.ImageIO.write(ramp(identity), "png",
+      new java.io.File(s"$d3/base.png"))
+    // gamma 3 (cubic) — a MONOTONE tone curve: adjacent-cell ordering
+    // (what dHash encodes) is preserved exactly; the strongly convex
+    // curve drags the global mean toward the dark side, so the
+    // mean-crossing column (what aHash thresholds on) moves a column —
+    // a full 8-bit flip for the mean hash, zero for the gradient hash
+    javax.imageio.ImageIO.write(
+      ramp(v => math.round(v.toDouble * v * v / 65025.0).toInt), "png",
+      new java.io.File(s"$d3/gamma.png"))
+    def bytes(n: String) = Files.readAllBytes(Paths.get(s"$d3/$n"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dBase = Multimodal.dHashBytes(bytes("base.png")).get
+    val dGamma = Multimodal.dHashBytes(bytes("gamma.png")).get
+    val aBase = Multimodal.aHashBytes(bytes("base.png")).get
+    val aGamma = Multimodal.aHashBytes(bytes("gamma.png")).get
+    assert(dBase === Multimodal.dHashBytes(bytes("base.png")).get,
+      "dHash must be deterministic")
+    assert(ham(dBase, dGamma) <= 4,
+      s"gradient hash must survive the tone curve: ${ham(dBase, dGamma)}")
+    assert(ham(aBase, aGamma) > ham(dBase, dGamma),
+      s"tone curve must move the mean-threshold hash more " +
+        s"(aHash ${ham(aBase, aGamma)} vs dHash ${ham(dBase, dGamma)})")
+    // structurally different content still separates on dHash
+    val vert = new java.awt.image.BufferedImage(72, 72,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 72; x <- 0 until 72) {
+      val v = math.min(255, y * 3 + (x % 9))
+      vert.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    javax.imageio.ImageIO.write(vert, "png",
+      new java.io.File(s"$d3/vert.png"))
+    val dVert = Multimodal.dHashBytes(bytes("vert.png")).get
+    assert(ham(dBase, dVert) > 12,
+      s"unrelated structure too close on dHash: ${ham(dBase, dVert)}")
+    assert(Multimodal.dHashBytes(Array[Byte](9, 9)).isEmpty)
+  }
+
   test("resize stub strides bytes for codec-less kinds") {
     val out = Multimodal.resizeStub(
         Multimodal.readAssets(spark, dir, glob = "b.wav"), factor = 4)

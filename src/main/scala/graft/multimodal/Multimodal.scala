@@ -426,6 +426,48 @@ object Multimodal {
       .orderBy("pa", "pb")
   }
 
+  /** Tone-robust near-duplicate image pairs: candidates come from
+    * banded equi-joins over BOTH perceptual hashes (8 bands total —
+    * 4 aHash + 4 dHash, the hash kind folded into the band id so one
+    * equi-join serves both signatures), and a pair survives when
+    * EITHER signature verifies within `maxHamming`. This is the union
+    * of the two hashes' recall regions: aHash catches noise/recompress
+    * dups whose mean structure holds, dHash catches tone-curved copies
+    * (gamma, contrast, exposure) whose gradients hold — the standard
+    * two-signature dedup a media pipeline runs before training. Same
+    * scale shape as [[nearDupImages]]: shuffle keys are 16-bit band
+    * values, pixels never move, verification is codegen'd
+    * bit_count(xor). Reports both Hamming distances per pair so the
+    * caller can see WHICH signature matched. */
+  def nearDupImagesRobust(assets: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hs = assets.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, c) =>
+        for { a <- aHashBytes(c); dh <- dHashBytes(c) } yield (p, a, dh)
+      }.toDF("path", "ah", "dh")
+    val bands = hs.select(col("path"), col("ah"), col("dh"),
+      explode(array((0 until 4).flatMap(b => Seq(
+        struct(lit(b).as("band"),
+          shiftright(col("ah"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv")),
+        struct(lit(b + 4).as("band"),
+          shiftright(col("dh"), 16 * b).bitwiseAND(lit(0xffffL))
+            .as("bv")))): _*)).as("b"))
+      .select(col("path"), col("ah"), col("dh"), col("b.band"),
+        col("b.bv"))
+    bands.toDF("pa", "aa", "da", "band", "bv")
+      .join(bands.toDF("pb", "ab", "db", "band", "bv"), Seq("band", "bv"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"),
+        bit_count(col("aa").bitwiseXOR(col("ab"))).as("ham_ahash"),
+        bit_count(col("da").bitwiseXOR(col("db"))).as("ham_dhash"))
+      .filter(col("ham_ahash") <= maxHamming ||
+        col("ham_dhash") <= maxHamming)
+      .distinct()
+      .orderBy("pa", "pb")
+  }
+
   /** Decoded-PCM metadata row per audio file. */
   final case class AudioMeta(
       path: String,

@@ -92,6 +92,73 @@ object Similarity {
     // ---- brute-force cosine top-5 for query vectors (vec_id % 40 == 0)
     "q_knn_brute" -> ((s, d) => knnBrute(s, d)),
 
+    // ---- IVF nprobe sweep — the coarse-quantizer dial next to
+    // q_pq_sweep's subspace dial: recall@5 (vs the brute-force panel
+    // truth) and candidate volume at nprobe ∈ {1,2,3} probed cells.
+    // This is the query that prices the IVF index's recall/cost curve
+    // before a 100 TB ANN deployment commits to a probe count. The
+    // three arms share ONE cached cell-ranking and ONE cached truth
+    // frame; each arm is a cell equi-join (assign ⋈ probes) + exact
+    // cosine rank inside the probed candidates — the production search
+    // shape, never all-pairs. Counts are BIGINTs; the two ratios
+    // divide once at the end.
+    "q_ivf_nprobe_sweep" -> ((s, d) => {
+      val all = graft.CacheScope.cached(vecs(s, d))
+      val fl = all.select(col("vec_id"), col("label"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      val centroids = fl.groupBy(col("label").as("c_label"), col("i"))
+        .agg(avg("x").as("cx"))
+      val d2a = fl.join(broadcast(centroids), Seq("i"))
+        .groupBy("vec_id", "c_label")
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+          .as("d2"))
+      val wv = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("c_label").asc)
+      val ranked = graft.CacheScope.cached(
+        d2a.withColumn("rn", row_number().over(wv)))
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      val exact = graft.CacheScope.cached(
+        knnBrute(s, d).select("q_id", "nb_id"))
+      val q = all.filter(panelQuery(col("vec_id")))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      def arm(p: Int): DataFrame = {
+        val probes = ranked
+          .filter(panelQuery(col("vec_id")) && col("rn") <= p)
+          .select(col("vec_id").as("q_id"), col("c_label").as("cell"))
+        val cand = graft.CacheScope.cached(
+          assign.join(probes, Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select("q_id", "vec_id"))
+        val scored = cand
+          .join(all.select(col("vec_id"), col("v"), col("nrm")),
+            Seq("vec_id"))
+          .join(broadcast(q), Seq("q_id"))
+          .select(col("q_id"), col("vec_id").as("nb_id"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+              .as("cos_r"))
+        val wq = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("nb_id").asc)
+        val hits = scored.withColumn("rank", row_number().over(wq))
+          .filter(col("rank") <= 5)
+          .join(exact, Seq("q_id", "nb_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        val nq = exact.select("q_id").distinct()
+          .agg(count(lit(1)).as("n_queries"))
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        nq.crossJoin(broadcast(hits)).crossJoin(broadcast(nc))
+          .select(lit(p).cast("long").as("nprobe"), col("n_queries"),
+            round(when(col("n_queries") === 0, lit(null))
+              .otherwise(col("n_cand").cast("double") / col("n_queries")),
+              2).as("avg_candidates"),
+            round(when(col("n_queries") === 0, lit(null))
+              .otherwise(col("n_hits").cast("double") /
+                (col("n_queries") * 5)), 6).as("recall_at_5"))
+      }
+      arm(1).unionAll(arm(2)).unionAll(arm(3)).orderBy("nprobe")
+    }),
+
     // ---- Local Outlier Factor (Breunig et al. 2000, k=5) — the
     // density-aware outlier score over the embedding space: a vector is
     // anomalous when its local density is low RELATIVE to its
@@ -821,6 +888,79 @@ object Similarity {
          |UNION ALL SELECT 2, s2.id, round(s2.dm / 1e12, 6) FROM s2
          |UNION ALL SELECT 3, s3.id, round(s3.dm / 1e12, 6) FROM s3
          |ORDER BY rank""".stripMargin
+    },
+    "q_ivf_nprobe_sweep" -> {
+      def armSql(p: Int): String =
+        s"""probes$p AS (SELECT vec_id AS q_id, c_label AS cell
+           |  FROM cranked
+           |  WHERE vec_id % 40 = 0 AND vec_id < 2000 AND rn <= $p),
+           |cand$p AS (
+           |  SELECT pr.q_id, a.vec_id
+           |  FROM assign a JOIN probes$p pr ON pr.cell = a.cell
+           |  WHERE a.vec_id <> pr.q_id),
+           |top$p AS (
+           |  SELECT q_id, nb_id FROM (
+           |    SELECT s.q_id, s.nb_id, row_number() OVER (
+           |      PARTITION BY s.q_id
+           |      ORDER BY s.cos_r DESC, s.nb_id ASC) AS rank
+           |    FROM scored s JOIN cand$p c
+           |      ON c.q_id = s.q_id AND c.vec_id = s.nb_id) t
+           |  WHERE rank <= 5),
+           |row$p AS (
+           |  SELECT CAST($p AS BIGINT) AS nprobe,
+           |    (SELECT CAST(count(DISTINCT q_id) AS BIGINT) FROM etop)
+           |      AS n_queries,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$p) AS n_cand,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM top$p t
+           |     JOIN etop e ON e.q_id = t.q_id AND e.nb_id = t.nb_id)
+           |      AS n_hits)""".stripMargin
+      val rowSel =
+        """SELECT nprobe, n_queries,
+          |  round(CASE WHEN n_queries = 0 THEN NULL
+          |    ELSE CAST(n_cand AS DOUBLE) / n_queries END, 2)
+          |    AS avg_candidates,
+          |  round(CASE WHEN n_queries = 0 THEN NULL
+          |    ELSE CAST(n_hits AS DOUBLE) / (n_queries * 5) END, 6)
+          |    AS recall_at_5""".stripMargin
+      s"""WITH $flatSql,
+         |cent AS (
+         |  SELECT label AS c_label, i, avg(x) AS cx
+         |  FROM flat GROUP BY 1, 2),
+         |cdist AS (
+         |  SELECT f.vec_id, c.c_label,
+         |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+         |  FROM flat f JOIN cent c ON c.i = f.i
+         |  GROUP BY 1, 2),
+         |cranked AS (
+         |  SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2 ASC, c_label ASC) AS rn
+         |  FROM cdist),
+         |assign AS (SELECT vec_id, c_label AS cell FROM cranked
+         |           WHERE rn = 1),
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0 AND q.vec_id < 2000
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, nb_id,
+         |    round(dt / (nq.nrm * np.nrm), 6) AS cos_r
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm np ON np.vec_id = nb_id),
+         |etop AS (
+         |  SELECT q_id, nb_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_r DESC, nb_id ASC) AS rank
+         |    FROM scored) t
+         |  WHERE rank <= 5),
+         |${armSql(1)},
+         |${armSql(2)},
+         |${armSql(3)}
+         |$rowSel FROM row1
+         |UNION ALL $rowSel FROM row2
+         |UNION ALL $rowSel FROM row3
+         |ORDER BY nprobe""".stripMargin
     },
     "q_lof" ->
       """WITH pos AS MATERIALIZED (

@@ -273,6 +273,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ham(dBase, dVert) > 12,
       s"unrelated structure too close on dHash: ${ham(dBase, dVert)}")
     assert(Multimodal.dHashBytes(Array[Byte](9, 9)).isEmpty)
+
+    // operator level: the aHash-only matcher MISSES the tone-curved
+    // copy (its mean hash moved a whole column, past the budget) while
+    // the two-signature matcher finds it through the gradient side —
+    // and the unrelated image stays out of both
+    val assets = Multimodal.readAssets(spark, d3, glob = "*.png")
+    val aOnly = Multimodal.nearDupImages(assets).collect()
+      .map(r => (r.getString(0).split('/').last,
+        r.getString(1).split('/').last))
+    assert(!aOnly.contains(("base.png", "gamma.png")),
+      s"aHash-only matcher unexpectedly caught the tone curve: " +
+        aOnly.toSeq.toString)
+    val robust = Multimodal.nearDupImagesRobust(assets).collect()
+      .map(r => (r.getString(0).split('/').last,
+        r.getString(1).split('/').last, r.getInt(2), r.getInt(3)))
+    val hit = robust.filter(p => p._1 == "base.png" && p._2 == "gamma.png")
+    assert(hit.length === 1,
+      s"robust matcher must find the tone-curved pair: ${robust.toSeq}")
+    assert(hit.head._4 <= 6 && hit.head._3 > 6,
+      s"the pair must have matched on the GRADIENT signature: ${hit.head}")
+    assert(!robust.exists(p => p._1 == "vert.png" || p._2 == "vert.png"),
+      s"unrelated image must not match either signature: ${robust.toSeq}")
   }
 
   test("resize stub strides bytes for codec-less kinds") {

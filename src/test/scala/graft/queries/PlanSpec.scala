@@ -1225,6 +1225,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin\s*"""))
     assert(jlBnlj <= 1, s"only the 1-row threshold may nest-loop, got $jlBnlj")
     graft.CacheScope.drain(); spark.catalog.clearCache()
+    // ivf nprobe sweep: every arm's candidates come from the cell
+    // equi-join (assign ⋈ probes) — never all-pairs; the quadratic
+    // truth side is the shared knnBrute panel (cost fixed by PanelCap)
+    val np = planOf("q_ivf_nprobe_sweep")
+    assert(!np.contains("CartesianProduct"),
+      "nprobe arms must stay cell-keyed equi-joins")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
     // degree dist: top-(k+1) must be a TakeOrdered, never a global sort
     val dd = planOf("q_degree_dist")
     assert(dd.contains("TakeOrderedAndProject"),

@@ -1390,6 +1390,47 @@ object Analytics {
           .otherwise(folded.getField("cr")).as("alarm_day"))
     }),
 
+    // ---- Page–Hinkley drift test on the daily counts — q_cusum's
+    // reset-free sibling: PH tracks the cumulative deviation from the
+    // window mean (with a 10% tolerance band) MINUS its running
+    // minimum, so a slow upward drift accumulates where CUSUM's
+    // max(0,·) reset would repeatedly forgive it. Same integer
+    // discipline as q_cusum: the increment rides in 10·nd-scale
+    // (10·nd·x − 11·sx ⟺ x − 1.1·μ per day), the running min and the
+    // PH gap stay BIGINT, alarm at gap > 30·sx (λ = 3μ); the fold is
+    // the same array_sort + aggregate over the calendar-bounded daily
+    // series, so replay order cannot move the alarm day.
+    "q_page_hinkley" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val series = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("a"),
+          count(lit(1)).as("nd"), sum("x").as("sx"))
+      val folded = aggregate(
+        col("a"),
+        struct(lit(0L).as("m"), lit(0L).as("mn"), lit(0L).as("mph"),
+          lit(-1L).as("cr")),
+        (acc, e) => {
+          val mNew = acc.getField("m") +
+            lit(10L) * col("nd") * e.getField("x") - lit(11L) * col("sx")
+          val mnNew = least(acc.getField("mn"), mNew)
+          val ph = mNew - mnNew
+          struct(mNew.as("m"), mnNew.as("mn"),
+            greatest(acc.getField("mph"), ph).as("mph"),
+            when(acc.getField("cr") =!= -1L, acc.getField("cr"))
+              .otherwise(when(ph > lit(30L) * col("sx"),
+                e.getField("day")).otherwise(lit(-1L))).as("cr"))
+        })
+      series.select(col("nd").as("n_days"),
+        when(col("nd") === 0, lit(null))
+          .otherwise(round(folded.getField("mph").cast("double") /
+            (lit(10.0) * col("nd")), 4)).as("max_ph"),
+        when(folded.getField("cr") === -1L, lit(null))
+          .otherwise(folded.getField("cr")).as("alarm_day"))
+    }),
+
     // ---- partial autocorrelation (Durbin–Levinson to lag 3) over the
     // daily series — q_autocorr's conditional sibling: PACF(k) is the
     // correlation at lag k AFTER removing what lags 1..k−1 already
@@ -2617,6 +2658,41 @@ object Analytics {
         |  FROM rec r JOIN ord o ON o.i = r.i + 1 CROSS JOIN t)
         |SELECT nd AS n_days,
         |  round(CAST(mx AS DOUBLE) / (2.0 * nd), 4) AS max_cusum,
+        |  CASE WHEN cr = -1 THEN NULL ELSE cr END AS alarm_day
+        |FROM rec CROSS JOIN t WHERE i = nd""".stripMargin,
+    "q_page_hinkley" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |ord AS (SELECT day, x,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(x) AS BIGINT) AS sx FROM ord),
+        |rec AS (
+        |  SELECT o.i,
+        |    10*t.nd*o.x - 11*t.sx AS m,
+        |    least(CAST(0 AS BIGINT), 10*t.nd*o.x - 11*t.sx) AS mn,
+        |    (10*t.nd*o.x - 11*t.sx) -
+        |      least(CAST(0 AS BIGINT), 10*t.nd*o.x - 11*t.sx) AS mph,
+        |    CASE WHEN (10*t.nd*o.x - 11*t.sx) -
+        |        least(CAST(0 AS BIGINT), 10*t.nd*o.x - 11*t.sx)
+        |        > 30*t.sx THEN o.day ELSE CAST(-1 AS BIGINT) END AS cr
+        |  FROM ord o CROSS JOIN t WHERE o.i = 1
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    r.m + 10*t.nd*o.x - 11*t.sx,
+        |    least(r.mn, r.m + 10*t.nd*o.x - 11*t.sx),
+        |    greatest(r.mph, (r.m + 10*t.nd*o.x - 11*t.sx) -
+        |      least(r.mn, r.m + 10*t.nd*o.x - 11*t.sx)),
+        |    CASE WHEN r.cr <> -1 THEN r.cr
+        |      WHEN (r.m + 10*t.nd*o.x - 11*t.sx) -
+        |        least(r.mn, r.m + 10*t.nd*o.x - 11*t.sx) > 30*t.sx
+        |        THEN o.day
+        |      ELSE CAST(-1 AS BIGINT) END
+        |  FROM rec r JOIN ord o ON o.i = r.i + 1 CROSS JOIN t)
+        |SELECT nd AS n_days,
+        |  round(CAST(mph AS DOUBLE) / (10.0 * nd), 4) AS max_ph,
         |  CASE WHEN cr = -1 THEN NULL ELSE cr END AS alarm_day
         |FROM rec CROSS JOIN t WHERE i = nd""".stripMargin,
     "q_pacf" ->

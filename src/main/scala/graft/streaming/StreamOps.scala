@@ -566,6 +566,57 @@ object StreamOps {
       }
   }
 
+  final case class PhUpdate(series: String, n_days: Long,
+      max_ph: Double, alarm_day: Option[Long])
+  final case class PhState(day: Long, n: Long, nClosed: Long,
+      m: Long, mn: Long, mph: Long, cr: Long)
+
+  /** Streaming Page–Hinkley drift monitor — the reset-free sibling of
+    * [[cusumMonitor]] and the always-on twin of batch q_page_hinkley
+    * (queries.Analytics): PH accumulates the deviation from the
+    * offline-calibrated mean (10% tolerance band) minus its running
+    * minimum, so a SLOW upward drift alarms where CUSUM's max(0,·)
+    * reset keeps forgiving it. Identical integer constants to the
+    * batch fold (increment 10·nd·x − 11·sx, alarm at gap > 30·sx), so
+    * a stream fed the same days lands on the same max_ph and first
+    * alarm day (StreamingSpec pins it via the sentinel close).
+    * Day-close discipline is [[holtForecast]]'s; state is seven longs
+    * per series. */
+  def pageHinkleyMonitor(points: Dataset[HoltPoint], nd: Long, sx: Long,
+      series: String = "events",
+      dayUs: Long = 86400000000L): Dataset[PhUpdate] = {
+    import points.sparkSession.implicits._
+    require(nd > 0 && sx >= 0, "pageHinkleyMonitor needs offline (nd, sx)")
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[PhState, PhUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[PhState]) =>
+          var st = state.getOption
+            .getOrElse(PhState(-1L, 0L, 0L, 0L, 0L, 0L, -1L))
+          def close(cur: PhState): PhState = {
+            val mNew = cur.m + 10L * nd * cur.n - 11L * sx
+            val mnNew = math.min(cur.mn, mNew)
+            val ph = mNew - mnNew
+            cur.copy(nClosed = cur.nClosed + 1L, m = mNew, mn = mnNew,
+              mph = math.max(cur.mph, ph),
+              cr = if (cur.cr != -1L) cur.cr
+                else if (ph > 30L * sx) cur.day else -1L)
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { p =>
+            val d = p.ts_us / dayUs
+            if (st.day == -1L) st = st.copy(day = d, n = 1L)
+            else if (d == st.day) st = st.copy(n = st.n + 1L)
+            else if (d > st.day) st = close(st).copy(day = d, n = 1L)
+            // d < st.day: late event for a closed day — dropped
+          }
+          state.update(st)
+          Iterator(PhUpdate(key, st.nClosed,
+            math.rint(st.mph.toDouble / (10.0 * nd) * 1e4) / 1e4,
+            if (st.cr == -1L) None else Some(st.cr)))
+      }
+  }
+
   final case class HwUpdate(series: String, n_days: Long,
       level: Option[Double], trend: Option[Double],
       forecast_1d: Option[Double], season_range: Option[Double])

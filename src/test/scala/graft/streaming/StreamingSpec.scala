@@ -775,6 +775,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming Page–Hinkley equals batch q_page_hinkley after the " +
+       "sentinel close (reset-free drift twin of the CUSUM monitor)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"))
+      .as[StreamOps.HoltPoint]
+      .collect().sortBy(_.ts_us)
+    val nd = pts.map(_.ts_us / 86400000000L).distinct.length.toLong
+    val sx = pts.length.toLong
+    val in = MemoryStream[StreamOps.HoltPoint]
+    val q = StreamOps.pageHinkleyMonitor(in.toDS(), nd, sx).writeStream
+      .format("memory").queryName("ph").outputMode("append").start()
+    try {
+      pts.grouped(500).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      in.addData(StreamOps.HoltPoint(pts.last.ts_us + 86400000000L))
+      q.processAllAvailable()
+      val last = spark.table("ph").as[StreamOps.PhUpdate]
+        .collect().maxBy(_.n_days)
+      val batch = graft.SparkEntry.queries("q_page_hinkley")(spark, sf)
+        .collect().head
+      assert(last.n_days === batch.getAs[Long]("n_days"))
+      assert(last.max_ph === batch.getAs[Double]("max_ph"))
+      val batchAlarm = Option(batch.get(2)).map(_.asInstanceOf[Long])
+      assert(last.alarm_day === batchAlarm,
+        s"alarm day: stream ${last.alarm_day} vs batch $batchAlarm")
+    } finally q.stop()
+  }
+
   test("streaming SPRT equals batch q_sprt on the time-ordered fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -491,6 +491,77 @@ object Stats2 {
         .orderBy("rank", "event_type")
     }),
 
+    // ---- Grubbs outlier statistic on the daily counts — "is the most
+    // extreme day a statistical outlier?", the single-point companion
+    // to the drift monitors (q_cusum/q_page_hinkley alarm on RUNS;
+    // Grubbs scores the one wildest day). G = max|x−x̄|/s from exact
+    // BIGINT moments; the argmax day resolves by (deviation, day)
+    // ordering in n-scaled integers so tie-breaks are engine-exact.
+    "q_grubbs" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x")))
+      val base = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      // n-scaled absolute deviation |n·x − S| is an exact BIGINT
+      val dev = daily.crossJoin(broadcast(base))
+        .select(col("day"), col("n"), col("sx"), col("sxx"),
+          abs(col("n") * col("x") - col("sx")).as("ndev"))
+        .orderBy(col("ndev").desc, col("day").asc).limit(1)
+      val n = col("n").cast("double")
+      val sdn = sqrt((n * col("sxx") - col("sx").cast("double") * col("sx"))
+        / (n - lit(1.0)))
+      dev.select(col("n").as("n_days"), col("day").as("extreme_day"),
+        round(when(col("n") <= 1 || sdn <= 0.0, lit(null))
+          .otherwise(col("ndev").cast("double") / n /
+            (sdn / sqrt(n))), 4).as("grubbs_g"))
+    }),
+
+    // ---- Pettitt changepoint test on the daily counts — the
+    // NONPARAMETRIC "when did the level shift?" answer next to the
+    // parametric q_changepoint: K = max|U_t| with
+    // U_t = 2·Σ_{i≤t}R_i − t(n+1) over average ranks, distribution-free
+    // and immune to the value tail. Doubled average ranks (the
+    // q_spearman 2r discipline) and their prefix sums both come from
+    // aggregated-frame self-joins (no window anywhere), so
+    // 2·U_t = 2·Σ2R − 2t(n+1) stays an exact BIGINT and the argmax
+    // split resolves by (|2U|, day) integer ordering.
+    "q_pettitt" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x")))
+      val a = daily.toDF("da", "xa")
+      val b = daily.toDF("db", "xb")
+      // doubled average rank of each day's count among all days
+      val r2 = a.crossJoin(b)
+        .groupBy(col("da").as("day"))
+        .agg((sum(when(col("xb") < col("xa"), 2L).otherwise(0L)) +
+          sum(when(col("xb") === col("xa"), 1L).otherwise(0L)) + 1L)
+          .as("r2"))
+      val base = daily.agg(count(lit(1)).as("n"))
+      // prefix sums of 2R by day (aggregated self-join, no window)
+      val pre = r2.toDF("da", "r2a")
+        .join(r2.toDF("db", "r2b"), col("db") <= col("da"))
+        .groupBy(col("da").as("day"))
+        .agg(count(lit(1)).as("t"), sum("r2b").as("p2"))
+      // p2 = 2ΣR is integer even under half-integer average ranks, so
+      // U_t = 2Σ_{i≤t}R_i − t(n+1) = p2 − t(n+1) is an exact BIGINT
+      val u = pre.crossJoin(broadcast(base))
+        .filter(col("t") < col("n")) // U_n = 0 by construction: not a split
+        .select(col("day"), col("n"),
+          (col("p2") - col("t") * (col("n") + 1)).as("u"))
+      val k = u.orderBy(abs(col("u")).desc, col("day").asc).limit(1)
+      val kd = abs(col("u")).cast("double")
+      k.select(col("n").as("n_days"), col("day").as("change_day"),
+        abs(col("u")).as("k_stat"),
+        // Pettitt's approximate p: 2·exp(−6K²/(n³+n²))
+        round(when(col("n") <= 1, lit(null))
+          .otherwise(least(lit(1.0), lit(2.0) * exp(
+            lit(-6.0) * kd * kd /
+              (pow(col("n").cast("double"), 3) +
+                pow(col("n").cast("double"), 2))))), 6).as("p_approx"))
+    }),
+
     // ---- Simpson diversity per source — the concentration-side
     // companion to q_entropy's Shannon diversity (Simpson weights
     // dominant words quadratically, so boilerplate-heavy sources score
@@ -951,6 +1022,59 @@ object Stats2 {
         |  rank <= rmax AS significant
         |FROM ranked CROSS JOIN rmax
         |ORDER BY rank, event_type""".stripMargin,
+    "q_grubbs" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT)
+        |      AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily),
+        |dev AS (
+        |  SELECT day, n, sx, sxx, abs(n * x - sx) AS ndev
+        |  FROM daily CROSS JOIN base
+        |  ORDER BY ndev DESC, day ASC LIMIT 1),
+        |f AS (
+        |  SELECT day, n, ndev,
+        |    sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+        |      (CAST(n AS DOUBLE) - 1.0)) AS sdn
+        |  FROM dev)
+        |SELECT n AS n_days, day AS extreme_day,
+        |  round(CASE WHEN n <= 1 OR sdn <= 0.0 THEN NULL
+        |    ELSE CAST(ndev AS DOUBLE) / n / (sdn / sqrt(CAST(n AS DOUBLE)))
+        |    END, 4) AS grubbs_g
+        |FROM f""".stripMargin,
+    "q_pettitt" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |r2 AS (
+        |  SELECT a.day,
+        |    CAST(sum(CASE WHEN b.x < a.x THEN 2 ELSE 0 END) +
+        |      sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |      AS r2
+        |  FROM daily a CROSS JOIN daily b GROUP BY 1),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |pre AS (
+        |  SELECT a.day, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(b.r2) AS BIGINT) AS p2
+        |  FROM r2 a JOIN r2 b ON b.day <= a.day GROUP BY 1),
+        |u AS (
+        |  SELECT day, n, p2 - t * (n + 1) AS u
+        |  FROM pre CROSS JOIN base WHERE t < n),
+        |k AS (
+        |  SELECT day, n, abs(u) AS k_stat
+        |  FROM u ORDER BY abs(u) DESC, day ASC LIMIT 1)
+        |SELECT n AS n_days, day AS change_day, CAST(k_stat AS BIGINT)
+        |    AS k_stat,
+        |  round(CASE WHEN n <= 1 THEN NULL
+        |    ELSE least(1.0, 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) *
+        |      k_stat / (power(CAST(n AS DOUBLE), 3) +
+        |        power(CAST(n AS DOUBLE), 2)))) END, 6) AS p_approx
+        |FROM k""".stripMargin,
     "q_simpson" ->
       """WITH wc AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS w

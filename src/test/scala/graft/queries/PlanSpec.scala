@@ -1238,6 +1238,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "degree tail must use distributed top-k")
     assert(!dd.contains("CartesianProduct"))
     graft.CacheScope.drain(); spark.catalog.clearCache()
+    // grubbs/pettitt: the argmax day is a TakeOrdered over the daily
+    // frame — never a global sort; one corpus scan, no window
+    for (q <- Seq("q_grubbs", "q_pettitt")) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q argmax must be a distributed top-1")
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans <= 1, s"$q must scan the corpus once, got $scans")
+      assert(!p.contains("WindowExec") && !p.contains("(Window"),
+        s"$q must not window at all")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
     // friedman/hurst/ljung-box: day-keyed or calendar-bounded self-joins
     // over cached aggregates — one corpus scan, no window, no sort-merge
     for (q <- Seq("q_friedman", "q_hurst", "q_ljung_box")) {

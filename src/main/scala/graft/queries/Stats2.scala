@@ -434,6 +434,64 @@ object Stats2 {
           .as("chi2_cmh"))
     }),
 
+    // ---- Mantel–Haenszel common odds ratio — q_cmh's EFFECT-SIZE
+    // companion (the test says whether exposure and outcome associate
+    // net of day; this says by HOW MUCH, as one pooled odds ratio).
+    // Same day-stratified 2×2 cells; OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ),
+    // each stratum's two rationals quantized to 1e-6 units before the
+    // cross-day sums (the q_cmh discipline) so both totals are exact
+    // BIGINTs and the ratio divides once.
+    "q_mh_odds" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(expr(s"ts_us div $DayUs").as("day"),
+          (col("event_type") === "view").as("e"),
+          (round(col("value") * 100).cast("long") >= 5000L).as("hi"))
+        .groupBy("day")
+        .agg(sum(when(col("e") && col("hi"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("e") && !col("hi"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("e") && col("hi"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("e") && !col("hi"), 1L).otherwise(0L)).as("dd"))
+        .filter(col("a") + col("b") + col("c") + col("dd") >= 2)
+      val n = (col("a") + col("b") + col("c") + col("dd")).cast("double")
+      val terms = cells.select(
+        round(col("a").cast("double") * col("dd") / n * 1e6).cast("long")
+          .as("num6"),
+        round(col("b").cast("double") * col("c") / n * 1e6).cast("long")
+          .as("den6"))
+      terms.agg(count(lit(1)).as("n_strata"),
+          sum("num6").as("sn"), sum("den6").as("sd"))
+        .select(col("n_strata"),
+          round(when(col("sd") <= 0, lit(null))
+            .otherwise(col("sn").cast("double") / col("sd")), 4)
+            .as("or_mh"))
+    }),
+
+    // ---- Chapman capture–recapture estimate of the TOTAL user
+    // population from two overlapping "captures" (users seen viewing
+    // vs users seen purchasing): N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the
+    // classic "how many users exist beyond the ones any single event
+    // type sees" estimator a funnel only hints at. Three distinct
+    // counts (two captures + the overlap via a user-keyed semi-join)
+    // feed one closed-form expression; everything before the final
+    // division is BIGINT.
+    "q_chapman" -> ((s, d) => {
+      val ev = graft.CacheScope.cached(Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type")).distinct())
+      val v = ev.filter(col("event_type") === "view").select("user_id")
+      val p = ev.filter(col("event_type") === "purchase").select("user_id")
+      val n1 = v.agg(count(lit(1)).as("n1"))
+      val n2 = p.agg(count(lit(1)).as("n2"))
+      val m = v.join(p, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+        .select(col("n1").as("n_viewers"), col("n2").as("n_purchasers"),
+          col("m").as("n_both"),
+          round((col("n1") + 1).cast("double") * (col("n2") + 1) /
+            (col("m") + 1) - 1.0, 2).as("n_hat"))
+    }),
+
     // ---- Benjamini–Hochberg FDR over the per-event-type "is this
     // type's mean value off the global mean?" z-tests — the
     // multiple-testing closer for the answer sheet: with k types even
@@ -977,6 +1035,57 @@ object Stats2 {
         |      (CAST(sa - se AS DOUBLE) / 1e6) /
         |      (CAST(sv AS DOUBLE) / 1e6) END, 4) AS chi2_cmh
         |FROM agg""".stripMargin,
+    "q_mh_odds" ->
+      """WITH cells AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view' AND
+        |      CAST(round(value * 100) AS BIGINT) >= 5000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'view' AND
+        |      CAST(round(value * 100) AS BIGINT) < 5000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND
+        |      CAST(round(value * 100) AS BIGINT) >= 5000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND
+        |      CAST(round(value * 100) AS BIGINT) < 5000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS dd
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |kept AS (SELECT * FROM cells WHERE a + b + c + dd >= 2),
+        |terms AS (
+        |  SELECT
+        |    CAST(round(CAST(a AS DOUBLE) * dd /
+        |      (a + b + c + dd) * 1e6) AS BIGINT) AS num6,
+        |    CAST(round(CAST(b AS DOUBLE) * c /
+        |      (a + b + c + dd) * 1e6) AS BIGINT) AS den6
+        |  FROM kept),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(num6) AS BIGINT) AS sn, CAST(sum(den6) AS BIGINT)
+        |      AS sd
+        |  FROM terms)
+        |SELECT n_strata,
+        |  round(CASE WHEN sd <= 0 THEN NULL
+        |    ELSE CAST(sn AS DOUBLE) / sd END, 4) AS or_mh
+        |FROM agg""".stripMargin,
+    "q_chapman" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |v AS (SELECT user_id FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT user_id FROM ev WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM v) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS n2,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM v
+        |     WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id))
+        |      AS m)
+        |SELECT n1 AS n_viewers, n2 AS n_purchasers, m AS n_both,
+        |  round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0, 2)
+        |    AS n_hat
+        |FROM c""".stripMargin,
     "q_bh_fdr" ->
       """WITH ev AS (
         |  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v

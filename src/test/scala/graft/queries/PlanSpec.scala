@@ -1204,9 +1204,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ls.contains("CartesianProduct"),
       "sweep arms must stay banded equi-joins")
     graft.CacheScope.drain(); spark.catalog.clearCache()
-    // granger/cmh/bh-fdr: one events pass to an aggregated frame, all
-    // later joins on broadcast-small frames (lag pairs, k-row panels)
-    for (q <- Seq("q_granger", "q_cmh", "q_bh_fdr")) {
+    // granger/cmh/bh-fdr/mh-odds/chapman: one events pass to an
+    // aggregated frame, all later joins on broadcast-small frames
+    for (q <- Seq("q_granger", "q_cmh", "q_bh_fdr", "q_mh_odds",
+        "q_chapman")) {
       val p = planOf(q)
       val scans = p.linesIterator
         .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))

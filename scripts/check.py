@@ -40,25 +40,33 @@ def values_equal(a, b):
 fails, passes, skips = [], [], []
 names = sorted(set(list(oracle.keys()) +
     [p.split("/")[-1] for p in glob.glob(f"{out}/*") if not p.endswith(".json")]))
+import time
 for name in names:
+    t0 = time.time()
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
-        fails.append((name, "no spark output")); continue
+        fails.append((name, "no spark output"))
+        print(f"[{name}] FAIL no spark output", flush=True); continue
     got = canon(con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
     if name not in oracle:
-        skips.append((name, len(got))); continue
+        skips.append((name, len(got)))
+        print(f"[{name}] skip (rows-only)", flush=True); continue
     try:
         exp = canon(con.execute(oracle[name]).df())
     except Exception as e:
-        fails.append((name, f"oracle SQL error: {e}")); continue
+        fails.append((name, f"oracle SQL error: {e}"))
+        print(f"[{name}] FAIL oracle SQL error: {e}", flush=True); continue
     if list(got.columns) != list(exp.columns):
-        fails.append((name, f"cols got={list(got.columns)} exp={list(exp.columns)}")); continue
+        fails.append((name, f"cols got={list(got.columns)} exp={list(exp.columns)}"))
+        print(f"[{name}] FAIL cols", flush=True); continue
     if got.dtypes.to_dict() != exp.dtypes.to_dict():
         d = {c: (str(got.dtypes[c]), str(exp.dtypes[c]))
              for c in got.columns if got.dtypes[c] != exp.dtypes[c]}
-        fails.append((name, f"dtypes differ {d}")); continue
+        fails.append((name, f"dtypes differ {d}"))
+        print(f"[{name}] FAIL dtypes {d}", flush=True); continue
     if len(got) != len(exp):
-        fails.append((name, f"rows got={len(got)} exp={len(exp)}")); continue
+        fails.append((name, f"rows got={len(got)} exp={len(exp)}"))
+        print(f"[{name}] FAIL rows got={len(got)} exp={len(exp)}", flush=True); continue
     bad = None
     for c in got.columns:
         gv, ev = got[c].tolist(), exp[c].tolist()
@@ -68,6 +76,10 @@ for name in names:
         if bad: break
     if bad: fails.append((name, bad))
     else: passes.append((name, len(got)))
+    # stream per-query verdicts (a crash mid-sweep keeps everything done
+    # so far; the trailing summary is unchanged)
+    st = ("FAIL " + bad) if bad else f"pass ({len(got)} rows)"
+    print(f"[{name}] {st} {time.time()-t0:.1f}s", flush=True)
 
 for n, r in passes: print(f"PASS {n} ({r} rows)")
 for n, r in skips: print(f"SKIP (no oracle) {n} ({r} rows)")

@@ -25,7 +25,7 @@ object CorpusOps {
   /** doc_id, ws(array of tokens) — shared pre-projection, map-only. */
   private[queries] def toks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(Tables.fanoutReady)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
 
   /** Word n-grams via array indexing (map-only, no window shuffle). */

@@ -47,7 +47,7 @@ object CorpusMix {
         lit(3.0) * stopRatio - lit(0.5) * digitRatio +
         lit(0.2) * meanWlen
       val scored = graft.CacheScope.cached(Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), col("source"),
           round(lit(1.0) / (lit(1.0) + exp(-x)), 6).as("score")))
       val bysrc = graft.operators.GlobalRank.withKeyedRowNumber(scored,
@@ -96,7 +96,7 @@ object CorpusMix {
     "q_gopher_filter" -> ((s, d) => {
       val ws = split(col("text"), " ")
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"),
           size(ws).cast(LongType).as("n_words"),
           length(col("text")).cast(LongType).as("n_len"),

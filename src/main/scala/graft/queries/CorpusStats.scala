@@ -37,7 +37,7 @@ object CorpusStats {
   /** (source, w) token stream — one explode over documents. */
   private def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(Tables.fanoutReady)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
 
   val queries: Map[String, Q] = Map(
@@ -74,7 +74,7 @@ object CorpusStats {
     // term rollup is one vocab-sized shuffle, N broadcasts as 1 row.
     "q_burstiness" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
       val td = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
@@ -107,7 +107,7 @@ object CorpusStats {
         (lit(1.0) - round(stopCnt.cast("double") / nTok, 6)), 6) * 1e6)
         .cast(LongType)
       val g = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("source"), q6.as("s6"))
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum("s6").as("s1"),
@@ -133,7 +133,7 @@ object CorpusStats {
     // and the cell fold are all bounded by #langs × #sources.
     "q_cramers_v" -> ((s, d) => {
       val c = graft.CacheScope.cached(Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .groupBy("lang", "source").agg(count(lit(1)).as("o")))
       val r = c.groupBy("lang").agg(sum("o").as("rt"))
       val cl = c.groupBy("source").agg(sum("o").as("ct"))
@@ -348,7 +348,7 @@ object CorpusStats {
       val w = Window.partitionBy("source")
         .orderBy(col("n_chars"), col("doc_id"))
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("source"), col("n_chars"), col("doc_id"))
         .withColumn("i", row_number().over(w).cast(LongType))
         .groupBy("source")
@@ -422,7 +422,7 @@ object CorpusStats {
     // as chained CTEs.
     "q_ipf" -> ((s, d) => {
       val cells = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .groupBy("source", "lang").agg(count(lit(1)).as("n"))
         .localCheckpoint()
       val tot = broadcast(cells.agg(sum("n").as("nn"),

@@ -72,7 +72,7 @@ object Curation {
     "q_line_dedup" -> ((s, d) => {
       val ws = split(col("text"), " ")
       val segs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), ws.as("ws"))
         .select(col("doc_id"), posexplode(transform(
           sequence(lit(0), ceil(size(col("ws")) / SegLen.toDouble)
@@ -107,7 +107,7 @@ object Curation {
     // a single linear scan.
     "q_dsir" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
       val toks = docs
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " "))
           .as("w"))
@@ -150,7 +150,7 @@ object Curation {
     // and one final per-domain aggregate.
     "q_temperature_sample" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
       val byLang = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
         .select(col("lang"), col("nl"),
           round(sqrt(col("nl").cast("double"))).cast(LongType).as("wl"))

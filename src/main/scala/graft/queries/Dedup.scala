@@ -78,7 +78,7 @@ object Dedup {
     Tables.documents(s, d)
       // single-file fixture → one split; spread the md5 fan-out across
       // cores (no-op at real scale where the scan has many splits)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(Tables.fanoutReady)
       .select(col("doc_id"), words.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(shingleCodes(col("ws"))).as("code"))
@@ -96,7 +96,7 @@ object Dedup {
     graft.functions.MinHash8.register(s)
     val words = split(col("text"), " ")
     Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(Tables.fanoutReady)
       .select(col("doc_id"), words.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
@@ -305,7 +305,7 @@ object Dedup {
       // for non-negative th).
       graft.functions.SimHash64.register(s)
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"),
           graft.functions.SimHash64.tokenHashes(col("text")).as("ths"))
         .select(col("doc_id"),
@@ -326,7 +326,7 @@ object Dedup {
       graft.functions.SimHash64.register(s)
       val sig = graft.CacheScope.cached(
         Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(Tables.fanoutReady)
           .select(col("doc_id"),
             graft.functions.SimHash64.tokenHashes(col("text")).as("ths"))
           .select(col("doc_id"),
@@ -376,7 +376,7 @@ object Dedup {
       // its codes — array_distinct folds them in place, zero shuffle)
       val ws2 = split(col("text"), " ")
       val cs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), ws2.as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), array_distinct(transform(
@@ -413,7 +413,7 @@ object Dedup {
       // same plan shape a within-LSH-bucket verifier wants at 100 TB.
       val docs = Tables.documents(s, d)
       val gsets = docs
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
         .select(col("doc_id"), array_distinct(transform(
@@ -443,7 +443,7 @@ object Dedup {
     // identically.
     "q_containment" -> ((s, d) => {
       val gsets = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
         .select(col("doc_id"), array_distinct(transform(

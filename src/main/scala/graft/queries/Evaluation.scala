@@ -64,7 +64,7 @@ object Evaluation {
     // weights are top-k-bounded frames.
     "q_rbo" -> ((s, d) => {
       val sc = graft.CacheScope.cached(Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c")))
       val s1 = sc.agg(min("source").as("s1"))
@@ -128,7 +128,7 @@ object Evaluation {
     "q_kappa" -> ((s, d) => {
       val preds = graft.CacheScope.cached(
         Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(Tables.fanoutReady)
           .select(col("lang"), predLang.as("pred")))
       val tot = preds.agg(count(lit(1)).as("n"),
         sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("diag"))
@@ -167,7 +167,7 @@ object Evaluation {
         lit(0.2) * meanWlen
       val score = round(lit(1.0) / (lit(1.0) + exp(-x)), 6)
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(least(lit(9L), floor(score * 10).cast("long")).as("bin"),
           round(score * 1e6).cast("long").as("s6"),
           when(col("lang") === "en", 1L).otherwise(0L).as("en"))
@@ -208,7 +208,7 @@ object Evaluation {
         lit(0.2) * meanWlen
       val score = round(lit(1.0) / (lit(1.0) + exp(-x)), 6)
       val bins = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(least(lit(19L), floor(score * 20).cast(LongType)).as("bin"),
           when(col("lang") === "en", 1L).otherwise(0L).as("en"))
         .groupBy("bin")
@@ -250,7 +250,7 @@ object Evaluation {
     // 100 TB corpus can reach millions of distinct values (VERDICT r6).
     "q_auc" -> ((s, d) => {
       val scored = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(quality.as("score"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       val byScore = scored.groupBy("score")
@@ -278,7 +278,7 @@ object Evaluation {
     // the deviations pass joins the 4-row median table back broadcast.
     "q_mad" -> ((s, d) => {
       val ev = Tables.events(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select("event_type", "value")
       val med = ev.groupBy("event_type", "value").agg(count(lit(1)).as("f"))
         .groupBy("event_type")
@@ -308,7 +308,7 @@ object Evaluation {
     "q_prf" -> ((s, d) => {
       val preds = graft.CacheScope.cached(
         Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(Tables.fanoutReady)
           .select(col("lang"), predLang.as("pred")))
       val actual = preds.groupBy(col("lang").as("cls"))
         .agg(count(lit(1)).as("support"))
@@ -346,7 +346,7 @@ object Evaluation {
     // window; the 1-row totals broadcast back for the bin arithmetic.
     "q_lift_curve" -> ((s, d) => {
       val scored = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), quality.as("score"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       val ranked = graft.operators.GlobalRank.withRowNumber(scored, "rn",

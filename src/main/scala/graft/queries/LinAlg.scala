@@ -56,7 +56,7 @@ object LinAlg {
   private[queries] def pcaCov(s: SparkSession, d: String): DataFrame = {
     val pairs = for { i <- 1 to D; j <- i to D } yield (i, j)
     val base = Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(Tables.fanoutReady)
       .select((1 to D).map(i =>
         element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
     // one-pass sufficient statistics: n, Σx_i, Σx_i·x_j (exact ints)
@@ -121,7 +121,7 @@ object LinAlg {
           lit(0d), (acc, t) => acc + t) / sqrt(lit(K.toDouble))
       }
       Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("vec_id"), explode(array((0 until K).map(k =>
           struct(lit(k).as("k"), round(yk(k), 6).as("y"))): _*)).as("e"))
         .select(col("vec_id"), col("e.k").as("k"), col("e.y").as("y"))

@@ -58,7 +58,7 @@ object Quality {
     // 100 TB this is a single linear scan + a bounded-fan-in agg.
     "q_entropy" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
       val chars = docs
         .select(col("doc_id"), length(col("text")).cast(LongType).as("n"),
           explode(split(col("text"), "(?!^)")).as("ch"))
@@ -86,7 +86,7 @@ object Quality {
     // degenerate source (IQR 0) yields NULL, mirrored in the oracle.
     "q_robust_scale" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
       val q = docs.groupBy("source", "n_chars")
         .agg(count(lit(1)).as("f"))
         .groupBy("source")
@@ -109,7 +109,7 @@ object Quality {
     // from the ROUNDED score so both engines classify identically.
     "q_readability" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
       val nw = size(split(col("text"), " ")).cast(LongType)
       val ns = greatest(lit(1L),
         regexp_count(col("text"), lit("[.!?]")).cast(LongType))
@@ -141,7 +141,7 @@ object Quality {
       val w = Window.partitionBy("source")
         .orderBy(col("n_chars").desc, col("doc_id"))
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= CapK)
@@ -162,7 +162,7 @@ object Quality {
         16, 10).cast(LongType) % 1048576L + 1L).cast("double") /
         lit(1048577d)
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), col("source"), col("n_chars"),
           round(log(u) / col("n_chars").cast("double") * 1e6)
             .cast(LongType).as("ki"))
@@ -179,7 +179,7 @@ object Quality {
     // single linear scan with a tiny broadcast hash join.
     "q_oov_rate" -> ((s, d) => {
       val toks = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w")).limit(VocabK)

@@ -39,7 +39,7 @@ object Similarity {
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotProduct.register(s)
     Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(Tables.fanoutReady)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -220,7 +220,7 @@ object Similarity {
     // decisions compare integers and the pick sequence cannot drift.
     "q_coreset" -> ((s, d) => {
       val emb = graft.CacheScope.cached(Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v")))
       def d2m(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -389,7 +389,7 @@ object Similarity {
     // then a k-row aggregate — nothing else moves.
     "q_silhouette" -> ((s, d) => {
       val v = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("vec_id").as("id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
       val (model, _) = graft.operators.KMeans.fit(v, k = 8, iters = 2)
@@ -436,7 +436,7 @@ object Similarity {
     // BEFORE the argmin so cross-engine summation order can't flip ranks.
     "q_pq_encode" -> ((s, d) => {
       val flat = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("vec_id"), (col("i") / 8).cast("int").as("sub"),
           col("i"), col("x").cast("double").as("x"))
@@ -696,7 +696,7 @@ object Similarity {
   private def ivfpqTop(s: SparkSession, d: String): DataFrame = {
       val fl = graft.CacheScope.cached(
         Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(Tables.fanoutReady)
           .select(col("vec_id"), col("label"), posexplode(col("embedding")))
           .toDF("vec_id", "label", "i", "x")
           .withColumn("x", col("x").cast("double")))
@@ -755,7 +755,7 @@ object Similarity {
   /** PQ asymmetric-distance top-5 — shared by q_pq_adc and q_ann_recall. */
   private def pqAdc(s: SparkSession, d: String): DataFrame = {
     val flat = Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(Tables.fanoutReady)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), (col("i") / 8).cast("int").as("sub"),
         col("i"), col("x").cast("double").as("x"))
@@ -796,38 +796,46 @@ object Similarity {
   /** PQ recall sweep over subspace counts — see the q_pq_sweep entry. */
   private def pqSweep(s: SparkSession, d: String): DataFrame = {
     val flat = graft.CacheScope.cached(Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(Tables.fanoutReady)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"), col("x").cast("double").as("x")))
+    // The 4/8/16 subspace grids NEST: a 16-dim m=4 segment is four 4-dim
+    // m=16 segments over the SAME 8 codebook rows. So the corpus pays ONE
+    // distance pass, at the finest granularity, per (vector, 4-dim
+    // sub-segment, code) — the two coarser arms re-aggregate this cached
+    // 128-rows-per-vector frame instead of re-scanning the corpus
+    // (VERDICT r8: q_pq_sweep re-trained its sub-codebooks per arm).
+    // Micro-unit integer quantization (round(term*1e12)→BIGINT, the
+    // q_coreset discipline) makes the re-aggregation exactly associative
+    // in both engines; it also serves the query-side distance tables,
+    // which are just the panel rows of the same frame.
+    val cb = flat.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("code"), col("i"), col("x").as("cx"))
+    val d16 = graft.CacheScope.cached(
+      flat.join(broadcast(cb), Seq("i"))
+        .groupBy(col("vec_id"), (col("i") / 4).cast("int").as("s16"),
+          col("code"))
+        .agg(sum(round((col("x") - col("cx")) * (col("x") - col("cx"))
+          * 1e12).cast("long")).as("d2i")))
     val exact = graft.CacheScope.cached(
       knnBrute(s, d).select(col("q_id"), col("nb_id")))
     val nq = exact.select("q_id").distinct()
       .agg(count(lit(1)).as("n_queries"))
     val perM = Seq(4, 8, 16).map { m =>
-      val f = flat.select(col("vec_id"),
-        (col("i") / (64 / m)).cast("int").as("sub"), col("i"), col("x"))
-      val cb = f.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("code"), col("sub"), col("i"),
-          col("x").as("cx"))
-      val dist = f.join(broadcast(cb), Seq("sub", "i"))
-        .groupBy("vec_id", "sub", "code")
-        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
-          .as("d2"))
+      val dist = d16.groupBy(col("vec_id"),
+          (col("s16") / (16 / m)).cast("int").as("sub"), col("code"))
+        .agg(sum("d2i").as("d2"))
       val wc = Window.partitionBy("vec_id", "sub")
         .orderBy(col("d2").asc, col("code").asc)
       val codes = dist.withColumn("rn", row_number().over(wc))
         .filter(col("rn") === 1).select("vec_id", "sub", "code")
-      val dtab = f.filter(panelQuery(col("vec_id")))
-        .select(col("vec_id").as("q_id"), col("sub"), col("i"),
-          col("x").as("qx"))
-        .join(broadcast(cb), Seq("sub", "i"))
-        .groupBy("q_id", "sub", "code")
-        .agg(round(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))), 6)
-          .as("dq"))
+      val dtab = dist.filter(panelQuery(col("vec_id")))
+        .select(col("vec_id").as("q_id"), col("sub"), col("code"),
+          col("d2").as("dq"))
       val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("q_id"))
         .groupBy("q_id", "vec_id")
-        .agg(round(sum("dq"), 6).as("adist"))
+        .agg(sum("dq").as("adist"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("adist").asc, col("vec_id").asc)
       val top5 = adc.withColumn("rank", row_number().over(w))
@@ -1162,29 +1170,25 @@ object Similarity {
     // sweep = the q_pq_adc CTE chain instantiated per m ∈ {4, 8, 16}
     // against the q_knn_brute ground truth; recall = hits/(5·queries).
     "q_pq_sweep" -> {
+      // mirrors the nested-subspace rewrite: ONE finest-granularity
+      // integer distance frame (d16), re-aggregated per arm — BIGINT sums
+      // are exactly associative, so the grouping order can't diverge
       val arms = Seq(4, 8, 16).map { m =>
-        val sd = 64 / m
-        s"""fs$m AS (SELECT vec_id, CAST((i - 1) // $sd AS INTEGER) AS sub,
-           |  i, x FROM flat),
-           |cb$m AS (SELECT vec_id AS code, sub, i, x AS cx FROM fs$m
-           |  WHERE vec_id < 8),
-           |dist$m AS (
-           |  SELECT f.vec_id, f.sub, c.code,
-           |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
-           |  FROM fs$m f JOIN cb$m c ON c.sub = f.sub AND c.i = f.i
-           |  GROUP BY 1, 2, 3),
+        val g = 16 / m
+        s"""dist$m AS (
+           |  SELECT vec_id, CAST(s16 // $g AS INTEGER) AS sub, code,
+           |    CAST(sum(d2i) AS BIGINT) AS d2
+           |  FROM d16 GROUP BY 1, 2, 3),
            |codes$m AS (
            |  SELECT vec_id, sub, code FROM (
            |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
            |      ORDER BY d2 ASC, code ASC) AS rn FROM dist$m) t
            |  WHERE rn = 1),
            |dtab$m AS (
-           |  SELECT f.vec_id AS q_id, f.sub, c.code,
-           |    round(sum((f.x - c.cx) * (f.x - c.cx)), 6) AS dq
-           |  FROM fs$m f JOIN cb$m c ON c.sub = f.sub AND c.i = f.i
-           |  WHERE f.vec_id % 40 = 0 AND f.vec_id < 2000 GROUP BY 1, 2, 3),
+           |  SELECT vec_id AS q_id, sub, code, d2 AS dq FROM dist$m
+           |  WHERE vec_id % 40 = 0 AND vec_id < 2000),
            |adc$m AS (
-           |  SELECT d.q_id, k.vec_id, round(sum(d.dq), 6) AS adist
+           |  SELECT d.q_id, k.vec_id, CAST(sum(d.dq) AS BIGINT) AS adist
            |  FROM codes$m k JOIN dtab$m d
            |    ON d.sub = k.sub AND d.code = k.code
            |  WHERE k.vec_id <> d.q_id GROUP BY 1, 2),
@@ -1220,6 +1224,13 @@ object Similarity {
          |    SELECT *, row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos_r DESC, nb_id ASC) AS rank FROM scored) t
          |  WHERE rank <= 5),
+         |cb AS (SELECT vec_id AS code, i, x AS cx FROM flat
+         |  WHERE vec_id < 8),
+         |d16 AS MATERIALIZED (
+         |  SELECT f.vec_id, CAST((f.i - 1) // 4 AS INTEGER) AS s16, c.code,
+         |    CAST(sum(CAST(round((f.x - c.cx) * (f.x - c.cx) * 1e12)
+         |      AS BIGINT)) AS BIGINT) AS d2i
+         |  FROM flat f JOIN cb c ON c.i = f.i GROUP BY 1, 2, 3),
          |$arms
          |$unions
          |ORDER BY m""".stripMargin

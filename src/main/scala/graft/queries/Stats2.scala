@@ -629,7 +629,7 @@ object Stats2 {
     // tokenize pass → per-(source, word) counts → per-source fold.
     "q_simpson" -> ((s, d) => {
       val wc = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
       wc.groupBy("source")

@@ -71,7 +71,7 @@ object TextOps {
     // of the tiny df side; idf = ln(N/df) in doubles, rounded.
     "q_tfidf" -> ((s, d) => {
       val words = graft.CacheScope.cached(Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       ) // feeds tf and df; unpersisted by the caller's CacheScope.drain()
       // corpus size as a broadcast 1-row aggregate, NOT a driver-side
@@ -112,7 +112,7 @@ object TextOps {
       val toks = split(col("text"), " ")
       val perDoc = graft.CacheScope.cached(
         Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(Tables.fanoutReady)
           .select(col("doc_id"), size(toks).cast("long").as("dl"),
             size(filter(toks, x => x === lit(term))).cast("long").as("tf")))
       val stats = perDoc.agg(
@@ -153,7 +153,7 @@ object TextOps {
       val b = 0.75
       val queryTerms = Seq("join", "filter", "window")
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
       val toks = split(col("text"), " ")
       val perDoc0 = docs.select(
         (col("doc_id") +: (size(toks).cast("long").as("dl") +:
@@ -197,7 +197,7 @@ object TextOps {
     // whole round's correctness)
     "q_inverted_index" -> ((s, d) => {
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("w")
         .agg(count_distinct(col("doc_id")).as("df"),
@@ -216,7 +216,7 @@ object TextOps {
     // Integer counts end to end — no FP.
     "q_bpe_pairs" -> ((s, d) => {
       val vocab = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("wc"))
       vocab.filter(length(col("w")) >= 2)
@@ -246,7 +246,7 @@ object TextOps {
     "q_bpe_loop" -> ((s, d) => {
       import graft.operators.BpeTrainer
       val vocab = graft.CacheScope.cached(Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("wc")))
       val (model, _) = BpeTrainer.train(vocab, merges = 4)
@@ -301,7 +301,7 @@ object TextOps {
     "q_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
         // single-file fixture → one split; spread the per-char explode
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"),
           explode(sequence(lit(1), length(col("text")))).as("i"),
           col("text"))
@@ -323,7 +323,7 @@ object TextOps {
     "q_ngram_novelty" -> ((s, d) => {
       val words = split(col("text"), " ")
       val dg = graft.CacheScope.cached(Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.fanoutReady)
         .select(col("doc_id"), words.as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(transform(

@@ -37,9 +37,12 @@ import org.apache.spark.sql.functions._
   *    per day, not 10× more days).
   *  - region/nation are TPC-H-fixed dimensions: copied verbatim.
   *
-  * All of it is one explode-fan-out pass per table (map-only ×N, no
-  * shuffle, no driver-side loops beyond 1-row max-key lookups) — the
-  * generator itself follows the engine's scale rules.
+  * All of it is one explode-fan-out pass per table (no driver-side loops
+  * beyond 1-row max-key lookups) plus one round-robin shuffle per
+  * corpus-scaled table so the OUTPUT is multi-file: real-scale tables
+  * scan as many splits, and the engine's fan-out staging
+  * (Tables.fanoutReady) must take its no-op path in the sweep, not the
+  * fixture-only rebalance.
   *
   * Usage: runMain graft.tools.ScaleGen <srcDir> <dstDir> [copies=10]
   */
@@ -78,12 +81,22 @@ object ScaleGen {
   def run(spark: SparkSession, src: String, dst: String,
       copies: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // Corpus-scaled tables write MULTI-FILE (defaultParallelism part
+    // files): real-scale tables always scan as many splits, and the
+    // engine's fan-out staging (Tables.fanoutReady) is a no-op exactly
+    // when the layout provides them — single-file scale fixtures would
+    // re-route every sweep through the fixture-only rebalance path and
+    // measure a shuffle that 100 TB never pays (VERDICT r8 #4).
+    val nFiles = spark.sparkContext.defaultParallelism
     def write(df: DataFrame, t: String): Unit =
+      df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dst/$t.parquet")
+    def writeDim(df: DataFrame, t: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
 
     // dimension tables are scale-invariant in TPC-H: verbatim
-    write(read("region"), "region")
-    write(read("nation"), "nation")
+    writeDim(read("region"), "region")
+    writeDim(read("nation"), "nation")
 
     val cust = read("customer")
     val ords = read("orders")

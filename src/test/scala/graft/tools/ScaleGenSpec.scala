@@ -88,6 +88,27 @@ class ScaleGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shared === 0L, "cross-copy vocabularies must be disjoint")
   }
 
+  test("multi-file output disables the fixture rebalance (fanoutReady)") {
+    // corpus-scaled tables must write >= defaultParallelism part files so
+    // the sweep's scans parallelize from SPLITS; on such a layout
+    // fanoutReady is a no-op (zero Exchange), while the driver's
+    // single-file fixture still takes the one explicit rebalance
+    val multi = spark.read.parquet(s"$dst/embeddings.parquet")
+    assert(multi.inputFiles.length >=
+      spark.sparkContext.defaultParallelism,
+      s"scaled tables must be multi-file, got ${multi.inputFiles.length}")
+    val noop = graft.Tables.fanoutReady(multi)
+    assert(!noop.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("Exchange"),
+      "fanoutReady must be a no-op on a multi-file layout")
+    val single = spark.read.parquet(s"$src/embeddings.parquet")
+    val staged = graft.Tables.fanoutReady(single)
+    assert(staged.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism,
+      "single-file fixtures still stage across the session's cores")
+  }
+
   test("embeddings: rotation preserves within-copy geometry exactly") {
     val demb = spark.read.parquet(s"$dst/embeddings.parquet")
     val semb = spark.read.parquet(s"$src/embeddings.parquet")

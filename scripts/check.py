@@ -16,9 +16,14 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# a runaway oracle plan should fail its own query, not OOM-kill the sweep
+con.execute("SET memory_limit='48GB'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+# optional resume / subset: "from:NAME" skips everything before NAME;
+# a comma list runs just those queries
+only = sys.argv[3] if len(sys.argv) > 3 else None
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
@@ -40,6 +45,10 @@ def values_equal(a, b):
 fails, passes, skips = [], [], []
 names = sorted(set(list(oracle.keys()) +
     [p.split("/")[-1] for p in glob.glob(f"{out}/*") if not p.endswith(".json")]))
+if only and only.startswith("from:"):
+    names = [n for n in names if n >= only[5:]]
+elif only:
+    names = [n for n in names if n in set(only.split(","))]
 import time
 for name in names:
     t0 = time.time()

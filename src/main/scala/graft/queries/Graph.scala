@@ -759,7 +759,13 @@ object GraphOps {
          |GROUP BY 1 ORDER BY node""".stripMargin
     },
     "q_jaccard_links" ->
-      """WITH w AS (
+      // w and e MATERIALIZED: w is the one corpus-scale product (the
+      // nation-pair aggregate, <=300 rows) and e is referenced both by
+      // the wedge join and the correlated NOT EXISTS — left inline,
+      // DuckDB re-expands the 4-way lineitem join inside the anti-join
+      // probe, which at sf0.1 is a >100 GB blow-up (the r5 CTE-inlining
+      // divergence class, caught again by the r9 sf0.1 sweep)
+      """WITH w AS MATERIALIZED (
         |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
         |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
         |    CAST(count(*) AS BIGINT) AS cnt
@@ -771,7 +777,8 @@ object GraphOps {
         |  GROUP BY 1, 2),
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |        AS thr FROM w),
-        |e AS (SELECT u, v FROM w, t WHERE CAST(cnt AS DOUBLE) > thr),
+        |e AS MATERIALIZED (
+        |  SELECT u, v FROM w, t WHERE CAST(cnt AS DOUBLE) > thr),
         |adj AS (SELECT u AS z, v AS x FROM e
         |        UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg

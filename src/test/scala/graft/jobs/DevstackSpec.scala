@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import scala.jdk.CollectionConverters._
 
 /** Devstack protocol semantics driven DETERMINISTICALLY: three in-JVM
   * nodes share a file bus and this test calls step() by hand, so every
@@ -88,5 +89,134 @@ class DevstackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin((job.id, "node-a")).state === Lifecycle.State.Complete)
     assert(fin((job.id, "node-b")).state === Lifecycle.State.Complete)
     assert(!a.bus.events().exists(_.eventName == Lifecycle.EventType.Error))
+  }
+
+  test("split-brain election: two holders decide on DIVERGENT bus views; " +
+       "the heal converges with fold-idempotent duplicate decisions") {
+    // VERDICT r8 #5, the adversarial form of the documented one-poll
+    // overlap: the lease design claims that concurrent holders are benign
+    // because the decision function is deterministic in the bus prefix.
+    // The live specs can only produce overlap by lucky scheduling; here
+    // the overlap is FORCED by a real partition. The event bus is files,
+    // so a partition is two cluster directories and healing is a file-
+    // level union (names are globally unique Lamport keys — exactly the
+    // reference transport's at-least-once, unordered delivery,
+    // pkg/transport/libp2p/libp2p.go:219-289). node-c lives on the B
+    // side; everyone else on A. The creator goes silent after Created,
+    // both sides independently observe lease expiry, elect THEMSELVES,
+    // and decide the same bid prefix — then the partition heals and the
+    // fold must converge with the deal neither over- nor under-filled.
+    val dir = Files.createTempDirectory("graft-sb").toString
+    Files.writeString(Paths.get(s"$dir/fruit.txt"), "apple\nkiwi\n")
+    val dirA = s"$dir/clusterA"
+    val dirB = s"$dir/clusterB"
+    val R = 500L // requester lease bound (ms)
+    val a = new DevstackNode(spark, "node-a", dirA,
+      requesterStaleMs = R, computeDisabled = true)
+    val b = new DevstackNode(spark, "node-b", dirA, requesterStaleMs = R)
+    val d = new DevstackNode(spark, "node-d", dirA, requesterStaleMs = R)
+    val c = new DevstackNode(spark, "node-c", dirB, requesterStaleMs = R)
+
+    // heal/sync primitive: union-copy the immutable event/job files
+    def syncDirs(): Unit =
+      for {
+        sub <- Seq("events", "jobs")
+        (from, to) <- Seq((dirA, dirB), (dirB, dirA))
+      } {
+        val src = Paths.get(from, sub)
+        val dst = Paths.get(to, sub)
+        Files.createDirectories(dst)
+        if (Files.isDirectory(src))
+          scala.util.Using.resource(Files.list(src)) { st =>
+            st.iterator().asScala
+              .filterNot(_.getFileName.toString.startsWith("."))
+              .foreach { p =>
+                val t = dst.resolve(p.getFileName)
+                if (!Files.exists(t)) Files.copy(p, t)
+              }
+          }
+      }
+
+    val t0 = System.currentTimeMillis()
+    val job = a.submitRaw(specJson(dir), "client-1").toOption.get
+    syncDirs()
+    b.step(); d.step(); c.step() // bids: b,d on side A; c on side B
+    syncDirs() // pre-partition: everyone agrees on Created + all 3 bids
+    assert(System.currentTimeMillis() - t0 < R,
+      "setup overran the lease bound; raise R for a meaningful split")
+    val busA = new FileBus(Paths.get(dirA))
+    val busB = new FileBus(Paths.get(dirB))
+    assert(!busA.events().exists(
+      _.eventName == Lifecycle.EventType.RequesterElect),
+      "no election may exist before the partitioned expiry")
+
+    // creator goes silent; BOTH sides age past the lease bound with the
+    // partition up — neither side can see the other's claim
+    Thread.sleep(R + 300)
+    b.step() // claims the lease on side A
+    c.step() // claims the lease on side B
+    b.step() // holder on A: accepts 2, cancels 1
+    c.step() // holder on B: same decisions, different source
+    val preA = busA.events().filter(_.jobId == job.id)
+    val preB = busB.events().filter(_.jobId == job.id)
+    def elects(evs: Seq[JobEvent]) =
+      evs.filter(_.eventName == Lifecycle.EventType.RequesterElect)
+    assert(elects(preA).map(_.sourceNodeId).distinct === Seq("node-b"),
+      s"side A must have elected node-b only: ${elects(preA)}")
+    assert(elects(preB).map(_.sourceNodeId).distinct === Seq("node-c"),
+      s"side B must have elected node-c only: ${elects(preB)}")
+    // the heart of the benign-overlap claim: both holders, blind to each
+    // other, appended IDENTICAL decision sets (deterministic in the
+    // shared pre-partition prefix)
+    def decisions(evs: Seq[JobEvent], src: String) =
+      evs.filter(e => e.sourceNodeId == src &&
+          (e.eventName == Lifecycle.EventType.BidAccepted ||
+           e.eventName == Lifecycle.EventType.BidCancelled))
+        .map(e => (e.eventName, e.targetNodeId)).toSet
+    val decA = decisions(preA, "node-b")
+    val decB = decisions(preB, "node-c")
+    assert(decA.nonEmpty && decA === decB,
+      s"split holders must make identical decisions: A=$decA B=$decB")
+    assert(decA.count(_._1 == Lifecycle.EventType.BidAccepted) === 2)
+
+    // HEAL: union the views, then drive everyone to convergence
+    syncDirs()
+    (1 to 4).foreach { _ =>
+      b.step(); c.step(); d.step(); syncDirs()
+    }
+    val evs = busA.events().filter(_.jobId == job.id)
+    val fin = EventLog.foldLocal(evs)
+    val states = Seq("node-b", "node-c", "node-d")
+      .map(n => fin((job.id, n)).state)
+    assert(states.count(_ == Lifecycle.State.Complete) === 2 &&
+      states.count(_ == Lifecycle.State.Cancelled) === 1,
+      s"post-heal fold must be 2 Complete + 1 Cancelled: $states")
+    // the duplicates are REAL (each accepted bidder was accepted once per
+    // holder) and the fold absorbed them: distinct targets, not event
+    // counts, fill the deal
+    val accepts = evs.filter(_.eventName == Lifecycle.EventType.BidAccepted)
+    assert(accepts.size === 4,
+      s"expected 2 bidders x 2 blind holders = 4 accept events: $accepts")
+    assert(accepts.map(_.targetNodeId).distinct.size === 2,
+      "the deal must not over-fill from duplicate decisions")
+    assert(accepts.map(_.sourceNodeId).distinct.toSet ===
+      Set("node-b", "node-c"),
+      "both split holders must have decided")
+    // each accepted replica executed exactly ONCE (no duplicate runs from
+    // the duplicate acceptances)
+    val runs = evs.filter(_.eventName == Lifecycle.EventType.Running)
+      .map(_.sourceNodeId)
+    assert(runs.size === runs.distinct.size,
+      s"a replica must not execute twice off duplicate accepts: $runs")
+    // digest agreement across executions decided by DIFFERENT holders
+    val cids = Seq("node-b", "node-c", "node-d")
+      .map(n => fin((job.id, n)))
+      .filter(_.state == Lifecycle.State.Complete).map(_.resultsId)
+    assert(cids.forall(_.nonEmpty) && cids.distinct.size === 1,
+      s"replica digests must agree across the healed partition: $cids")
+    // post-heal the lease is singular again: the merged bus has one LAST
+    // claim, and only that node may decide afterwards
+    val lastHolder = elects(evs).last.sourceNodeId
+    assert(Set("node-b", "node-c")(lastHolder))
   }
 }

@@ -24,7 +24,8 @@ object SparkEntry {
       Pipeline.queries ++ CorpusOps.queries ++ GraphOps.queries ++
       Tpch.queries ++ CorpusMix.queries ++ Analytics.queries ++
       CorpusStats.queries ++ Curation.queries ++ Evaluation.queries ++
-      Quality.queries ++ LinAlg.queries ++ Stats2.queries
+      Quality.queries ++ LinAlg.queries ++ Stats2.queries ++
+      Stats3.queries
 
   /** Bench-only overrides: estimate-only forms of the sketch queries
     * (same keys as `queries`; identical sketch config, exact verification
@@ -43,5 +44,6 @@ object SparkEntry {
       Pipeline.oracle ++ CorpusOps.oracle ++ GraphOps.oracle ++
       Tpch.oracle ++ CorpusMix.oracle ++ Analytics.oracle ++
       CorpusStats.oracle ++ Curation.oracle ++ Evaluation.oracle ++
-      Quality.oracle ++ LinAlg.oracle ++ Stats2.oracle
+      Quality.oracle ++ LinAlg.oracle ++ Stats2.oracle ++
+      Stats3.oracle
 }

@@ -1,0 +1,511 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 analytics batch: experiment analysis (diff-in-diff),
+  * association/concordance effect sizes (Cramér's V, Kendall's W),
+  * distribution distances (Hellinger / Bhattacharyya / total variation),
+  * intermittent-demand forecasting (Croston), deterministic stratified
+  * sampling, and RAKE keyword extraction.
+  *
+  * House disciplines (same as Stats2/Analytics): the corpus collapses to
+  * a calendar/vocabulary-bounded aggregate in ONE pass; every
+  * order-sensitive accumulation is integer-quantized (cents, micro- or
+  * nano-units) so partition order can't move a rounding boundary; scalar
+  * fan-ins broadcast; sequential recurrences fold over an ordered array
+  * in-plan with a recursive-CTE oracle twin computing the identical IEEE
+  * sequence. Reference analog for the workload class: the curation /
+  * reporting jobs of DESIGN.md §data-pipelines (batch analytics over job
+  * outputs), re-expressed as native Spark operators.
+  */
+object Stats3 {
+  private type Q = (SparkSession, String) => DataFrame
+  private val DayUs = 86400000000L
+
+  /** RAKE stopword set — matched literally in the oracle; absent words
+    * are harmless no-ops against the fixture vocabulary. */
+  private val RakeStops = Seq("the", "a", "of", "and", "in", "on", "to",
+    "for", "with", "is")
+
+  val queries: Map[String, Q] = Map(
+    // ---- difference-in-differences: odd user_ids are the treated
+    // cohort (a structural assignment both engines derive identically),
+    // the calendar midpoint splits pre/post, outcome is mean event value
+    // in EXACT cents. One corpus pass prices the (treat, day) frame;
+    // the midpoint broadcasts back over that bounded frame, and the four
+    // cell means + the DiD estimate are one final double expression.
+    "q_diff_in_diff" -> ((s, d) => {
+      val cell = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"),
+          (col("user_id") % 2 === 1).as("treat"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("n")))
+      val mid = cell.agg(((min("day") + max("day") + 1) / lit(2L))
+        .as("mid"))
+      val g = cell.crossJoin(broadcast(mid))
+        .withColumn("post", col("day") >= col("mid"))
+      def m(tr: Boolean, po: Boolean): Column = {
+        val f = col("treat") === tr && col("post") === po
+        sum(when(f, col("cents")).otherwise(0L)).cast("double") /
+          sum(when(f, col("n")).otherwise(0L)) / 100.0
+      }
+      g.agg(sum("n").as("n_events"),
+          round(m(true, false), 4).as("treat_pre"),
+          round(m(true, true), 4).as("treat_post"),
+          round(m(false, false), 4).as("ctrl_pre"),
+          round(m(false, true), 4).as("ctrl_post"),
+          round((m(true, true) - m(true, false)) -
+            (m(false, true) - m(false, false)), 4).as("did"))
+    }),
+
+    // ---- Cramér's V: association strength between event type and
+    // weekday. The full r×c grid (types × 7, zero cells included — a
+    // zero observed against a positive expectation still pays its χ²
+    // term) comes from the friedman grid pattern; each cell's
+    // (o−e)²/e quantizes to nano-units before the sum so engine-side
+    // addition order is irrelevant.
+    "q_cramers_v" -> ((s, d) => {
+      val c = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(col("event_type").as("t"),
+          (expr(s"ts_us div $DayUs") % 7).as("wd"))
+        .agg(count(lit(1)).as("o")))
+      val grid = c.select("t").distinct()
+        .crossJoin(broadcast(c.select("wd").distinct()))
+        .join(c, Seq("t", "wd"), "left")
+        .select(col("t"), col("wd"), coalesce(col("o"), lit(0L)).as("o"))
+      val rt = grid.groupBy("t").agg(sum("o").as("rt"))
+      val ct = grid.groupBy("wd").agg(sum("o").as("ct"))
+      val tot = grid.agg(sum("o").as("n"),
+        countDistinct("t").as("r"), countDistinct("wd").as("cc"))
+      val e = col("rt").cast("double") * col("ct") / col("n")
+      val term = (col("o") - e) * (col("o") - e) / e
+      val chi = grid.join(broadcast(rt), "t").join(broadcast(ct), "wd")
+        .crossJoin(broadcast(tot))
+        .agg(sum(round(term * 1e9).cast("long")).as("chi9"),
+          max("n").as("n"), max("r").as("r"), max("cc").as("cc"))
+      chi.select(col("n").as("n_events"), col("r").as("n_types"),
+        col("cc").as("n_weekdays"),
+        round(col("chi9") / 1e9, 4).as("chi2"),
+        round(when(col("n") === 0 || least(col("r"), col("cc")) <= 1,
+            lit(null)).otherwise(
+          sqrt(col("chi9") / 1e9 /
+            (col("n") * (least(col("r"), col("cc")) - 1.0)))), 6)
+          .as("cramers_v"))
+    }),
+
+    // ---- Kendall's coefficient of concordance W (tie-corrected): do
+    // the days agree on how the event types rank? Friedman asks "are
+    // the treatments different"; W is the effect size of that
+    // agreement. Doubled average ranks (2·rank is always an integer)
+    // keep S = Σ(Rⱼ−R̄)² exact: W = 3(k·ΣR2ⱼ² − (ΣR2ⱼ)²) /
+    // (k·(m²(k³−k) − m·T)) with T = Σ(t³−t) over per-day tie groups —
+    // every operand a BIGINT until the one final division.
+    "q_kendall_w" -> ((s, d) => {
+      val c = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"),
+          col("event_type").as("t"))
+        .agg(count(lit(1)).as("x")))
+      val grid = graft.CacheScope.cached(c.select("day").distinct()
+        .crossJoin(broadcast(c.select("t").distinct()))
+        .join(c, Seq("day", "t"), "left")
+        .select(col("day"), col("t"), coalesce(col("x"), lit(0L)).as("x")))
+      val r2 = grid.toDF("day", "ta", "xa")
+        .join(broadcast(grid.toDF("day", "tb", "xb")), "day")
+        .groupBy(col("day"), col("ta").as("t"))
+        .agg((sum(when(col("xb") < col("xa"), 2L).otherwise(0L)) +
+          sum(when(col("xb") === col("xa"), 1L).otherwise(0L)) + 1L)
+          .as("r2"))
+      val perType = r2.groupBy("t")
+        .agg(count(lit(1)).as("m"), sum("r2").as("rj2"))
+      val ties = grid.groupBy("day", "x").agg(count(lit(1)).as("tt"))
+        .agg(coalesce(sum(col("tt") * col("tt") * col("tt") - col("tt")),
+          lit(0L)).as("tcorr"))
+      val agg0 = perType.agg(count(lit(1)).as("k"), max("m").as("m"),
+        sum(col("rj2") * col("rj2")).as("sr2"),
+        sum("rj2").as("sr"))
+      val a = agg0.crossJoin(broadcast(ties))
+      val k = col("k").cast("double")
+      val m = col("m").cast("double")
+      val num = lit(3.0) * (k * col("sr2") - col("sr").cast("double") *
+        col("sr"))
+      val den = k * (m * m * (k * k * k - k) - m * col("tcorr"))
+      a.select(col("m").as("n_days"), col("k").as("k_types"),
+        col("tcorr").as("tie_corr"),
+        round(when(col("k") <= 1 || col("m") === 0 || den <= 0.0,
+          lit(null)).otherwise(num / den), 6).as("w"),
+        round(when(col("k") <= 1 || col("m") === 0 || den <= 0.0,
+            lit(null))
+          .otherwise(m * (k - 1) * (num / den)), 4).as("chi2_w"))
+    }),
+
+    // ---- distribution distances between two sources' document-length
+    // histograms (50-char bins): Bhattacharyya coefficient, Hellinger,
+    // and total variation from ONE bounded bin frame — the "did the
+    // corpus mix drift" triple that sits beside q_psi and q_ks_test.
+    // Per-bin terms quantize to nano-units before summation.
+    "q_dist_distance" -> ((s, d) => {
+      val c = graft.CacheScope.cached(Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .groupBy((col("n_chars") / 50).cast("long").as("bin"),
+          col("source").as("src"))
+        .agg(count(lit(1)).as("o")))
+      val tot = c.groupBy("src").agg(sum("o").as("n"))
+      val bins = c.select("bin").distinct()
+      val p = c.filter(col("src") === "src0")
+        .join(broadcast(tot.filter(col("src") === "src0")), "src")
+        .select(col("bin"), (col("o").cast("double") / col("n")).as("p"))
+      val q = c.filter(col("src") === "src1")
+        .join(broadcast(tot.filter(col("src") === "src1")), "src")
+        .select(col("bin"), (col("o").cast("double") / col("n")).as("q"))
+      val g = bins.join(broadcast(p), Seq("bin"), "left")
+        .join(broadcast(q), Seq("bin"), "left")
+        .select(coalesce(col("p"), lit(0.0)).as("p"),
+          coalesce(col("q"), lit(0.0)).as("q"))
+      val sums = g.agg(count(lit(1)).as("n_bins"),
+        sum(round(sqrt(col("p") * col("q")) * 1e9).cast("long")).as("bc9"),
+        sum(round(abs(col("p") - col("q")) * 1e9).cast("long")).as("tv9"))
+      sums.select(col("n_bins"),
+        round(col("bc9") / 1e9, 6).as("bhatt_coef"),
+        round(sqrt(greatest(lit(0.0), lit(1.0) - col("bc9") / 1e9)), 6)
+          .as("hellinger"),
+        round(when(col("bc9") <= 0, lit(null))
+          .otherwise(-log(col("bc9") / 1e9)), 6).as("bhatt_dist"),
+        round(col("tv9") / 2e9, 6).as("tv_dist"))
+    }),
+
+    // ---- Croston's method for an intermittent series (signup events):
+    // separate exponential smoothing (α=0.2) of nonzero demand SIZES
+    // and of the INTER-ARRIVAL gaps over the full min..max calendar
+    // (missing days are real zero-demand days — the whole point of the
+    // method). The corpus collapses to one daily aggregate; the
+    // recurrence folds over the ordered calendar array in-plan, oracle
+    // twin is the identical recursive CTE (q_holt's discipline).
+    "q_croston" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val series = daily
+        .agg(min("day").as("mn"), max("day").as("mx"),
+          collect_list(struct(col("day"), col("x"))).as("raw"))
+        .select(col("mn"), col("mx"),
+          transform(sequence(col("mn"), col("mx")), dd =>
+            coalesce(
+              element_at(
+                map_from_entries(col("raw")), dd).cast("double"),
+              lit(0.0))).as("a"))
+        .select(col("a"), size(col("a")).as("nd"))
+      val folded = aggregate(
+        sequence(lit(1), col("nd")),
+        struct(lit(0.0).as("z"), lit(0.0).as("p"),
+          lit(0L).as("last"), lit(0L).as("seen")),
+        (acc, i) => {
+          val xi = element_at(col("a"), i)
+          val first = struct(xi.as("z"), i.cast("double").as("p"),
+            i.cast("long").as("last"), lit(1L).as("seen"))
+          val gap = (i.cast("long") - acc.getField("last")).cast("double")
+          val upd = struct(
+            (lit(0.2) * xi + lit(0.8) * acc.getField("z")).as("z"),
+            (lit(0.2) * gap + lit(0.8) * acc.getField("p")).as("p"),
+            i.cast("long").as("last"),
+            (acc.getField("seen") + 1L).as("seen"))
+          when(xi > 0.0,
+            when(acc.getField("seen") === 0L, first).otherwise(upd))
+            .otherwise(acc)
+        })
+      series.select(col("nd").cast("long").as("n_days"),
+        folded.getField("seen").as("n_demand"),
+        round(folded.getField("z"), 4).as("size_hat"),
+        round(folded.getField("p"), 4).as("interval_hat"),
+        round(when(folded.getField("seen") === 0L, lit(null))
+            .otherwise(folded.getField("z") / folded.getField("p")), 6)
+          .as("demand_rate"))
+    }),
+
+    // ---- deterministic stratified sample: exactly min(10, |stratum|)
+    // documents per source, picked by a salted-MD5 order — the
+    // reproducible eyeball-sample every corpus pipeline wants (a true
+    // random sample can't be oracle-compared; a hash order is both
+    // "random" and a pure function of the key). One per-source window
+    // off a single exchange; at 100 TB the partition count follows the
+    // stratum key, never a global sort.
+    "q_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("strat-"), col("doc_id").cast("string")))
+            .as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
+    // ---- RAKE keyword extraction (Rose et al. 2010): candidate
+    // phrases are maximal stopword-free token runs; a word scores
+    // degree/frequency (degree = summed length of phrases it appears
+    // in), a phrase scores the sum of its words' scores. The classic
+    // cheap keyworder next to q_textrank's graph ranking. Shape: one
+    // token explode, BOTH per-doc windows (run-islands + phrase length)
+    // share the doc_id exchange, word scores are vocabulary-bounded and
+    // broadcast back, top-15 is a TakeOrdered. Word scores quantize to
+    // micro-units so phrase sums are exact integers.
+    "q_rake" -> ((s, d) => {
+      val toks = Tables.documents(s, d).transform(Tables.fanoutReady)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val wNs = Window.partitionBy("doc_id").orderBy("pos")
+      val wG = Window.partitionBy("doc_id", "grp")
+      val occ = graft.CacheScope.cached(toks
+        .filter(!col("w").isin(RakeStops: _*))
+        .withColumn("grp", col("pos") - row_number().over(wNs))
+        .withColumn("plen", count(lit(1)).over(wG)))
+      val wordScore = occ.groupBy("w")
+        .agg(round(sum("plen").cast("double") * 1e6 / count(lit(1)))
+          .cast("long").as("scorei"))
+      val phrase = occ.groupBy("doc_id", "grp")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            e => e.getField("w")), " ").as("phrase"))
+      val phraseScore = occ.join(broadcast(wordScore), "w")
+        .groupBy("doc_id", "grp")
+        .agg(sum("scorei").as("si"))
+      phrase.join(phraseScore, Seq("doc_id", "grp"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occur"), max("si").as("si"))
+        .select(col("phrase"), col("n_occur"),
+          round(col("si") / 1e6, 6).as("score"))
+        .orderBy(col("score").desc, col("phrase").asc)
+        .limit(15)
+    })
+  )
+
+  private val stopsSql = RakeStops.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q_diff_in_diff" ->
+      """WITH cell AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    (user_id % 2 = 1) AS treat,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM cell),
+        |g AS (SELECT cell.*, day >= mid AS post FROM cell CROSS JOIN mid),
+        |m AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END)
+        |      AS DOUBLE) /
+        |      sum(CASE WHEN treat AND NOT post THEN n ELSE 0 END) / 100.0
+        |      AS tpre,
+        |    CAST(sum(CASE WHEN treat AND post THEN cents ELSE 0 END)
+        |      AS DOUBLE) /
+        |      sum(CASE WHEN treat AND post THEN n ELSE 0 END) / 100.0
+        |      AS tpost,
+        |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0
+        |      END) AS DOUBLE) /
+        |      sum(CASE WHEN NOT treat AND NOT post THEN n ELSE 0 END)
+        |      / 100.0 AS cpre,
+        |    CAST(sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END)
+        |      AS DOUBLE) /
+        |      sum(CASE WHEN NOT treat AND post THEN n ELSE 0 END) / 100.0
+        |      AS cpost
+        |  FROM g)
+        |SELECT n_events, round(tpre, 4) AS treat_pre,
+        |  round(tpost, 4) AS treat_post, round(cpre, 4) AS ctrl_pre,
+        |  round(cpost, 4) AS ctrl_post,
+        |  round((tpost - tpre) - (cpost - cpre), 4) AS did
+        |FROM m""".stripMargin,
+    "q_cramers_v" ->
+      """WITH c AS (
+        |  SELECT event_type AS t,
+        |    (epoch_us(ts) // 86400000000) % 7 AS wd,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT ts.t, ws.wd, CAST(coalesce(c.o, 0) AS BIGINT) AS o
+        |  FROM (SELECT DISTINCT t FROM c) ts
+        |  CROSS JOIN (SELECT DISTINCT wd FROM c) ws
+        |  LEFT JOIN c ON c.t = ts.t AND c.wd = ws.wd),
+        |rt AS (SELECT t, CAST(sum(o) AS BIGINT) AS rt FROM grid
+        |       GROUP BY 1),
+        |ct AS (SELECT wd, CAST(sum(o) AS BIGINT) AS ct FROM grid
+        |       GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT wd) AS BIGINT) AS cc
+        |  FROM grid),
+        |chi AS (
+        |  SELECT CAST(sum(CAST(round(
+        |      (g.o - CAST(rt.rt AS DOUBLE) * ct.ct / tot.n) *
+        |      (g.o - CAST(rt.rt AS DOUBLE) * ct.ct / tot.n) /
+        |      (CAST(rt.rt AS DOUBLE) * ct.ct / tot.n) * 1e9) AS BIGINT))
+        |      AS BIGINT) AS chi9,
+        |    CAST(max(tot.n) AS BIGINT) AS n,
+        |    CAST(max(tot.r) AS BIGINT) AS r,
+        |    CAST(max(tot.cc) AS BIGINT) AS cc
+        |  FROM grid g JOIN rt ON rt.t = g.t JOIN ct ON ct.wd = g.wd
+        |  CROSS JOIN tot)
+        |SELECT n AS n_events, r AS n_types, cc AS n_weekdays,
+        |  round(chi9 / 1e9, 4) AS chi2,
+        |  round(CASE WHEN n = 0 OR least(r, cc) <= 1 THEN NULL
+        |    ELSE sqrt(chi9 / 1e9 /
+        |      (n * (least(r, cc) - 1.0))) END, 6) AS cramers_v
+        |FROM chi""".stripMargin,
+    "q_kendall_w" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, ty.t, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        |  FROM (SELECT DISTINCT day FROM c) d
+        |  CROSS JOIN (SELECT DISTINCT t FROM c) ty
+        |  LEFT JOIN c ON c.day = d.day AND c.t = ty.t),
+        |r2 AS (
+        |  SELECT a.day, a.t,
+        |    CAST(sum(CASE WHEN b.x < a.x THEN 2 ELSE 0 END) +
+        |      sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |      AS r2
+        |  FROM grid a JOIN grid b ON a.day = b.day GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(r2) AS BIGINT) AS rj2
+        |  FROM r2 GROUP BY 1),
+        |ties AS (
+        |  SELECT CAST(coalesce(sum(tt * tt * tt - tt), 0) AS BIGINT)
+        |      AS tcorr
+        |  FROM (SELECT day, x, CAST(count(*) AS BIGINT) AS tt
+        |        FROM grid GROUP BY 1, 2) q),
+        |agg0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(m) AS BIGINT)
+        |      AS m,
+        |    CAST(sum(rj2 * rj2) AS BIGINT) AS sr2,
+        |    CAST(sum(rj2) AS BIGINT) AS sr
+        |  FROM pt),
+        |f AS (
+        |  SELECT m, k, tcorr,
+        |    3.0 * (CAST(k AS DOUBLE) * sr2 - CAST(sr AS DOUBLE) * sr)
+        |      AS num,
+        |    CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) * m *
+        |      (CAST(k AS DOUBLE) * k * k - k) -
+        |      CAST(m AS DOUBLE) * tcorr) AS den
+        |  FROM agg0 CROSS JOIN ties)
+        |SELECT m AS n_days, k AS k_types, tcorr AS tie_corr,
+        |  round(CASE WHEN k <= 1 OR m = 0 OR den <= 0.0 THEN NULL
+        |    ELSE num / den END, 6) AS w,
+        |  round(CASE WHEN k <= 1 OR m = 0 OR den <= 0.0 THEN NULL
+        |    ELSE m * (k - 1) * (num / den) END, 4) AS chi2_w
+        |FROM f""".stripMargin,
+    "q_dist_distance" ->
+      """WITH c AS (
+        |  SELECT n_chars // 50 AS bin, source AS src,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(sum(o) AS BIGINT) AS n FROM c
+        |        GROUP BY 1),
+        |bins AS (SELECT DISTINCT bin FROM c),
+        |p AS (SELECT bin, CAST(o AS DOUBLE) / n AS p
+        |  FROM c JOIN tot USING (src) WHERE src = 'src0'),
+        |q AS (SELECT bin, CAST(o AS DOUBLE) / n AS q
+        |  FROM c JOIN tot USING (src) WHERE src = 'src1'),
+        |g AS (
+        |  SELECT coalesce(p.p, 0.0) AS p, coalesce(q.q, 0.0) AS q
+        |  FROM bins LEFT JOIN p USING (bin) LEFT JOIN q USING (bin)),
+        |sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(CAST(round(sqrt(p * q) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS bc9,
+        |    CAST(sum(CAST(round(abs(p - q) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS tv9
+        |  FROM g)
+        |SELECT n_bins, round(bc9 / 1e9, 6) AS bhatt_coef,
+        |  round(sqrt(greatest(0.0, 1.0 - bc9 / 1e9)), 6) AS hellinger,
+        |  round(CASE WHEN bc9 <= 0 THEN NULL
+        |    ELSE -ln(bc9 / 1e9) END, 6) AS bhatt_dist,
+        |  round(tv9 / 2e9, 6) AS tv_dist
+        |FROM sums""".stripMargin,
+    "q_croston" ->
+      """WITH RECURSIVE dly AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM dly),
+        |cal AS (
+        |  SELECT row_number() OVER (ORDER BY d.day) AS i,
+        |    CAST(coalesce(dly.x, 0) AS DOUBLE) AS x
+        |  FROM (SELECT unnest(generate_series(mn, mx)) AS day
+        |        FROM bounds) d
+        |  LEFT JOIN dly ON dly.day = d.day),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM cal),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS z,
+        |    CAST(0.0 AS DOUBLE) AS p,
+        |    CAST(0 AS BIGINT) AS last_i, CAST(0 AS BIGINT) AS seen
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    CASE WHEN c.x > 0.0 THEN
+        |      CASE WHEN r.seen = 0 THEN c.x
+        |        ELSE 0.2 * c.x + 0.8 * r.z END
+        |    ELSE r.z END,
+        |    CASE WHEN c.x > 0.0 THEN
+        |      CASE WHEN r.seen = 0 THEN CAST(r.i + 1 AS DOUBLE)
+        |        ELSE 0.2 * CAST(r.i + 1 - r.last_i AS DOUBLE) +
+        |          0.8 * r.p END
+        |    ELSE r.p END,
+        |    CASE WHEN c.x > 0.0 THEN r.i + 1 ELSE r.last_i END,
+        |    CASE WHEN c.x > 0.0 THEN r.seen + 1 ELSE r.seen END
+        |  FROM rec r JOIN cal c ON c.i = r.i + 1)
+        |SELECT nd AS n_days, seen AS n_demand,
+        |  round(z, 4) AS size_hat, round(p, 4) AS interval_hat,
+        |  round(CASE WHEN seen = 0 THEN NULL ELSE z / p END, 6)
+        |    AS demand_rate
+        |FROM rec CROSS JOIN n WHERE i = nd""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source, CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5('strat-' || CAST(doc_id AS VARCHAR)),
+        |        doc_id) AS INTEGER) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    "q_rake" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |isl AS (
+         |  SELECT doc_id, pos, w,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp
+         |  FROM toks WHERE w NOT IN ($stopsSql)),
+         |occ AS (
+         |  SELECT doc_id, pos, w, grp,
+         |    CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT)
+         |      AS plen
+         |  FROM isl),
+         |ws AS (
+         |  SELECT w, CAST(round(CAST(sum(plen) AS DOUBLE) * 1e6 /
+         |      count(*)) AS BIGINT) AS scorei
+         |  FROM occ GROUP BY 1),
+         |phr AS (
+         |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase
+         |  FROM isl GROUP BY 1, 2),
+         |psc AS (
+         |  SELECT o.doc_id, o.grp, CAST(sum(ws.scorei) AS BIGINT) AS si
+         |  FROM occ o JOIN ws ON ws.w = o.w GROUP BY 1, 2)
+         |SELECT phrase, n_occur, round(si / 1e6, 6) AS score FROM (
+         |  SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occur,
+         |    CAST(max(s.si) AS BIGINT) AS si
+         |  FROM phr p JOIN psc s ON s.doc_id = p.doc_id AND s.grp = p.grp
+         |  GROUP BY 1) t
+         |ORDER BY score DESC, phrase LIMIT 15""".stripMargin
+  )
+}

@@ -1267,6 +1267,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-9 batch: single-scan bounded stats, keyed RAKE windows, " +
+       "stratified sampling without a global sort") {
+    // DiD / Cramér's V / Kendall's W / distances / Croston: each collapses
+    // the corpus in ONE pass to a calendar/vocabulary-bounded frame; all
+    // later joins run on broadcast-small frames (no sort-merge anywhere)
+    for (q <- Seq("q_diff_in_diff", "q_cramers_v", "q_kendall_w",
+        "q_dist_distance", "q_croston")) {
+      val p = planOf(q)
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans <= 1, s"$q must scan the corpus once, got $scans")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q post-aggregate joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // RAKE: the run-island and phrase-length windows both key on doc_id —
+    // a partition-less window over the token stream would be the scale
+    // bug; word scores are vocabulary-bounded and broadcast back; the
+    // top-15 is a TakeOrdered
+    val rk = planOf("q_rake")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val rkQe = SparkEntry.queries("q_rake")(spark, sf).queryExecution
+    assert(rkQe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "RAKE windows must partition by doc_id")
+    assert(rk.contains("BroadcastHashJoin"),
+      "vocab-bounded word scores must broadcast back")
+    assert(rk.contains("TakeOrderedAndProject"),
+      "top-15 must be TakeOrdered, not a global sort")
+    assert(!rk.contains("CartesianProduct"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // stratified sample: the one window keys on the stratum; no
+    // partition-less window, no global sort of documents
+    val ss = SparkEntry.queries("q_stratified_sample")(spark, sf)
+      .queryExecution
+    assert(ss.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "stratified sampling must window per stratum")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("repo-wide: every cartesian / nested-loop join sits over bounded frames") {
     // VERDICT r8 "what's wrong #1": the per-query specs above assert no
     // cartesian where one would be a bug, but nothing mechanically prevented

@@ -92,6 +92,47 @@ object Similarity {
     // ---- brute-force cosine top-5 for query vectors (vec_id % 40 == 0)
     "q_knn_brute" -> ((s, d) => knnBrute(s, d)),
 
+    // ---- Matryoshka-prefix recall: how much of the full-dimension
+    // top-5 survives if search only reads the first 8/16/32 of the 64
+    // dims? This is the adaptive-retrieval question (MRL, Kusupati et
+    // al. 2022): truncated prefixes are the cheap first pass at 100 TB
+    // (4–8× less scan + ALU per query), and this query prices the
+    // recall each prefix buys BEFORE a deployment picks its rerank
+    // cutoff. All three arms share one cached corpus and the frozen
+    // panel's cached full-dim truth; each arm is the production search
+    // shape (panel-broadcast scoring, never all-pairs).
+    "q_mrl_recall" -> ((s, d) => {
+      val all = graft.CacheScope.cached(vecs(s, d))
+      val truth = graft.CacheScope.cached(
+        knnBrute(s, d).select(col("q_id"), col("nb_id")))
+      val tt = truth.agg(count(lit(1)).as("n_truth"),
+        countDistinct("q_id").as("n_queries"))
+      def arm(p: Int): DataFrame = {
+        val pv = all.select(col("vec_id"), slice(col("v"), 1, p).as("pv"))
+          .withColumn("pn", sqrt(dot(col("pv"), col("pv"))))
+        val q = pv.filter(panelQuery(col("vec_id")))
+          .select(col("vec_id").as("q_id"), col("pv").as("qv"),
+            col("pn").as("qn"))
+        val scored = pv.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("nb_id"),
+            round(dot(col("qv"), col("pv")) / (col("qn") * col("pn")), 6)
+              .as("cos_r"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("nb_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .join(broadcast(truth), Seq("q_id", "nb_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(tt))
+          .select(lit(p).as("prefix_dim"), col("n_queries"),
+            col("n_truth"), col("hits"),
+            round(col("hits").cast("double") / col("n_truth"), 6)
+              .as("recall"))
+      }
+      Seq(8, 16, 32).map(arm).reduce(_.unionByName(_))
+        .orderBy("prefix_dim")
+    }),
+
     // ---- IVF nprobe sweep — the coarse-quantizer dial next to
     // q_pq_sweep's subspace dial: recall@5 (vs the brute-force panel
     // truth) and candidate volume at nprobe ∈ {1,2,3} probed cells.
@@ -176,11 +217,14 @@ object Similarity {
     // downstream of `knn` (three node-keyed joins over k·N rows) is
     // unchanged. Top-20 outliers, ties by vec_id.
     "q_lof" -> ((s, d) => {
+      graft.functions.Dist2Pico.register(s)
       val emb = graft.CacheScope.cached(vecs(s, d).select("vec_id", "v"))
+      // codegen'd kernel, value-identical to the
+      // aggregate(zip_with(round...)) fold it replaced (Dist2PicoSpec) —
+      // the interpreted form paid a per-element BigDecimal inside the
+      // O(n²) base and was the worst loop of the 30× scale run
       def d2m(a: Column, b: Column) =
-        aggregate(zip_with(a, b,
-          (x, y) => round((x - y) * (x - y) * 1e12).cast("long")),
-          lit(0L), (acc, e) => acc + e)
+        call_function("dist2_pico", a, b)
       val pairs = emb.toDF("a", "va")
         .join(emb.toDF("b", "vb"), col("a") =!= col("b"))
         .select(col("a"), col("b"),
@@ -219,14 +263,15 @@ object Similarity {
     // pico-unit longs (q_vec_analogy discipline), so min/argmax
     // decisions compare integers and the pick sequence cannot drift.
     "q_coreset" -> ((s, d) => {
+      graft.functions.Dist2Pico.register(s)
       val emb = graft.CacheScope.cached(Tables.embeddings(s, d)
         .transform(Tables.fanoutReady)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v")))
+      // same codegen'd kernel as q_lof (value-identical to the lambda
+      // fold — Dist2PicoSpec)
       def d2m(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b,
-          (x, y) => round((x - y) * (x - y) * 1e12).cast("long")),
-          lit(0L), (acc, e) => acc + e)
+        call_function("dist2_pico", a, b)
       val seed = emb.agg(min("vec_id").as("sid"))
       val seedVec = emb.join(broadcast(seed),
         col("vec_id") === col("sid")).select(col("v").as("sv"))
@@ -1028,6 +1073,56 @@ object Similarity {
          |    ORDER BY cos_r DESC, nb_id ASC) AS INTEGER) AS rank
          |  FROM scored) t
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_mrl_recall" -> {
+      def armSql(p: Int): String =
+        s"""norm$p AS (
+           |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat
+           |  WHERE i <= $p GROUP BY vec_id),
+           |dots$p AS (
+           |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+           |    sum(q.x * p.x) AS dt
+           |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+           |  WHERE q.vec_id % 40 = 0 AND q.vec_id < 2000 AND q.i <= $p
+           |  GROUP BY 1, 2),
+           |top$p AS (
+           |  SELECT q_id, nb_id FROM (
+           |    SELECT q_id, nb_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY round(dt / (nq.nrm * np.nrm), 6) DESC,
+           |        nb_id ASC) AS rank
+           |    FROM dots$p JOIN norm$p nq ON nq.vec_id = q_id
+           |                JOIN norm$p np ON np.vec_id = nb_id) t
+           |  WHERE rank <= 5)""".stripMargin
+      val arms = Seq(8, 16, 32).map(armSql).mkString(",\n")
+      val armRows = Seq(8, 16, 32).map { p =>
+        s"""  SELECT $p AS prefix_dim, CAST(count(*) AS BIGINT) AS hits
+           |  FROM top$p JOIN truth USING (q_id, nb_id)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $flatSql,
+         |tdots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0 AND q.vec_id < 2000
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT q_id, nb_id FROM (
+         |    SELECT q_id, nb_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY round(dt / (nq.nrm * np.nrm), 6) DESC,
+         |        nb_id ASC) AS rank
+         |    FROM tdots JOIN norm nq ON nq.vec_id = q_id
+         |               JOIN norm np ON np.vec_id = nb_id) t
+         |  WHERE rank <= 5),
+         |$arms,
+         |tt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |    CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries
+         |  FROM truth),
+         |arms AS (
+         |$armRows)
+         |SELECT prefix_dim, n_queries, n_truth, hits,
+         |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall
+         |FROM arms CROSS JOIN tt ORDER BY prefix_dim""".stripMargin
+    },
     "q_cosine_pairs" ->
       s"""WITH $flatSql,
          |dots AS (

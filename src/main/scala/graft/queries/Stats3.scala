@@ -281,6 +281,188 @@ object Stats3 {
           round(col("si") / 1e6, 6).as("score"))
         .orderBy(col("score").desc, col("phrase").asc)
         .limit(15)
+    }),
+
+    // ---- Jarque–Bera normality test on the event-value distribution:
+    // skewness/kurtosis from RAW integer power sums (cents ≤ ~49k, so
+    // v² and v³ fit BIGINT per-term; v⁴ and the v³/v⁴ SUMS go through
+    // DECIMAL(38,0) / HUGEINT — the q_kruskal overflow discipline).
+    // Central moments derive from the raw sums by the binomial
+    // identities in ONE mirrored double chain; χ²(2df) survival is the
+    // closed form exp(−JB/2), so no CDF polynomial is even needed.
+    // Scale shape: a single corpus scan folding to four sums.
+    "q_jarque_bera" -> ((s, d) => {
+      val v = round(col("value") * 100).cast("long")
+      val sums = Tables.events(s, d)
+        .select(v.as("v"), (v * v).as("v2"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+          sum("v2").as("s2"),
+          sum(col("v2").cast("decimal(20,0)") * col("v")).as("s3"),
+          sum(col("v2").cast("decimal(20,0)") * col("v2")).as("s4"))
+      val n = col("n").cast("double")
+      val mu = col("s1").cast("double") / n
+      val m2 = col("s2").cast("double") / n - mu * mu
+      val m3 = col("s3").cast("double") / n -
+        lit(3.0) * mu * (col("s2").cast("double") / n) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4").cast("double") / n -
+        lit(4.0) * mu * (col("s3").cast("double") / n) +
+        lit(6.0) * mu * mu * (col("s2").cast("double") / n) -
+        lit(3.0) * mu * mu * mu * mu
+      val skew = m3 / sqrt(m2 * m2 * m2)
+      val kurt = m4 / (m2 * m2) - lit(3.0)
+      val jb = n / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0))
+      sums.select(col("n").as("n_events"),
+        round(skew, 6).as("skewness"),
+        round(kurt, 6).as("excess_kurtosis"),
+        round(jb, 4).as("jb_stat"),
+        round(exp(-jb / lit(2.0)), 9).as("p_value"))
+    }),
+
+    // ---- Durbin–Watson autocorrelation test on the residuals of the
+    // daily-revenue OLS trend line — the regression-residual companion
+    // to q_ljung_box (which tests the raw series). Slope/intercept come
+    // from exact BIGINT sums over the calendar frame; residuals and
+    // their consecutive differences are pure per-index functions of
+    // those sums, each term quantized to micro-units BEFORE the sum so
+    // no engine's summation order can move the ratio. The consecutive
+    // pairing folds over the croston-style calendar array — missing
+    // days are zero-revenue days, and no window ever sees an unbounded
+    // frame.
+    "q_durbin_watson" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val series = daily
+        .agg(min("day").as("mn"), max("day").as("mx"),
+          collect_list(struct(col("day"), col("cents"))).as("raw"))
+        .select(
+          transform(sequence(col("mn"), col("mx")), dd =>
+            coalesce(element_at(map_from_entries(col("raw")), dd),
+              lit(0L))).as("y"))
+        .select(col("y"), size(col("y")).cast("long").as("nd"))
+      // exact integer sums for the OLS line y = a + b·t, t = 1..n
+      val st = col("nd") * (col("nd") + 1L) / lit(2L)
+      val st2 = col("nd") * (col("nd") + 1L) *
+        (lit(2L) * col("nd") + 1L) / lit(6L)
+      val sy = aggregate(col("y"), lit(0L), (acc, yi) => acc + yi)
+      val sty = aggregate(
+        zip_with(sequence(lit(1L), col("nd")), col("y"),
+          (t, yi) => t * yi),
+        lit(0L), (acc, x) => acc + x)
+      val withSums = series.select(col("y"), col("nd"),
+        st.as("st"), st2.as("st2"), sy.as("sy"), sty.as("sty"))
+      val nD = col("nd").cast("double")
+      val b = (nD * col("sty") - col("st").cast("double") * col("sy")) /
+        (nD * col("st2") - col("st").cast("double") * col("st"))
+      val a = (col("sy") - b * col("st")) / nD
+      // DW is scale-free, so residuals normalize by mean daily revenue
+      // BEFORE pico-quantization: terms stay ~O(1e12) longs at any SF
+      // (raw cent residuals squared would overflow BIGINT at ~30×)
+      val ybar = when(col("sy") === 0L, lit(1.0))
+        .otherwise(col("sy").cast("double") / nD)
+      val resid = transform(sequence(lit(1L), col("nd")), t =>
+        (element_at(col("y"), t.cast("int")).cast("double") - a - b * t) /
+          col("ybar"))
+      val wr = withSums.withColumn("ybar", ybar)
+        .select(col("nd"), resid.as("e"),
+          round(b, 6).as("slope"), round(a, 2).as("intercept"))
+      val den12 = aggregate(col("e"), lit(0L),
+        (acc, ei) => acc + round(ei * ei * lit(1e12)).cast("long"))
+      val num12 = aggregate(sequence(lit(2L), col("nd")), lit(0L),
+        (acc, i) => {
+          val di = element_at(col("e"), i.cast("int")) -
+            element_at(col("e"), (i - 1L).cast("int"))
+          acc + round(di * di * lit(1e12)).cast("long")
+        })
+      wr.select(col("nd").as("n_days"), col("slope"), col("intercept"),
+        round(when(den12 === 0L, lit(null))
+          .otherwise(num12.cast("double") / den12), 6).as("dw"),
+        round(when(den12 === 0L, lit(null))
+          .otherwise(lit(1.0) - num12.cast("double") / den12 / lit(2.0)),
+          6).as("rho1_approx"))
+    }),
+
+    // ---- Cochran–Armitage trend test: does purchase propensity TREND
+    // across ordered value bands (0–99, 100–199, … cents·100)? The χ²
+    // independence tests (q_cramers_v) ignore band order; CA is the
+    // one that earns its power from it. Five (n_g, r_g) integer pairs
+    // from one scan; T, Var(T), and z are one mirrored double chain;
+    // Φ via the A&S 7.1.26 polynomial with identical literals in both
+    // engines (the q_bh_fdr discipline).
+    "q_cochran_armitage" -> ((s, d) => {
+      val g = least(lit(4L), floor(col("value") / 100).cast("long"))
+      val bands = Tables.events(s, d)
+        .select(g.as("g"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("r"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("r").as("r"))
+      val tot = bands.agg(sum("n").as("nn"), sum("r").as("rr"),
+        sum(col("n") * col("g")).as("sng"),
+        sum(col("n") * col("g") * col("g")).as("sng2"),
+        sum(col("r") * col("g")).as("srg"),
+        count(lit(1)).as("n_bands"))
+      val nn = col("nn").cast("double")
+      val pbar = col("rr").cast("double") / nn
+      val tstat = col("srg").cast("double") -
+        pbar * col("sng").cast("double")
+      val vr = pbar * (lit(1.0) - pbar) *
+        (col("sng2").cast("double") -
+          col("sng").cast("double") * col("sng") / nn)
+      val z = tstat / sqrt(vr)
+      val x = abs(z) / lit(math.sqrt(2.0))
+      val tpoly = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = ((((lit(1.061405429) * tpoly - lit(1.453152027)) *
+        tpoly + lit(1.421413741)) * tpoly - lit(0.284496736)) * tpoly +
+        lit(0.254829592)) * tpoly
+      val p = poly * exp(-x * x) // = 2·(1−Φ(|z|))
+      tot.select(col("nn").as("n_events"), col("n_bands"),
+        col("rr").as("n_purchases"),
+        round(z, 6).as("z"), round(p, 9).as("p_value"))
+    }),
+
+    // ---- Cronbach's alpha over the day × event-type count matrix:
+    // items = the k event types, cases = the calendar days (zero-fill
+    // grid — a type with no events that day scored 0, exactly the
+    // kendall_w grid). Sample variances from exact BIGINT sums; the
+    // item-variance sum and the total-score variance meet in one final
+    // double ratio. The reliability read: do the daily type counts
+    // move together (one underlying "activity" factor) or not?
+    "q_cronbach_alpha" -> ((s, d) => {
+      val c = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"),
+          col("event_type").as("t"))
+        .agg(count(lit(1)).as("x")))
+      val grid = graft.CacheScope.cached(c.select("day").distinct()
+        .crossJoin(broadcast(c.select("t").distinct()))
+        .join(c, Seq("day", "t"), "left")
+        .select(col("day"), col("t"),
+          coalesce(col("x"), lit(0L)).as("x")))
+      // per-item (type) sufficient stats over the n days
+      val item = grid.groupBy("t")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("s2"))
+      val nI = col("n").cast("double")
+      val varI = (nI * col("s2") - col("s1").cast("double") * col("s1")) /
+        (nI * (nI - lit(1.0)))
+      val items = item.agg(count(lit(1)).as("k"), max("n").as("n"),
+        sum(round(varI * lit(1e6)).cast("long")).as("iv6"))
+      // total daily score = the day's full event count
+      val dayTot = grid.groupBy("day").agg(sum("x").as("sx"))
+        .agg(count(lit(1)).as("nd"), sum("sx").as("t1"),
+          sum(col("sx") * col("sx")).as("t2"))
+      val nT = col("nd").cast("double")
+      val varT = (nT * col("t2") - col("t1").cast("double") * col("t1")) /
+        (nT * (nT - lit(1.0)))
+      val j = items.crossJoin(broadcast(dayTot))
+      val kD = col("k").cast("double")
+      j.select(col("k").as("k_items"), col("n").as("n_days"),
+        round(col("iv6") / 1e6, 4).as("sum_item_var"),
+        round(varT, 4).as("total_var"),
+        round(when(col("k") <= 1 || varT <= 0.0, lit(null)).otherwise(
+          kD / (kD - lit(1.0)) *
+            (lit(1.0) - col("iv6") / lit(1e6) / varT)), 6).as("alpha"))
     })
   )
 
@@ -467,6 +649,175 @@ object Stats3 {
         |  round(CASE WHEN seen = 0 THEN NULL ELSE z / p END, 6)
         |    AS demand_rate
         |FROM rec CROSS JOIN n WHERE i = nd""".stripMargin,
+    "q_jarque_bera" ->
+      """WITH sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s1,
+        |    CAST(sum(v * v) AS BIGINT) AS s2,
+        |    CAST(sum(CAST(v * v AS HUGEINT) * v) AS HUGEINT) AS s3,
+        |    CAST(sum(CAST(v * v AS HUGEINT) * (v * v)) AS HUGEINT)
+        |      AS s4
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events) t),
+        |m AS (
+        |  SELECT n,
+        |    CAST(s1 AS DOUBLE) / n AS mu,
+        |    CAST(s2 AS DOUBLE) / n AS r2,
+        |    CAST(s3 AS DOUBLE) / n AS r3,
+        |    CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM sums),
+        |c AS (
+        |  SELECT n, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 -
+        |      3.0 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |f AS (
+        |  SELECT n, m3 / sqrt(m2 * m2 * m2) AS skew,
+        |    m4 / (m2 * m2) - 3.0 AS kurt
+        |  FROM c)
+        |SELECT n AS n_events, round(skew, 6) AS skewness,
+        |  round(kurt, 6) AS excess_kurtosis,
+        |  round(n / 6.0 * (skew * skew + kurt * kurt / 4.0), 4)
+        |    AS jb_stat,
+        |  round(exp(-(n / 6.0 * (skew * skew + kurt * kurt / 4.0))
+        |    / 2.0), 9) AS p_value
+        |FROM f""".stripMargin,
+    "q_durbin_watson" ->
+      """WITH dly AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM dly),
+        |cal AS (
+        |  SELECT row_number() OVER (ORDER BY d.day) AS t,
+        |    CAST(coalesce(dly.cents, 0) AS BIGINT) AS y
+        |  FROM (SELECT unnest(generate_series(mn, mx)) AS day
+        |        FROM bounds) d
+        |  LEFT JOIN dly ON dly.day = d.day),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(t) AS BIGINT) AS st,
+        |    CAST(sum(t * t) AS BIGINT) AS st2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(t * y) AS BIGINT) AS sty
+        |  FROM cal),
+        |ab AS (
+        |  SELECT nd, sy,
+        |    (CAST(nd AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy) /
+        |      (CAST(nd AS DOUBLE) * st2 - CAST(st AS DOUBLE) * st) AS b,
+        |    st,
+        |    CASE WHEN sy = 0 THEN 1.0
+        |      ELSE CAST(sy AS DOUBLE) / nd END AS ybar
+        |  FROM s),
+        |ab2 AS (
+        |  SELECT nd, b, ybar,
+        |    (sy - b * st) / CAST(nd AS DOUBLE) AS a
+        |  FROM ab),
+        |e AS (
+        |  SELECT cal.t,
+        |    (CAST(cal.y AS DOUBLE) - ab2.a - ab2.b * cal.t) / ab2.ybar
+        |      AS e,
+        |    ab2.nd, ab2.b, ab2.a
+        |  FROM cal CROSS JOIN ab2),
+        |terms AS (
+        |  SELECT nd, b, a,
+        |    CAST(round(e * e * 1e12) AS BIGINT) AS d12,
+        |    CASE WHEN t >= 2 THEN CAST(round(
+        |      (e - lag(e) OVER (ORDER BY t)) *
+        |      (e - lag(e) OVER (ORDER BY t)) * 1e12) AS BIGINT)
+        |      ELSE 0 END AS n12
+        |  FROM e),
+        |agg AS (
+        |  SELECT CAST(max(nd) AS BIGINT) AS n_days,
+        |    round(max(b), 6) AS slope, round(max(a), 2) AS intercept,
+        |    CAST(sum(d12) AS BIGINT) AS den12,
+        |    CAST(sum(n12) AS BIGINT) AS num12
+        |  FROM terms)
+        |SELECT n_days, slope, intercept,
+        |  round(CASE WHEN den12 = 0 THEN NULL
+        |    ELSE CAST(num12 AS DOUBLE) / den12 END, 6) AS dw,
+        |  round(CASE WHEN den12 = 0 THEN NULL
+        |    ELSE 1.0 - CAST(num12 AS DOUBLE) / den12 / 2.0 END, 6)
+        |    AS rho1_approx
+        |FROM agg""".stripMargin,
+    "q_cochran_armitage" ->
+      """WITH bands AS (
+        |  SELECT least(4, CAST(floor(value / 100) AS BIGINT)) AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS r
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(r) AS BIGINT) AS rr,
+        |    CAST(sum(n * g) AS BIGINT) AS sng,
+        |    CAST(sum(n * g * g) AS BIGINT) AS sng2,
+        |    CAST(sum(r * g) AS BIGINT) AS srg,
+        |    CAST(count(*) AS BIGINT) AS n_bands
+        |  FROM bands),
+        |zc AS (
+        |  SELECT nn, n_bands, rr,
+        |    (CAST(srg AS DOUBLE) -
+        |      (CAST(rr AS DOUBLE) / nn) * CAST(sng AS DOUBLE)) /
+        |    sqrt((CAST(rr AS DOUBLE) / nn) *
+        |      (1.0 - CAST(rr AS DOUBLE) / nn) *
+        |      (CAST(sng2 AS DOUBLE) -
+        |        CAST(sng AS DOUBLE) * sng / nn)) AS z
+        |  FROM tot),
+        |pv AS (
+        |  SELECT nn, n_bands, rr, z, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+        |  FROM zc)
+        |SELECT nn AS n_events, n_bands, rr AS n_purchases,
+        |  round(z, 6) AS z,
+        |  round(((((1.061405429 * tt - 1.453152027) * tt +
+        |    1.421413741) * tt - 0.284496736) * tt + 0.254829592) * tt *
+        |    exp(-x * x), 9) AS p_value
+        |FROM pv""".stripMargin,
+    "q_cronbach_alpha" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, ty.t, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        |  FROM (SELECT DISTINCT day FROM c) d
+        |  CROSS JOIN (SELECT DISTINCT t FROM c) ty
+        |  LEFT JOIN c ON c.day = d.day AND c.t = ty.t),
+        |item AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS s2
+        |  FROM grid GROUP BY 1),
+        |items AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(
+        |      (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /
+        |      (CAST(n AS DOUBLE) * (n - 1.0)) * 1e6) AS BIGINT))
+        |      AS BIGINT) AS iv6
+        |  FROM item),
+        |daytot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(sx) AS BIGINT) AS t1,
+        |    CAST(sum(sx * sx) AS BIGINT) AS t2
+        |  FROM (SELECT day, CAST(sum(x) AS BIGINT) AS sx FROM grid
+        |        GROUP BY 1) q),
+        |f AS (
+        |  SELECT k, n, iv6,
+        |    (CAST(nd AS DOUBLE) * t2 - CAST(t1 AS DOUBLE) * t1) /
+        |      (CAST(nd AS DOUBLE) * (nd - 1.0)) AS vart
+        |  FROM items CROSS JOIN daytot)
+        |SELECT k AS k_items, n AS n_days,
+        |  round(iv6 / 1e6, 4) AS sum_item_var,
+        |  round(vart, 4) AS total_var,
+        |  round(CASE WHEN k <= 1 OR vart <= 0.0 THEN NULL
+        |    ELSE CAST(k AS DOUBLE) / (k - 1.0) *
+        |      (1.0 - iv6 / 1e6 / vart) END, 6) AS alpha
+        |FROM f""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, source, rn FROM (
         |  SELECT doc_id, source, CAST(row_number() OVER (

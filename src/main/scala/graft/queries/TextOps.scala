@@ -271,6 +271,38 @@ object TextOps {
         .orderBy("merge_rank")
     }),
 
+    // ---- tokenizer fertility by source: train the 4-merge BPE model
+    // on the GLOBAL vocabulary (the q_bpe_loop trainer verbatim), then
+    // price each source's corpus in tokens/word and chars/token — the
+    // check a multilingual pipeline runs before fixing a token budget,
+    // since a tokenizer trained on the pooled mix can be 2× more
+    // expensive on one slice. Scale shape: the corpus collapses to
+    // (source × vocab) counts in one pass; the tokenized vocabulary is
+    // vocab-bounded and broadcasts back — no per-document work after
+    // the first aggregate.
+    "q_bpe_fertility" -> ((s, d) => {
+      import graft.operators.BpeTrainer
+      val srcWords = graft.CacheScope.cached(Tables.documents(s, d)
+        .transform(Tables.fanoutReady)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("swc")))
+      val vocab = srcWords.groupBy("w").agg(sum("swc").as("wc"))
+      val (model, _) = BpeTrainer.train(vocab, merges = 4)
+      val tokenized = BpeTrainer.tokenize(vocab, model)
+        .select(col("w"), size(col("syms")).cast("long").as("ntok"))
+      srcWords.join(broadcast(tokenized), "w")
+        .groupBy("source")
+        .agg(sum("swc").as("n_words"),
+          sum(col("swc") * col("ntok")).as("n_tokens"),
+          sum(col("swc") * length(col("w")).cast("long")).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("source")
+    }),
+
     // ---- quality classifier: fixed-weight logistic scorer over the
     // standard per-document signals (log-length, stopword ratio, digit
     // ratio, mean word length) — the shape of a fastText-style quality
@@ -357,9 +389,12 @@ object TextOps {
     * a match eats the next occurrence's leading sentinel on 5+ self-pair
     * runs). BpeTrainerSpec checks the identity exhaustively on small
     * alphabets plus multi-char prefix-colliding symbols. */
-  private def bpeLoopSql(rounds: Int): String = {
-    def tokensOf(v: String) =
-      s"(SELECT CAST(sum(wc * len(string_split(seq, '  '))) AS BIGINT) FROM $v)"
+  /** The shared merge-round CTE chain: `vocab0` (global word counts +
+    * two-space-separated char sequences) through `vocab$rounds`, with the
+    * per-round argmax in `t$r` — used by both the q_bpe_loop oracle and
+    * the q_bpe_fertility oracle so the two replay the IDENTICAL greedy
+    * training. */
+  private def bpeStagesSql(rounds: Int): String = {
     val stages = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT ls[i] AS x, ls[i+1] AS y, CAST(sum(wc) AS BIGINT) AS freq
@@ -375,15 +410,21 @@ object TextOps {
          |      ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ')) AS seq
          |  FROM vocab${r - 1}, t$r)""".stripMargin
     }.mkString(",\n")
-    val rankRows = (1 to rounds).map { r =>
-      s"  SELECT $r, x, y, freq, ${tokensOf(s"vocab$r")} FROM t$r"
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH vocab0 AS (
+    s"""vocab0 AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc,
        |         array_to_string(string_split(w, ''), '  ') AS seq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
        |  GROUP BY w),
-       |$stages,
+       |$stages""".stripMargin
+  }
+
+  private def bpeLoopSql(rounds: Int): String = {
+    def tokensOf(v: String) =
+      s"(SELECT CAST(sum(wc * len(string_split(seq, '  '))) AS BIGINT) FROM $v)"
+    val rankRows = (1 to rounds).map { r =>
+      s"  SELECT $r, x, y, freq, ${tokensOf(s"vocab$r")} FROM t$r"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${bpeStagesSql(rounds)},
        |base AS (SELECT CAST(sum(wc * length(w)) AS BIGINT) AS t0 FROM vocab0),
        |ranks AS (
        |  SELECT 0 AS merge_rank, '' AS x, '' AS y, CAST(0 AS BIGINT) AS freq,
@@ -397,6 +438,24 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_bpe_loop" -> bpeLoopSql(4),
+    "q_bpe_fertility" ->
+      s"""WITH ${bpeStagesSql(4)},
+         |src AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS swc
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t
+         |  GROUP BY 1, 2),
+         |tok AS (
+         |  SELECT w, CAST(len(string_split(seq, '  ')) AS BIGINT) AS ntok
+         |  FROM vocab4)
+         |SELECT source, CAST(sum(swc) AS BIGINT) AS n_words,
+         |  CAST(sum(swc * ntok) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(swc * ntok) AS DOUBLE) / sum(swc), 6)
+         |    AS fertility,
+         |  round(CAST(sum(swc * length(src.w)) AS DOUBLE) /
+         |    sum(swc * ntok), 6) AS chars_per_token
+         |FROM src JOIN tok ON tok.w = src.w
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q_bpe_pairs" ->
       """WITH vocab AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (

@@ -1308,6 +1308,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 
+  test("round-9 batch 2: one-scan moment folds, keyed MRL rank windows, " +
+       "broadcast fertility vocab") {
+    // JB / DW / CA-trend / Cronbach: the corpus folds to a handful of
+    // integer sums (or the bounded day×type grid) in ONE scan; no
+    // sort-merge join may appear after the collapse
+    for (q <- Seq("q_jarque_bera", "q_durbin_watson",
+        "q_cochran_armitage", "q_cronbach_alpha")) {
+      val p = planOf(q)
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans <= 1, s"$q must scan the corpus once, got $scans")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q post-aggregate joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // MRL arms: every rank window keys on q_id (a partition-less window
+    // over corpus×panel scores would be the scale bug); panel and truth
+    // joins broadcast — never a sort-merge of the corpus
+    import org.apache.spark.sql.execution.window.WindowExec
+    val mQe = SparkEntry.queries("q_mrl_recall")(spark, sf).queryExecution
+    assert(mQe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "MRL rank windows must partition by q_id")
+    assert(!mQe.executedPlan.toString.contains("SortMergeJoin"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // fertility: per-source counts join the vocab-bounded tokenization
+    // as a broadcast; the corpus is never shuffled post-aggregate
+    val fp = planOf("q_bpe_fertility")
+    assert(fp.contains("BroadcastHashJoin"),
+      "vocab-bounded tokenization must broadcast back")
+    assert(!fp.contains("SortMergeJoin"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("repo-wide: every cartesian / nested-loop join sits over bounded frames") {
     // VERDICT r8 "what's wrong #1": the per-query specs above assert no
     // cartesian where one would be a bug, but nothing mechanically prevented

@@ -64,6 +64,7 @@ def main() -> None:
             "name": name,
             "sec1": s["sec"], "secN": top[name]["sec"],
             "e_wall": expo("sec", 0.15),
+            "e_cold": expo("wall1_sec", 0.15),
             "e_cpu": expo("cpu_sec", 0.3),
             "e_shuf": expo("shuffle_mb", 0.05),
         })
@@ -74,12 +75,13 @@ def main() -> None:
         return "—" if v is None else f"{v:.{nd}f}"
 
     top_f = runs[-1][1]
-    print(f"| query | sec@1x | sec@{top_f:g}x | e_wall | e_cpu "
+    print(f"| query | sec@1x | sec@{top_f:g}x | e_wall | e_cold | e_cpu "
           "| e_shuffle |")
-    print("|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['name']} | {r['sec1']:.2f} | {r['secN']:.2f} "
-              f"| {f(r['e_wall'])} | {f(r['e_cpu'])} | {f(r['e_shuf'])} |")
+              f"| {f(r['e_wall'])} | {f(r.get('e_cold'))} | {f(r['e_cpu'])} "
+              f"| {f(r['e_shuf'])} |")
 
     tot = [(fa, sum(q[r["name"]]["sec"] for r in rows)) for q, fa in runs]
     e_tot = slope(tot)
@@ -92,6 +94,16 @@ def main() -> None:
     for r in over:
         print(f"  {r['name']}: e_cpu={r['e_cpu']:.2f} "
               f"e_shuffle={f(r['e_shuf'])}")
+    # e_cold catches work a CacheScope cache hides from `sec` (min-of-2
+    # measures the warm second run): a query whose cold run scales
+    # superlinearly is flagged even when its warm read stays flat.
+    cold_known = [r for r in rows if r.get("e_cold") is not None]
+    cold_over = [r for r in cold_known if r["e_cold"] > 1.35]
+    print(f"queries with COLD-run exponent > 1.35: "
+          f"{len(cold_over)} of {len(cold_known)} measurable")
+    for r in cold_over:
+        print(f"  {r['name']}: e_cold={r['e_cold']:.2f} "
+              f"e_cpu={f(r['e_cpu'])}")
 
 
 if __name__ == "__main__":

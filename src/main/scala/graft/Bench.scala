@@ -183,6 +183,7 @@ object Bench {
       .map { case (name, fn) =>
       var shuffleBytes = 0L
       var cpuSec = 0.0
+      var wall1 = 0.0
       var wall2 = 0.0
       var err: Option[String] = None
       val times = (1 to 2).map { i =>
@@ -196,6 +197,14 @@ object Bench {
               Option(t.getMessage).getOrElse("").replaceAll("\\s+", " ").take(120))
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        // wall1 is the COLD run: CacheScope caches registered by the
+        // query survive into run 2, so `sec` (min of the two) measures
+        // the warm read for cache-heavy queries. Recording the cold run
+        // in-band is what keeps a quadratic BEHIND a cache visible — the
+        // 30× sweep found q_lof's O(n²) base only because the cold run
+        // wedged; this field makes that class of cost a number, not an
+        // incident.
+        if (i == 1) wall1 = dt
         if (i == 2) { // same run the shuffle meter reports
           cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
           wall2 = dt
@@ -207,7 +216,7 @@ object Bench {
       CacheScope.drain() // unpersist query-registered caches
       spark.catalog.clearCache() // belt-and-braces: nothing leaks across queries
       name -> (if (err.isDefined) -1.0 else times.min, shuffleBytes, err,
-        cpuSec, wall2)
+        cpuSec, wall1, wall2)
     }
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def fmt(pairs: Iterable[(String, Double)]): String =
@@ -219,9 +228,9 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val errs = results.collect { case (k, (_, _, Some(e), _, _)) =>
+    val errs = results.collect { case (k, (_, _, Some(e), _, _, _)) =>
       s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
-    val total = results.values.collect { case (t, _, _, _, _) if t >= 0 => t }.sum
+    val total = results.values.collect { case (t, _, _, _, _, _) if t >= 0 => t }.sum
     val shuffleTotalMb = results.values.map(_._2).sum / 1048576.0
     val loadEnd = loadavg
     def jarr(xs: Seq[Double]): String =
@@ -235,8 +244,8 @@ object Bench {
     // JSON line overflows it (BENCH_r01/r02 both recorded parsed:null). The
     // stdout line stays compact: headline queries + the slowest eight + any
     // errored ones, with the total over ALL queries.
-    val detail = results.map { case (k, (t, b, e, cpu, w2)) =>
-      s"${jstr(k)}:{" + s""""sec":${r3(t)},"shuffle_mb":${r3(b / 1048576.0)},"cpu_sec":${r3(cpu)},"wall2_sec":${r3(w2)}""" +
+    val detail = results.map { case (k, (t, b, e, cpu, w1, w2)) =>
+      s"${jstr(k)}:{" + s""""sec":${r3(t)},"shuffle_mb":${r3(b / 1048576.0)},"cpu_sec":${r3(cpu)},"wall1_sec":${r3(w1)},"wall2_sec":${r3(w2)}""" +
         e.map(m => s""","err":${jstr(m)}""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val detailJson =
@@ -276,10 +285,10 @@ object Bench {
       "q_tfidf", "q_bm25", "q_lang_id", "q_corpus_pipeline", "q_locf",
       "q_sessionize", "q_salted_agg", "q_explode_wordcount")
     val slowest = results.toSeq.sortBy(-_._2._1).take(8).map(_._1).toSet
-    val errored = results.collect { case (k, (_, _, Some(_), _, _)) => k }.toSet
+    val errored = results.collect { case (k, (_, _, Some(_), _, _, _)) => k }.toSet
     val shown = results.filter { case (k, _) =>
       headline(k) || slowest(k) || errored(k) }
-    val qs = fmt(shown.map { case (k, (t, _, _, _, _)) => k -> t })
+    val qs = fmt(shown.map { case (k, (t, _, _, _, _, _)) => k -> t })
     // "queries" is a SUBSET (headline + slowest 8 + errored) — the full
     // per-query map lives in the detail file; "queries_is_subset" says so
     // in-band for any consumer still assuming the pre-r3 all-queries shape.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.SparkException
-import graft.functions.{DotProduct, JaroWinkler, MinHash8, SimHash64}
+import graft.functions.{Dist2Pico, DotProduct, JaroWinkler, MinHash8, SimHash64}
 
 /** Official Spark extension entry point — enable with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { exprs: Seq[Expression] =>
         require(exprs.length == 2, "jaro_winkler(a, b) takes two strings")
         JaroWinkler(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dist2_pico"),
+      new ExpressionInfo(classOf[Dist2Pico].getName, "dist2_pico"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "dist2_pico(a, b) takes two arrays")
+        Dist2Pico(exprs.head, exprs(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash8"),

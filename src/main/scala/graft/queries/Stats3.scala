@@ -463,6 +463,88 @@ object Stats3 {
         round(when(col("k") <= 1 || varT <= 0.0, lit(null)).otherwise(
           kD / (kD - lit(1.0)) *
             (lit(1.0) - col("iv6") / lit(1e6) / varT)), 6).as("alpha"))
+    }),
+
+    // ---- sharp regression discontinuity: does the quality gate's keep
+    // rate JUMP at the 300-char mark, beyond what the local linear
+    // trend explains? Completes the causal family (q_diff_in_diff's
+    // time contrast, q_cuped's variance reduction — this is the cutoff
+    // contrast). Local linear fits on both sides of the cutoff within
+    // a ±150-char bandwidth, τ = intercept(right) − intercept(left) at
+    // the cutoff. y is the exact q_quality_logit keep bit and u the
+    // integer char offset, so all five per-side sums are BIGINTs and
+    // the two OLS closed forms are one mirrored double chain. One scan,
+    // two-row collapse.
+    "q_reg_discontinuity" -> ((s, d) => {
+      val nTok = (length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+      val stopRatio = size(regexp_extract_all(col("text"),
+        lit("\\b(the|a)\\b"), lit(0))).cast("double") / nTok
+      val digitRatio = size(regexp_extract_all(col("text"),
+        lit("[0-9]"), lit(0))).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val meanWlen = (length(col("text")) -
+        (nTok - lit(1))).cast("double") / nTok
+      val x = lit(-2.0) + lit(0.9) * log(lit(1.0) + nTok) -
+        lit(3.0) * stopRatio - lit(0.5) * digitRatio +
+        lit(0.2) * meanWlen
+      val side = graft.CacheScope.cached(Tables.documents(s, d)
+        .filter(col("n_chars") >= 150 && col("n_chars") < 450)
+        .select((col("n_chars") >= 300).as("right"),
+          (col("n_chars") - 300L).as("u"),
+          when(x >= 0.0, 1L).otherwise(0L).as("y"))
+        .groupBy("right")
+        .agg(count(lit(1)).as("n"), sum("u").as("su"),
+          sum(col("u") * col("u")).as("su2"), sum("y").as("sy"),
+          sum(col("u") * col("y")).as("suy")))
+      val nD = col("n").cast("double")
+      val b = (nD * col("suy") - col("su").cast("double") * col("sy")) /
+        (nD * col("su2") - col("su").cast("double") * col("su"))
+      val a = (col("sy") - b * col("su")) / nD
+      val per = side.select(col("right"), col("n"),
+        round(b, 6).as("slope"), a.as("a0"))
+      val lft = per.filter(!col("right"))
+        .select(col("n").as("n_left"), col("slope").as("slope_left"),
+          col("a0").as("al"))
+      val rgt = per.filter(col("right"))
+        .select(col("n").as("n_right"), col("slope").as("slope_right"),
+          col("a0").as("ar"))
+      lft.crossJoin(broadcast(rgt))
+        .select(col("n_left"), col("n_right"),
+          round(col("al"), 6).as("int_left"),
+          round(col("ar"), 6).as("int_right"),
+          col("slope_left"), col("slope_right"),
+          round(col("ar") - col("al"), 6).as("rdd_tau"))
+    }),
+
+    // ---- Hodges–Lehmann location estimate of the daily count
+    // distribution: the lower median of all Walsh averages
+    // (xᵢ+xⱼ)/2, i ≤ j — the robust companion to the plain daily mean
+    // (30% breakdown, the estimator behind the Wilcoxon CI). Walsh
+    // SUMS stay integers; the median comes from the q_levene
+    // cumulative rule over the sum histogram via the GlobalRank
+    // two-phase prefix (no partition-less window over the pair frame);
+    // the ÷2 happens once at the end. Pair frame is calendar-bounded²
+    // over the aggregated daily frame.
+    "q_hodges_lehmann" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x")))
+      val pairs = graft.CacheScope.cached(daily.toDF("da", "xa")
+        .join(broadcast(daily.toDF("db", "xb")), col("da") <= col("db"))
+        .select((col("xa") + col("xb")).as("w")))
+      val hist = pairs.groupBy("w").agg(count(lit(1)).as("f"))
+      val run = graft.operators.GlobalRank.withPrefixAggs(hist,
+        Seq(col("w")),
+        Seq(graft.operators.GlobalRank.PrefixAgg("f", "cum",
+          inclusive = true)))
+      val tot = pairs.agg(count(lit(1)).as("np"))
+      val med = run.crossJoin(broadcast(tot))
+        .filter(col("cum") * 2 >= col("np"))
+        .agg(min("w").as("wmed"), max("np").as("np"))
+      daily.agg(count(lit(1)).as("n_days")).crossJoin(broadcast(med))
+        .select(col("n_days"), col("np").as("n_pairs"),
+          round(col("wmed") / 2.0, 1).as("hl_location"))
     })
   )
 
@@ -649,6 +731,68 @@ object Stats3 {
         |  round(CASE WHEN seen = 0 THEN NULL ELSE z / p END, 6)
         |    AS demand_rate
         |FROM rec CROSS JOIN n WHERE i = nd""".stripMargin,
+    "q_reg_discontinuity" ->
+      """WITH t AS (
+        |  SELECT n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\b(the|a)\b')) AS stop_cnt,
+        |    len(regexp_extract_all(text, '[0-9]')) AS dig_cnt,
+        |    length(text) AS lc
+        |  FROM documents WHERE n_chars >= 150 AND n_chars < 450),
+        |yb AS (
+        |  SELECT (n_chars >= 300) AS r,
+        |    CAST(n_chars - 300 AS BIGINT) AS u,
+        |    CASE WHEN -2.0 + 0.9 * ln(1.0 + n_tokens)
+        |      - 3.0 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+        |      - 0.5 * (CAST(dig_cnt AS DOUBLE) / greatest(lc, 1))
+        |      + 0.2 * (CAST(lc - (n_tokens - 1) AS DOUBLE) / n_tokens)
+        |      >= 0.0 THEN 1 ELSE 0 END AS y
+        |  FROM t),
+        |side AS (
+        |  SELECT r, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(u) AS BIGINT) AS su,
+        |    CAST(sum(u * u) AS BIGINT) AS su2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(u * y) AS BIGINT) AS suy
+        |  FROM yb GROUP BY 1),
+        |fit AS (
+        |  SELECT r, n,
+        |    (CAST(n AS DOUBLE) * suy - CAST(su AS DOUBLE) * sy) /
+        |      (CAST(n AS DOUBLE) * su2 - CAST(su AS DOUBLE) * su) AS b,
+        |    su, sy
+        |  FROM side),
+        |fit2 AS (
+        |  SELECT r, n, round(b, 6) AS slope,
+        |    (sy - b * su) / CAST(n AS DOUBLE) AS a0
+        |  FROM fit)
+        |SELECT l.n AS n_left, rr.n AS n_right,
+        |  round(l.a0, 6) AS int_left, round(rr.a0, 6) AS int_right,
+        |  l.slope AS slope_left, rr.slope AS slope_right,
+        |  round(rr.a0 - l.a0, 6) AS rdd_tau
+        |FROM (SELECT * FROM fit2 WHERE NOT r) l
+        |CROSS JOIN (SELECT * FROM fit2 WHERE r) rr""".stripMargin,
+    "q_hodges_lehmann" ->
+      """WITH dly AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(a.x + b.x AS BIGINT) AS w
+        |  FROM dly a JOIN dly b ON a.day <= b.day),
+        |hist AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM p
+        |         GROUP BY 1),
+        |run AS (
+        |  SELECT w, CAST(sum(f) OVER (ORDER BY w) AS BIGINT) AS cum
+        |  FROM hist),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS np FROM p),
+        |med AS (
+        |  SELECT CAST(min(w) AS BIGINT) AS wmed,
+        |    CAST(max(np) AS BIGINT) AS np
+        |  FROM run CROSS JOIN tot WHERE cum * 2 >= np)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dly) AS n_days,
+        |  np AS n_pairs, round(wmed / 2.0, 1) AS hl_location
+        |FROM med""".stripMargin,
     "q_jarque_bera" ->
       """WITH sums AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,

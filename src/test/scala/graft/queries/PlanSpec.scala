@@ -1342,6 +1342,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 
+  test("round-9 batch 3: RDD one-scan collapse, HL prefix-ranked median") {
+    // regression discontinuity: corpus → two-row (side) collapse in one
+    // scan; bandwidth filter must reach the parquet scan
+    val rp = planOf("q_reg_discontinuity")
+    val scans = rp.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans <= 1, s"q_reg_discontinuity must scan once, got $scans")
+    assert(rp.contains("PushedFilters: [IsNotNull(n_chars), " +
+      "GreaterThanOrEqual(n_chars,150), LessThan(n_chars,450)]") ||
+      rp.contains("GreaterThanOrEqual(n_chars,150)"),
+      "bandwidth filter must push to the scan")
+    assert(!rp.contains("SortMergeJoin"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // Hodges–Lehmann: Walsh pairs are a broadcast loop over the
+    // AGGREGATED daily frame; the median is GlobalRank's two-phase
+    // prefix — never a partition-less window over the pair frame
+    import org.apache.spark.sql.execution.window.WindowExec
+    val hQe = SparkEntry.queries("q_hodges_lehmann")(spark, sf)
+      .queryExecution
+    assert(hQe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.orderSpec.flatMap(_.child.references.toSeq)
+          .forall(_.name == "_gr_pid") => w }.isEmpty,
+      "HL median must route its prefix through GlobalRank's " +
+        "bounded offsets window only")
+    assert(!hQe.executedPlan.toString.contains("SortMergeJoin"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("repo-wide: every cartesian / nested-loop join sits over bounded frames") {
     // VERDICT r8 "what's wrong #1": the per-query specs above assert no
     // cartesian where one would be a bug, but nothing mechanically prevented

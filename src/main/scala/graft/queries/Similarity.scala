@@ -313,14 +313,26 @@ object Similarity {
     }),
 
     // ---- random-hyperplane LSH buckets → within-bucket exact cosine.
-    // 4 planes → 16 buckets; only same-bucket pairs are compared.
+    // The plane count LADDERS with the corpus: a fixed 4-plane index is
+    // a FIXED-CAPACITY index — 16 buckets means within-bucket pairs
+    // (and so the whole query) grow as n²/16 no matter how big the
+    // corpus gets. The 1×/3×/10×/30× sweep measured exactly that
+    // (cpu 35.7 s → 177.1 s from 10× to 30×, e≈1.46) — an index must
+    // add a bit per corpus doubling to keep per-bucket occupancy
+    // constant. The ladder is integer threshold sums (no float log2
+    // whose ceil could flip at a power-of-two boundary), identical
+    // literals in the oracle; ≤ 2000 vectors (every driver-gate SF)
+    // stays at the historical 4 planes, so gate results are unchanged.
     "q_ann_lsh" -> ((s, d) => {
-      val v = vecs(s, d)
+      val v = graft.CacheScope.cached(vecs(s, d))
+      val nVec = v.count() // bounded driver action (1 long) on the cached corpus
+      val nPlanes = 4 + Seq(2000L, 4000L, 8000L, 16000L, 32000L,
+        64000L, 128000L, 256000L).count(nVec > _)
       // sign bit per plane: dot(v, w_k) >= 0; w_k precomputed driver-side
       // from the integer LCG (same arithmetic as the oracle SQL) and shipped
       // as a 64-double literal — the projection is then one native
       // dot_product per plane instead of a per-element lambda chain
-      val planeBits = (0 until 4).map { k =>
+      val planeBits = (0 until nPlanes).map { k =>
         val weights = (0 until 64).map(i =>
           ((1103515245L * (k * 64L + i) + 12345L) % 65536L - 32768L).toDouble)
         val dotK = dot(col("v"), typedlit(weights))
@@ -1136,11 +1148,22 @@ object Similarity {
          |ORDER BY va, vb""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $flatSql,
+         |params AS (
+         |  SELECT 4 + CAST(count(*) > 2000 AS INTEGER)
+         |    + CAST(count(*) > 4000 AS INTEGER)
+         |    + CAST(count(*) > 8000 AS INTEGER)
+         |    + CAST(count(*) > 16000 AS INTEGER)
+         |    + CAST(count(*) > 32000 AS INTEGER)
+         |    + CAST(count(*) > 64000 AS INTEGER)
+         |    + CAST(count(*) > 128000 AS INTEGER)
+         |    + CAST(count(*) > 256000 AS INTEGER) AS np
+         |  FROM embeddings),
          |plane_dots AS (
-         |  SELECT f.vec_id, k,
-         |    sum(f.x * CAST((1103515245 * (k * 64 + (f.i - 1)) + 12345)
+         |  SELECT f.vec_id, g.k,
+         |    sum(f.x * CAST((1103515245 * (g.k * 64 + (f.i - 1)) + 12345)
          |        % 65536 - 32768 AS DOUBLE)) AS pd
-         |  FROM flat f, generate_series(0, 3) g(k)
+         |  FROM flat f, generate_series(0, 11) g(k), params p
+         |  WHERE g.k < p.np
          |  GROUP BY 1, 2),
          |buckets AS (
          |  SELECT vec_id,

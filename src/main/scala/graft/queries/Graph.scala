@@ -93,6 +93,45 @@ object GraphOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- strongly connected components of the DIRECTED nation trade
+    // graph — the directed companion to q_er_cluster's undirected CC
+    // ("which trading blocs are mutually reachable?"). The vertex set is
+    // structurally bounded (≤ 25 nations at any SF, like the pagerank
+    // family), so the transitive closure runs as FIVE static doubling
+    // rounds (2⁵ = 32 > |V| bounds the diameter — no driver-side
+    // convergence loop, the plan is one static DAG); SCC id is the
+    // least mutually-reachable node. The corpus-scale work is exactly
+    // one distinct-edge derivation; everything after operates on ≤|V|²
+    // rows. The same doubling shape scales to big vertex sets as
+    // O(log diameter) keyed equi-joins — never a cartesian.
+    "q_scc" -> ((s, d) => {
+      val e = graft.CacheScope.cached(tradeEdges(s, d)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v"))
+        .distinct())
+      var r = e
+      for (_ <- 1 to 5) {
+        r = graft.CacheScope.cached(
+          r.union(r.toDF("u", "m").join(r.toDF("m", "v"), "m")
+              .select("u", "v"))
+            .distinct())
+      }
+      val nodes = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n"))).distinct()
+      val mutual = r.join(
+        r.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"))
+      val sid = nodes.join(
+          broadcast(mutual.groupBy("u").agg(min("v").as("mv"))),
+          nodes("n") === col("u"), "left")
+        .select(col("n"),
+          least(col("n"), coalesce(col("mv"), col("n"))).as("scc_id"))
+      val sizes = sid.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+      sid.join(broadcast(sizes), "scc_id")
+        .select(col("n").as("node"), col("scc_id"), col("scc_size"))
+        .orderBy("node")
+    }),
+
     // ranks rounded to 5 dp (not 6): five rounds of differently-ordered FP
     // sums can drift near a 6-dp rounding boundary and flake the hash gate
     "q_pagerank" -> ((s, d) => {
@@ -648,6 +687,36 @@ object GraphOps {
        |  LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS u,
+        |    CAST(s.s_nationkey AS BIGINT) AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |nodes AS (
+        |  -- explicit DISTINCT: inside WITH RECURSIVE DuckDB runs this
+        |  -- UNION with append semantics (observed: 480 rows from 240+240)
+        |  SELECT DISTINCT n FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) tn),
+        |mutual AS (
+        |  SELECT a.u, a.v FROM reach a
+        |  JOIN reach b ON b.u = a.v AND b.v = a.u),
+        |mm AS (SELECT u, CAST(min(v) AS BIGINT) AS mv FROM mutual
+        |       GROUP BY 1),
+        |sid AS (
+        |  SELECT n, least(n, coalesce(mv, n)) AS scc_id
+        |  FROM nodes LEFT JOIN mm ON mm.u = n),
+        |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+        |       FROM sid GROUP BY 1)
+        |SELECT n AS node, scc_id, scc_size
+        |FROM sid JOIN sz USING (scc_id) ORDER BY node""".stripMargin,
     "q_pagerank" ->
       (s"WITH $edgeSql,\n" + (1 to 5).map(iterSql).mkString(",\n") +
         "\nSELECT node, round(rank, 5) AS rank FROM r5 ORDER BY node"),

@@ -545,6 +545,86 @@ object Stats3 {
       daily.agg(count(lit(1)).as("n_days")).crossJoin(broadcast(med))
         .select(col("n_days"), col("np").as("n_pairs"),
           round(col("wmed") / 2.0, 1).as("hl_location"))
+    }),
+
+    // ---- Gini decision stump: the best single threshold on event
+    // value for predicting purchase — the depth-1 tree every
+    // feature-selection pass trains first. Candidate splits are the
+    // distinct cent values; cumulative (n, positives) come from
+    // GlobalRank's two-phase prefix (the q_ks_test shape — no
+    // partition-less window over the value frame); the weighted-Gini
+    // cost per split is nano-quantized from exact BIGINT prefix counts
+    // so the argmin is an integer comparison, and the winner is one
+    // TakeOrdered row.
+    "q_gini_stump" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"))
+      val byVal = e.groupBy("v")
+        .agg(count(lit(1)).as("f"), sum("y").as("p"))
+      val run = graft.operators.GlobalRank.withPrefixAggs(byVal,
+        Seq(col("v")),
+        Seq(graft.operators.GlobalRank.PrefixAgg("f", "nl",
+          inclusive = true),
+          graft.operators.GlobalRank.PrefixAgg("p", "pl",
+            inclusive = true)))
+      val tot = e.agg(count(lit(1)).as("nn"), sum("y").as("pp"))
+      val j = run.crossJoin(broadcast(tot))
+        .filter(col("nl") < col("nn")) // right side must be non-empty
+      val nr = col("nn") - col("nl")
+      val pr = col("pp") - col("pl")
+      // weighted Gini · N/2 = posL·negL/nL + posR·negR/nR — each term a
+      // deterministic double of exact BIGINTs, nano-quantized pre-argmin
+      val cost = (col("pl").cast("double") * (col("nl") - col("pl")) /
+        col("nl")) + (pr.cast("double") * (nr - pr) / nr)
+      val scored = j.select(col("v"), col("nl"), col("pl"),
+        nr.as("nr"), pr.as("pr"), col("nn"), col("pp"),
+        round(cost * 1e9).cast("long").as("c9"))
+      val best = scored.orderBy(col("c9").asc, col("v").asc).limit(1)
+      val parent = (col("pp").cast("double") * (col("nn") - col("pp")) /
+        col("nn"))
+      best.select(col("v").as("split_cents"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        round(col("pl").cast("double") / col("nl"), 6).as("rate_left"),
+        round(col("pr").cast("double") / col("nr"), 6).as("rate_right"),
+        round((parent - col("c9") / lit(1e9)) * 2.0 / col("nn"), 9)
+          .as("gini_gain"))
+    }),
+
+    // ---- Information Value / Weight of Evidence over the value bands
+    // (the credit-scoring feature screen; IV < 0.02 "useless",
+    // > 0.3 "strong"): WOEg = ln((goodg/G)/(badg/B)) per band, IV the
+    // nano-quantized sum of (goodg/G − badg/B)·WOEg. Same one-scan
+    // five-band collapse as q_cochran_armitage; the IV total broadcasts
+    // back onto the per-band rows.
+    "q_iv_woe" -> ((s, d) => {
+      val g = least(lit(4L), floor(col("value") / 100).cast("long"))
+      val bands = graft.CacheScope.cached(Tables.events(s, d)
+        .select(g.as("band"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), sum("y").as("good")))
+      val tot = bands.agg(sum("good").as("gg"),
+        sum(col("n") - col("good")).as("bb"))
+      val w = bands.crossJoin(broadcast(tot))
+        .withColumn("bad", col("n") - col("good"))
+      val gr = col("good").cast("double") / col("gg")
+      val br = col("bad").cast("double") / col("bb")
+      val woe = when(col("good") === 0L || col("bad") === 0L, lit(null))
+        .otherwise(log(gr / br))
+      val rows = graft.CacheScope.cached(w.select(col("band"), col("n"),
+        col("good"), col("bad"), round(woe, 6).as("woe"),
+        when(woe.isNull, lit(0L))
+          .otherwise(round((gr - br) * woe * lit(1e9)).cast("long"))
+          .as("iv9")))
+      val ivTot = rows.agg(sum("iv9").as("iv9t"))
+      rows.crossJoin(broadcast(ivTot))
+        .select(col("band"), col("n"), col("good"), col("bad"),
+          col("woe"), round(col("iv9") / 1e9, 6).as("iv_term"),
+          round(col("iv9t") / 1e9, 6).as("iv_total"))
+        .orderBy("band")
     })
   )
 
@@ -731,6 +811,61 @@ object Stats3 {
         |  round(CASE WHEN seen = 0 THEN NULL ELSE z / p END, 6)
         |    AS demand_rate
         |FROM rec CROSS JOIN n WHERE i = nd""".stripMargin,
+    "q_gini_stump" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |bv AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(y) AS BIGINT) AS p
+        |  FROM e GROUP BY 1),
+        |run AS (
+        |  SELECT v, CAST(sum(f) OVER (ORDER BY v) AS BIGINT) AS nl,
+        |    CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS pl
+        |  FROM bv),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(y) AS BIGINT) AS pp FROM e),
+        |sc AS (
+        |  SELECT v, nl, pl, nn - nl AS nr, pp - pl AS pr, nn, pp,
+        |    CAST(round((CAST(pl AS DOUBLE) * (nl - pl) / nl +
+        |      CAST(pp - pl AS DOUBLE) * ((nn - nl) - (pp - pl)) /
+        |      (nn - nl)) * 1e9) AS BIGINT) AS c9
+        |  FROM run CROSS JOIN tot WHERE nl < nn),
+        |best AS (SELECT * FROM sc ORDER BY c9 ASC, v ASC LIMIT 1)
+        |SELECT v AS split_cents, nl AS n_left, nr AS n_right,
+        |  round(CAST(pl AS DOUBLE) / nl, 6) AS rate_left,
+        |  round(CAST(pr AS DOUBLE) / nr, 6) AS rate_right,
+        |  round((CAST(pp AS DOUBLE) * (nn - pp) / nn - c9 / 1e9) *
+        |    2.0 / nn, 9) AS gini_gain
+        |FROM best""".stripMargin,
+    "q_iv_woe" ->
+      """WITH bands AS (
+        |  SELECT least(4, CAST(floor(value / 100) AS BIGINT)) AS band,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS good
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(good) AS BIGINT) AS gg,
+        |    CAST(sum(n - good) AS BIGINT) AS bb FROM bands),
+        |w AS (
+        |  SELECT band, n, good, n - good AS bad, gg, bb,
+        |    CASE WHEN good = 0 OR n - good = 0 THEN NULL
+        |      ELSE ln((CAST(good AS DOUBLE) / gg) /
+        |        (CAST(n - good AS DOUBLE) / bb)) END AS woe_raw
+        |  FROM bands CROSS JOIN tot),
+        |r AS (
+        |  SELECT band, n, good, bad, round(woe_raw, 6) AS woe,
+        |    CASE WHEN woe_raw IS NULL THEN 0
+        |      ELSE CAST(round((CAST(good AS DOUBLE) / gg -
+        |        CAST(bad AS DOUBLE) / bb) * woe_raw * 1e9) AS BIGINT)
+        |      END AS iv9
+        |  FROM w),
+        |t2 AS (SELECT CAST(sum(iv9) AS BIGINT) AS iv9t FROM r)
+        |SELECT band, n, good, bad, woe,
+        |  round(iv9 / 1e9, 6) AS iv_term,
+        |  round(iv9t / 1e9, 6) AS iv_total
+        |FROM r CROSS JOIN t2 ORDER BY band""".stripMargin,
     "q_reg_discontinuity" ->
       """WITH t AS (
         |  SELECT n_chars,

@@ -105,17 +105,23 @@ object GraphOps {
     // rows. The same doubling shape scales to big vertex sets as
     // O(log diameter) keyed equi-joins — never a cartesian.
     "q_scc" -> ((s, d) => {
+      // The corpus-scale edge derivation caches (so repeated runs reuse
+      // one materialization); each doubling round materializes EAGERLY
+      // (localCheckpoint) — the iterated-lineage rule (SCALING.md
+      // round-5 lesson): left lazy, r appears 3^5 times in the final
+      // plan and the tiny closure re-executes combinatorially. The
+      // bounded ≤|V|² rounds run single-partition so each costs one
+      // small task, not a 32-task shuffle.
       val e = graft.CacheScope.cached(tradeEdges(s, d)
         .filter(col("src") =!= col("dst"))
         .select(col("src").cast("long").as("u"),
           col("dst").cast("long").as("v"))
         .distinct())
-      var r = e
+      var r = e.coalesce(1).localCheckpoint(true)
       for (_ <- 1 to 5) {
-        r = graft.CacheScope.cached(
-          r.union(r.toDF("u", "m").join(r.toDF("m", "v"), "m")
-              .select("u", "v"))
-            .distinct())
+        r = r.union(r.toDF("u", "m").join(r.toDF("m", "v"), "m")
+            .select("u", "v"))
+          .distinct().coalesce(1).localCheckpoint(true)
       }
       val nodes = e.select(col("u").as("n"))
         .union(e.select(col("v").as("n"))).distinct()

@@ -126,7 +126,8 @@ object Similarity {
           .crossJoin(broadcast(tt))
           .select(lit(p).as("prefix_dim"), col("n_queries"),
             col("n_truth"), col("hits"),
-            round(col("hits").cast("double") / col("n_truth"), 6)
+            round(when(col("n_truth") === 0L, lit(null))
+              .otherwise(col("hits").cast("double") / col("n_truth")), 6)
               .as("recall"))
       }
       Seq(8, 16, 32).map(arm).reduce(_.unionByName(_))
@@ -1132,7 +1133,8 @@ object Similarity {
          |arms AS (
          |$armRows)
          |SELECT prefix_dim, n_queries, n_truth, hits,
-         |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall
+         |  round(CASE WHEN n_truth = 0 THEN NULL
+         |    ELSE CAST(hits AS DOUBLE) / n_truth END, 6) AS recall
          |FROM arms CROSS JOIN tt ORDER BY prefix_dim""".stripMargin
     },
     "q_cosine_pairs" ->

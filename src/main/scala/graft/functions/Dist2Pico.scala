@@ -113,7 +113,10 @@ object Dist2Pico {
     * there. Only the razor-edge cases pay BigDecimal. */
   def round12(d: Double): Long = {
     val v = d * d * 1e12
-    if (v >= 4.503599627370496e15) { // 2^52: integral, round-trips
+    if (v != v) { // NaN (e.g. Inf − Inf element diff): Spark's round
+      0L          // passes NaN through and non-ANSI cast-to-long yields 0;
+                  // BigDecimal.valueOf(NaN) would throw (ADVICE r9)
+    } else if (v >= 4.503599627370496e15) { // 2^52: integral, round-trips
       v.toLong
     } else {
       val f = math.floor(v)

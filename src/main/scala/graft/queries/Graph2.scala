@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 graph batch on the part co-purchase graph
+  * ([[GraphOps.coPurchaseEdges]]): community detection by synchronous
+  * label propagation and Weisfeiler–Lehman color refinement — the two
+  * standard "what communities / what structure" passes a pipeline runs
+  * after the centrality family (pagerank/kcore/triangles already in
+  * GraphOps).
+  *
+  * Both operators follow the house iteration discipline (SCALING.md
+  * round-5 lesson): the corpus-scale work is the ONE distinct-edge
+  * derivation (cached); every round is a keyed equi-join + aggregate on
+  * the (node,·) frame, eagerly checkpointed so the final plan reads
+  * materialized rounds instead of re-deriving the join tree
+  * combinatorially. Fixed round counts (no data-dependent convergence
+  * loop) keep the plan a static DAG; every tie breaks on an explicit
+  * deterministic key, so two engines (and two replicas) derive identical
+  * labels.
+  */
+object Graph2 {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Symmetrized adjacency (node, nbr) of the co-purchase graph. */
+  private def adjacency(s: SparkSession, d: String): DataFrame = {
+    val e = GraphOps.coPurchaseEdges(s, d)
+    e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- synchronous label propagation (3 rounds, Raghavan et al.
+    // shape): init label = node id; each round every node adopts the
+    // most frequent label among its NEIGHBORS (count desc, label asc —
+    // the deterministic tie-break that replaces the classic random
+    // one). Scale shape: each round is one equi-join on the adjacency +
+    // one (node, label) aggregate — keyed shuffles that partition with
+    // the data; labels never fan out beyond degree. Output: the 10
+    // largest communities after round 3.
+    "q_label_prop" -> ((s, d) => {
+      val adj = graft.CacheScope.cached(adjacency(s, d))
+      val w = Window.partitionBy("node")
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      def round(lbl: DataFrame): DataFrame =
+        adj.join(lbl.toDF("nbr", "lbl"), "nbr")
+          .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("node", "lbl")
+          .localCheckpoint(true)
+      val l0 = adj.select("node").distinct()
+        .select(col("node"), col("node").as("lbl"))
+      val l3 = round(round(round(l0)))
+      l3.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community").asc)
+        .limit(10)
+    }),
+
+    // ---- Weisfeiler–Lehman color refinement (2 rounds): color₀ =
+    // degree; colorᵣ₊₁ = md5(own color ‖ sorted neighbor colors) — the
+    // 1-WL graph fingerprint used for isomorphism screening and as the
+    // feature map of WL graph kernels. The color alphabet refines
+    // monotonically; the per-round distinct-color count (and largest
+    // color class) is the structure signature. Determinism: neighbor
+    // multisets serialize SORTED (lexicographic on the string form, the
+    // same binary collation both engines use), md5 hex is identical
+    // everywhere. Scale shape: a round is one adjacency join + one
+    // degree-bounded list aggregate per node — the standard distributed
+    // WL; heavy-degree nodes bound the list size, nothing is quadratic.
+    "q_wl_colors" -> ((s, d) => {
+      val adj = graft.CacheScope.cached(adjacency(s, d))
+      val c0 = adj.groupBy("node").agg(count(lit(1)).as("dg"))
+        .select(col("node"), col("dg").cast("string").as("c"))
+        .localCheckpoint(true)
+      def refine(c: DataFrame): DataFrame =
+        adj.join(c.toDF("nbr", "nc"), "nbr")
+          .groupBy("node")
+          .agg(concat_ws(",", sort_array(collect_list(col("nc"))))
+            .as("ns"))
+          .join(c, "node")
+          .select(col("node"),
+            md5(concat(col("c"), lit("|"), col("ns"))).as("c"))
+          .localCheckpoint(true)
+      val c1 = refine(c0)
+      val c2 = refine(c1)
+      def summarize(c: DataFrame, r: Int): DataFrame =
+        c.groupBy("c").agg(count(lit(1)).as("sz"))
+          .agg(lit(r).as("round"), count(lit(1)).as("n_colors"),
+            max("sz").as("largest_class"))
+      summarize(c0, 0).unionByName(summarize(c1, 1))
+        .unionByName(summarize(c2, 2)).orderBy("round")
+    }))
+
+  private val edgeSql =
+    """e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adj AS MATERIALIZED (
+      |  SELECT u AS node, v AS nbr FROM e
+      |  UNION ALL SELECT v, u FROM e)""".stripMargin
+
+  private def lpRound(i: Int): String = {
+    val prev = if (i == 1) "l0" else s"l${i - 1}"
+    s"""l$i AS MATERIALIZED (
+       |  SELECT node, lbl FROM (
+       |    SELECT a.node, l.lbl, count(*) AS cnt,
+       |      row_number() OVER (PARTITION BY a.node
+       |        ORDER BY count(*) DESC, l.lbl ASC) AS rn
+       |    FROM adj a JOIN $prev l ON l.node = a.nbr
+       |    GROUP BY a.node, l.lbl) q
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def wlRound(i: Int): String = {
+    val prev = if (i == 1) "c0" else s"c${i - 1}"
+    s"""c$i AS MATERIALIZED (
+       |  SELECT a.node,
+       |    md5(own.c || '|' || string_agg(n.c, ',' ORDER BY n.c)) AS c
+       |  FROM adj a JOIN $prev n ON n.node = a.nbr
+       |  JOIN $prev own ON own.node = a.node
+       |  GROUP BY a.node, own.c)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_label_prop" ->
+      s"""WITH $edgeSql,
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |${lpRound(1)},
+         |${lpRound(2)},
+         |${lpRound(3)}
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+         |FROM l3 GROUP BY 1
+         |ORDER BY size DESC, community ASC LIMIT 10""".stripMargin,
+    "q_wl_colors" ->
+      s"""WITH $edgeSql,
+         |c0 AS MATERIALIZED (
+         |  SELECT node, CAST(CAST(count(*) AS BIGINT) AS VARCHAR) AS c
+         |  FROM adj GROUP BY node),
+         |${wlRound(1)},
+         |${wlRound(2)},
+         |s0 AS (SELECT 0 AS round, CAST(count(*) AS BIGINT) AS n_colors,
+         |    CAST(max(sz) AS BIGINT) AS largest_class
+         |  FROM (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c0
+         |        GROUP BY c) q),
+         |s1 AS (SELECT 1 AS round, CAST(count(*) AS BIGINT) AS n_colors,
+         |    CAST(max(sz) AS BIGINT) AS largest_class
+         |  FROM (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c1
+         |        GROUP BY c) q),
+         |s2 AS (SELECT 2 AS round, CAST(count(*) AS BIGINT) AS n_colors,
+         |    CAST(max(sz) AS BIGINT) AS largest_class
+         |  FROM (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c2
+         |        GROUP BY c) q)
+         |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |UNION ALL SELECT * FROM s2 ORDER BY round""".stripMargin)
+}

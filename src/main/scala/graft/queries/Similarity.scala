@@ -749,6 +749,96 @@ object Similarity {
     })
   )
 
+  /** Bench-only production forms of the two exact verifiers (VERDICT r9
+    * "Next round" #3/#5). The gate queries stay exact — q_cosine_pairs IS
+    * the all-pairs ground truth and q_semdedup's cluster-local pruning is
+    * the oracle-checked semantics — but at 100 TB both are the cost their
+    * production twins exist to avoid: together they were ~39% of the 30×
+    * sweep wall (q_cosine_pairs e_cpu 1.95 = 194 s, q_semdedup 1.58 =
+    * 63 s). These forms keep the IDENTICAL thresholds and output shape and
+    * bound the pairwise work with the same integer-threshold capacity
+    * ladder q_ann_lsh uses (one hyperplane per corpus doubling above 2000
+    * vectors — constant per-bucket occupancy, so Σ|bucket|² is ~linear):
+    *  - q_cosine_pairs: random-hyperplane buckets gate candidate
+    *    generation; below the first rung (every driver-gate SF, ≤ 2000
+    *    vectors) the EXACT form runs unchanged, so the driver bench times
+    *    the same query the oracle verifies.
+    *  - q_semdedup: the coarse k=8 k-means partitioning stays (the
+    *    laddered-k production form — capacity grows by sub-bucketing each
+    *    cluster on hyperplane bits rather than re-fitting an enormous k,
+    *    keeping the centroid matrix a bounded plan literal); 0 extra bits
+    *    at gate SFs → byte-identical to the exact form there.
+    * Bench times `queries ++ benchForm` (same keys, so the bench row
+    * prices the production path); Verify and the DuckDB hash gate run
+    * `queries` unchanged.
+    */
+  val benchForm: Map[String, Q] = Map(
+    "q_cosine_pairs" -> ((s, d) => {
+      val v = graft.CacheScope.cached(vecs(s, d))
+      val nVec = v.count() // bounded driver action (1 long), as in q_ann_lsh
+      val nPlanes = Seq(2000L, 4000L, 8000L, 16000L, 32000L, 64000L,
+        128000L, 256000L).count(nVec > _)
+      if (nPlanes == 0) queries("q_cosine_pairs")(s, d)
+      else {
+        val planeBits = (0 until nPlanes).map { k =>
+          val weights = (0 until 64).map(i =>
+            ((1103515245L * (k * 64L + i) + 12345L) % 65536L - 32768L).toDouble)
+          when(dot(col("v"), typedlit(weights)) >= 0, lit(1L) * (1L << k))
+            .otherwise(0L)
+        }
+        val bucketed = v.withColumn("bucket", planeBits.reduce(_ + _))
+        val a = bucketed.select(col("bucket"), col("vec_id").as("va"),
+          col("v").as("xa"), col("nrm").as("na"))
+        val b = bucketed.select(col("bucket"), col("vec_id").as("vb"),
+          col("v").as("xb"), col("nrm").as("nb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("va") < col("vb"))
+          .select(col("va"), col("vb"),
+            round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+              .as("cos_r"))
+          .filter(col("cos_r") >= 0.4)
+          .orderBy("va", "vb")
+      }
+    }),
+    "q_semdedup" -> ((s, d) => {
+      val v = graft.CacheScope.cached(vecs(s, d))
+      val nVec = v.count()
+      val nSub = Seq(2000L, 4000L, 8000L, 16000L, 32000L, 64000L,
+        128000L, 256000L).count(nVec > _)
+      val assign = graft.operators.KMeans
+        .fit(v.select(col("vec_id").as("id"), col("v")), k = 8, iters = 2)
+        ._2.select(col("id"), col("cluster"))
+      // sub-bucket bits use a +16 plane-index offset so the projections
+      // are independent of the q_ann_lsh / q_cosine_pairs planes
+      val subBits = (0 until nSub).map { k =>
+        val weights = (0 until 64).map(i =>
+          ((1103515245L * ((k + 16) * 64L + i) + 12345L) % 65536L - 32768L)
+            .toDouble)
+        when(dot(col("v"), typedlit(weights)) >= 0, lit(1L) * (1L << k))
+          .otherwise(0L)
+      }
+      val withC = graft.CacheScope.cached(
+        v.join(assign, col("vec_id") === col("id"))
+          .withColumn("ckey", col("cluster").cast("long") * (1L << nSub) +
+            subBits.reduceOption[Column](_ + _).getOrElse(lit(0L)))
+          .select(col("vec_id"), col("cluster"), col("ckey"), col("v"),
+            col("nrm")))
+      val a = withC.select(col("ckey"), col("vec_id").as("va"),
+        col("cluster").as("ca"), col("v").as("xa"), col("nrm").as("na"))
+      val b = withC.select(col("ckey"), col("vec_id").as("vb"),
+        col("v").as("xb"), col("nrm").as("nb"))
+      a.join(b, Seq("ckey"))
+        .filter(col("va") < col("vb"))
+        .select(col("ca").as("cluster"), col("vb"), col("va"),
+          round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+            .as("cos_r"))
+        .filter(col("cos_r") >= 0.35)
+        .groupBy(col("vb").as("vec_id"), col("cluster"))
+        .agg(min("va").as("dup_of"), max("cos_r").as("max_cos"))
+        .select("vec_id", "cluster", "dup_of", "max_cos")
+        .orderBy("vec_id")
+    }))
+
   /** Combined IVF-PQ top-5 — shared by q_ivfpq_search and
     * q_ivfpq_recall. */
   private def ivfpqTop(s: SparkSession, d: String): DataFrame = {

@@ -43,8 +43,11 @@ object Stats3 {
           (col("user_id") % 2 === 1).as("treat"))
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
           count(lit(1)).as("n")))
-      val mid = cell.agg(((min("day") + max("day") + 1) / lit(2L))
-        .as("mid"))
+      // ADVICE r9: Column `/` on longs is DOUBLE division — an even
+      // mn+mx would yield an X.5 midpoint on Spark while the oracle's
+      // `// 2` floors; `div` is integer division on both engines
+      val mid = cell.agg(min("day").as("mn"), max("day").as("mx"))
+        .select(expr("(mn + mx + 1) div 2").as("mid"))
       val g = cell.crossJoin(broadcast(mid))
         .withColumn("post", col("day") >= col("mid"))
       def m(tr: Boolean, po: Boolean): Column = {
@@ -67,7 +70,7 @@ object Stats3 {
     // term) comes from the friedman grid pattern; each cell's
     // (o−e)²/e quantizes to nano-units before the sum so engine-side
     // addition order is irrelevant.
-    "q_cramers_v" -> ((s, d) => {
+    "q_cramers_v_events" -> ((s, d) => {
       val c = graft.CacheScope.cached(Tables.events(s, d)
         .groupBy(col("event_type").as("t"),
           (expr(s"ts_us div $DayUs") % 7).as("wd"))
@@ -232,7 +235,7 @@ object Stats3 {
     // "random" and a pure function of the key). One per-source window
     // off a single exchange; at 100 TB the partition count follows the
     // stratum key, never a global sort.
-    "q_stratified_sample" -> ((s, d) => {
+    "q_stratified_topk" -> ((s, d) => {
       val w = Window.partitionBy("source")
         .orderBy(col("h").asc, col("doc_id").asc)
       Tables.documents(s, d)
@@ -296,7 +299,10 @@ object Stats3 {
       val sums = Tables.events(s, d)
         .select(v.as("v"), (v * v).as("v2"))
         .agg(count(lit(1)).as("n"), sum("v").as("s1"),
-          sum("v2").as("s2"),
+          // ADVICE r9: v² through decimal like s3/s4 — a BIGINT sum of v²
+          // overflows first at ~4e8 max-cent rows, where non-ANSI Spark
+          // wraps silently while DuckDB raises
+          sum(col("v2").cast("decimal(20,0)")).as("s2"),
           sum(col("v2").cast("decimal(20,0)") * col("v")).as("s3"),
           sum(col("v2").cast("decimal(20,0)") * col("v2")).as("s4"))
       val n = col("n").cast("double")
@@ -385,7 +391,7 @@ object Stats3 {
 
     // ---- Cochran–Armitage trend test: does purchase propensity TREND
     // across ordered value bands (0–99, 100–199, … cents·100)? The χ²
-    // independence tests (q_cramers_v) ignore band order; CA is the
+    // independence tests (q_cramers_v_events) ignore band order; CA is the
     // one that earns its power from it. Five (n_g, r_g) integer pairs
     // from one scan; T, Var(T), and z are one mirrored double chain;
     // Φ via the A&S 7.1.26 polynomial with identical literals in both
@@ -665,7 +671,7 @@ object Stats3 {
         |  round(cpost, 4) AS ctrl_post,
         |  round((tpost - tpre) - (cpost - cpre), 4) AS did
         |FROM m""".stripMargin,
-    "q_cramers_v" ->
+    "q_cramers_v_events" ->
       """WITH c AS (
         |  SELECT event_type AS t,
         |    (epoch_us(ts) // 86400000000) % 7 AS wd,
@@ -932,7 +938,7 @@ object Stats3 {
       """WITH sums AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(v) AS BIGINT) AS s1,
-        |    CAST(sum(v * v) AS BIGINT) AS s2,
+        |    CAST(sum(CAST(v * v AS HUGEINT)) AS HUGEINT) AS s2,
         |    CAST(sum(CAST(v * v AS HUGEINT) * v) AS HUGEINT) AS s3,
         |    CAST(sum(CAST(v * v AS HUGEINT) * (v * v)) AS HUGEINT)
         |      AS s4
@@ -1097,7 +1103,7 @@ object Stats3 {
         |    ELSE CAST(k AS DOUBLE) / (k - 1.0) *
         |      (1.0 - iv6 / 1e6 / vart) END, 6) AS alpha
         |FROM f""".stripMargin,
-    "q_stratified_sample" ->
+    "q_stratified_topk" ->
       """SELECT doc_id, source, rn FROM (
         |  SELECT doc_id, source, CAST(row_number() OVER (
         |      PARTITION BY source

@@ -617,6 +617,67 @@ object StreamOps {
       }
   }
 
+  final case class CrostonUpdate(series: String, n_days: Long,
+      n_demand: Long, size_hat: Option[Double],
+      interval_hat: Option[Double], demand_rate: Option[Double])
+  final case class CrostonState(day: Long, n: Long, first: Long,
+      lastDemand: Long, seen: Long, z: Double, p: Double)
+
+  /** Streaming Croston intermittent-demand forecast — the stateful twin
+    * of batch q_croston (queries.Stats3): the stream carries DEMAND
+    * events only (signups), so every arriving day is a nonzero-demand
+    * day and the zero-demand calendar days the method cares about exist
+    * purely as gaps between arriving days — exactly how the batch
+    * recurrence consumes them (only nonzero days update state; zero days
+    * only widen the next inter-arrival gap). Same literal constants in
+    * the same operation order (z′ = 0.2·x + 0.8·z, p′ = 0.2·gap + 0.8·p,
+    * init z = x₁, p = 1 at the first demand day, which IS the calendar
+    * origin since the batch calendar starts at min(demand day)), so the
+    * stream's doubles are bit-identical to the batch fold. Day-close
+    * discipline is [[holtForecast]]'s: a day folds when a later day's
+    * first event arrives; late events for closed days drop; estimates
+    * are None until one demand day has closed. State is five longs + two
+    * doubles per series. StreamingSpec pins batch parity via the
+    * sentinel close. */
+  def crostonMonitor(points: Dataset[HoltPoint], series: String = "events",
+      dayUs: Long = 86400000000L): Dataset[CrostonUpdate] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[CrostonState, CrostonUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[CrostonState]) =>
+          var st = state.getOption
+            .getOrElse(CrostonState(-1L, 0L, -1L, -1L, 0L, 0.0, 0.0))
+          def close(cur: CrostonState): CrostonState = {
+            val x = cur.n.toDouble
+            if (cur.seen == 0L)
+              cur.copy(lastDemand = cur.day, seen = 1L, z = x,
+                p = (cur.day - cur.first + 1L).toDouble)
+            else {
+              val gap = (cur.day - cur.lastDemand).toDouble
+              cur.copy(lastDemand = cur.day, seen = cur.seen + 1L,
+                z = 0.2 * x + 0.8 * cur.z,
+                p = 0.2 * gap + 0.8 * cur.p)
+            }
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { pt =>
+            val d = pt.ts_us / dayUs
+            if (st.day == -1L) st = st.copy(day = d, n = 1L, first = d)
+            else if (d == st.day) st = st.copy(n = st.n + 1L)
+            else if (d > st.day) st = close(st).copy(day = d, n = 1L)
+            // d < st.day: late event for a closed day — dropped
+          }
+          state.update(st)
+          Iterator(
+            if (st.seen >= 1L)
+              CrostonUpdate(key, st.lastDemand - st.first + 1L, st.seen,
+                Some(st.z), Some(st.p),
+                if (st.p == 0.0) None else Some(st.z / st.p))
+            else CrostonUpdate(key, 0L, 0L, None, None, None))
+      }
+  }
+
   final case class HwUpdate(series: String, n_days: Long,
       level: Option[Double], trend: Option[Double],
       forecast_1d: Option[Double], season_range: Option[Double])

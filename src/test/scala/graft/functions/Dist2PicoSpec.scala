@@ -87,4 +87,38 @@ class Dist2PicoSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the zero-length fold is 0, not null
     assert(rows.last.getLong(0) === 0L)
   }
+
+  test("NaN / Inf elements → non-ANSI lambda-form parity (ADVICE r9)") {
+    Dist2Pico.register(spark)
+    // Inf − Inf and NaN elements: Spark's round passes NaN/Inf through
+    // and the NON-ANSI cast(long) yields 0 / Long.MaxValue; the native
+    // fast paths must agree instead of feeding BigDecimal.valueOf(NaN)
+    // (which throws NumberFormatException). Under ANSI (the Spark 4
+    // default) the lambda form itself throws CAST_OVERFLOW on these
+    // inputs — the native kernel is deliberately total, so the parity
+    // reference is the non-ANSI lambda.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = spark.sql(
+        """SELECT * FROM VALUES
+          |  (array(cast('Infinity' as double)),
+          |   array(cast('Infinity' as double))),
+          |  (array(cast('-Infinity' as double)),
+          |   array(cast('Infinity' as double))),
+          |  (array(cast('NaN' as double)), array(1.0d)),
+          |  (array(1.0d, cast('Infinity' as double)), array(1.0d, 0.0d))
+          |  AS t(a, b)""".stripMargin)
+        .select(
+          call_function("dist2_pico", col("a"), col("b")).as("native"),
+          lambdaForm(col("a"), col("b")).as("ref"))
+      for (r <- df.collect()) {
+        val n = if (r.isNullAt(0)) null else r.getLong(0)
+        val f = if (r.isNullAt(1)) null else r.getLong(1)
+        assert(n === f, s"native=$n ref=$f")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // direct unit pins: Inf−Inf diff is NaN → 0; Inf diff saturates
+    assert(Dist2Pico.round12(Double.NaN) === 0L)
+    assert(Dist2Pico.round12(Double.PositiveInfinity) === Long.MaxValue)
+  }
 }

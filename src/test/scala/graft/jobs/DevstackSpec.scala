@@ -110,7 +110,13 @@ class DevstackSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.writeString(Paths.get(s"$dir/fruit.txt"), "apple\nkiwi\n")
     val dirA = s"$dir/clusterA"
     val dirB = s"$dir/clusterB"
-    val R = 500L // requester lease bound (ms)
+    // requester lease bound (ms). 1500 not 500: on a contended box a
+    // post-heal step round can take >500 ms, at which point node-d
+    // LEGITIMATELY claims the re-expired lease and the final
+    // single-holder assertion sees a third elect — correct protocol
+    // behavior, wrong test premise. The wider bound keeps the forced
+    // split (sleep R+300) the only expiry the test produces.
+    val R = 1500L
     val a = new DevstackNode(spark, "node-a", dirA,
       requesterStaleMs = R, computeDisabled = true)
     val b = new DevstackNode(spark, "node-b", dirA, requesterStaleMs = R)

@@ -1272,7 +1272,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // DiD / Cramér's V / Kendall's W / distances / Croston: each collapses
     // the corpus in ONE pass to a calendar/vocabulary-bounded frame; all
     // later joins run on broadcast-small frames (no sort-merge anywhere)
-    for (q <- Seq("q_diff_in_diff", "q_cramers_v", "q_kendall_w",
+    for (q <- Seq("q_diff_in_diff", "q_cramers_v_events", "q_kendall_w",
         "q_dist_distance", "q_croston")) {
       val p = planOf(q)
       val scans = p.linesIterator
@@ -1300,7 +1300,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
     // stratified sample: the one window keys on the stratum; no
     // partition-less window, no global sort of documents
-    val ss = SparkEntry.queries("q_stratified_sample")(spark, sf)
+    val ss = SparkEntry.queries("q_stratified_topk")(spark, sf)
       .queryExecution
     assert(ss.sparkPlan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
@@ -1374,13 +1374,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("round-9 batch 4: SCC bounded closure, stump prefix ranks, WoE collapse") {
     // SCC: the corpus-scale work is ONE distinct-edge derivation; the
     // published plan reads checkpointed ≤|V|² frames (no re-derivation
-    // of the 4-way join anywhere in the final plan)
-    val sp = planOf("q_scc")
-    val sccScans = sp.linesIterator
-      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
-    assert(sccScans == 0,
-      s"q_scc's final plan must read checkpoints, got $sccScans corpus scans")
-    assert(!sp.contains("CartesianProduct"))
+    // of the 4-way join anywhere in the final plan). VERDICT r9 #1:
+    // assert on the physical TREE (collect FileSourceScanExec), NOT on
+    // formatted-explain strings — formatted output always re-prints a
+    // cached relation's child plan inside the InMemoryRelation detail
+    // section, so a string count can never be 0 for a CacheScope-cached
+    // input even when the live plan only reads checkpoints + cache.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sQe = SparkEntry.queries("q_scc")(spark, sf).queryExecution
+    val sccScans = sQe.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(sccScans.isEmpty,
+      s"q_scc's final plan must read checkpoints, got ${sccScans.size} corpus scans")
+    assert(!sQe.executedPlan.toString.contains("CartesianProduct"))
     graft.CacheScope.drain(); spark.catalog.clearCache()
     // Gini stump: prefix counts via GlobalRank (only its bounded offsets
     // window may be partition-less); the winner is a TakeOrdered row
@@ -1395,12 +1400,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the argmin split must be a TakeOrdered, not a global sort")
     graft.CacheScope.drain(); spark.catalog.clearCache()
     // IV/WoE: one corpus scan to the band collapse; the IV total
-    // broadcasts back onto the bounded band rows
-    val wp = planOf("q_iv_woe")
-    val wScans = wp.linesIterator
-      .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
-    assert(wScans <= 1, s"q_iv_woe must scan the corpus once, got $wScans")
-    assert(!wp.contains("SortMergeJoin"))
+    // broadcasts back onto the bounded band rows. Same tree-walk
+    // discipline as q_scc above: the previous string count passed only
+    // because the cached scan's re-print landed exactly at the bound.
+    val wQe = SparkEntry.queries("q_iv_woe")(spark, sf).queryExecution
+    val wScans = wQe.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(wScans.size <= 1,
+      s"q_iv_woe must scan the corpus once, got ${wScans.size}")
+    assert(!wQe.executedPlan.toString.contains("SortMergeJoin"))
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 

@@ -643,6 +643,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming Croston equals batch q_croston once a sentinel closes " +
+       "the last demand day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // demand events only: the stream twin of the batch signup filter
+    val pts = graft.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+      .select(org.apache.spark.sql.functions.col("ts_us"))
+      .as[StreamOps.HoltPoint]
+      .collect().sortBy(_.ts_us)
+    val in = MemoryStream[StreamOps.HoltPoint]
+    val q = StreamOps.crostonMonitor(in.toDS()).writeStream
+      .format("memory").queryName("croston").outputMode("append").start()
+    try {
+      pts.grouped(200).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // mid-stream: the open day is never folded — closed demand days
+      // trail the distinct demand days by exactly one
+      val nDistinct = pts.map(_.ts_us / 86400000000L).distinct.length
+      val mid = spark.table("croston").as[StreamOps.CrostonUpdate]
+        .collect().maxBy(_.n_demand)
+      assert(mid.n_demand === nDistinct - 1,
+        s"open day must stay unfolded: ${mid.n_demand} vs $nDistinct days")
+      // sentinel one day past the end closes the final real day — state
+      // must now equal the batch fold over the full calendar
+      in.addData(StreamOps.HoltPoint(pts.last.ts_us + 86400000000L))
+      q.processAllAvailable()
+      val last = spark.table("croston").as[StreamOps.CrostonUpdate]
+        .collect().maxBy(_.n_demand)
+      val batch = graft.SparkEntry.queries("q_croston")(spark, sf)
+        .collect().head
+      assert(last.n_days === batch.getAs[Long]("n_days"))
+      assert(last.n_demand === batch.getAs[Long]("n_demand"))
+      // same literals, same fold order → bit-identical doubles; compare
+      // at the batch's published rounding
+      def r4(v: Double) = math.rint(v * 1e4) / 1e4
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6
+      assert(r4(last.size_hat.get) === batch.getAs[Double]("size_hat"))
+      assert(r4(last.interval_hat.get) ===
+        batch.getAs[Double]("interval_hat"))
+      assert(r6(last.demand_rate.get) === batch.getAs[Double]("demand_rate"))
+    } finally q.stop()
+  }
+
   test("streaming Holt-Winters equals batch q_holt_winters after the " +
        "sentinel close; no estimate before 14 closed days") {
     import spark.implicits._

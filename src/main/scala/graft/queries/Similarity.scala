@@ -651,6 +651,67 @@ object Similarity {
         .orderBy("q_id")
     }),
 
+    // ---- shortlist-then-refine: the production IVF-PQ serving shape
+    // (FAISS's refine stage) — ADC is cheap but lossy, so the index
+    // returns a WIDER shortlist (top-20 by asymmetric distance) and the
+    // final ranking re-scores just those candidates with exact
+    // distances against the raw vectors. Cost: panel × 20 exact
+    // distances instead of panel × corpus — the refine frame is
+    // bounded, the corpus is touched only by the keyed flat join that
+    // fetches the 20 candidates' components. This is the operator that
+    // closes the recall gap q_ivfpq_recall measures without giving up
+    // the ADC scan savings.
+    "q_ivfpq_refine" -> ((s, d) => {
+      val short = ivfpqTop(s, d, 20).select("q_id", "nb_id")
+        .localCheckpoint(true) // bounded panel×20 frame
+      val fl = Tables.embeddings(s, d)
+        .transform(Tables.fanoutReady)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "i", "x")
+        .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+      val ex = short
+        .join(fl.toDF("q_id", "i", "qx"), Seq("q_id"))
+        .join(fl.toDF("nb_id", "i", "nx"), Seq("nb_id", "i"))
+        .groupBy("q_id", "nb_id")
+        .agg(round(sum((col("qx") - col("nx")) * (col("qx") - col("nx"))),
+          6).as("d2_r"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("d2_r").asc, col("nb_id").asc)
+      ex.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "nb_id", "rank", "d2_r")
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- hard-negative mining for contrastive training: per frozen-
+    // panel query, the single most-similar SAME-label vector (the
+    // positive) and the three most-similar DIFFERENT-label vectors (the
+    // hard negatives) — the triplet/InfoNCE batch construction step of
+    // an embedding-training pipeline, where random negatives are too
+    // easy to teach anything and the near-boundary ones carry the
+    // gradient. Panel-broadcast scoring (never all-pairs); one keyed
+    // window partitioned by (query, same-label side).
+    "q_contrastive_pairs" -> ((s, d) => {
+      val all = vecs(s, d)
+      val q = all.filter(panelQuery(col("vec_id")))
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nb_id"),
+          (col("label") === col("q_label")).as("same"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+            .as("cos_r"))
+      val w = Window.partitionBy("q_id", "same")
+        .orderBy(col("cos_r").desc, col("nb_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter((col("same") && col("rank") <= 1) ||
+          (!col("same") && col("rank") <= 3))
+        .select(col("q_id"),
+          when(col("same"), lit("pos")).otherwise(lit("neg")).as("kind"),
+          col("rank"), col("nb_id"), col("cos_r"))
+        .orderBy(col("q_id"), col("kind").desc, col("rank"))
+    }),
+
     // ---- MAP@5 + MRR of the IVF-PQ path against the brute-force truth —
     // the rank-POSITION-sensitive half of the retrieval scorecard
     // (q_ivfpq_recall counts hits anywhere in the top-5; MAP/MRR pay for
@@ -839,9 +900,9 @@ object Similarity {
         .orderBy("vec_id")
     }))
 
-  /** Combined IVF-PQ top-5 — shared by q_ivfpq_search and
-    * q_ivfpq_recall. */
-  private def ivfpqTop(s: SparkSession, d: String): DataFrame = {
+  /** Combined IVF-PQ top-k by ADC — shared by q_ivfpq_search /
+    * q_ivfpq_recall (k=5) and the q_ivfpq_refine shortlist (k=20). */
+  private def ivfpqTop(s: SparkSession, d: String, k: Int = 5): DataFrame = {
       val fl = graft.CacheScope.cached(
         Tables.embeddings(s, d)
           .transform(Tables.fanoutReady)
@@ -894,7 +955,7 @@ object Similarity {
       val wq = Window.partitionBy("q_id")
         .orderBy(col("adist").asc, col("vec_id").asc)
       adc.withColumn("rank", row_number().over(wq))
-        .filter(col("rank") <= 5)
+        .filter(col("rank") <= k)
         .select(col("q_id"), col("vec_id").as("nb_id"), col("rank"),
           col("adist"))
         .orderBy("q_id", "rank")
@@ -1457,6 +1518,56 @@ object Similarity {
          |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS rank
          |  FROM iadc) t
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // refine: the IVF-PQ CTEs widen to a top-20 ADC shortlist, then the
+    // exact per-dimension distances re-rank just those candidates
+    "q_ivfpq_refine" ->
+      s"""WITH $flatSql,
+         |$ivfpqCtes,
+         |short AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adist ASC, vec_id ASC) AS rank
+         |    FROM iadc) t
+         |  WHERE rank <= 20),
+         |ex AS (
+         |  SELECT s.q_id, s.vec_id AS nb_id,
+         |    round(sum((q.x - p.x) * (q.x - p.x)), 6) AS d2_r
+         |  FROM short s
+         |  JOIN flat q ON q.vec_id = s.q_id
+         |  JOIN flat p ON p.vec_id = s.vec_id AND p.i = q.i
+         |  GROUP BY 1, 2)
+         |SELECT q_id, nb_id, rank, d2_r FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY d2_r ASC, nb_id ASC) AS INTEGER) AS rank
+         |  FROM ex) t
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // contrastive mining: the knn scoring CTEs + label sides; one ranked
+    // window per (query, same-label) side
+    "q_contrastive_pairs" ->
+      s"""WITH $flatSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0 AND q.vec_id < 2000
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.q_id, d.nb_id, lq.label = ln.label AS same,
+         |    round(d.dt / (nq.nrm * np.nrm), 6) AS cos_r
+         |  FROM dots d JOIN norm nq ON nq.vec_id = d.q_id
+         |  JOIN norm np ON np.vec_id = d.nb_id
+         |  JOIN lab lq ON lq.vec_id = d.q_id
+         |  JOIN lab ln ON ln.vec_id = d.nb_id),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id, same
+         |    ORDER BY cos_r DESC, nb_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT q_id, CASE WHEN same THEN 'pos' ELSE 'neg' END AS kind,
+         |  rank, nb_id, cos_r
+         |FROM rk
+         |WHERE (same AND rank <= 1) OR (NOT same AND rank <= 3)
+         |ORDER BY q_id, kind DESC, rank""".stripMargin,
     // NDCG@5: the IVF-PQ CTEs + the full cosine frame; per-rank terms
     // round to nano-units before integer summation (scale cancels in the
     // DCG/IDCG ratio)

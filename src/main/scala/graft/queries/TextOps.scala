@@ -374,6 +374,52 @@ object TextOps {
           round(col("novel").cast("double") /
             col("n_grams").cast("double"), 6).as("novelty"))
         .orderBy("doc_id")
+    }),
+
+    // ---- winnowing fingerprints (Schleimer et al., the MOSS selector):
+    // q_fingerprint hashes the WHOLE document (one change anywhere flips
+    // it); winnowing selects the minimum 5-gram hash in every sliding
+    // window of 4 grams, guaranteeing any shared run of ≥ 8 tokens
+    // yields a shared fingerprint while storing only ~1/w of the grams —
+    // the position-robust local fingerprints plagiarism/near-dup
+    // pipelines store. Determinism: the classic rightmost-minimum
+    // tie-break is encoded arithmetically (skey = code·2²¹ + (2²¹−1−p):
+    // least key ⟺ least code then greatest position — no float, no
+    // engine-specific argmin). Scale shape: gram hashing is a per-row
+    // map (array indexing, the shingleCodes discipline); the window min
+    // is keyed by doc_id; output is one row per document.
+    "q_winnowing" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val grams = Tables.documents(s, d)
+        .transform(Tables.fanoutReady)
+        .select(col("doc_id"), words.as("ws"))
+        .filter(size(col("ws")) >= 8) // ≥ one full 4-gram window of 5-grams
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("ws")) - 5),
+          i => conv(substring(md5(concat_ws(" ",
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3), element_at(col("ws"), i + 4),
+            element_at(col("ws"), i + 5))), 1, 8), 16, 10)
+            .cast(LongType))))
+        .toDF("doc_id", "p", "code")
+        .localCheckpoint(true) // shared by the window pass + n_grams agg
+      val M = 1L << 21
+      val w = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.currentRow, 3)
+      val sel = grams
+        .select(col("doc_id"), col("p"),
+          (col("code") * M + (lit(M - 1) - col("p"))).as("skey"))
+        .withColumn("wmin", min("skey").over(w))
+        .withColumn("wcnt", count(lit(1)).over(w))
+        .filter(col("wcnt") === 4) // full windows only
+        .select("doc_id", "wmin").distinct()
+      val nfp = sel.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+      grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(nfp, Seq("doc_id"))
+        .select(col("doc_id"), col("n_grams"), col("n_fps"),
+          round(col("n_fps").cast("double") / (col("n_grams") - 3), 6)
+            .as("density"))
+        .orderBy("doc_id")
     })
   )
 
@@ -437,6 +483,43 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_winnowing" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |words AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS wi,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM w0),
+        |g AS (
+        |  SELECT doc_id, wi - 1 AS p,
+        |    CAST(('0x' || substring(md5(
+        |      w || ' ' || lead(w, 1) OVER pw || ' ' ||
+        |      lead(w, 2) OVER pw || ' ' || lead(w, 3) OVER pw || ' ' ||
+        |      lead(w, 4) OVER pw), 1, 8)) AS BIGINT) AS code
+        |  FROM words
+        |  WINDOW pw AS (PARTITION BY doc_id ORDER BY wi)
+        |  QUALIFY lead(w, 4) OVER pw IS NOT NULL),
+        |k AS (
+        |  SELECT doc_id, p,
+        |    code * 2097152 + (2097151 - p) AS skey FROM g),
+        |win AS (
+        |  SELECT doc_id,
+        |    min(skey) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wcnt
+        |  FROM k),
+        |sel AS (SELECT DISTINCT doc_id, wmin FROM win WHERE wcnt = 4),
+        |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |       FROM g GROUP BY 1),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+        |       FROM sel GROUP BY 1)
+        |SELECT ng.doc_id, n_grams, n_fps,
+        |  round(CAST(n_fps AS DOUBLE) / (n_grams - 3), 6) AS density
+        |FROM ng JOIN nf ON nf.doc_id = ng.doc_id
+        |ORDER BY ng.doc_id""".stripMargin,
     "q_bpe_loop" -> bpeLoopSql(4),
     "q_bpe_fertility" ->
       s"""WITH ${bpeStagesSql(4)},

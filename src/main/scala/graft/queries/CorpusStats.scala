@@ -445,10 +445,92 @@ object CorpusStats {
           round(col("w"), 6).as("w"),
           round(col("n") * col("w"), 4).as("fitted"))
         .orderBy("source", "lang")
+    }),
+
+    // ---- dataset card: the per-source datasheet row (Gebru et al.'s
+    // "datasheets for datasets" shape) a curation team publishes with
+    // every corpus release — volume, token mass, exact duplicate rate,
+    // language spread and its entropy, and the dominant language. One
+    // cached narrow projection of the corpus feeds two aggregates
+    // (per-source scalars incl. distinct-digest dup rate; per-
+    // (source,lang) counts for mode + entropy); everything after is
+    // bounded-frame joins. Entropy terms quantize to nano before the
+    // sum; the dominant language ties break lexicographically.
+    "q_dataset_card" -> ((s, d) => {
+      val base = graft.CacheScope.cached(Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          md5(col("text")).as("h"),
+          size(split(col("text"), " ")).as("ntok")))
+      val per = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(col("ntok").cast("long")).as("total_tokens"),
+        countDistinct("h").as("n_distinct"))
+      val sl = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // bounded |sources|×|langs| grid
+      val wtop = Window.partitionBy("source")
+        .orderBy(col("c").desc, col("lang").asc)
+      val top = sl.withColumn("rn", row_number().over(wtop))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val ent = sl.join(sl.groupBy("source").agg(sum("c").as("nt")),
+          "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"),
+          sum(round(-(col("c").cast("double") / col("nt")) *
+            log(col("c").cast("double") / col("nt")) * 1e9).cast("long"))
+            .as("ent9"))
+      per.join(broadcast(top), "source").join(broadcast(ent), "source")
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("total_tokens"),
+          round(col("total_tokens").cast("double") / col("n_docs"), 4)
+            .as("mean_tokens"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_docs"), 6).as("dup_rate"),
+          col("n_langs"), col("top_lang"),
+          round(col("ent9") / 1e9, 6).as("lang_entropy"))
+        .orderBy("source")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source, lang, n_chars, md5(text) AS h,
+        |    len(string_split(text, ' ')) AS ntok
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+        |  FROM base GROUP BY 1),
+        |sl AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, lang ASC) AS rn
+        |    FROM sl) t
+        |  WHERE rn = 1),
+        |ent AS (
+        |  SELECT sl.source, CAST(count(*) AS BIGINT) AS n_langs,
+        |    CAST(sum(CAST(round(
+        |      -(CAST(c AS DOUBLE) / nt.nt) *
+        |      ln(CAST(c AS DOUBLE) / nt.nt) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS ent9
+        |  FROM sl JOIN (SELECT source, CAST(sum(c) AS BIGINT) AS nt
+        |                FROM sl GROUP BY 1) nt ON nt.source = sl.source
+        |  GROUP BY 1)
+        |SELECT per.source, n_docs, total_chars, total_tokens,
+        |  round(CAST(total_tokens AS DOUBLE) / n_docs, 4) AS mean_tokens,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  n_langs, top_lang,
+        |  round(ent9 / 1e9, 6) AS lang_entropy
+        |FROM per JOIN top ON top.source = per.source
+        |JOIN ent ON ent.source = per.source
+        |ORDER BY per.source""".stripMargin,
     "q_anova" ->
       """WITH q AS (
         |  SELECT source,

@@ -59,6 +59,61 @@ object Graph2 {
         .limit(10)
     }),
 
+    // ---- SimRank (Jeh & Widom) on the event-type transition graph —
+    // "two event types are similar if similar types lead to them":
+    // s(a,b) = C/(|I(a)||I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i,j), C = 0.8,
+    // two iterations from s₀ = identity, on the DISTINCT directed
+    // transition edges (q_markov's per-user lag derivation; self-loops
+    // excluded as in the classic formulation). The vertex set is the
+    // event-type alphabet — structurally bounded like the nation graphs
+    // — so the pair frame is ≤ |T|²; scores live in nano-units
+    // (round(s·10⁹) → BIGINT) so every Σ s(i,j) is an exact integer
+    // sum. Scale shape: the corpus contributes ONE lag + distinct pass;
+    // each iteration is two keyed equi-joins on the bounded pair frame.
+    "q_simrank" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val edges = graft.CacheScope.cached(graft.Tables.events(s, d)
+        .withColumn("from_t", lag("event_type", 1).over(w))
+        .filter(col("from_t").isNotNull &&
+          col("from_t") =!= col("event_type"))
+        .select(col("from_t").as("src"), col("event_type").as("dst"))
+        .distinct())
+      val nodes = edges.select(col("src").as("t"))
+        .unionAll(edges.select(col("dst").as("t"))).distinct()
+        .localCheckpoint(true)
+      val ideg = edges.groupBy(col("dst").as("t"))
+        .agg(count(lit(1)).as("ideg"))
+      val s0 = nodes.toDF("a").crossJoin(broadcast(nodes.toDF("b")))
+        .select(col("a"), col("b"),
+          when(col("a") === col("b"), 1000000000L).otherwise(0L).as("s9"))
+        .localCheckpoint(true)
+      def iterate(prev: DataFrame): DataFrame = {
+        val num = edges.toDF("i", "a")
+          .join(prev.toDF("i", "j", "s9"), "i")
+          .join(edges.toDF("j", "b"), "j")
+          .groupBy("a", "b").agg(sum("s9").as("num9"))
+        s0.select("a", "b")
+          .join(num, Seq("a", "b"), "left")
+          .join(broadcast(ideg.toDF("a", "ida")), Seq("a"), "left")
+          .join(broadcast(ideg.toDF("b", "idb")), Seq("b"), "left")
+          .select(col("a"), col("b"),
+            when(col("a") === col("b"), 1000000000L)
+              // a node with no in-neighbors has s = 0 to everything (the
+              // 0/0 of the formula is defined away, as in the paper)
+              .when(col("ida").isNull || col("idb").isNull, 0L)
+              .otherwise(round(lit(0.8) *
+                coalesce(col("num9"), lit(0L)).cast("double") /
+                (col("ida") * col("idb"))).cast("long"))
+              .as("s9"))
+          .localCheckpoint(true)
+      }
+      val s2 = iterate(iterate(s0))
+      s2.filter(col("a") < col("b") && col("s9") > 0)
+        .select(col("a").as("type_a"), col("b").as("type_b"),
+          round(col("s9") / 1e9, 6).as("simrank"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ---- Weisfeiler–Lehman color refinement (2 rounds): color₀ =
     // degree; colorᵣ₊₁ = md5(own color ‖ sorted neighbor colors) — the
     // 1-WL graph fingerprint used for isomorphism screening and as the
@@ -125,7 +180,56 @@ object Graph2 {
        |  GROUP BY a.node, own.c)""".stripMargin
   }
 
+  /** One unrolled SimRank iteration for the q_simrank oracle. */
+  private def srIter(i: Int): String = {
+    val prev = if (i == 1) "sr0" else s"sr${i - 1}"
+    s"""sr$i AS MATERIALIZED (
+       |  SELECT p.a, p.b,
+       |    CASE WHEN p.a = p.b THEN 1000000000
+       |      WHEN da.ideg IS NULL OR db.ideg IS NULL THEN 0
+       |      ELSE CAST(round(0.8 *
+       |        CAST(coalesce(num.num9, 0) AS DOUBLE) /
+       |        (da.ideg * db.ideg)) AS BIGINT) END AS s9
+       |  FROM pairs p
+       |  LEFT JOIN (
+       |    SELECT ea.dst AS a, eb.dst AS b,
+       |      CAST(sum(sp.s9) AS BIGINT) AS num9
+       |    FROM tedges ea JOIN $prev sp ON sp.a = ea.src
+       |    JOIN tedges eb ON eb.src = sp.b
+       |    GROUP BY 1, 2) num ON num.a = p.a AND num.b = p.b
+       |  LEFT JOIN ideg da ON da.t = p.a
+       |  LEFT JOIN ideg db ON db.t = p.b)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_simrank" ->
+      s"""WITH x AS (
+         |  SELECT event_type,
+         |    lag(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS from_t
+         |  FROM events),
+         |tedges AS MATERIALIZED (
+         |  SELECT DISTINCT from_t AS src, event_type AS dst
+         |  FROM x WHERE from_t IS NOT NULL AND from_t <> event_type),
+         |nodes AS (
+         |  SELECT DISTINCT t FROM (
+         |    SELECT src AS t FROM tedges
+         |    UNION ALL SELECT dst FROM tedges) q),
+         |ideg AS (
+         |  SELECT dst AS t, CAST(count(*) AS BIGINT) AS ideg
+         |  FROM tedges GROUP BY 1),
+         |pairs AS (SELECT na.t AS a, nb.t AS b
+         |          FROM nodes na CROSS JOIN nodes nb),
+         |sr0 AS (
+         |  SELECT a, b,
+         |    CASE WHEN a = b THEN 1000000000 ELSE 0 END AS s9
+         |  FROM pairs),
+         |${srIter(1)},
+         |${srIter(2)}
+         |SELECT a AS type_a, b AS type_b,
+         |  round(s9 / 1e9, 6) AS simrank
+         |FROM sr2 WHERE a < b AND s9 > 0
+         |ORDER BY type_a, type_b""".stripMargin,
     "q_label_prop" ->
       s"""WITH $edgeSql,
          |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),

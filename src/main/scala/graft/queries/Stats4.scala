@@ -39,20 +39,24 @@ object Stats4 {
     // the final division. The calendar midpoint reuses q_diff_in_diff's
     // integer-div discipline.
     "q_mcnemar" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
-      val mid = ev.agg(min("day").as("mn"), max("day").as("mx"))
-        .select(expr("(mn + mx + 1) div 2").as("mid"))
-      val per = ev.crossJoin(broadcast(mid))
+      // ONE corpus pass: per-user first/last activity day; "active pre"
+      // ⟺ min day < mid and "active post" ⟺ max day ≥ mid, and the
+      // global calendar bounds are the min/max OF the user bounds — so
+      // the midpoint derives from the cached user frame instead of a
+      // second events scan
+      val per = graft.CacheScope.cached(Tables.events(s, d)
         .groupBy("user_id")
-        .agg(max(when(col("day") < col("mid"), 1L).otherwise(0L)).as("pre"),
-          max(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("post"))
-      per.agg(
-          sum(when(col("pre") === 1 && col("post") === 1, 1L).otherwise(0L))
-            .as("n_both"),
-          sum(when(col("pre") === 1 && col("post") === 0, 1L).otherwise(0L))
+        .agg(min(expr(s"ts_us div $DayUs")).as("mn_u"),
+          max(expr(s"ts_us div $DayUs")).as("mx_u")))
+      val mid = per.agg(min("mn_u").as("mn"), max("mx_u").as("mx"))
+        .select(expr("(mn + mx + 1) div 2").as("mid"))
+      per.crossJoin(broadcast(mid))
+        .agg(
+          sum(when(col("mn_u") < col("mid") && col("mx_u") >= col("mid"),
+            1L).otherwise(0L)).as("n_both"),
+          sum(when(col("mx_u") < col("mid"), 1L).otherwise(0L))
             .as("n_pre_only"),
-          sum(when(col("pre") === 0 && col("post") === 1, 1L).otherwise(0L))
+          sum(when(col("mn_u") >= col("mid"), 1L).otherwise(0L))
             .as("n_post_only"))
         .select(col("n_both"), col("n_pre_only"), col("n_post_only"),
           round(when(col("n_pre_only") + col("n_post_only") === 0,
@@ -257,6 +261,91 @@ object Stats4 {
               .cast("double") / 18.0)), 6).as("z"))
     }),
 
+    // ---- 1-D two-component Gaussian mixture over daily revenue, 3 EM
+    // iterations — "is revenue bimodal (weekday/weekend regimes), and
+    // where are the modes?" — the model-based companion to q_sax /
+    // q_equidepth_bins' nonparametric binning. Determinism: init is
+    // closed-form (μ at the exact integer range ends, shared population
+    // variance from integer sums, π = ½); every E-step responsibility
+    // quantizes to picounits (round(r·10¹²) → BIGINT) so M-step
+    // numerators are EXACT integer products (r12·y, r12·y² through
+    // decimal/HUGEINT — component 2's weight is exactly 10¹²−r12);
+    // variances floor at 1e-6 so a component collapsing onto one day
+    // can't divide by zero; the 1/√2π factor cancels in r and appears
+    // only in the final log-likelihood. Scale shape: the corpus
+    // collapses once; each EM iteration is one aggregate over the
+    // checkpointed calendar frame + a broadcast 1-row parameter update.
+    "q_em_gmm" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        .localCheckpoint(true)
+      val T = 1000000000000L // 1e12 responsibility scale
+      val init = daily.agg(count(lit(1)).as("n"), min("y").as("mn"),
+          max("y").as("mx"), sum("y").as("s1"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("s2"))
+        .select(col("n"), col("mn").cast("double").as("mu1"),
+          col("mx").cast("double").as("mu2"),
+          greatest(col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n")), lit(1e-6)).as("v1"),
+          greatest(col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n")), lit(1e-6)).as("v2"),
+          lit(0.5).as("p1"))
+        .localCheckpoint(true)
+      def a1(y: Column): Column = col("p1") *
+        exp(-(y - col("mu1")) * (y - col("mu1")) / (lit(2.0) * col("v1"))) /
+        sqrt(col("v1"))
+      def a2(y: Column): Column = (lit(1.0) - col("p1")) *
+        exp(-(y - col("mu2")) * (y - col("mu2")) / (lit(2.0) * col("v2"))) /
+        sqrt(col("v2"))
+      def estep(params: DataFrame): DataFrame = {
+        val y = col("y").cast("double")
+        val den = a1(y) + a2(y)
+        daily.crossJoin(broadcast(params))
+          .select(col("y"), col("n"),
+            round(when(den > 0, a1(y) / den).otherwise(lit(0.5)) * T)
+              .cast("long").as("r12"))
+      }
+      def mstep(e: DataFrame): DataFrame = {
+        val agg = e.agg(max("n").as("n"), sum("r12").as("sr"),
+          sum(col("r12").cast("decimal(38,0)") * col("y")).as("sry"),
+          sum(col("r12").cast("decimal(38,0)") * col("y") * col("y"))
+            .as("sry2"),
+          sum((lit(T) - col("r12")).cast("decimal(38,0)") * col("y"))
+            .as("swy"),
+          sum((lit(T) - col("r12")).cast("decimal(38,0)") * col("y") *
+            col("y")).as("swy2"))
+        val n2 = col("n").cast("double") * T - col("sr").cast("double")
+        val mu1n = col("sry").cast("double") / col("sr").cast("double")
+        val mu2n = col("swy").cast("double") / n2
+        agg.select(col("n"), mu1n.as("mu1"), mu2n.as("mu2"),
+            greatest(col("sry2").cast("double") /
+              col("sr").cast("double") - mu1n * mu1n, lit(1e-6)).as("v1"),
+            greatest(col("swy2").cast("double") / n2 - mu2n * mu2n,
+              lit(1e-6)).as("v2"),
+            (col("sr").cast("double") / (col("n").cast("double") * T))
+              .as("p1"))
+          .localCheckpoint(true)
+      }
+      val fin = mstep(estep(mstep(estep(mstep(estep(init))))))
+      val y = col("y").cast("double")
+      val mix = (a1(y) + a2(y)) / sqrt(lit(2.0) * lit(3.141592653589793))
+      val ll = daily.crossJoin(broadcast(fin))
+        .agg(max("n").as("n_days"), max("p1").as("p1f"),
+          max("mu1").as("mu1f"), max("mu2").as("mu2f"),
+          max("v1").as("v1f"), max("v2").as("v2f"),
+          sum(round(when(mix > 0, log(mix)).otherwise(lit(-690.0)) * 1e6)
+            .cast("long")).as("ll6"))
+      ll.select(col("n_days"), round(col("p1f"), 6).as("pi1"),
+        round(col("mu1f") / 100.0, 4).as("mu1_dollars"),
+        round(col("mu2f") / 100.0, 4).as("mu2_dollars"),
+        round(sqrt(col("v1f")) / 100.0, 4).as("sd1_dollars"),
+        round(sqrt(col("v2f")) / 100.0, 4).as("sd2_dollars"),
+        round(col("ll6") / 1e6, 4).as("loglik"))
+    }),
+
     // ---- log-rank test: do odd-user_id users churn on a different
     // schedule than even ones? The two-sample companion to
     // q_kaplan_meier's curve — churn day is each user's last activity
@@ -307,7 +396,84 @@ object Stats4 {
             (col("v9") / 1e9)), 4).as("chi2"))
     }))
 
+  /** One unrolled EM iteration for the q_em_gmm oracle (E-step
+    * responsibilities in exact picounits, M-step integer moments through
+    * HUGEINT) — the compile-time-unrolled loop discipline of the BPE /
+    * PageRank oracles. */
+  private def emStepSql(i: Int): String = {
+    val prev = if (i == 1) "it0" else s"m${i - 1}"
+    s"""e$i AS (
+       |  SELECT y, n,
+       |    CAST(round(CASE WHEN a1 + a2 > 0 THEN a1 / (a1 + a2)
+       |      ELSE 0.5 END * 1000000000000) AS BIGINT) AS r12
+       |  FROM (
+       |    SELECT d.y, p.n,
+       |      p.p1 * exp(-(d.y - p.mu1) * (d.y - p.mu1) / (2.0 * p.v1))
+       |        / sqrt(p.v1) AS a1,
+       |      (1.0 - p.p1) * exp(-(d.y - p.mu2) * (d.y - p.mu2)
+       |        / (2.0 * p.v2)) / sqrt(p.v2) AS a2
+       |    FROM daily d CROSS JOIN $prev p) q),
+       |m$i AS (
+       |  SELECT n, mu1, mu2,
+       |    greatest(sry2d / srd - mu1 * mu1, 1e-6) AS v1,
+       |    greatest(swy2d / n2 - mu2 * mu2, 1e-6) AS v2,
+       |    srd / (CAST(n AS DOUBLE) * 1000000000000) AS p1
+       |  FROM (
+       |    SELECT n, CAST(sr AS DOUBLE) AS srd,
+       |      CAST(n AS DOUBLE) * 1000000000000 - CAST(sr AS DOUBLE) AS n2,
+       |      CAST(sry AS DOUBLE) / CAST(sr AS DOUBLE) AS mu1,
+       |      CAST(swy AS DOUBLE) /
+       |        (CAST(n AS DOUBLE) * 1000000000000 - CAST(sr AS DOUBLE))
+       |        AS mu2,
+       |      CAST(sry2 AS DOUBLE) AS sry2d, CAST(swy2 AS DOUBLE) AS swy2d
+       |    FROM (
+       |      SELECT max(n) AS n, CAST(sum(r12) AS BIGINT) AS sr,
+       |        sum(CAST(r12 AS HUGEINT) * y) AS sry,
+       |        sum(CAST(r12 AS HUGEINT) * y * y) AS sry2,
+       |        sum(CAST(1000000000000 - r12 AS HUGEINT) * y) AS swy,
+       |        sum(CAST(1000000000000 - r12 AS HUGEINT) * y * y) AS swy2
+       |      FROM e$i) t) u)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_em_gmm" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |it0 AS (
+         |  SELECT n, CAST(mn AS DOUBLE) AS mu1, CAST(mx AS DOUBLE) AS mu2,
+         |    greatest(CAST(s2 AS DOUBLE) / n -
+         |      (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1e-6)
+         |      AS v1,
+         |    greatest(CAST(s2 AS DOUBLE) / n -
+         |      (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1e-6)
+         |      AS v2,
+         |    0.5 AS p1
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n, min(y) AS mn,
+         |        max(y) AS mx, CAST(sum(y) AS BIGINT) AS s1,
+         |        sum(CAST(y AS HUGEINT) * y) AS s2
+         |        FROM daily) t),
+         |${emStepSql(1)},
+         |${emStepSql(2)},
+         |${emStepSql(3)},
+         |lls AS (
+         |  SELECT CAST(sum(CAST(round(CASE WHEN mix > 0 THEN ln(mix)
+         |      ELSE -690.0 END * 1e6) AS BIGINT)) AS BIGINT) AS ll6
+         |  FROM (
+         |    SELECT (p.p1 * exp(-(d.y - p.mu1) * (d.y - p.mu1)
+         |        / (2.0 * p.v1)) / sqrt(p.v1) +
+         |      (1.0 - p.p1) * exp(-(d.y - p.mu2) * (d.y - p.mu2)
+         |        / (2.0 * p.v2)) / sqrt(p.v2))
+         |      / sqrt(2.0 * 3.141592653589793) AS mix
+         |    FROM daily d CROSS JOIN m3 p) q)
+         |SELECT n AS n_days, round(p1, 6) AS pi1,
+         |  round(mu1 / 100.0, 4) AS mu1_dollars,
+         |  round(mu2 / 100.0, 4) AS mu2_dollars,
+         |  round(sqrt(v1) / 100.0, 4) AS sd1_dollars,
+         |  round(sqrt(v2) / 100.0, 4) AS sd2_dollars,
+         |  round(ll6 / 1e6, 4) AS loglik
+         |FROM m3 CROSS JOIN lls""".stripMargin,
     "q_mcnemar" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -222,10 +222,125 @@ object Curation {
           col("n_unsafe_rows"), col("min_class"),
           round(col("n_unsafe_rows").cast("double") /
             col("n_rows").cast("double"), 4).as("risk_rate"))
+    }),
+
+    // ---- curriculum staging: order the corpus easy→hard and cut it
+    // into four equal-mass stages — the curriculum-learning data prep
+    // (Bengio et al. shape). Difficulty is a pure integer per-doc
+    // score (mean chars/token in milli-units + token count — longer
+    // words and longer docs read harder); the stage cuts are EXACT
+    // quartiles from a (difficulty, freq) pre-aggregate broadcast back
+    // over the corpus (the q_equidepth_bins discipline — no global
+    // ntile sort, the partition count follows the data). Output: one
+    // row per stage with exact-integer means.
+    "q_curriculum_stages" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast(LongType).as("nc"),
+          size(split(col("text"), " ")).cast(LongType).as("ntok"))
+        // integer div (`div`), not Column `/` (double division) — the
+        // q_diff_in_diff lesson
+        .select(col("doc_id"),
+          expr("nc * 1000 div ntok + ntok").as("difficulty"), col("ntok"))
+      val cuts = docs.groupBy("difficulty").agg(count(lit(1)).as("f"))
+        .agg(expr("percentile(difficulty, array(0.25, 0.5, 0.75), f)")
+          .as("cs"))
+      docs.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("difficulty"), col("ntok"),
+          (lit(1) + size(filter(col("cs"), c => col("difficulty") > c)))
+            .as("stage"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          min("difficulty").as("lo"), max("difficulty").as("hi"),
+          round(sum("difficulty").cast("double") / count(lit(1)), 4)
+            .as("mean_difficulty"),
+          round(sum("ntok").cast("double") / count(lit(1)), 4)
+            .as("mean_tokens"))
+        .orderBy("stage")
+    }),
+
+    // ---- span-corruption planning (T5 denoising shape): partition
+    // each document's tokens into 3-token blocks and select ~1/5 of
+    // the blocks for masking by a content-defined hash of
+    // (doc_id, block) — deterministic, so two engines (and a re-run on
+    // shuffled shards) mask the SAME spans, which is what makes the
+    // corruption auditable. Pure per-row map + per-doc aggregate;
+    // reports the realized mask budget per document.
+    "q_span_corrupt" -> ((s, d) => {
+      val blocks = Tables.documents(s, d)
+        .transform(Tables.fanoutReady)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("ntok"))
+        .select(col("doc_id"), col("ntok"),
+          explode(expr("sequence(CAST(0 AS BIGINT), (ntok - 1) div 3)"))
+            .as("b"))
+      val sel = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#"), col("b").cast("string"))), 1, 8), 16, 10)
+        .cast(LongType) % 5 === 0
+      blocks
+        .select(col("doc_id"), col("ntok"), col("b"),
+          when(sel, least(lit(3L), col("ntok") - col("b") * 3))
+            .otherwise(0L).as("masked"))
+        .groupBy("doc_id")
+        .agg(max("ntok").as("n_tokens"),
+          sum(when(col("masked") > 0, 1L).otherwise(0L)).as("n_spans"),
+          sum("masked").as("n_masked"))
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_masked"),
+          round(col("n_masked").cast("double") / col("n_tokens"), 6)
+            .as("mask_ratio"))
+        .orderBy("doc_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_curriculum_stages" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars AS BIGINT) * 1000 //
+        |      len(string_split(text, ' ')) +
+        |      len(string_split(text, ' ')) AS difficulty,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT quantile_cont(difficulty, [0.25, 0.5, 0.75]) AS cs
+        |  FROM docs),
+        |assigned AS (
+        |  SELECT doc_id, difficulty, ntok,
+        |    1 + (CASE WHEN difficulty > cs[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN difficulty > cs[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN difficulty > cs[3] THEN 1 ELSE 0 END) AS stage
+        |  FROM docs CROSS JOIN cuts)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(difficulty) AS lo, max(difficulty) AS hi,
+        |  round(CAST(sum(difficulty) AS DOUBLE) / count(*), 4)
+        |    AS mean_difficulty,
+        |  round(CAST(sum(ntok) AS DOUBLE) / count(*), 4) AS mean_tokens
+        |FROM assigned GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_span_corrupt" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS wi
+        |  FROM documents),
+        |blocks0 AS (
+        |  SELECT DISTINCT doc_id, CAST((wi - 1) // 3 AS BIGINT) AS b
+        |  FROM words),
+        |blocks AS (
+        |  SELECT d.doc_id, d.ntok, b0.b,
+        |    CASE WHEN CAST(('0x' || substring(md5(
+        |        CAST(d.doc_id AS VARCHAR) || '#' ||
+        |        CAST(b0.b AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0
+        |      THEN least(3, d.ntok - b0.b * 3) ELSE 0 END AS masked
+        |  FROM docs d JOIN blocks0 b0 ON b0.doc_id = d.doc_id)
+        |SELECT doc_id, max(ntok) AS n_tokens,
+        |  CAST(sum(CASE WHEN masked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spans,
+        |  CAST(sum(masked) AS BIGINT) AS n_masked,
+        |  round(CAST(sum(masked) AS DOUBLE) / max(ntok), 6) AS mask_ratio
+        |FROM blocks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_line_dedup" ->
       s"""WITH words AS (
          |  SELECT doc_id,

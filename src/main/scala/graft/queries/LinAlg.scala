@@ -125,6 +125,60 @@ object LinAlg {
         .select(col("vec_id"), explode(array((0 until K).map(k =>
           struct(lit(k).as("k"), round(yk(k), 6).as("y"))): _*)).as("e"))
         .select(col("vec_id"), col("e.k").as("k"), col("e.y").as("y"))
+    }),
+
+    // ---- kernel two-sample test (MMD², Gretton et al.) between the
+    // lower and upper label halves of the embedding space — "did the
+    // new batch's embedding DISTRIBUTION drift?", answered from
+    // sufficient statistics only. Linear kernel: MMD² = ‖μ_A − μ_B‖²
+    // (d sums). Quadratic kernel (x·y)²: MMD² = ‖M_A − M_B‖²_F with
+    // M = E[xxᵀ] — the d² second-moment matrices, so the corpus
+    // contributes ONE keyed self-join pass per vector (d² products,
+    // map-side combined) and the test itself runs on two 64×64 frames.
+    // That is THE form that exists at 100 TB: no pairwise kernel matrix
+    // is ever built (the naive estimator is O(n²)). Exactness: every
+    // per-row term quantizes to micro-units before the sum (the pcaCov
+    // discipline), so the moment matrices are exact integers and both
+    // engines derive identical doubles.
+    "q_mmd_embed" -> ((s, d) => {
+      val fl = graft.CacheScope.cached(Tables.embeddings(s, d)
+        .transform(Tables.fanoutReady)
+        .select(col("vec_id"), (col("label") < 5).as("ga"),
+          posexplode(col("embedding")))
+        .toDF("vec_id", "ga", "i", "x")
+        .select(col("vec_id"), col("ga"), col("i"),
+          col("x").cast("double").as("x")))
+      val mu = fl.groupBy("ga", "i")
+        .agg(sum(round(col("x") * 1e6).cast(LongType)).as("s6"),
+          count(lit(1)).as("n"))
+      def m(s6: Column, n: Column): Column =
+        s6.cast("double") / 1e6 / n
+      val muA = mu.filter(col("ga"))
+        .select(col("i"), col("s6").as("sa"), col("n").as("na"))
+      val muB = mu.filter(!col("ga"))
+        .select(col("i"), col("s6").as("sb"), col("n").as("nb"))
+      val lin = muA.join(muB, "i")
+        .agg(sum(round((m(col("sa"), col("na")) - m(col("sb"), col("nb"))) *
+            (m(col("sa"), col("na")) - m(col("sb"), col("nb"))) * 1e12)
+          .cast(LongType)).as("l12"),
+          max("na").as("n_a"), max("nb").as("n_b"))
+      val mom = fl.toDF("vec_id", "ga", "i", "xi")
+        .join(fl.toDF("vec_id", "gb", "j", "xj"), "vec_id")
+        .groupBy(col("ga"), col("i"), col("j"))
+        .agg(sum(round(col("xi") * col("xj") * 1e6).cast(LongType))
+          .as("m6"), count(lit(1)).as("n"))
+      val momA = mom.filter(col("ga"))
+        .select(col("i"), col("j"), col("m6").as("ma6"), col("n").as("na"))
+      val momB = mom.filter(!col("ga"))
+        .select(col("i"), col("j"), col("m6").as("mb6"), col("n").as("nb"))
+      val quad = momA.join(momB, Seq("i", "j"))
+        .agg(sum(round((m(col("ma6"), col("na")) - m(col("mb6"), col("nb"))) *
+            (m(col("ma6"), col("na")) - m(col("mb6"), col("nb"))) * 1e12)
+          .cast(LongType)).as("q12"))
+      lin.crossJoin(broadcast(quad))
+        .select(col("n_a"), col("n_b"),
+          round(col("l12") / 1e12, 6).as("mmd2_linear"),
+          round(col("q12") / 1e12, 6).as("mmd2_quad"))
     })
   )
 
@@ -182,7 +236,47 @@ object LinAlg {
            |  round(sum(CAST(x AS DOUBLE) * r) / sqrt(CAST($K AS DOUBLE)), 6)
            |    AS y
            |FROM flat JOIN rmat ON rmat.j = flat.j
-           |GROUP BY vec_id, k""".stripMargin
+           |GROUP BY vec_id, k""".stripMargin,
+      "q_mmd_embed" ->
+        """WITH flat AS (
+          |  SELECT vec_id, label < 5 AS ga,
+          |    generate_subscripts(embedding, 1) AS i,
+          |    CAST(unnest(embedding) AS DOUBLE) AS x
+          |  FROM embeddings),
+          |mu AS (
+          |  SELECT ga, i,
+          |    CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS s6,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM flat GROUP BY 1, 2),
+          |lin AS (
+          |  SELECT CAST(sum(CAST(round(
+          |      (CAST(a.s6 AS DOUBLE) / 1e6 / a.n -
+          |       CAST(b.s6 AS DOUBLE) / 1e6 / b.n) *
+          |      (CAST(a.s6 AS DOUBLE) / 1e6 / a.n -
+          |       CAST(b.s6 AS DOUBLE) / 1e6 / b.n) * 1e12)
+          |      AS BIGINT)) AS BIGINT) AS l12,
+          |    CAST(max(a.n) AS BIGINT) AS n_a,
+          |    CAST(max(b.n) AS BIGINT) AS n_b
+          |  FROM mu a JOIN mu b ON a.i = b.i AND a.ga AND NOT b.ga),
+          |mom AS (
+          |  SELECT a.ga, a.i, b.i AS j,
+          |    CAST(sum(CAST(round(a.x * b.x * 1e6) AS BIGINT)) AS BIGINT)
+          |      AS m6,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+          |  GROUP BY 1, 2, 3),
+          |quad AS (
+          |  SELECT CAST(sum(CAST(round(
+          |      (CAST(ma.m6 AS DOUBLE) / 1e6 / ma.n -
+          |       CAST(mb.m6 AS DOUBLE) / 1e6 / mb.n) *
+          |      (CAST(ma.m6 AS DOUBLE) / 1e6 / ma.n -
+          |       CAST(mb.m6 AS DOUBLE) / 1e6 / mb.n) * 1e12)
+          |      AS BIGINT)) AS BIGINT) AS q12
+          |  FROM mom ma JOIN mom mb ON ma.i = mb.i AND ma.j = mb.j
+          |    AND ma.ga AND NOT mb.ga)
+          |SELECT n_a, n_b, round(l12 / 1e12, 6) AS mmd2_linear,
+          |  round(q12 / 1e12, 6) AS mmd2_quad
+          |FROM lin CROSS JOIN quad""".stripMargin
     )
   }
 }

@@ -346,6 +346,123 @@ object Stats4 {
         round(col("ll6") / 1e6, 4).as("loglik"))
     }),
 
+    // ---- energy distance (Székely–Rizzo two-sample E-statistic)
+    // between weekend and weekday daily revenue: E = 2·E|X−Y| −
+    // E|X−X′| − E|Y−Y′| — the distribution-level "are weekends a
+    // different regime?" test that sees shape differences a mean test
+    // misses. All three terms are EXACT integer sums of |cents
+    // differences| over the calendar-bounded pairwise frames (V-
+    // statistic form, full n² denominators); the corpus contributes
+    // one daily aggregate. Epoch day 0 is a Thursday, so weekend =
+    // day % 7 ∈ {2, 3} — a pure integer predicate both engines share.
+    "q_energy_distance" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        .select((col("day") % 7).isin(2, 3).as("we"), col("y"))
+        .localCheckpoint(true)
+      val a = daily.filter(col("we")).select(col("y").as("xa"))
+      val b = daily.filter(!col("we")).select(col("y").as("xb"))
+      val sab = a.crossJoin(b)
+        .agg(sum(abs(col("xa") - col("xb"))).as("sab"),
+          count(lit(1)).as("nab"))
+      val saa = a.toDF("x1").crossJoin(a.toDF("x2"))
+        .agg(sum(abs(col("x1") - col("x2"))).as("saa"),
+          count(lit(1)).as("naa"))
+      val sbb = b.toDF("x1").crossJoin(b.toDF("x2"))
+        .agg(sum(abs(col("x1") - col("x2"))).as("sbb"),
+          count(lit(1)).as("nbb"))
+      sab.crossJoin(broadcast(saa)).crossJoin(broadcast(sbb))
+        .select(col("nab").as("n_pairs"),
+          round((lit(2.0) * col("sab") / col("nab") -
+            col("saa").cast("double") / col("naa") -
+            col("sbb").cast("double") / col("nbb")) / 100.0, 4)
+            .as("e_stat_dollars"))
+    }),
+
+    // ---- Cliff's delta between the same weekend/weekday samples: the
+    // ordinal effect size δ = (#(x>y) − #(x<y)) / (n_a·n_b) that
+    // q_mann_whitney's p-value doesn't report — "HOW MUCH bigger are
+    // weekend days", robust to any monotone transform. Exact integer
+    // pair counts over the bounded calendar pairs.
+    "q_cliffs_delta" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        .select((col("day") % 7).isin(2, 3).as("we"), col("y"))
+        .localCheckpoint(true)
+      val a = daily.filter(col("we")).select(col("y").as("xa"))
+      val b = daily.filter(!col("we")).select(col("y").as("xb"))
+      a.crossJoin(b)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("xa") > col("xb"), 1L).otherwise(0L)).as("gt"),
+          sum(when(col("xa") < col("xb"), 1L).otherwise(0L)).as("lt"))
+        .select(col("n_pairs"), col("gt"), col("lt"),
+          round(when(col("n_pairs") === 0, lit(null)).otherwise(
+            (col("gt") - col("lt")).cast("double") / col("n_pairs")), 6)
+            .as("cliffs_delta"))
+    }),
+
+    // ---- permutation (randomization) test of the weekend−weekday mean
+    // daily-revenue difference: the assumption-free p-value next to the
+    // parametric tests — under the null, group labels are exchangeable,
+    // so the observed difference is compared against 200 relabelings.
+    // The permutations are DETERMINISTIC and size-preserving: for each
+    // k, days rank by md5(k‖day) and the first n_weekend ranks form the
+    // pseudo-weekend (a hash order is a pure function of (k, day), so
+    // both engines and any two replicas draw the SAME 200 permutations
+    // — the q_stratified_topk salted-order trick). Differences compare
+    // in quantized tenth-cent units so the ≥ boundary can't float.
+    // Scale shape: one corpus collapse; the permutation frame is
+    // calendar × 200 — bounded at any SF.
+    "q_perm_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        .select(col("day"), ((col("day") % 7).isin(2, 3)).as("we"),
+          col("y"))
+        .localCheckpoint(true)
+      val obs = daily.agg(count(lit(1)).as("n_days"),
+          sum(when(col("we"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("we"), col("y")).otherwise(0L)).as("sa"),
+          sum(when(!col("we"), col("y")).otherwise(0L)).as("sb"))
+        .select(col("n_days"), col("na"),
+          round((col("sa").cast("double") / col("na") -
+            col("sb").cast("double") / (col("n_days") - col("na"))) * 10.0)
+            .cast("long").as("obs10"))
+        .localCheckpoint(true)
+      val perms = daily.crossJoin(broadcast(
+          s.range(1, 201).select(col("id").as("k"))))
+        .select(col("k"), col("day"), col("y"),
+          md5(concat(col("k").cast("string"), lit("_"),
+            col("day").cast("string"))).as("h"))
+      val wr = Window.partitionBy("k").orderBy(col("h").asc, col("day").asc)
+      val diffs = perms.withColumn("rn", row_number().over(wr))
+        .crossJoin(broadcast(obs.select(col("na").as("na_"),
+          col("n_days").as("nd_"))))
+        .groupBy("k")
+        .agg(max("na_").as("na"), max("nd_").as("nd"),
+          sum(when(col("rn") <= col("na_"), col("y")).otherwise(0L))
+            .as("pa"),
+          sum(when(col("rn") > col("na_"), col("y")).otherwise(0L))
+            .as("pb"))
+        .select(col("k"),
+          round((col("pa").cast("double") / col("na") -
+            col("pb").cast("double") / (col("nd") - col("na"))) * 10.0)
+            .cast("long").as("d10"))
+      diffs.crossJoin(broadcast(obs))
+        .agg(max("n_days").as("n_days"),
+          max(round(col("obs10") / 1000.0, 4)).as("obs_diff_dollars"),
+          count(lit(1)).as("n_perms"),
+          sum(when(abs(col("d10")) >= abs(col("obs10")), 1L).otherwise(0L))
+            .as("n_extreme"))
+        .select(col("n_days"), col("obs_diff_dollars"), col("n_perms"),
+          col("n_extreme"),
+          round((col("n_extreme") + 1).cast("double") /
+            (col("n_perms") + 1), 4).as("p_value"))
+    }),
+
     // ---- log-rank test: do odd-user_id users churn on a different
     // schedule than even ones? The two-sample companion to
     // q_kaplan_meier's curve — churn day is each user's last activity
@@ -474,6 +591,79 @@ object Stats4 {
          |  round(sqrt(v2) / 100.0, 4) AS sd2_dollars,
          |  round(ll6 / 1e6, 4) AS loglik
          |FROM m3 CROSS JOIN lls""".stripMargin,
+    "q_perm_test" ->
+      """WITH daily AS (
+        |  SELECT day, day % 7 IN (2, 3) AS we, y FROM (
+        |    SELECT epoch_us(ts) // 86400000000 AS day,
+        |      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |    FROM events GROUP BY 1) q),
+        |obs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(round((CAST(sum(CASE WHEN we THEN y ELSE 0 END)
+        |        AS DOUBLE) / sum(CASE WHEN we THEN 1 ELSE 0 END) -
+        |      CAST(sum(CASE WHEN NOT we THEN y ELSE 0 END) AS DOUBLE) /
+        |      (count(*) - sum(CASE WHEN we THEN 1 ELSE 0 END))) * 10.0)
+        |      AS BIGINT) AS obs10
+        |  FROM daily),
+        |perms AS (
+        |  SELECT k.k, d.day, d.y,
+        |    md5(CAST(k.k AS VARCHAR) || '_' || CAST(d.day AS VARCHAR))
+        |      AS h
+        |  FROM daily d CROSS JOIN generate_series(1, 200) k(k)),
+        |rk AS (
+        |  SELECT k, y,
+        |    row_number() OVER (PARTITION BY k ORDER BY h, day) AS rn
+        |  FROM perms),
+        |diffs AS (
+        |  SELECT k, CAST(round((CAST(sum(CASE WHEN rn <= obs.na THEN y
+        |      ELSE 0 END) AS DOUBLE) / obs.na -
+        |    CAST(sum(CASE WHEN rn > obs.na THEN y ELSE 0 END) AS DOUBLE)
+        |      / (obs.n_days - obs.na)) * 10.0) AS BIGINT) AS d10
+        |  FROM rk CROSS JOIN obs GROUP BY k, obs.na, obs.n_days)
+        |SELECT obs.n_days,
+        |  round(obs.obs10 / 1000.0, 4) AS obs_diff_dollars,
+        |  CAST(count(*) AS BIGINT) AS n_perms,
+        |  CAST(sum(CASE WHEN abs(d10) >= abs(obs.obs10) THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_extreme,
+        |  round(CAST(sum(CASE WHEN abs(d10) >= abs(obs.obs10) THEN 1
+        |    ELSE 0 END) + 1 AS DOUBLE) / (count(*) + 1), 4) AS p_value
+        |FROM diffs CROSS JOIN obs GROUP BY obs.n_days, obs.obs10""".stripMargin,
+    "q_energy_distance" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS we,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY epoch_us(ts) // 86400000000),
+        |a AS (SELECT y AS xa FROM daily WHERE we),
+        |b AS (SELECT y AS xb FROM daily WHERE NOT we),
+        |sab AS (SELECT CAST(sum(abs(xa - xb)) AS BIGINT) AS sab,
+        |    CAST(count(*) AS BIGINT) AS nab FROM a CROSS JOIN b),
+        |saa AS (SELECT CAST(sum(abs(a1.xa - a2.xa)) AS BIGINT) AS saa,
+        |    CAST(count(*) AS BIGINT) AS naa
+        |  FROM a a1 CROSS JOIN a a2),
+        |sbb AS (SELECT CAST(sum(abs(b1.xb - b2.xb)) AS BIGINT) AS sbb,
+        |    CAST(count(*) AS BIGINT) AS nbb
+        |  FROM b b1 CROSS JOIN b b2)
+        |SELECT nab AS n_pairs,
+        |  round((2.0 * sab / nab -
+        |    CAST(saa AS DOUBLE) / naa -
+        |    CAST(sbb AS DOUBLE) / nbb) / 100.0, 4) AS e_stat_dollars
+        |FROM sab CROSS JOIN saa CROSS JOIN sbb""".stripMargin,
+    "q_cliffs_delta" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS we,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY epoch_us(ts) // 86400000000),
+        |a AS (SELECT y AS xa FROM daily WHERE we),
+        |b AS (SELECT y AS xb FROM daily WHERE NOT we)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN xa > xb THEN 1 ELSE 0 END) AS BIGINT) AS gt,
+        |  CAST(sum(CASE WHEN xa < xb THEN 1 ELSE 0 END) AS BIGINT) AS lt,
+        |  round(CASE WHEN count(*) = 0 THEN NULL ELSE
+        |    CAST(sum(CASE WHEN xa > xb THEN 1 ELSE 0 END) -
+        |         sum(CASE WHEN xa < xb THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    count(*) END, 6) AS cliffs_delta
+        |FROM a CROSS JOIN b""".stripMargin,
     "q_mcnemar" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

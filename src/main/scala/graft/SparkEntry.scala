@@ -44,7 +44,10 @@ object SparkEntry {
     "LinAlg" -> LinAlg.queries,
     "Stats2" -> Stats2.queries,
     "Stats3" -> Stats3.queries,
-    "Stats4" -> Stats4.queries)
+    "Stats4" -> Stats4.queries,
+    "Stats5" -> Stats5.queries,
+    "Stats6" -> Stats6.queries,
+    "MlOps" -> MlOps.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -69,7 +72,10 @@ object SparkEntry {
     "LinAlg" -> LinAlg.oracle,
     "Stats2" -> Stats2.oracle,
     "Stats3" -> Stats3.oracle,
-    "Stats4" -> Stats4.oracle)
+    "Stats4" -> Stats4.oracle,
+    "Stats5" -> Stats5.oracle,
+    "Stats6" -> Stats6.oracle,
+    "MlOps" -> MlOps.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

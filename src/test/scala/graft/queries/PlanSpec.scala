@@ -324,12 +324,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
           .flatMap(_.references.toSeq)
           .forall(attr => !scaledKeys.contains(attr.name))
       }
+    // A constant-literal LIMIT above the fact is also a hard structural
+    // bound: limit(k) caps the broadcast at k rows no matter the SF
+    // (the q_edit_distance audit-panel shape — two TakeOrdered(50)
+    // pulls feeding a 2 500-pair product).
+    import org.apache.spark.sql.catalyst.plans.logical.GlobalLimit
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def boundedLimit(p: LogicalPlan): Boolean =
+      p.collectFirst { case l: GlobalLimit => l }.exists {
+        _.limitExpr.isInstanceOf[Literal]
+      }
     val offenders =
       try SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         val analyzed =
           SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
         analyzed.collect {
-          case h: ResolvedHint if scansFact(h.child) && !boundedAgg(h.child) =>
+          case h: ResolvedHint if scansFact(h.child) &&
+              !boundedAgg(h.child) && !boundedLimit(h.child) =>
             name
         }
       }.distinct
@@ -1470,7 +1481,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         p.getName == "region.parquet" || p.getName == "nation.parquet"
       }
     // returns the file scans NOT capped by a structural bound above them
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
     def unboundedScans(p: SparkPlan): Seq[String] = p match {
+      // a constant LIMIT caps the subtree at k rows at every SF — the
+      // q_edit_distance audit-panel shape (two TakeOrdered(50) pulls)
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => Nil
       case a: HashAggregateExec =>
         if (boundedAgg(a.groupingExpressions)) Nil
         else a.children.flatMap(unboundedScans)
@@ -1629,6 +1645,85 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dominant-language ranking must window per source")
     assert(!dc.executedPlan.toString.contains("SortMergeJoin"),
       "bounded per-source frames must broadcast")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
+  test("round-10 batch 5: eval/OLS/merge collapse once, AP is two-phase") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // Brier / OLS2 / periodogram / merge-upsert / Holm / cointegration:
+    // each collapses the corpus in ONE cached pass; everything after is a
+    // bin/calendar/type-bounded frame with broadcast scalar fan-ins
+    for (q <- Seq("q_brier_score", "q_ols2", "q_periodogram",
+        "q_merge_upsert", "q_holm_bonferroni", "q_cointegration")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val scans = qe.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.isEmpty,
+        s"$q's final plan must read the cached collapse, got ${scans.size}")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q post-collapse joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // average precision: the corpus-scale rank runs through GlobalRank's
+    // two-phase prefix — no global single-partition window
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ap = SparkEntry.queries("q_avg_precision")(spark, sf).queryExecution
+    assert(ap.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.orderSpec.flatMap(_.child.references.toSeq)
+          .forall(_.name == "_gr_pid") => w }.isEmpty,
+      "q_avg_precision must rank via the two-phase prefix; the only " +
+        "global window allowed is GlobalRank's bounded offsets frame")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // edit distance: both sides limit-bounded BEFORE the product
+    val ed = SparkEntry.queries("q_edit_distance")(spark, sf).queryExecution
+    assert(ed.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "q_edit_distance panels must be TakeOrdered(50) pulls")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
+  test("round-10 batch 6: diagnostics collapse once, A-D ranks two-phase") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // Chow / ARCH / segmented trend / ridge path: ONE cached corpus
+    // collapse to the daily frame; all later algebra on bounded frames
+    // with broadcast scalar fan-ins
+    for (q <- Seq("q_chow_test", "q_arch_lm", "q_segmented_trend",
+        "q_ridge_path")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val scans = qe.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.isEmpty,
+        s"$q's final plan must read the cached daily frame, got ${scans.size}")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q post-collapse joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // Anderson-Darling: the corpus-scale rank is GlobalRank's two-phase
+    // prefix; the only global window allowed is its bounded offsets frame
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ad = SparkEntry.queries("q_anderson_darling")(spark, sf)
+      .queryExecution
+    assert(ad.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.orderSpec.flatMap(_.child.references.toSeq)
+          .forall(_.name == "_gr_pid") => w }.isEmpty,
+      "q_anderson_darling must rank via the two-phase prefix")
+    assert(ad.executedPlan.collect {
+      case s: FileSourceScanExec => s }.isEmpty,
+      "q_anderson_darling must read the one cached event projection")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
+  test("round-10 batch 5: Naive Bayes trains off one cached tokenize") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // weights, priors, and the scoring expansion ALL derive from the one
+    // cached (doc, lang, word) count frame — no second corpus tokenize
+    val nb = SparkEntry.queries("q_naive_bayes")(spark, sf).queryExecution
+    val scans = nb.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      s"q_naive_bayes must read the cached token counts, got ${scans.size}")
+    // the 5-class candidate expansion broadcasts; the only shuffled join
+    // is the vocabulary-keyed weight lookup
+    assert(!nb.executedPlan.toString.contains("CartesianProduct"),
+      "class expansion must be a broadcast, not a cartesian")
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 }

@@ -47,7 +47,8 @@ object SparkEntry {
     "Stats4" -> Stats4.queries,
     "Stats5" -> Stats5.queries,
     "Stats6" -> Stats6.queries,
-    "MlOps" -> MlOps.queries)
+    "MlOps" -> MlOps.queries,
+    "DqOps" -> DqOps.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -75,7 +76,8 @@ object SparkEntry {
     "Stats4" -> Stats4.oracle,
     "Stats5" -> Stats5.oracle,
     "Stats6" -> Stats6.oracle,
-    "MlOps" -> MlOps.oracle)
+    "MlOps" -> MlOps.oracle,
+    "DqOps" -> DqOps.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1712,6 +1712,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 
+  test("round-10 batch 7: CV gate one scored pass, FK audit keyed antis") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // CV gate: fold totals and the prediction pass BOTH read the one
+    // cached scored frame; fold stats broadcast back (no 5x rework)
+    val cv = SparkEntry.queries("q_cv_gate")(spark, sf).queryExecution
+    assert(cv.executedPlan.collect { case s: FileSourceScanExec => s }.isEmpty,
+      "q_cv_gate must read the cached scored pass")
+    assert(!cv.executedPlan.toString.contains("SortMergeJoin"),
+      "fold-stat fan-in must broadcast")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // l-diversity: one corpus scan, two keyed aggregates, no join
+    val ld = SparkEntry.queries("q_l_diversity")(spark, sf).queryExecution
+    assert(ld.executedPlan.collect {
+      case s: FileSourceScanExec => s }.size <= 1,
+      "q_l_diversity is a single-scan double aggregate")
+    // FK audit: every arm is a keyed LEFT ANTI join; the only
+    // nested-loop joins are the 1-row count fan-ins
+    val fk = SparkEntry.queries("q_fk_orphans")(spark, sf).queryExecution
+    assert(fk.executedPlan.toString.contains("LeftAnti"),
+      "orphan checks must be anti joins, not except/distinct chains")
+    assert(!fk.executedPlan.toString.contains("CartesianProduct"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("round-10 batch 5: Naive Bayes trains off one cached tokenize") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // weights, priors, and the scoring expansion ALL derive from the one

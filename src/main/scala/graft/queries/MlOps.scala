@@ -8,12 +8,13 @@ import graft.Tables
 /** Round-10 fourth batch: supervised classifier TRAINING on the engine
   * (multinomial Naive Bayes with Laplace smoothing — train and score in
   * one declarative plan), family-wise multiple-testing control (Holm
-  * step-down, the FWER companion to q_bh_fdr's FDR control), and
-  * two-series cointegration (Engle–Granger two-step) — the
-  * model-building / inference surface a curation team runs beyond
-  * per-row heuristics (reference analog: the batch-job surface,
-  * cmd/bacalhau/run.go; the reference schedules such jobs, the engine
-  * here executes their math).
+  * step-down, the FWER companion to q_bh_fdr's FDR control), two-series
+  * cointegration (Engle–Granger two-step), exact Shapley R²
+  * attribution, split conformal prediction intervals, and a stratified
+  * inverse-propensity treatment-effect estimate — the model-building /
+  * inference surface a curation team runs beyond per-row heuristics
+  * (reference analog: the batch-job surface, cmd/bacalhau/run.go; the
+  * reference schedules such jobs, the engine here executes their math).
   *
   * House disciplines (same as Stats2-5):
   *  - log-likelihood / probability weights quantize to micro-units
@@ -237,6 +238,165 @@ object MlOps {
         round(col("b"), 6).as("beta"),
         round(gamma / se, 4).as("df_stat"),
         (gamma / se < -3.41).as("cointegrated"))
+    }),
+
+    // ---- exact Shapley R² attribution: how much of the daily-revenue
+    // variance does each predictor (trend, weekend) EARN, averaging its
+    // marginal R² contribution over both orderings — the 2-feature
+    // game has 4 coalitions, all closed-form from ONE corpus aggregate
+    // (the q_ols2 moment frame; squared cents through decimal(38,0)).
+    // shap_trend + shap_weekend == r2_full by construction — the
+    // efficiency axiom, visible in the output.
+    "q_shapley_r2" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr(s"ts_us div $DayUs").as("day"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("nd"), sum("cents").as("sc"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+            .as("syy"))
+      val mn = daily.agg(min("day").as("mn"))
+      val dd = daily.crossJoin(broadcast(mn))
+        .select(col("nd"), col("sc"), col("syy"),
+          (col("day") - col("mn")).as("x1"),
+          when((col("day") % 7).isin(2, 3), 1L).otherwise(0L).as("x2"))
+      val m = dd.agg(
+        sum("nd").as("n"), sum(col("nd") * col("x1")).as("s1"),
+        sum(col("nd") * col("x2")).as("s2"),
+        sum(col("nd") * col("x1") * col("x1")).as("s11"),
+        sum(col("nd") * col("x1") * col("x2")).as("s12"),
+        sum(col("nd") * col("x2") * col("x2")).as("s22"),
+        sum("sc").as("sy"), sum(col("x1") * col("sc")).as("s1y"),
+        sum(col("x2") * col("sc")).as("s2y"), sum("syy").as("syyt"))
+      val nD = col("n").cast("double")
+      val c11 = col("s11").cast("double") -
+        col("s1").cast("double") * col("s1") / nD
+      val c22 = col("s22").cast("double") -
+        col("s2").cast("double") * col("s2") / nD
+      val c12 = col("s12").cast("double") -
+        col("s1").cast("double") * col("s2") / nD
+      val c1y = col("s1y").cast("double") -
+        col("s1").cast("double") * col("sy") / nD
+      val c2y = col("s2y").cast("double") -
+        col("s2").cast("double") * col("sy") / nD
+      val cyy = col("syyt").cast("double") -
+        col("sy").cast("double") * col("sy") / nD
+      val r1 = c1y * c1y / (c11 * cyy)
+      val r2 = c2y * c2y / (c22 * cyy)
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      val r12 = (b1 * c1y + b2 * c2y) / cyy
+      m.select(col("n").as("n_events"),
+        round(r12, 6).as("r2_full"),
+        round((r1 + (r12 - r2)) / 2.0, 6).as("shap_trend"),
+        round((r2 + (r12 - r1)) / 2.0, 6).as("shap_weekend"))
+    }),
+
+    // ---- split conformal prediction interval: fit the daily-revenue
+    // trend on the first half of the calendar, take the 90% quantile of
+    // absolute calibration residuals on the next quarter (an EXACT
+    // order statistic — integer cents, day tiebreak, rank by bounded
+    // broadcast self-join), and measure empirical coverage on the held-
+    // out tail. Distribution-free coverage ≥ 90% in expectation — the
+    // honest uncertainty band for q_ar2_forecast-class models. ONE
+    // corpus aggregate; every later frame is the ≤ ~30-row day panel.
+    "q_conformal" -> ((s, d) => {
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .select(expr(s"ts_us div $DayUs").as("day"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .groupBy("day").agg(sum("cents").as("y")))
+      val mnx = daily.agg(min("day").as("mn"), max("day").as("mx"))
+      val dd = graft.CacheScope.cached(daily.crossJoin(broadcast(mnx))
+        .select((col("day") - col("mn")).as("x"), col("y"),
+          (col("mx") - col("mn")).as("span")))
+      val tr = dd.filter(col("x") <= expr("span div 2"))
+        .agg(count(lit(1)).as("ntr"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+      val nT = col("ntr").cast("double")
+      val bb = (nT * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (nT * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      val fit = tr.select(col("ntr"), bb.as("b"),
+        ((col("sy").cast("double") - bb * col("sx").cast("double")) /
+          nT).as("a"))
+      val resid = graft.CacheScope.cached(dd
+        .crossJoin(broadcast(fit))
+        .select(col("x"), col("span"), col("ntr"),
+          abs(round(col("y").cast("double") - col("a") -
+            col("b") * col("x"))).cast(LongType).as("ae")))
+      val cal = graft.CacheScope.cached(resid
+        .filter(col("x") > expr("span div 2") &&
+          col("x") <= expr("(3 * span) div 4")))
+      val ncal = cal.agg(count(lit(1)).as("ncal"))
+      val ranked = cal
+        .join(broadcast(cal.select(col("ae").as("aeb"),
+          col("x").as("xb"))),
+          col("aeb") < col("ae") ||
+            (col("aeb") === col("ae") && col("xb") <= col("x")))
+        .groupBy("ae", "x").agg(count(lit(1)).as("rank"))
+      val qhat = ranked.crossJoin(broadcast(ncal))
+        .filter(col("rank") ===
+          least(ceil(lit(0.9) * (col("ncal") + 1L)).cast(LongType),
+            col("ncal")))
+        .agg(min("ae").as("qhat"))
+      val test = resid.filter(col("x") > expr("(3 * span) div 4"))
+        .crossJoin(broadcast(qhat))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("ae") <= col("qhat"), 1L).otherwise(0L))
+            .as("covered"),
+          min("ntr").as("n_train"), min("qhat").as("q"))
+      test.crossJoin(broadcast(ncal))
+        .select(col("n_train"), col("ncal").as("n_cal"), col("n_test"),
+          round(col("q").cast("double") / 100.0, 2)
+            .as("qhat_dollars"),
+          round(col("covered").cast("double") / col("n_test"), 4)
+            .as("coverage"),
+          lit(0.9).as("nominal"))
+    }),
+
+    // ---- stratified inverse-propensity treatment effect: the causal
+    // "weekend effect" on event value, reweighting by each event type's
+    // EXACT treatment propensity (n_weekend_s / n_s) so type mix can't
+    // confound — the Horvitz–Thompson companion to q_cmh's odds-ratio
+    // pooling and q_diff_in_diff's calendar contrast. Strata violating
+    // positivity (all-weekend or all-weekday) drop, counted. ONE
+    // conditional aggregate keyed on type; exact integer sums until the
+    // one-row final algebra.
+    "q_ipw_ate" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type").as("t"),
+          (expr(s"ts_us div $DayUs") % 7).isin(2, 3).as("w"),
+          round(col("value") * 100).cast(LongType).as("v"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("ns"),
+          sum(when(col("w"), 1L).otherwise(0L)).as("nt"),
+          sum(when(col("w"), col("v")).otherwise(0L)).as("syt"),
+          sum(when(!col("w"), col("v")).otherwise(0L)).as("syc"))
+      val ok = col("nt") > 0L && col("nt") < col("ns")
+      val agg = g.agg(
+        sum("ns").as("n"),
+        sum(when(ok, 1L).otherwise(0L)).as("n_strata"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(ok, col("ns")).otherwise(0L)).as("n_used"),
+        // per-stratum HT terms quantize to integer cents BEFORE the
+        // cross-stratum sum so addition order can't move a digit
+        sum(when(ok, round(col("syt").cast("double") * col("ns") /
+          col("nt")).cast(LongType)).otherwise(0L)).as("ht_t"),
+        sum(when(ok, round(col("syc").cast("double") * col("ns") /
+          (col("ns") - col("nt"))).cast(LongType)).otherwise(0L))
+          .as("ht_c"),
+        sum("nt").as("ntt"), sum("syt").as("sytt"),
+        sum(col("ns") - col("nt")).as("ncc"), sum("syc").as("sycc"))
+      agg.select(col("n").as("n_events"), col("n_strata"),
+        col("n_dropped"),
+        round((col("ht_t") - col("ht_c")) / col("n_used") / 100.0, 4)
+          .as("ate_ipw_dollars"),
+        round((col("sytt").cast("double") / col("ntt") -
+          col("sycc").cast("double") / col("ncc")) / 100.0, 4)
+          .as("naive_diff_dollars"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -402,5 +562,151 @@ object MlOps {
         |    sqrt((CAST(sdd AS DOUBLE) - (CAST(snum AS DOUBLE) / sden) *
         |        (CAST(snum AS DOUBLE) / sden) * sden) / (tt - 1) / sden)
         |    < -3.41 AS cointegrated
-        |FROM df""".stripMargin)
+        |FROM df""".stripMargin,
+    "q_shapley_r2" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS sc,
+        |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(value * 100) AS BIGINT)) AS syy
+        |  FROM events GROUP BY 1),
+        |dd AS (
+        |  SELECT nd, sc, syy, day - (SELECT min(day) FROM daily) AS x1,
+        |    CASE WHEN day % 7 IN (2, 3) THEN 1 ELSE 0 END AS x2
+        |  FROM daily),
+        |m AS (
+        |  SELECT CAST(sum(nd) AS BIGINT) AS n,
+        |    CAST(sum(nd * x1) AS BIGINT) AS s1,
+        |    CAST(sum(nd * x2) AS BIGINT) AS s2,
+        |    CAST(sum(nd * x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(nd * x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(nd * x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(sc) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * sc) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * sc) AS BIGINT) AS s2y,
+        |    CAST(sum(syy) AS HUGEINT) AS syyt
+        |  FROM dd),
+        |cen AS (
+        |  SELECT n,
+        |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 /
+        |      CAST(n AS DOUBLE) AS c11,
+        |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 /
+        |      CAST(n AS DOUBLE) AS c22,
+        |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 /
+        |      CAST(n AS DOUBLE) AS c12,
+        |    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy /
+        |      CAST(n AS DOUBLE) AS c1y,
+        |    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy /
+        |      CAST(n AS DOUBLE) AS c2y,
+        |    CAST(syyt AS DOUBLE) - CAST(sy AS DOUBLE) * sy /
+        |      CAST(n AS DOUBLE) AS cyy
+        |  FROM m),
+        |parts AS (
+        |  SELECT n,
+        |    c1y * c1y / (c11 * cyy) AS r1,
+        |    c2y * c2y / (c22 * cyy) AS r2,
+        |    ((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * c1y +
+        |     (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * c2y)
+        |      / cyy AS r12
+        |  FROM cen)
+        |SELECT n AS n_events, round(r12, 6) AS r2_full,
+        |  round((r1 + (r12 - r2)) / 2.0, 6) AS shap_trend,
+        |  round((r2 + (r12 - r1)) / 2.0, 6) AS shap_weekend
+        |FROM parts""".stripMargin,
+    "q_conformal" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |mnx AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |dd AS (
+        |  SELECT d.day - m.mn AS x, d.y, m.mx - m.mn AS span
+        |  FROM daily d CROSS JOIN mnx m),
+        |tr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ntr,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM dd WHERE x <= span // 2),
+        |fit AS (
+        |  SELECT ntr, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) /
+        |      CAST(ntr AS DOUBLE) AS a
+        |  FROM (
+        |    SELECT ntr, sx, sy,
+        |      (CAST(ntr AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(ntr AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |    FROM tr) t),
+        |resid AS (
+        |  SELECT d.x, d.span, f.ntr,
+        |    CAST(abs(round(CAST(d.y AS DOUBLE) - f.a - f.b * d.x))
+        |      AS BIGINT) AS ae
+        |  FROM dd d CROSS JOIN fit f),
+        |cal AS (SELECT * FROM resid
+        |        WHERE x > span // 2 AND x <= (3 * span) // 4),
+        |ncal AS (SELECT CAST(count(*) AS BIGINT) AS ncal FROM cal),
+        |ranked AS (
+        |  SELECT a.ae, a.x, CAST(count(*) AS BIGINT) AS rank
+        |  FROM cal a JOIN cal b
+        |    ON b.ae < a.ae OR (b.ae = a.ae AND b.x <= a.x)
+        |  GROUP BY 1, 2),
+        |qhat AS (
+        |  SELECT CAST(min(r.ae) AS BIGINT) AS qhat
+        |  FROM ranked r CROSS JOIN ncal n
+        |  WHERE r.rank = least(CAST(ceil(0.9 * (n.ncal + 1))
+        |    AS BIGINT), n.ncal)),
+        |test AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN r.ae <= q.qhat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS covered,
+        |    CAST(min(r.ntr) AS BIGINT) AS n_train,
+        |    CAST(min(q.qhat) AS BIGINT) AS q
+        |  FROM resid r CROSS JOIN qhat q
+        |  WHERE r.x > (3 * r.span) // 4)
+        |SELECT t.n_train, n.ncal AS n_cal, t.n_test,
+        |  round(CAST(t.q AS DOUBLE) / 100.0, 2) AS qhat_dollars,
+        |  round(CAST(t.covered AS DOUBLE) / t.n_test, 4) AS coverage,
+        |  0.9 AS nominal
+        |FROM test t CROSS JOIN ncal n""".stripMargin,
+    "q_ipw_ate" ->
+      """WITH g AS (
+        |  SELECT event_type AS t, CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN w THEN v ELSE 0 END) AS BIGINT) AS syt,
+        |    CAST(sum(CASE WHEN w THEN 0 ELSE v END) AS BIGINT) AS syc
+        |  FROM (SELECT event_type,
+        |          (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS w,
+        |          CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events) e
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(sum(ns) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN nt > 0 AND nt < ns THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_strata,
+        |    CAST(sum(CASE WHEN nt > 0 AND nt < ns THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_dropped,
+        |    CAST(sum(CASE WHEN nt > 0 AND nt < ns THEN ns ELSE 0 END)
+        |      AS BIGINT) AS n_used,
+        |    CAST(sum(CASE WHEN nt > 0 AND nt < ns THEN
+        |      CAST(round(CAST(syt AS DOUBLE) * ns / nt) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS ht_t,
+        |    CAST(sum(CASE WHEN nt > 0 AND nt < ns THEN
+        |      CAST(round(CAST(syc AS DOUBLE) * ns / (ns - nt))
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS ht_c,
+        |    CAST(sum(nt) AS BIGINT) AS ntt,
+        |    CAST(sum(syt) AS BIGINT) AS sytt,
+        |    CAST(sum(ns - nt) AS BIGINT) AS ncc,
+        |    CAST(sum(syc) AS BIGINT) AS sycc
+        |  FROM g)
+        |SELECT n AS n_events, n_strata, n_dropped,
+        |  round(CAST(ht_t - ht_c AS DOUBLE) / n_used / 100.0, 4)
+        |    AS ate_ipw_dollars,
+        |  round((CAST(sytt AS DOUBLE) / ntt -
+        |    CAST(sycc AS DOUBLE) / ncc) / 100.0, 4)
+        |    AS naive_diff_dollars
+        |FROM agg""".stripMargin)
 }

@@ -1736,6 +1736,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 
+  test("round-10 batch 8: Shapley/conformal/IPW collapse once, broadcast after") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // Shapley R2 / IPW: one corpus scan straight into the keyed
+    // collapse; the remaining algebra is a 1-row / 5-row frame
+    for (q <- Seq("q_shapley_r2", "q_ipw_ate")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(qe.executedPlan.collect {
+        case s: FileSourceScanExec => s }.size <= 1,
+        s"$q must collapse the corpus in one scan")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q post-collapse fan-ins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // conformal: the day panel caches; split fits, residual ranking and
+    // coverage all read it — no second corpus scan
+    val cf = SparkEntry.queries("q_conformal")(spark, sf).queryExecution
+    assert(cf.executedPlan.collect {
+      case s: FileSourceScanExec => s }.isEmpty,
+      "q_conformal must read the cached day panel")
+    assert(!cf.executedPlan.toString.contains("SortMergeJoin"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("round-10 batch 5: Naive Bayes trains off one cached tokenize") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // weights, priors, and the scoring expansion ALL derive from the one

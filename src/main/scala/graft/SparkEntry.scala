@@ -48,7 +48,8 @@ object SparkEntry {
     "Stats5" -> Stats5.queries,
     "Stats6" -> Stats6.queries,
     "MlOps" -> MlOps.queries,
-    "DqOps" -> DqOps.queries)
+    "DqOps" -> DqOps.queries,
+    "Recsys" -> Recsys.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -77,7 +78,8 @@ object SparkEntry {
     "Stats5" -> Stats5.oracle,
     "Stats6" -> Stats6.oracle,
     "MlOps" -> MlOps.oracle,
-    "DqOps" -> DqOps.oracle)
+    "DqOps" -> DqOps.oracle,
+    "Recsys" -> Recsys.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

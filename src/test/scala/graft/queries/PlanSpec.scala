@@ -1759,6 +1759,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 
+  test("round-10 batch 9: ALS half-steps read cached frontiers") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the published plan reads the cached ratings/factor frontiers —
+    // one corpus collapse at build time, keyed joins in every half-step
+    val als = SparkEntry.queries("q_als")(spark, sf).queryExecution
+    assert(als.executedPlan.collect {
+      case s: FileSourceScanExec => s }.isEmpty,
+      "q_als must read the cached ratings/factor frames")
+    assert(!als.executedPlan.toString.contains("CartesianProduct"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("round-10 batch 5: Naive Bayes trains off one cached tokenize") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // weights, priors, and the scoring expansion ALL derive from the one

@@ -47,6 +47,8 @@ object SparkEntry {
     "Stats4" -> Stats4.queries,
     "Stats5" -> Stats5.queries,
     "Stats6" -> Stats6.queries,
+    "Stats7" -> Stats7.queries,
+    "Stats8" -> Stats8.queries,
     "MlOps" -> MlOps.queries,
     "DqOps" -> DqOps.queries,
     "Recsys" -> Recsys.queries)
@@ -77,6 +79,8 @@ object SparkEntry {
     "Stats4" -> Stats4.oracle,
     "Stats5" -> Stats5.oracle,
     "Stats6" -> Stats6.oracle,
+    "Stats7" -> Stats7.oracle,
+    "Stats8" -> Stats8.oracle,
     "MlOps" -> MlOps.oracle,
     "DqOps" -> DqOps.oracle,
     "Recsys" -> Recsys.oracle)

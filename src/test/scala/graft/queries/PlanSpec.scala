@@ -1771,6 +1771,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 
+  test("round-10 batch 10: nonparametric family rides the value-domain " +
+       "histogram, one corpus scan each") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Mood / Brown–Forsythe / fixed-effects / Mahalanobis: ONE cached
+    // corpus projection; medians come off domain-bounded histograms and
+    // every scalar fan-in broadcasts — no SortMergeJoin anywhere
+    for (q <- Seq("q_moods_median", "q_brown_forsythe",
+        "q_fixed_effects", "q_mahalanobis")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val scans = qe.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.size <= 1, s"$q must scan the corpus once, got ${scans.size}")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q post-collapse joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // Mahalanobis top-k must be a TakeOrdered pull, not a global sort
+    val mh = SparkEntry.queries("q_mahalanobis")(spark, sf).queryExecution
+    assert(mh.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "q_mahalanobis top-20 must be TakeOrdered")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // Jonckheere: the dense-grid cumulative windows partition by group
+    // (k-way parallel, domain-bounded partitions) — never partition-less;
+    // the cross-group reduction joins on the value key
+    val jt = SparkEntry.queries("q_jonckheere")(spark, sf).queryExecution
+    assert(jt.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "q_jonckheere cumulative counts must window per group")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // Page's L: within-block ranking windows key on the day block
+    val pg = SparkEntry.queries("q_page_trend")(spark, sf).queryExecution
+    assert(pg.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "q_page_trend ranks must window per day block")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("round-10 batch 5: Naive Bayes trains off one cached tokenize") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // weights, priors, and the scoring expansion ALL derive from the one

@@ -78,7 +78,7 @@ object Stats8 {
       def gammaDf(l: Int): DataFrame = {
         val lagged = e.select((col("day") + l).as("day"),
           col("e").as("el"))
-        e.join(lagged, Seq("day"))
+        e.join(broadcast(lagged), Seq("day"))
           .agg(coalesce(sum((col("e").cast("decimal(38,0)") * col("el"))
             .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
             .as(s"g$l"))
@@ -122,8 +122,7 @@ object Stats8 {
       val bm = sc.agg(
         sum((col("xs").cast("decimal(38,0)") * col("es"))
           .cast("decimal(38,0)")).as("sxe"),
-        sum((col("xs") * col("xs")).cast("decimal(38,0)")).as("sxx2"),
-        max("n").as("n"))
+        sum((col("xs") * col("xs")).cast("decimal(38,0)")).as("sxx2"))
       // residual u_t (cents, true units) = (E − b·X)/n, quantized to
       // whole dollars; v_t = x̃·u_q with x̃ = X/n kept n-scaled → v
       // carries one n factor that cancels in the t-ratio
@@ -142,7 +141,7 @@ object Stats8 {
       def omegaDf(l: Int): DataFrame = {
         val lagged = v.select((col("day") + l).as("day"),
           col("v").as("vl"))
-        v.join(lagged, Seq("day"))
+        v.join(broadcast(lagged), Seq("day"))
           .agg(coalesce(sum((col("v").cast("decimal(38,0)") * col("vl"))
             .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
             .as(s"o$l"))
@@ -266,7 +265,7 @@ object Stats8 {
       def gammaDf(l: Int): DataFrame = {
         val lagged = cd.select((col("day") + l).as("day"),
           col("dc").as("dl"))
-        cd.join(lagged, Seq("day"))
+        cd.join(broadcast(lagged), Seq("day"))
           .agg(coalesce(sum((col("dc").cast("decimal(38,0)") *
             col("dl")).cast("decimal(38,0)")),
             lit(0).cast("decimal(38,0)")).as(s"g$l"))
@@ -301,7 +300,7 @@ object Stats8 {
     // the comparison is engine-stable with no quantization.
     "q_hampel" -> ((s, d) => {
       val daily = graft.CacheScope.cached(dailyCents(s, d))
-      val band = daily.as("c").join(daily.as("w"),
+      val band = daily.as("c").join(broadcast(daily.as("w")),
         col("w.day") >= col("c.day") - 3 &&
           col("w.day") <= col("c.day") + 3)
       val med = band.groupBy(col("c.day").as("day"),
@@ -315,10 +314,14 @@ object Stats8 {
         .groupBy(col("m.day").as("day"), col("m.y").as("y"),
           col("m.med").as("med"), col("m.wn").as("wn"))
         .agg(expr("percentile(abs(w2.y - m.med), 0.5)").as("mad"))
+      // med is half-cent-exact and mad quarter-cent-exact: both are
+      // exact binary doubles, so they ship as CENTS unrounded — a /100
+      // dollar rounding would land exactly on .xx5 boundaries, where the
+      // engines' shortest-decimal vs binary round() disagree
       mad.select(col("day"),
         round(col("y").cast("double") / 100.0, 2).as("dollars"),
-        round(col("med") / 100.0, 2).as("med_dollars"),
-        round(col("mad") / 100.0, 2).as("mad_dollars"),
+        col("med").as("med_cents"),
+        col("mad").as("mad_cents"),
         col("wn").as("n_window"),
         (abs(col("y").cast("double") - col("med")) >
           lit(3.0) * lit(1.4826) * col("mad")).as("outlier"))
@@ -349,7 +352,8 @@ object Stats8 {
         .agg(count(lit(1)).as("m"), sum("x").as("sx"),
           sum(col("x") * col("x")).as("sxx"))
         .filter(col("m") === 7))
-      val dots = sub.as("a").join(sub.as("b"), col("a.t") === col("b.t"))
+      val dots = sub.as("a")
+        .join(broadcast(sub.as("b")), col("a.t") === col("b.t"))
         .filter(abs(col("a.i") - col("b.i")) > 3)
         .groupBy(col("a.i").as("i"), col("b.i").as("j"))
         .agg(sum(col("a.x") * col("b.x")).as("dot"))
@@ -617,8 +621,8 @@ object Stats8 {
         |    ON w2.day >= m.day - 3 AND w2.day <= m.day + 3
         |  GROUP BY 1, 2, 3, 4)
         |SELECT day, round(CAST(y AS DOUBLE) / 100.0, 2) AS dollars,
-        |  round(med / 100.0, 2) AS med_dollars,
-        |  round(mad / 100.0, 2) AS mad_dollars,
+        |  med AS med_cents,
+        |  mad AS mad_cents,
         |  wn AS n_window,
         |  abs(CAST(y AS DOUBLE) - med) > 3.0 * 1.4826 * mad AS outlier
         |FROM mad ORDER BY day""".stripMargin,

@@ -1808,6 +1808,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 
+  test("round-10 batch 11: forecast diagnostics collapse once, lag joins " +
+       "broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // KPSS / NW / BP / DM / Hampel / matrix profile: ONE corpus collapse
+    // to the daily frame; every lag/band self-join broadcasts its
+    // bounded side — no SortMergeJoin anywhere in the batch
+    for (q <- Seq("q_kpss", "q_newey_west", "q_breusch_pagan",
+        "q_diebold_mariano", "q_hampel", "q_matrix_profile")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val scans = qe.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.size <= 1, s"$q must scan the corpus once, got ${scans.size}")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q daily-frame joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // matrix profile: the per-subsequence nearest neighbor windows on
+    // the subsequence key, never partition-less
+    val mp = SparkEntry.queries("q_matrix_profile")(spark, sf).queryExecution
+    assert(mp.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "q_matrix_profile NN selection must window per subsequence")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("round-10 batch 5: Naive Bayes trains off one cached tokenize") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // weights, priors, and the scoring expansion ALL derive from the one

@@ -49,6 +49,7 @@ object SparkEntry {
     "Stats6" -> Stats6.queries,
     "Stats7" -> Stats7.queries,
     "Stats8" -> Stats8.queries,
+    "Econ" -> Econ.queries,
     "MlOps" -> MlOps.queries,
     "DqOps" -> DqOps.queries,
     "Recsys" -> Recsys.queries)
@@ -81,6 +82,7 @@ object SparkEntry {
     "Stats6" -> Stats6.oracle,
     "Stats7" -> Stats7.oracle,
     "Stats8" -> Stats8.oracle,
+    "Econ" -> Econ.oracle,
     "MlOps" -> MlOps.oracle,
     "DqOps" -> DqOps.oracle,
     "Recsys" -> Recsys.oracle)

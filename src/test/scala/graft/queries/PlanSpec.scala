@@ -1833,6 +1833,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
 
+  test("round-10 batch 12: inequality/survival family keeps user frames " +
+       "in keyed shuffles, order stats two-phase") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Hoover/Atkinson: one corpus scan, scalar fan-ins broadcast
+    for (q <- Seq("q_hoover", "q_atkinson")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val scans = qe.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.size <= 1, s"$q must scan the corpus once, got ${scans.size}")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q scalar fan-ins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // Palma: the decile cut is GlobalRank's two-phase row number — the
+    // only partition-less window allowed is its bounded offsets frame
+    val pa = SparkEntry.queries("q_palma")(spark, sf).queryExecution
+    assert(pa.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.orderSpec.flatMap(_.child.references.toSeq)
+          .forall(_.name == "_gr_pid") => w }.isEmpty,
+      "q_palma ranks must route through GlobalRank")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // Nelson–Aalen: both cumulative passes (risk suffix, hazard prefix)
+    // two-phase, same rule
+    val na = SparkEntry.queries("q_nelson_aalen")(spark, sf).queryExecution
+    assert(na.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.orderSpec.flatMap(_.child.references.toSeq)
+          .forall(_.name == "_gr_pid") => w }.isEmpty,
+      "q_nelson_aalen cumulatives must route through GlobalRank")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // Slope One: the deviation matrix is the bounded broadcast; the only
+    // shuffled joins key on user_id; t-closeness windows key on source
+    val so = SparkEntry.queries("q_slope_one")(spark, sf).queryExecution
+    assert(!so.executedPlan.toString.contains("CartesianProduct"),
+      "q_slope_one must never go cartesian")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    val tc = SparkEntry.queries("q_t_closeness")(spark, sf).queryExecution
+    assert(tc.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "q_t_closeness cumulatives must window per source")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
   test("round-10 batch 5: Naive Bayes trains off one cached tokenize") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // weights, priors, and the scoring expansion ALL derive from the one

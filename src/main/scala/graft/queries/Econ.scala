@@ -90,7 +90,14 @@ object Econ {
     // integer division (10¹² div c, identical floor semantics both
     // engines) so the SF-scaled reciprocal sum is exact.
     "q_atkinson" -> ((s, d) => {
-      val u = graft.CacheScope.cached(userCents(s, d))
+      // The ε=2 Atkinson index is only defined on strictly positive
+      // incomes: a zero-cents user NULLs the reciprocal (silently
+      // dropping them from the harmonic mean) and a negative one would
+      // expose the Spark-div (truncate) vs DuckDB-// (floor) split. The
+      // c > 0 filter makes the domain assumption explicit in BOTH
+      // engines so neither hazard is reachable.
+      val u = graft.CacheScope.cached(userCents(s, d)
+        .filter(col("c") > 0L))
       val agg = u.agg(count(lit(1)).as("n"), sum("c").as("sc"),
         sum(expr("1000000000000 div c")).as("sq"))
       val nD = col("n").cast("double")
@@ -272,10 +279,11 @@ object Econ {
         |  round(CAST(top AS DOUBLE) / bot, 6) AS palma
         |FROM agg""".stripMargin,
     "q_atkinson" ->
-      """WITH u AS (
+      """WITH u0 AS (
         |  SELECT user_id,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
         |  FROM events GROUP BY 1),
+        |u AS (SELECT * FROM u0 WHERE c > 0),
         |agg AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(c) AS BIGINT) AS sc,

@@ -146,11 +146,14 @@ object Stats7 {
       val jt2 = cum.as("i")
         .join(cum.as("j"),
           col("i.c") === col("j.c") && col("i.g") < col("j.g"))
-        .agg(sum(lit(2L) * col("j.cnt") * col("i.cumlt") +
-          col("j.cnt") * col("i.cnt")).as("jt2"))
+        .agg(sum((lit(2L) * col("j.cnt").cast("decimal(38,0)") *
+          col("i.cumlt") +
+          col("j.cnt").cast("decimal(38,0)") * col("i.cnt"))
+          .cast("decimal(38,0)")).as("jt2"))
       val sizes = ev.groupBy("g").agg(count(lit(1)).as("n"))
       val mo = sizes.agg(sum("n").as("nn"),
-        sum((col("n") * col("n")).cast("decimal(38,0)")).as("sn2"),
+        sum((col("n").cast("decimal(38,0)") * col("n"))
+          .cast("decimal(38,0)")).as("sn2"),
         sum((col("n").cast("decimal(38,0)") * col("n") *
           (lit(2L) * col("n") + 3L)).cast("decimal(38,0)")).as("sn3"))
       val e = (col("nn").cast("double") * col("nn") -
@@ -286,7 +289,8 @@ object Stats7 {
         sum("h").as("sh"),
         sum((col("c") * col("c")).cast("decimal(38,0)")).as("scc"),
         sum(col("h") * col("h")).as("shh"),
-        sum(col("c") * col("h")).as("sch"))
+        sum((col("c").cast("decimal(38,0)") * col("h"))
+          .cast("decimal(38,0)")).as("sch"))
       val nD = col("n").cast("double")
       val muC = col("sc").cast("double") / nD
       val muH = col("sh").cast("double") / nD
@@ -398,8 +402,8 @@ object Stats7 {
         |      AS cumlt
         |  FROM dense),
         |jt AS (
-        |  SELECT CAST(sum(2 * j.cnt * i.cumlt + j.cnt * i.cnt)
-        |    AS BIGINT) AS jt2
+        |  SELECT sum(2 * CAST(j.cnt AS HUGEINT) * i.cumlt +
+        |    CAST(j.cnt AS HUGEINT) * i.cnt) AS jt2
         |  FROM cum i JOIN cum j ON j.c = i.c AND i.g < j.g),
         |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n
         |          FROM ev GROUP BY 1),
@@ -531,7 +535,7 @@ object Stats7 {
         |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(h) AS BIGINT) AS sh,
         |    sum(CAST(c AS HUGEINT) * c) AS scc,
         |    CAST(sum(h * h) AS BIGINT) AS shh,
-        |    CAST(sum(c * h) AS BIGINT) AS sch
+        |    sum(CAST(c AS HUGEINT) * h) AS sch
         |  FROM ev),
         |scored AS (
         |  SELECT event_id, event_type, value, h,

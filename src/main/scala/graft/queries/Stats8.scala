@@ -274,9 +274,15 @@ object Stats8 {
       // true units: d̄ = Σd/m; γ_l = ΣDc·Dc'/(m·m²);
       // var(d̄) = (γ0 + 2γ1 + 2γ2)/m
       val dbar = col("sdm").cast("double") / mD
-      val vard = (col("g0").cast("double") +
+      // Truncated flat-weight HAC sums are not guaranteed positive; when
+      // the lag terms drive it ≤ 0 fall back to the always-nonnegative
+      // γ₀-only variance so dm_stat never silently NaNs into 'tie'
+      // (mirrored in the oracle CASE).
+      val vard0 = (col("g0").cast("double") +
         lit(2.0) * col("g1").cast("double") +
         lit(2.0) * col("g2").cast("double")) / (mD * mD * mD) / mD
+      val vard = when(vard0 > 0.0, vard0)
+        .otherwise(col("g0").cast("double") / (mD * mD * mD) / mD)
       val dm = dbar / sqrt(vard)
       g0.crossJoin(broadcast(gammaDf(1)))
         .crossJoin(broadcast(gammaDf(2)))
@@ -585,24 +591,28 @@ object Stats8 {
         |       FROM cd a JOIN cd b ON b.day = a.day - 1),
         |g2 AS (SELECT coalesce(sum(CAST(a.dc AS HUGEINT) * b.dc), 0)
         |         AS g2
-        |       FROM cd a JOIN cd b ON b.day = a.day - 2)
+        |       FROM cd a JOIN cd b ON b.day = a.day - 2),
+        |v AS (
+        |  SELECT m, sdm, sl1, sl7,
+        |    CASE WHEN (CAST(g0 AS DOUBLE) + 2.0 * CAST(g1 AS DOUBLE) +
+        |        2.0 * CAST(g2 AS DOUBLE)) /
+        |        (CAST(m AS DOUBLE) * m * m) / m > 0.0
+        |      THEN (CAST(g0 AS DOUBLE) + 2.0 * CAST(g1 AS DOUBLE) +
+        |        2.0 * CAST(g2 AS DOUBLE)) /
+        |        (CAST(m AS DOUBLE) * m * m) / m
+        |      ELSE CAST(g0 AS DOUBLE) /
+        |        (CAST(m AS DOUBLE) * m * m) / m END AS vard
+        |  FROM g0 CROSS JOIN g1 CROSS JOIN g2)
         |SELECT m AS n_days,
         |  round(CAST(sl1 AS DOUBLE) / m, 2) AS mse_naive_dollars2,
         |  round(CAST(sl7 AS DOUBLE) / m, 2) AS mse_seasonal_dollars2,
-        |  round((CAST(sdm AS DOUBLE) / m) /
-        |    sqrt((CAST(g0 AS DOUBLE) + 2.0 * CAST(g1 AS DOUBLE) +
-        |      2.0 * CAST(g2 AS DOUBLE)) /
-        |      (CAST(m AS DOUBLE) * m * m) / m), 4) AS dm_stat,
-        |  CASE WHEN (CAST(sdm AS DOUBLE) / m) /
-        |    sqrt((CAST(g0 AS DOUBLE) + 2.0 * CAST(g1 AS DOUBLE) +
-        |      2.0 * CAST(g2 AS DOUBLE)) /
-        |      (CAST(m AS DOUBLE) * m * m) / m) > 1.96 THEN 'seasonal'
-        |  WHEN (CAST(sdm AS DOUBLE) / m) /
-        |    sqrt((CAST(g0 AS DOUBLE) + 2.0 * CAST(g1 AS DOUBLE) +
-        |      2.0 * CAST(g2 AS DOUBLE)) /
-        |      (CAST(m AS DOUBLE) * m * m) / m) < -1.96 THEN 'naive'
+        |  round((CAST(sdm AS DOUBLE) / m) / sqrt(vard), 4) AS dm_stat,
+        |  CASE WHEN (CAST(sdm AS DOUBLE) / m) / sqrt(vard) > 1.96
+        |    THEN 'seasonal'
+        |  WHEN (CAST(sdm AS DOUBLE) / m) / sqrt(vard) < -1.96
+        |    THEN 'naive'
         |  ELSE 'tie' END AS better
-        |FROM g0 CROSS JOIN g1 CROSS JOIN g2""".stripMargin,
+        |FROM v""".stripMargin,
     "q_hampel" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

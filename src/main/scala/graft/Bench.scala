@@ -179,7 +179,26 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Exception => Nil }
+    // Idle gate (VERDICT r10 #3): a contended box inflates wall-clock up
+    // to 15× with byte-identical shuffle, which burned rounds 8 and 10 on
+    // judge adjudication. Wait (bounded) for the 1-min loadavg to drop
+    // under the gate before the timed loop; if it never does, run anyway
+    // but stamp `contended: true` in-band so no consumer mistakes the
+    // numbers for an idle run. Gate/wait are env-tunable for local use.
+    val idleGate = sys.env.get("SPARK_GRAFT_IDLE_GATE")
+      .flatMap(_.toDoubleOption).getOrElse(1.0)
+    val idleWaitSec = sys.env.get("SPARK_GRAFT_IDLE_WAIT_SEC")
+      .flatMap(_.toIntOption).getOrElse(180)
+    val waitDeadline = System.nanoTime() + idleWaitSec * 1000000000L
+    while (loadavg.headOption.exists(_ > idleGate) &&
+           System.nanoTime() < waitDeadline) {
+      System.err.println(
+        s"[bench] loadavg ${loadavg.headOption.getOrElse(-1.0)} > " +
+        s"$idleGate; waiting for idle box (max ${idleWaitSec}s)")
+      Thread.sleep(10000)
+    }
     val loadStart = loadavg
+    val contended = loadStart.headOption.exists(_ > idleGate)
     val catalog = SparkEntry.queries ++ SparkEntry.benchForm
     val results = catalog
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -222,11 +241,16 @@ object Bench {
         shuffleBytes = meter.written.get() - before
         dt
       }
-      if (err.isEmpty) { // warm run: run 2's caches still in place
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () } // cold runs already priced it
-        warmSec = (System.nanoTime() - t0) / 1e9
+      if (err.isEmpty) { // warm runs: run 2's caches still in place.
+        // min-of-2 (VERDICT r10 #8): warm_sec is the cross-round
+        // comparison column now that `sec` is cold; a single warm run
+        // showed ~15% diffuse drift in r10 that cost adjudication.
+        warmSec = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () } // cold runs already priced it
+          (System.nanoTime() - t0) / 1e9
+        }.min
       }
       CacheScope.drain() // unpersist query-registered caches
       spark.catalog.clearCache() // belt-and-braces: nothing leaks across queries
@@ -264,7 +288,7 @@ object Bench {
         e.map(m => s""","err":${jstr(m)}""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"shuffle_mb_total":${r3(shuffleTotalMb)},"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"bench_overrides":$overrides,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"shuffle_mb_total":${r3(shuffleTotalMb)},"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"contended":$contended,"bench_overrides":$overrides,"queries":$detail,"sf":"$sfDir"}"""
     // write failure must not advertise a stale detail file as this run's
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     val detailRef =
@@ -307,7 +331,7 @@ object Bench {
     // "queries" is a SUBSET (headline + slowest 8 + errored) — the full
     // per-query map lives in the detail file; "queries_is_subset" says so
     // in-band for any consumer still assuming the pre-r3 all-queries shape.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_is_subset":true,"shuffle_mb_total":${r3(shuffleTotalMb)},"loadavg_end":${jarr(loadEnd)},"errors":$errs,"detail":"$detailRef","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_is_subset":true,"shuffle_mb_total":${r3(shuffleTotalMb)},"loadavg_end":${jarr(loadEnd)},"contended":$contended,"errors":$errs,"detail":"$detailRef","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -502,6 +502,64 @@ object Dedup {
           sum(when(col("is_train"), 0L).otherwise(1L)).as("n_test"))
         .crossJoin(broadcast(crossed.agg(count(lit(1)).as("n_cross_pairs"))))
         .crossJoin(broadcast(leaky.agg(count(lit(1)).as("n_leaky_test"))))
+    }),
+
+    // ---- exact-substring dedup decision (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better" flavor, re-expressed
+    // distributed): mark every token covered by a word-5-gram appearing
+    // in ≥2 DISTINCT documents, merge contiguously-covered positions
+    // into maximal shared extents (a gram at p covers tokens [p, p+4];
+    // break when the next shared p is > 5 away, so every token of an
+    // extent is inside some shared gram), and keep the dedup decisions:
+    // extents ≥ 20 tokens — the spans an exact-substring deduper cuts.
+    // Scale shape: gram hashing is a per-row map (array indexing — the
+    // shingleCodes discipline, no lead() shuffle); "shared" is ONE keyed
+    // aggregate on the 8-byte gram code semi-joined back; the extent
+    // merge is a doc_id-keyed window (gap-break prefix sum — the islands
+    // trick). No doc pair ever materializes: shuffle ∝ corpus grams,
+    // never O(n²) — the suffix-array pass of the paper becomes a
+    // gram-mark + islands merge that partitions freely at 100 TB.
+    "q_substring_dedup" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val docs = graft.CacheScope.cached(Tables.documents(s, d)
+        .transform(Tables.fanoutReady)
+        .select(col("doc_id"), words.as("ws"))
+        .filter(size(col("ws")) >= 5))
+      val grams = graft.CacheScope.cached(docs
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("ws")) - 5),
+          i => conv(substring(md5(concat_ws(" ",
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3), element_at(col("ws"), i + 4),
+            element_at(col("ws"), i + 5))), 1, 8), 16, 10)
+            .cast(LongType))))
+        .toDF("doc_id", "p", "code"))
+      val shared = grams.groupBy("code")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select("code")
+      val sp = grams.join(shared, Seq("code")).select("doc_id", "p")
+      val wo = Window.partitionBy("doc_id").orderBy("p")
+      val ext = sp
+        .withColumn("brk",
+          when(col("p") - lag("p", 1).over(wo) <= 5, 0L).otherwise(1L))
+        .withColumn("eid", sum("brk").over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "eid")
+        .agg(min("p").as("p0"), (max("p") + 5).as("p1"))
+        .filter(col("p1") - col("p0") >= 20)
+      val nt = docs.select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_tokens"))
+      ext.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_extents"),
+          sum(col("p1") - col("p0")).cast(LongType).as("dup_tokens"),
+          max(col("p1") - col("p0")).cast(LongType).as("max_span"))
+        .join(nt, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_extents"),
+          col("dup_tokens"), col("max_span"),
+          round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+            .as("dup_ratio"))
+        .orderBy("doc_id")
     })
   )
 
@@ -868,6 +926,52 @@ object Dedup {
          |     FROM split) AS n_test,
          |  (SELECT CAST(count(*) AS BIGINT) FROM crossed) AS n_cross_pairs,
          |  (SELECT CAST(count(*) AS BIGINT) FROM leaky) AS n_leaky_test""".stripMargin
-    }
+    },
+    "q_substring_dedup" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |words AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS wi,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM w0),
+        |g AS (
+        |  SELECT doc_id, wi - 1 AS p,
+        |    CAST(('0x' || substring(md5(
+        |      w || ' ' || lead(w, 1) OVER pw || ' ' ||
+        |      lead(w, 2) OVER pw || ' ' || lead(w, 3) OVER pw || ' ' ||
+        |      lead(w, 4) OVER pw), 1, 8)) AS BIGINT) AS code
+        |  FROM words
+        |  WINDOW pw AS (PARTITION BY doc_id ORDER BY wi)
+        |  QUALIFY lead(w, 4) OVER pw IS NOT NULL),
+        |shared AS (
+        |  SELECT code FROM g GROUP BY code
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |sp AS (SELECT g.doc_id, g.p FROM g JOIN shared USING (code)),
+        |mark AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |        <= 5 THEN 0 ELSE 1 END AS brk
+        |  FROM sp),
+        |ext AS (
+        |  SELECT doc_id, min(p) AS p0, max(p) + 5 AS p1
+        |  FROM (SELECT doc_id, p,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS eid
+        |        FROM mark) t
+        |  GROUP BY doc_id, eid
+        |  HAVING max(p) + 5 - min(p) >= 20),
+        |nt AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM w0)
+        |SELECT ext.doc_id, n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_extents,
+        |  CAST(sum(p1 - p0) AS BIGINT) AS dup_tokens,
+        |  CAST(max(p1 - p0) AS BIGINT) AS max_span,
+        |  round(CAST(sum(p1 - p0) AS DOUBLE) / n_tokens, 6) AS dup_ratio
+        |FROM ext JOIN nt ON nt.doc_id = ext.doc_id
+        |GROUP BY ext.doc_id, n_tokens
+        |ORDER BY ext.doc_id""".stripMargin
   )
 }

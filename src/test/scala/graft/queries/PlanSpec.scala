@@ -1891,4 +1891,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "class expansion must be a broadcast, not a cartesian")
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
+
+  test("round-11: substring dedup marks grams keyed, windows doc-keyed, " +
+       "no pair explosion") {
+    val plan = planOf("q_substring_dedup")
+    // the Lee-et-al decision never materializes a doc pair: the only join
+    // is the shared-gram semi-join back onto the gram frame
+    assert(!plan.contains("CartesianProduct"),
+      "substring dedup must not enumerate document pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "substring dedup must not nested-loop join")
+    // extent merge is a doc_id-partitioned window — never partition-less
+    // (a global window would serialize the islands merge on one task)
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")),
+      s"extent-merge windows must partition by doc_id:\n${winLines.mkString("\n")}")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
 }

@@ -97,7 +97,7 @@ object SparkEntry {
     * correctness gate use `queries` alone — see
     * [[graft.queries.RelationalExt.benchForm]]. */
   def benchForm: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalExt.benchForm ++ Similarity.benchForm
+    RelationalExt.benchForm ++ Similarity.benchForm ++ Graph2.benchForm
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

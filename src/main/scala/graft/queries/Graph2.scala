@@ -149,6 +149,49 @@ object Graph2 {
         .unionByName(summarize(c2, 2)).orderBy("round")
     }))
 
+  /** Bench-only production form of q_wl_colors (VERDICT r10 "next round"
+    * #5). The gate query's neighbor-multiset serialization
+    * (`concat_ws(",", sort_array(collect_list(nc)))`) builds a per-node
+    * string proportional to degree — a non-commutative holistic aggregate
+    * with no map-side combine, so at 100× one celebrity node makes one
+    * hot string/row on one task. This twin replaces it with a COMMUTATIVE
+    * hash-combine: each neighbor color contributes its md5 60-bit prefix
+    * and the multiset is summarized as (count, Σ prefix) — partial
+    * (map-side) aggregation applies, every shuffle row is constant-size,
+    * and a skewed node's combine spreads across partitions. Two multisets
+    * collide only on a 60-bit-sum + count collision (≪ md5's own rate),
+    * so the refinement trajectory — and the (n_colors, largest_class)
+    * summary this query returns — matches the exact form's with
+    * overwhelming probability; the exact sorted-concat form stays the
+    * correctness-gate query. Σ routes decimal(38,0): degree·2⁶⁰ wraps
+    * i64 above ~16 neighbors. */
+  val benchForm: Map[String, Q] = Map(
+    "q_wl_colors" -> ((s, d) => {
+      val adj = graft.CacheScope.cached(adjacency(s, d))
+      val c0 = adj.groupBy("node").agg(count(lit(1)).as("dg"))
+        .select(col("node"), col("dg").cast("string").as("c"))
+        .localCheckpoint(true)
+      def refine(c: DataFrame): DataFrame =
+        adj.join(c.toDF("nbr", "nc"), "nbr")
+          .groupBy("node")
+          .agg(count(lit(1)).as("hn"),
+            sum(conv(substring(md5(col("nc")), 1, 15), 16, 10)
+              .cast("decimal(38,0)")).as("hsum"))
+          .join(c, "node")
+          .select(col("node"),
+            md5(concat_ws("|", col("c"), col("hn").cast("string"),
+              col("hsum").cast("string"))).as("c"))
+          .localCheckpoint(true)
+      val c1 = refine(c0)
+      val c2 = refine(c1)
+      def summarize(c: DataFrame, r: Int): DataFrame =
+        c.groupBy("c").agg(count(lit(1)).as("sz"))
+          .agg(lit(r).as("round"), count(lit(1)).as("n_colors"),
+            max("sz").as("largest_class"))
+      summarize(c0, 0).unionByName(summarize(c1, 1))
+        .unionByName(summarize(c2, 2)).orderBy("round")
+    }))
+
   private val edgeSql =
     """e AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -93,6 +93,43 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("benchForm twins: deterministic, empty-safe; WL hash-combine " +
+       "matches the exact summary at two SFs") {
+    // same determinism tripwire as the main catalog, over the bench-only
+    // production forms (they are timed every round — a nondeterministic
+    // twin would make bench rows incomparable)
+    val bad = SparkEntry.benchForm.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val a = ResultPublisher.contentId(fn(spark, sf))
+        val b = ResultPublisher.contentId(fn(spark, sf))
+        graft.CacheScope.drain(); spark.catalog.clearCache()
+        if (a == b) None else Some(name)
+    }
+    assert(bad.isEmpty, s"nondeterministic benchForm: $bad")
+    // the WL twin's commutative hash-combine must reproduce the exact
+    // form's (round, n_colors, largest_class) trajectory — a 60-bit-sum
+    // collision is the only divergence mode and it should never appear
+    // at fixture scale
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = ResultPublisher.contentId(
+        SparkEntry.queries("q_wl_colors")(spark, dir))
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+      val twin = ResultPublisher.contentId(
+        Graph2.benchForm("q_wl_colors")(spark, dir))
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+      assert(twin == exact, s"$dir: WL twin diverged from exact form")
+    }
+    val failed = SparkEntry.benchForm.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, emptyDir).write.format("noop").mode("overwrite")
+          .save(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}") }
+        finally { graft.CacheScope.drain(); spark.catalog.clearCache() }
+    }
+    assert(failed.isEmpty, s"benchForm failing on empty input: $failed")
+  }
+
   test("every query tolerates empty inputs") {
     val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, emptyDir).write.format("noop").mode("overwrite").save(); None }

@@ -678,6 +678,96 @@ object StreamOps {
       }
   }
 
+  /** A timestamped value event — the input of monitors that track a daily
+    * VALUE aggregate (cents) rather than a count ([[HoltPoint]]). */
+  final case class ValuePoint(ts_us: Long, cents: Long)
+  final case class HampelVerdict(series: String, day: Long, dollars: Double,
+      med_cents: Double, mad_cents: Double, n_window: Long, outlier: Boolean)
+  final case class HampelState(day: Long, acc: Long, lastEmitted: Long,
+      closedDays: Seq[Long], closedYs: Seq[Long])
+
+  /** Streaming Hampel robust outlier filter — the stateful twin of batch
+    * q_hampel (queries.Stats8): each day's revenue against the median ±
+    * 3·1.4826·MAD of its ±3-day neighborhood. A CENTERED window needs
+    * future days, so a day's verdict is only final once the stream has
+    * moved strictly past day+3: verdicts emit with that (bounded) lag,
+    * exactly the batch row once emitted. State per series is the open
+    * day's accumulating cents plus the closed days still inside some
+    * pending center's band — days monotone means at most the trailing
+    * 7-day band survives pruning, a fixed bound, never a growing buffer.
+    * Both medians use Spark's exact-percentile interpolation formula on
+    * cents (half-/quarter-cent exact binary doubles — the batch parity
+    * argument), so the stream's verdict doubles are bit-identical to the
+    * batch's. Day-close discipline is [[holtForecast]]'s: a day closes
+    * when a later day's first event arrives; late events drop.
+    * StreamingSpec pins batch parity via the sentinel-close trick. */
+  def hampelMonitor(points: Dataset[ValuePoint], series: String = "events",
+      dayUs: Long = 86400000000L): Dataset[HampelVerdict] = {
+    import points.sparkSession.implicits._
+    // Spark Percentile's exact interpolation, literal for literal:
+    // position = p·(n−1); (higher−pos)·lo + (pos−lower)·hi
+    def pct50(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lower = math.floor(pos).toInt
+      val higher = math.ceil(pos).toInt
+      if (lower == higher) s(lower)
+      else (higher - pos) * s(lower) + (pos - lower) * s(higher)
+    }
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[HampelState, HampelVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[HampelState]) =>
+          var st = state.getOption
+            .getOrElse(HampelState(-1L, 0L, Long.MinValue,
+              Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[HampelVerdict]
+          def emitFinal(openDay: Long, days: Vector[Long],
+              ys: Vector[Long], last: Long): Long = {
+            var lastE = last
+            days.indices.foreach { i =>
+              val c = days(i)
+              if (c > lastE && c + 3 < openDay) {
+                val win = days.indices
+                  .filter(j => math.abs(days(j) - c) <= 3)
+                val wys = win.map(j => ys(j).toDouble)
+                val med = pct50(wys)
+                val y = ys(i).toDouble
+                val mad = pct50(win.map(j => math.abs(ys(j) - med)))
+                out += HampelVerdict(key, c,
+                  BigDecimal(y / 100.0)
+                    .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble,
+                  med, mad, win.size.toLong,
+                  math.abs(y - med) > 3.0 * 1.4826 * mad)
+                lastE = c
+              }
+            }
+            lastE
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { pt =>
+            val d = pt.ts_us / dayUs
+            if (st.day == -1L) st = st.copy(day = d, acc = pt.cents)
+            else if (d == st.day) st = st.copy(acc = st.acc + pt.cents)
+            else if (d > st.day) {
+              val days = st.closedDays.toVector :+ st.day
+              val ys = st.closedYs.toVector :+ st.acc
+              val lastE = emitFinal(d, days, ys, st.lastEmitted)
+              // retain only days a pending center (closed > lastE, or the
+              // newly-open day once it closes) can still reference
+              val minPending = days.find(_ > lastE).getOrElse(d)
+              val keep = days.indices.filter(i => days(i) >= minPending - 3)
+              st = HampelState(d, pt.cents, lastE,
+                keep.map(days).toVector, keep.map(ys).toVector)
+            }
+            // d < st.day: late event for a closed day — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class HwUpdate(series: String, n_days: Long,
       level: Option[Double], trend: Option[Double],
       forecast_1d: Option[Double], season_range: Option[Double])

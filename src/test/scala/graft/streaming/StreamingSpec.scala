@@ -889,4 +889,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .forall(_.decision === last.decision))
     } finally q.stop()
   }
+
+  test("streaming Hampel equals batch q_hampel after a sentinel closes " +
+       "the band; verdicts lag the open day by the half-band") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dayUs = 86400000000L
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100)
+          .cast("long").as("cents"))
+      .as[StreamOps.ValuePoint]
+      .collect().sortBy(_.ts_us)
+    val in = MemoryStream[StreamOps.ValuePoint]
+    val q = StreamOps.hampelMonitor(in.toDS()).writeStream
+      .format("memory").queryName("hampel").outputMode("append").start()
+    try {
+      pts.grouped(200).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // mid-stream: a centered ±3 band means no verdict for any day the
+      // open day hasn't moved strictly past by 4
+      val openDay = pts.last.ts_us / dayUs
+      val mid = spark.table("hampel").as[StreamOps.HampelVerdict].collect()
+      assert(mid.forall(_.day + 3 < openDay),
+        "no verdict may precede its band closing")
+      // sentinel 4 days past the end finalizes every real day's band
+      in.addData(StreamOps.ValuePoint(pts.last.ts_us + 4 * dayUs, 0L))
+      q.processAllAvailable()
+      val stream = spark.table("hampel").as[StreamOps.HampelVerdict]
+        .collect().sortBy(_.day)
+      val batch = graft.SparkEntry.queries("q_hampel")(spark, sf).collect()
+      assert(stream.length === batch.length,
+        s"stream ${stream.length} days vs batch ${batch.length}")
+      stream.zip(batch).foreach { case (sv, br) =>
+        assert(sv.day === br.getAs[Long]("day"))
+        assert(sv.dollars === br.getAs[Double]("dollars"), s"day ${sv.day}")
+        // same percentile formula on exact binary cents → bit-identical
+        assert(sv.med_cents === br.getAs[Double]("med_cents"),
+          s"day ${sv.day} med")
+        assert(sv.mad_cents === br.getAs[Double]("mad_cents"),
+          s"day ${sv.day} mad")
+        assert(sv.n_window === br.getAs[Long]("n_window"), s"day ${sv.day}")
+        assert(sv.outlier === br.getAs[Boolean]("outlier"), s"day ${sv.day}")
+      }
+    } finally q.stop()
+  }
 }

@@ -49,6 +49,8 @@ object SparkEntry {
     "Stats6" -> Stats6.queries,
     "Stats7" -> Stats7.queries,
     "Stats8" -> Stats8.queries,
+    "Stats9" -> Stats9.queries,
+    "Stats10" -> Stats10.queries,
     "Econ" -> Econ.queries,
     "MlOps" -> MlOps.queries,
     "DqOps" -> DqOps.queries,
@@ -82,6 +84,8 @@ object SparkEntry {
     "Stats6" -> Stats6.oracle,
     "Stats7" -> Stats7.oracle,
     "Stats8" -> Stats8.oracle,
+    "Stats9" -> Stats9.oracle,
+    "Stats10" -> Stats10.oracle,
     "Econ" -> Econ.oracle,
     "MlOps" -> MlOps.oracle,
     "DqOps" -> DqOps.oracle,

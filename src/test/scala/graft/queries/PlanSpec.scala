@@ -1909,4 +1909,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"extent-merge windows must partition by doc_id:\n${winLines.mkString("\n")}")
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
+
+  test("round-11 ordinal batch: one corpus collapse, grid fan-ins broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // Somers' D / gamma / tau-c ride ONE cached 24×10 contingency grid;
+    // Cochran's Q and Welch's ANOVA collapse to per-user / per-type
+    // frames in one keyed aggregate; Bowker pays one user-keyed lag
+    // window. Everything downstream of the collapse is broadcast-small.
+    for (q <- Seq("q_somers_d", "q_gk_gamma", "q_stuart_tau_c",
+        "q_cochran_q", "q_welch_anova", "q_bowker")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val scans = qe.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.size <= 1, s"$q must scan the corpus once, got ${scans.size}")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q post-collapse joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // the pair-mass cross join must be the bounded ≤240-row grid against
+    // itself (broadcast), never a row-level self-join
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bw = SparkEntry.queries("q_bowker")(spark, sf).queryExecution
+    assert(bw.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "q_bowker's lag window must partition by user_id")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
 }

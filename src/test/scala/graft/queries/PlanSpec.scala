@@ -1934,4 +1934,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_bowker's lag window must partition by user_id")
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
+
+  test("round-11 survival/rank batch: GlobalRank routing, one-scan folds") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // RMST / Cox / Ansari-Bradley / CvM all rank or prefix over corpus-
+    // growing frames (death times, pooled event ranks): every window must
+    // ride GlobalRank's two-phase routing — partition-less windows are
+    // legal only over the numPartitions-row _gr_pid offsets table
+    for (q <- Seq("q_rmst", "q_cox_ph", "q_ansari_bradley",
+        "q_cvm_2sample")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame:\n" +
+          offenders.map(_.verboseString(3)).mkString("\n"))
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar fan-ins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // ADF / theta / spectral entropy collapse to the calendar-bounded
+    // daily frame in ONE corpus scan; nothing after may sort-merge
+    for (q <- Seq("q_adf", "q_theta_forecast", "q_spectral_entropy")) {
+      val p = planOf(q)
+      val scans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans <= 1, s"$q must scan the corpus once, got $scans")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q post-collapse joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
 }

@@ -53,6 +53,7 @@ object SparkEntry {
     "Stats10" -> Stats10.queries,
     "Econ" -> Econ.queries,
     "MlOps" -> MlOps.queries,
+    "MlOps2" -> MlOps2.queries,
     "DqOps" -> DqOps.queries,
     "Recsys" -> Recsys.queries)
 
@@ -88,6 +89,7 @@ object SparkEntry {
     "Stats10" -> Stats10.oracle,
     "Econ" -> Econ.oracle,
     "MlOps" -> MlOps.oracle,
+    "MlOps2" -> MlOps2.oracle,
     "DqOps" -> DqOps.oracle,
     "Recsys" -> Recsys.oracle)
 

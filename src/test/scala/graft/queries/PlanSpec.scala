@@ -1968,4 +1968,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.CacheScope.drain(); spark.catalog.clearCache()
     }
   }
+
+  test("round-11 ML/sketch batch: cached collapses, bounded iteration") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // GBM rounds / weighted kappa: one corpus scan into the cached
+    // value-domain grid; every downstream frame (margins, stumps,
+    // confusion grid) is bounded and fans in by broadcast
+    for (q <- Seq("q_gbm2", "q_weighted_kappa")) {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val scans = qe.executedPlan.collect { case sc: FileSourceScanExec => sc }
+      assert(scans.size <= 1, s"$q must scan the corpus once, got ${scans.size}")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q post-collapse joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // Bradley-Terry / Katz / KMV: the only corpus-scale joins are keyed
+    // equi-joins (order self-join, trade-edge derivation); MM rounds and
+    // Katz hops run on cached bounded frames — no cartesian anywhere,
+    // and the KMV rank windows ride GlobalRank or bounded pair frames
+    for (q <- Seq("q_bradley_terry", "q_katz", "q_kmv_intersect")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar fan-ins must broadcast")
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
 }

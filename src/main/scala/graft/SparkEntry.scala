@@ -51,6 +51,7 @@ object SparkEntry {
     "Stats8" -> Stats8.queries,
     "Stats9" -> Stats9.queries,
     "Stats10" -> Stats10.queries,
+    "Stats11" -> Stats11.queries,
     "Econ" -> Econ.queries,
     "MlOps" -> MlOps.queries,
     "MlOps2" -> MlOps2.queries,
@@ -87,6 +88,7 @@ object SparkEntry {
     "Stats8" -> Stats8.oracle,
     "Stats9" -> Stats9.oracle,
     "Stats10" -> Stats10.oracle,
+    "Stats11" -> Stats11.oracle,
     "Econ" -> Econ.oracle,
     "MlOps" -> MlOps.oracle,
     "MlOps2" -> MlOps2.oracle,

@@ -297,6 +297,51 @@ object MlOps2 {
         .orderBy("a", "b")
     }),
 
+    // ---- Two full Lloyd iterations of k-means (k = 8) on the
+    // embeddings, trained on the engine: deterministic init from the
+    // fixture's first 8 vectors, assignment by exact pico-quantized L2
+    // (the q_vec_analogy distance discipline — per-dimension terms are
+    // BIGINT so argmin ties resolve identically in both engines), new
+    // centroids as per-(cluster, dim) means rounded to 4 dp before
+    // re-entering arithmetic (the q_centroids rule). Each assignment is
+    // one broadcast join of the ≤64-row centroid frame against the
+    // cached exploded corpus — k× linear work per round, nothing
+    // collected.
+    "q_kmeans_lloyd" -> ((s, d) => {
+      val pe = graft.CacheScope.cached(Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("pos", "x0")))
+        .select(col("vec_id"), col("pos"),
+          col("x0").cast("double").as("x")))
+      val cent0 = pe.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("pos"),
+          col("x").as("c"))
+      def assign(cent: DataFrame): DataFrame = {
+        val d2 = pe.join(broadcast(cent), "pos")
+          .groupBy("vec_id", "cid")
+          .agg(sum(round((col("x") - col("c")) * (col("x") - col("c"))
+            * 1e12).cast(LongType)).as("d2"))
+        val wnd = Window.partitionBy("vec_id")
+          .orderBy(col("d2").asc, col("cid").asc)
+        d2.withColumn("rk", row_number().over(wnd))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("cid"), col("d2"))
+      }
+      def recenter(asg: DataFrame): DataFrame =
+        pe.join(asg.select("vec_id", "cid"), "vec_id")
+          .groupBy("cid", "pos")
+          .agg((round(avg(col("x")), 4) + 0.0).as("c"))
+      val a1 = assign(cent0)
+      val cent1 = recenter(a1)
+      val a2 = assign(cent1)
+      a2.groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          sum("d2").as("in12"))
+        .select(col("cid").cast("long").as("cluster"), col("n_members"),
+          round(col("in12").cast("double") / 1e12, 4).as("inertia"))
+        .orderBy("cluster")
+    }),
+
     // ---- Quadratic-weighted Cohen's kappa between each user's first-
     // half and second-half spend tier (fixed $500 value-domain tiers,
     // capped at 4): do users keep their spend tier across the two
@@ -612,6 +657,46 @@ object MlOps2 {
         |JOIN pert eb ON eb.t = u.b
         |CROSS JOIN exact x
         |ORDER BY a, b""".stripMargin,
+    "q_kmeans_lloyd" ->
+      """WITH pe AS (
+        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)),
+        |cent0 AS (
+        |  SELECT vec_id AS cid, pos, x AS c FROM pe WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT pe.vec_id, c0.cid,
+        |    CAST(sum(CAST(round((pe.x - c0.c) * (pe.x - c0.c) * 1e12)
+        |      AS BIGINT)) AS BIGINT) AS d2
+        |  FROM pe JOIN cent0 c0 USING (pos) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cid) AS rk
+        |    FROM d1)
+        |  WHERE rk = 1),
+        |cent1 AS (
+        |  SELECT a1.cid, pe.pos, round(avg(pe.x), 4) + 0.0 AS c
+        |  FROM pe JOIN a1 USING (vec_id) GROUP BY 1, 2),
+        |d2f AS (
+        |  SELECT pe.vec_id, c1.cid,
+        |    CAST(sum(CAST(round((pe.x - c1.c) * (pe.x - c1.c) * 1e12)
+        |      AS BIGINT)) AS BIGINT) AS d2
+        |  FROM pe JOIN cent1 c1 USING (pos) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT vec_id, cid, d2,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cid) AS rk
+        |    FROM d2f)
+        |  WHERE rk = 1)
+        |SELECT CAST(cid AS BIGINT) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  round(CAST(sum(d2) AS DOUBLE) / 1e12, 4) AS inertia
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_weighted_kappa" ->
       """WITH per AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,

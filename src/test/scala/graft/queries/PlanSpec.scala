@@ -1987,7 +1987,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // equi-joins (order self-join, trade-edge derivation); MM rounds and
     // Katz hops run on cached bounded frames — no cartesian anywhere,
     // and the KMV rank windows ride GlobalRank or bounded pair frames
-    for (q <- Seq("q_bradley_terry", "q_katz", "q_kmv_intersect")) {
+    for (q <- Seq("q_bradley_terry", "q_katz", "q_kmv_intersect",
+        "q_kmeans_lloyd")) {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       assert(!qe.executedPlan.toString.contains("CartesianProduct"),
         s"$q: scalar fan-ins must broadcast")
@@ -1998,6 +1999,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(offenders.isEmpty,
         s"$q: partition-less window over a non-offsets frame")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
+  test("round-11 experimentation batch: value-domain ranks, bounded argmax") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Dunn / Lilliefors rank over the value domain through GlobalRank;
+    // TOST / Bayesian A/B collapse to per-group integer moments in one
+    // scan; GESD / binseg unroll bounded argmax rounds with broadcast
+    // winners — no cartesian, no corpus-frame partition-less window
+    for (q <- Seq("q_dunn_test", "q_lilliefors", "q_gesd", "q_tost",
+        "q_bayesian_ab", "q_binseg")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar fan-ins must broadcast")
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") &&
+          // q_binseg's prefix window rides the calendar-bounded daily
+          // frame (≈30 rows at every sweep point) — the documented
+          // exemption class (q_adf, q_durbin_watson)
+          q != "q_binseg" => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame")
+      // argmax stages must be TakeOrdered / limit-1, never a global sort
+      if (q == "q_gesd" || q == "q_binseg") {
+        assert(qe.executedPlan.toString.contains("TakeOrderedAndProject"),
+          s"$q: argmax rounds must be TakeOrdered, not a global sort")
+      }
       graft.CacheScope.drain(); spark.catalog.clearCache()
     }
   }

@@ -834,6 +834,61 @@ object Similarity {
     * `queries` unchanged.
     */
   val benchForm: Map[String, Q] = Map(
+    // q_lof's production shape (round-11 sweep: the exact all-pairs kNN
+    // base is the last un-priced quadratic — 43 s cold at 10× vs 1.4 s
+    // for this form). Hyperplane-bucketed candidates (plane count
+    // ladders with corpus size, +32 plane-index offset so projections
+    // are independent of the q_ann_lsh / q_semdedup families); the
+    // k-distance → reachability → LRD chain downstream is IDENTICAL to
+    // the gate query — only the candidate generation changes, exactly
+    // the documented 100 TB path in q_lof's Scaladoc.
+    "q_lof" -> ((s, d) => {
+      graft.functions.Dist2Pico.register(s)
+      val v = graft.CacheScope.cached(vecs(s, d))
+      val nVec = v.count() // bounded driver action (1 long), as in q_ann_lsh
+      val nPlanes = Seq(2000L, 4000L, 8000L, 16000L, 32000L, 64000L,
+        128000L, 256000L).count(nVec > _)
+      if (nPlanes == 0) queries("q_lof")(s, d)
+      else {
+        val planeBits = (0 until nPlanes).map { k =>
+          val weights = (0 until 64).map(i =>
+            ((1103515245L * ((k + 32) * 64L + i) + 12345L) % 65536L
+              - 32768L).toDouble)
+          when(dot(col("v"), typedlit(weights)) >= 0, lit(1L) * (1L << k))
+            .otherwise(0L)
+        }
+        val emb = graft.CacheScope.cached(
+          v.withColumn("bucket", planeBits.reduce(_ + _))
+            .select(col("vec_id"), col("v"), col("bucket")))
+        def d2m(a: Column, b: Column) =
+          call_function("dist2_pico", a, b)
+        val pairs = emb.toDF("a", "va", "bucket")
+          .join(emb.toDF("b", "vb", "bucket"), Seq("bucket"))
+          .filter(col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            round(sqrt(d2m(col("va"), col("vb")).cast("double") /
+              lit(1e12)) * lit(1e6)).cast("long").as("du"))
+        val w = Window.partitionBy("a").orderBy(col("du").asc, col("b").asc)
+        val knn = graft.CacheScope.cached(pairs
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select("a", "b", "du"))
+        val kd = knn.groupBy(col("a").as("b")).agg(max("du").as("kdist"))
+        val reach = knn.join(kd, "b")
+          .select(col("a"), col("b"),
+            greatest(col("kdist"), col("du")).as("r"))
+        val ra = reach.groupBy("a")
+          .agg(sum("r").as("ra"), count(lit(1)).as("kn"))
+        val recip = ra.select(col("a").as("b"),
+          when(col("ra") > 0, round(lit(1e12) / col("ra")).cast("long"))
+            .as("cb"))
+        val sc = knn.join(recip, "b").groupBy("a").agg(sum("cb").as("sc"))
+        ra.join(sc, "a")
+          .select(col("a").as("vec_id"),
+            round(col("ra").cast("double") / col("kn") *
+              (col("sc").cast("double") / lit(1e12)), 4).as("lof"))
+          .orderBy(col("lof").desc, col("vec_id").asc).limit(20)
+      }
+    }),
     "q_cosine_pairs" -> ((s, d) => {
       val v = graft.CacheScope.cached(vecs(s, d))
       val nVec = v.count() // bounded driver action (1 long), as in q_ann_lsh

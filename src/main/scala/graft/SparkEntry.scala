@@ -34,6 +34,7 @@ object SparkEntry {
     "CorpusOps" -> CorpusOps.queries,
     "GraphOps" -> GraphOps.queries,
     "Graph2" -> Graph2.queries,
+    "Graph3" -> Graph3.queries,
     "Tpch" -> Tpch.queries,
     "CorpusMix" -> CorpusMix.queries,
     "Analytics" -> Analytics.queries,
@@ -71,6 +72,7 @@ object SparkEntry {
     "CorpusOps" -> CorpusOps.oracle,
     "GraphOps" -> GraphOps.oracle,
     "Graph2" -> Graph2.oracle,
+    "Graph3" -> Graph3.oracle,
     "Tpch" -> Tpch.oracle,
     "CorpusMix" -> CorpusMix.oracle,
     "Analytics" -> Analytics.oracle,

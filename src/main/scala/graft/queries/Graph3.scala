@@ -1,0 +1,462 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 distributed graph-algorithm batch: Borůvka minimum spanning
+  * tree on the weighted nation trade graph, a bounded-horizon
+  * double-sweep diameter probe, a 4-truss peel on the part
+  * co-purchase graph, exact betweenness centrality (multi-source BFS
+  * with path counting + the closed-form σ_sv·σ_vt/σ_st accumulation),
+  * and the rich-club coefficient curve.
+  *
+  * House iteration discipline (SCALING.md): the corpus contributes ONE
+  * collapse per query (the weighted-edge aggregate / the thinned edge
+  * list); every algorithmic round is a keyed equi-join + aggregate on a
+  * bounded frame, eagerly checkpointed. Round counts are static:
+  * Borůvka halves the component count every round, so ⌈log₂ 25⌉ = 5
+  * rounds always suffice on the nation alphabet; the per-round
+  * contraction closure reuses q_scc's static edge-doubling (5 doublings
+  * cover merge chains up to 2⁵ = 32 > 25). Deterministic tie-breaks:
+  * MST edge weights are made unique by the composite
+  * w2 = cnt·10⁶ + u·10³ + v, so the MST itself is unique and the DuckDB
+  * oracle can verify it with a DIFFERENT algorithm (sequential Prim via
+  * recursive CTE + lateral argmin) — algorithm-independent agreement,
+  * not round mirroring.
+  *
+  * Reference analog: bacalhau runs graph jobs as opaque Docker execs
+  * (docs/examples, cmd/bacalhau docker run); these queries re-express
+  * the standard post-centrality structure passes natively.
+  */
+object Graph3 {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Eager checkpoint that ALSO resets Catalyst's size estimate.
+    * `localCheckpoint(true)` truncates lineage but Spark 4 propagates
+    * the pre-checkpoint `Statistics` into the `LogicalRDD` — and
+    * SizeInBytesOnlyStats MULTIPLIES child estimates through every
+    * join, so a loop that joins its own previous round compounds the
+    * estimate double-exponentially: by Borůvka round 4 the sizeInBytes
+    * BigInt had ~10⁷ digits and planning sat in BigInteger.multiply
+    * forever (observed: 16 min of ToomCook3 in stats estimation at
+    * sf0.01). Rebuilding the frame from the materialized RDD resets
+    * the estimate to the flat default each round, so the per-round
+    * planning cost is constant — the row-conversion overhead is
+    * irrelevant on these ≤|V|²-bounded frames. */
+  private def ckpt(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** Weighted undirected nation trade graph: weight = co-trade count,
+    * made UNIQUE by the composite tie-break w2 = cnt·10⁶ + u·10³ + v
+    * (u,v < 10³; cnt·10⁶ < 9.2·10¹⁸ up to ~10¹² co-trades — Long-safe at
+    * 100 TB). Unique weights ⇒ unique MST. */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.cached(GraphOps.tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+      .select(col("u"), col("v"), col("cnt"),
+        (col("cnt") * 1000000L + col("u") * 1000L + col("v")).as("w2")))
+
+  val queries: Map[String, Q] = Map(
+    // ---- Borůvka MST: the minimum-cost trade backbone. Each round
+    // every component picks its lightest outgoing edge (per-component
+    // argmin = one row_number window over the bounded candidate frame),
+    // then components contract along the picked edges — the merge graph
+    // is closed by 5 static edge-doublings (q_scc's pattern) and each
+    // old label adopts the closure minimum. 5 rounds (components at
+    // least halve per round; the vertex set is the structurally bounded
+    // nation alphabet). Scale shape: ONE corpus collapse to the
+    // weighted edge aggregate; all rounds run on ≤|V|²-bounded frames.
+    // The oracle re-derives the same tree with sequential Prim.
+    "q_boruvka_mst" -> ((s, d) => {
+      val e = weightedEdges(s, d)
+      val init = ckpt(e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node"))).distinct()
+        .select(col("node"), col("node").as("comp")))
+      val w = Window.partitionBy("c").orderBy("w2")
+      var comp = init
+      var chosen: DataFrame = null
+      for (_ <- 1 to 5) {
+        val ec = e.join(comp.toDF("u", "cu"), "u")
+          .join(comp.toDF("v", "cv"), "v")
+          .filter(col("cu") =!= col("cv"))
+        val cand = ec.select(col("cu").as("c"), col("cv").as("oc"),
+            col("u"), col("v"), col("cnt"), col("w2"))
+          .unionAll(ec.select(col("cv").as("c"), col("cu").as("oc"),
+            col("u"), col("v"), col("cnt"), col("w2")))
+        val pick = ckpt(cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("c", "oc", "u", "v", "cnt", "w2"))
+        chosen =
+          if (chosen == null) pick.select("u", "v", "cnt", "w2")
+          else chosen.unionAll(pick.select("u", "v", "cnt", "w2"))
+        // contract: close the merge graph by static edge-doubling, then
+        // every old component label adopts the closure minimum
+        var m = ckpt(pick.select(col("c").as("a"), col("oc").as("b"))
+          .unionAll(pick.select(col("oc").as("a"), col("c").as("b")))
+          .distinct())
+        for (_ <- 1 to 5) {
+          val m2 = m.toDF("a", "x").join(m.toDF("x", "b"), "x")
+            .select("a", "b")
+          m = ckpt(m.unionAll(m2).filter(col("a") =!= col("b"))
+            .distinct())
+        }
+        val mins = m.groupBy(col("a").as("oldc")).agg(min("b").as("mb"))
+        comp = ckpt(comp.join(mins, col("comp") === col("oldc"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("mb"), col("comp")))
+              .as("comp")))
+      }
+      chosen.select("u", "v", "cnt").distinct().orderBy("u", "v")
+    }),
+
+    // ---- double-sweep diameter probe on the thinned trade graph:
+    // BFS from the minimum node id, hop to the farthest node (ties →
+    // smaller id), BFS again — ecc₂ lower-bounds the diameter. Both
+    // sweeps are bounded-horizon (6 hops — the HyperBall horizon; the
+    // oracle's recursive BFS carries the same d < 6 cap), each hop one
+    // adjacency join + min-dist aggregate on the |V|-bounded frame.
+    "q_graph_diameter" -> ((s, d) => {
+      val adj = graft.CacheScope.cached({
+        val e = GraphOps.significantEdges(s, d)
+        e.select(col("u").as("node"), col("v").as("nbr"))
+          .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      })
+      def bfs(src: DataFrame): DataFrame = { // src: 1 row (node)
+        var dist = src.select(col("node"), lit(0L).as("d"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 6) {
+          val nxt = adj.join(dist.toDF("nbr", "dn"),
+              "nbr")
+            .select(col("node"), (col("dn") + 1L).as("d"))
+          dist = dist.unionAll(nxt)
+            .groupBy("node").agg(min("d").as("d"))
+            .localCheckpoint(true)
+        }
+        dist
+      }
+      def far(dist: DataFrame): DataFrame =
+        dist.orderBy(col("d").desc, col("node").asc).limit(1)
+      val s0 = adj.groupBy().agg(min("node").as("node"))
+      val d1 = bfs(s0)
+      val f1 = far(d1)
+      val d2 = bfs(f1.select("node"))
+      val f2 = far(d2)
+      s0.toDF("start_node")
+        .crossJoin(broadcast(f1.toDF("far1", "ecc1")))
+        .crossJoin(broadcast(f2.toDF("far2", "diameter_lb")))
+        .select("start_node", "far1", "ecc1", "far2", "diameter_lb")
+    }),
+
+    // ---- exact betweenness centrality on the thinned trade graph
+    // (Brandes via the closed form: bc(v) = Σ_{s≠v≠t} σ_sv·σ_vt/σ_st
+    // over triples with d_sv + d_vt = d_st — no backward dependency
+    // pass, just one triple join of the (dist, σ) table with itself).
+    // The (dist, σ) table comes from a level-synchronous multi-source
+    // BFS with path counting: ALL |V| sources start at once, each of 8
+    // static hops is one adjacency join + keyed σ-sum + anti-join
+    // against the already-settled set (a node first reached at hop h
+    // has ALL its shortest-path predecessors settled at h−1, so the
+    // σ-sum is complete). Every frame is ≤|V|²-bounded; the triple
+    // join is ≤|V|³ — the corpus contributes ONE collapse (the edge
+    // derivation inside significantEdges). The /2 folds the
+    // (s,t)/(t,s) double count of the undirected graph.
+    "q_betweenness" -> ((s, d) => {
+      val adj = graft.CacheScope.cached({
+        val e = GraphOps.significantEdges(s, d)
+        e.select(col("u").as("node"), col("v").as("nbr"))
+          .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      })
+      val nodes = adj.select(col("node")).distinct()
+      var frontier = ckpt(nodes.select(col("node").as("s"),
+        col("node").as("v"), lit(0).as("dist"), lit(1L).as("sg")))
+      var seen = frontier
+      for (h <- 1 to 8) {
+        val nxt = ckpt(frontier.join(adj.toDF("v", "nbr"), "v")
+          .select(col("s"), col("nbr").as("v"), col("sg"))
+          .join(seen.select(col("s"), col("v")), Seq("s", "v"),
+            "left_anti")
+          .groupBy("s", "v").agg(sum("sg").as("sg"))
+          .select(col("s"), col("v"), lit(h).as("dist"), col("sg")))
+        seen = seen.unionAll(nxt)
+        frontier = nxt
+      }
+      val sv = seen.toDF("s", "v", "dsv", "ssv")
+      val vt = seen.toDF("v2", "t", "dvt", "svt")
+      val st = seen.toDF("s2", "t2", "dst", "sst")
+      val bc = sv.join(vt, sv("v") === vt("v2"))
+        .join(st, sv("s") === st("s2") && vt("t") === st("t2"))
+        .filter(col("dsv") + col("dvt") === col("dst") &&
+          col("s") =!= col("v") && col("v2") =!= col("t") &&
+          col("s") =!= col("t"))
+        .groupBy(col("v").as("bn"))
+        .agg((sum(col("ssv").cast("double") * col("svt").cast("double") /
+          col("sst").cast("double")) / 2.0).as("raw"))
+      nodes.join(bc, nodes("node") === bc("bn"), "left")
+        .select(col("node"),
+          round(coalesce(col("raw"), lit(0.0)), 4).as("bc"))
+        .orderBy("node")
+    }),
+
+    // ---- rich-club coefficient curve φ(k) = 2·E_k / (N_k·(N_k−1))
+    // on the weighted trade graph: do high-degree nations preferentially
+    // trade with each other? N_k / E_k count nodes / edges among nodes
+    // of degree > k for the static k-grid 1..15 (degree on the nation
+    // alphabet is structurally bounded). The grid joins are broadcast
+    // bounded-grid fan-ins over the ≤|V| degree table and ≤|V|² edge
+    // list — the documented cartesian-exemption class.
+    "q_rich_club" -> ((s, d) => {
+      val e = weightedEdges(s, d)
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ks = s.range(1, 16).select(col("id").as("k"))
+      val nk = broadcast(ks).join(deg, col("deg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_k"))
+      val ed = e.join(deg.toDF("u", "du"), "u")
+        .join(deg.toDF("v", "dv"), "v")
+      val ek = broadcast(ks).join(ed,
+          col("du") > col("k") && col("dv") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("e_k"))
+      ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("n_k"), lit(0L)).as("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"),
+          when(coalesce(col("n_k"), lit(0L)) > 1,
+            round(lit(2.0) * coalesce(col("e_k"), lit(0L))
+              .cast("double") /
+              (col("n_k").cast("double") *
+                (col("n_k").cast("double") - 1.0)), 4)).as("phi"))
+        .orderBy("k")
+    }),
+
+    // ---- 4-truss peel on the part co-purchase graph: an edge survives
+    // if it participates in ≥ 2 triangles within the surviving subgraph;
+    // two static peel rounds (the house bounded-round contract, like
+    // q_label_prop's 3 rounds). Each support pass is the q_triangles
+    // a<b<c adjacency join — O(Σ deg²) bounded by the ≤7-items-per-order
+    // fan-out — followed by a keyed count; no global structure, no
+    // cartesian. Output: the 20 strongest surviving edges.
+    "q_ktruss" -> ((s, d) => {
+      val e0 = graft.CacheScope.cached(GraphOps.coPurchaseEdges(s, d))
+      def support(e: DataFrame): DataFrame = {
+        val tri = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+          .join(e.toDF("a", "c"), Seq("a", "c"))
+        val sup = tri.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+          .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
+          .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        e.toDF("u", "v").join(sup, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            coalesce(col("sup"), lit(0L)).as("sup"))
+      }
+      val e1 = support(e0).filter(col("sup") >= 2)
+        .select("u", "v").localCheckpoint(true)
+      support(e1).filter(col("sup") >= 2)
+        .orderBy(col("sup").desc, col("u").asc, col("v").asc)
+        .limit(20)
+    }))
+
+  /** Shared oracle CTE prologue: the thinned undirected trade graph
+    * (textually identical to q_graph_diameter's derivation). */
+  private val sigAdjSql =
+    """WITH te AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |wcnt AS MATERIALIZED (
+      |  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM te WHERE src <> dst GROUP BY 1, 2),
+      |sig AS MATERIALIZED (
+      |  SELECT u, v FROM wcnt
+      |  WHERE CAST(cnt AS DOUBLE) >
+      |    (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |     FROM wcnt)),
+      |adj AS MATERIALIZED (
+      |  SELECT u AS node, v AS nbr FROM sig
+      |  UNION ALL SELECT v, u FROM sig)""".stripMargin
+
+  /** The 8 unrolled BFS-with-path-counting levels (the oracle twin of
+    * the Spark loop — MATERIALIZED so DuckDB doesn't re-expand the
+    * cumulative union exponentially, the SCALING.md CTE lesson). */
+  private val bfsLevelsSql = (1 to 8).map { h =>
+    s"""l$h AS MATERIALIZED (
+       |  SELECT p.s, a.nbr AS v, $h AS dist,
+       |    CAST(sum(p.sg) AS BIGINT) AS sg
+       |  FROM l${h - 1} p JOIN adj a ON a.node = p.v
+       |  WHERE NOT EXISTS (SELECT 1 FROM s${h - 1} q
+       |                    WHERE q.s = p.s AND q.v = a.nbr)
+       |  GROUP BY 1, 2),
+       |s$h AS MATERIALIZED (
+       |  SELECT * FROM s${h - 1} UNION ALL SELECT * FROM l$h)"""
+      .stripMargin
+  }.mkString(",\n")
+
+  val oracle: Map[String, String] = Map(
+    "q_betweenness" ->
+      s"""$sigAdjSql,
+         |nodes AS (SELECT DISTINCT node FROM adj),
+         |l0 AS MATERIALIZED (
+         |  SELECT node AS s, node AS v, 0 AS dist,
+         |    CAST(1 AS BIGINT) AS sg
+         |  FROM nodes),
+         |s0 AS MATERIALIZED (SELECT * FROM l0),
+         |$bfsLevelsSql,
+         |bc AS (
+         |  SELECT a.v AS bn,
+         |    sum(CAST(a.sg AS DOUBLE) * CAST(b.sg AS DOUBLE) /
+         |        CAST(c.sg AS DOUBLE)) / 2.0 AS raw
+         |  FROM s8 a JOIN s8 b ON b.s = a.v
+         |  JOIN s8 c ON c.s = a.s AND c.v = b.v
+         |  WHERE a.dist + b.dist = c.dist
+         |    AND a.s <> a.v AND b.s <> b.v AND a.s <> b.v
+         |  GROUP BY 1)
+         |SELECT n.node, round(coalesce(bc.raw, 0.0), 4) AS bc
+         |FROM nodes n LEFT JOIN bc ON bc.bn = n.node
+         |ORDER BY n.node""".stripMargin,
+    "q_rich_club" ->
+      """WITH te AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |ew AS MATERIALIZED (
+        |  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM te WHERE src <> dst GROUP BY 1, 2),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM ew
+        |    UNION ALL SELECT v FROM ew) g
+        |  GROUP BY 1),
+        |ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 16)),
+        |nk AS MATERIALIZED (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_k
+        |  FROM ks JOIN deg ON deg.deg > ks.k GROUP BY 1),
+        |ek AS MATERIALIZED (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS e_k
+        |  FROM ks JOIN ew ON true
+        |  JOIN deg du ON du.node = ew.u
+        |  JOIN deg dv ON dv.node = ew.v
+        |  WHERE du.deg > ks.k AND dv.deg > ks.k
+        |  GROUP BY 1)
+        |SELECT ks.k, coalesce(nk.n_k, 0) AS n_k,
+        |  coalesce(ek.e_k, 0) AS e_k,
+        |  CASE WHEN coalesce(nk.n_k, 0) > 1 THEN
+        |    round(2.0 * CAST(coalesce(ek.e_k, 0) AS DOUBLE) /
+        |      (CAST(nk.n_k AS DOUBLE) *
+        |        (CAST(nk.n_k AS DOUBLE) - 1.0)), 4)
+        |  END AS phi
+        |FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+        |ORDER BY k""".stripMargin,
+    "q_boruvka_mst" ->
+      """WITH te AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |ew AS MATERIALIZED (
+        |  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(*) AS BIGINT) * 1000000 +
+        |      least(src, dst) * 1000 + greatest(src, dst) AS w2
+        |  FROM te WHERE src <> dst GROUP BY 1, 2),
+        |prim AS (
+        |  WITH RECURSIVE walk AS (
+        |    SELECT 0 AS step,
+        |      [CAST((SELECT min(u) FROM ew) AS BIGINT)] AS visited,
+        |      CAST(NULL AS BIGINT) AS eu, CAST(NULL AS BIGINT) AS ev,
+        |      CAST(NULL AS BIGINT) AS ecnt
+        |    UNION ALL
+        |    SELECT p.step + 1, list_append(p.visited, c.nd),
+        |      c.u, c.v, c.cnt
+        |    FROM walk p JOIN LATERAL (
+        |      SELECT e.u, e.v, e.cnt,
+        |        CASE WHEN list_contains(p.visited, e.u) THEN e.v
+        |             ELSE e.u END AS nd
+        |      FROM ew e
+        |      WHERE list_contains(p.visited, e.u)
+        |         <> list_contains(p.visited, e.v)
+        |      ORDER BY e.w2 LIMIT 1) c ON true)
+        |  SELECT eu, ev, ecnt FROM walk WHERE step > 0)
+        |SELECT eu AS u, ev AS v, ecnt AS cnt FROM prim
+        |ORDER BY u, v""".stripMargin,
+    "q_graph_diameter" ->
+      """WITH te AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |wcnt AS MATERIALIZED (
+        |  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM te WHERE src <> dst GROUP BY 1, 2),
+        |sig AS MATERIALIZED (
+        |  SELECT u, v FROM wcnt
+        |  WHERE CAST(cnt AS DOUBLE) >
+        |    (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |     FROM wcnt)),
+        |adj AS MATERIALIZED (
+        |  SELECT u AS node, v AS nbr FROM sig
+        |  UNION ALL SELECT v, u FROM sig),
+        |b1 AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT (SELECT min(node) FROM adj) AS node,
+        |      CAST(0 AS BIGINT) AS d
+        |    UNION
+        |    SELECT a.nbr, r.d + 1 FROM r JOIN adj a ON a.node = r.node
+        |    WHERE r.d < 6)
+        |  SELECT node, min(d) AS d FROM r GROUP BY 1),
+        |f1 AS (SELECT node, d FROM b1 ORDER BY d DESC, node LIMIT 1),
+        |b2 AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT (SELECT node FROM f1) AS node, CAST(0 AS BIGINT) AS d
+        |    UNION
+        |    SELECT a.nbr, r.d + 1 FROM r JOIN adj a ON a.node = r.node
+        |    WHERE r.d < 6)
+        |  SELECT node, min(d) AS d FROM r GROUP BY 1),
+        |f2 AS (SELECT node, d FROM b2 ORDER BY d DESC, node LIMIT 1)
+        |SELECT (SELECT min(node) FROM adj) AS start_node,
+        |  (SELECT node FROM f1) AS far1, (SELECT d FROM f1) AS ecc1,
+        |  (SELECT node FROM f2) AS far2,
+        |  (SELECT d FROM f2) AS diameter_lb""".stripMargin,
+    "q_ktruss" ->
+      """WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri1 AS MATERIALIZED (
+        |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM e0 ab JOIN e0 bc ON ab.v = bc.u
+        |  JOIN e0 ac ON ac.u = ab.u AND ac.v = bc.v),
+        |s1 AS MATERIALIZED (
+        |  SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+        |    SELECT a AS u, b AS v FROM tri1
+        |    UNION ALL SELECT b, c FROM tri1
+        |    UNION ALL SELECT a, c FROM tri1) g
+        |  GROUP BY 1, 2),
+        |e1 AS MATERIALIZED (
+        |  SELECT e0.u, e0.v FROM e0 JOIN s1 USING (u, v)
+        |  WHERE s1.sup >= 2),
+        |tri2 AS MATERIALIZED (
+        |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM e1 ab JOIN e1 bc ON ab.v = bc.u
+        |  JOIN e1 ac ON ac.u = ab.u AND ac.v = bc.v),
+        |s2 AS MATERIALIZED (
+        |  SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+        |    SELECT a AS u, b AS v FROM tri2
+        |    UNION ALL SELECT b, c FROM tri2
+        |    UNION ALL SELECT a, c FROM tri2) g
+        |  GROUP BY 1, 2)
+        |SELECT e1.u, e1.v, coalesce(s2.sup, 0) AS sup
+        |FROM e1 LEFT JOIN s2 USING (u, v)
+        |WHERE coalesce(s2.sup, 0) >= 2
+        |ORDER BY sup DESC, u ASC, v ASC LIMIT 20""".stripMargin)
+}

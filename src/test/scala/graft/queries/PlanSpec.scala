@@ -2033,4 +2033,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.CacheScope.drain(); spark.catalog.clearCache()
     }
   }
+
+  test("round-11 graph batch: one corpus collapse, bounded rounds") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // Borůvka / diameter: every algorithmic round reads eager
+    // checkpoints of bounded frames — the executed plan must NOT
+    // re-derive the corpus per round (the q_scc round-5 lesson);
+    // k-truss re-scans the cached edge list once per support pass.
+    for (q <- Seq("q_boruvka_mst", "q_graph_diameter", "q_ktruss",
+        "q_betweenness", "q_rich_club")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct") ||
+        q == "q_graph_diameter", // 1-row limit-capped scalar fan-ins
+        s"$q: no cartesian outside 1-row fan-ins")
+      val scans = qe.executedPlan.collect {
+        case sc: FileSourceScanExec => sc
+      }
+      assert(scans.size <= 4,
+        s"$q: rounds must read checkpoints, not re-derive the corpus " +
+          s"(got ${scans.size} file scans)")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // MST result is a tree: |edges| = |nodes| - 1 on the connected
+    // trade graph, and Borůvka's edge set must match Prim's (the
+    // oracle re-derivation) — here just pin the tree invariant
+    val mst = SparkEntry.queries("q_boruvka_mst")(spark, sf).collect()
+    val nodes = mst.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    assert(mst.length == nodes.length - 1,
+      s"MST must span: ${mst.length} edges over ${nodes.length} nodes")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
 }

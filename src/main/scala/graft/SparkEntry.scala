@@ -53,6 +53,7 @@ object SparkEntry {
     "Stats9" -> Stats9.queries,
     "Stats10" -> Stats10.queries,
     "Stats11" -> Stats11.queries,
+    "Stats12" -> Stats12.queries,
     "Econ" -> Econ.queries,
     "MlOps" -> MlOps.queries,
     "MlOps2" -> MlOps2.queries,
@@ -91,6 +92,7 @@ object SparkEntry {
     "Stats9" -> Stats9.oracle,
     "Stats10" -> Stats10.oracle,
     "Stats11" -> Stats11.oracle,
+    "Stats12" -> Stats12.oracle,
     "Econ" -> Econ.oracle,
     "MlOps" -> MlOps.oracle,
     "MlOps2" -> MlOps2.oracle,

@@ -2034,6 +2034,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-11 time-series/robust batch: bounded frames, broadcast " +
+      "fan-ins") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Kalman / variance-ratio fold over the ≤30-row daily calendar
+    // frame, Haar over ≤720 hourly buckets, Fligner's rank prefix over
+    // the bounded deviation domain — the documented partition-less
+    // exemption classes. Tukey and Yuen must have NO partition-less
+    // window at all (per-type windows partition by event_type).
+    for (q <- Seq("q_kalman_1d", "q_variance_ratio", "q_tukey_hsd",
+        "q_haar_energy", "q_yuen_t", "q_fligner")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar fan-ins must broadcast")
+      if (q == "q_tukey_hsd" || q == "q_yuen_t") {
+        val offenders = qe.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(offenders.isEmpty,
+          s"$q: no partition-less window expected")
+      }
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
   test("round-11 graph batch: one corpus collapse, bounded rounds") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // Borůvka / diameter: every algorithmic round reads eager

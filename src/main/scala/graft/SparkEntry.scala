@@ -54,6 +54,7 @@ object SparkEntry {
     "Stats10" -> Stats10.queries,
     "Stats11" -> Stats11.queries,
     "Stats12" -> Stats12.queries,
+    "TextEval" -> TextEval.queries,
     "Econ" -> Econ.queries,
     "MlOps" -> MlOps.queries,
     "MlOps2" -> MlOps2.queries,
@@ -93,6 +94,7 @@ object SparkEntry {
     "Stats10" -> Stats10.oracle,
     "Stats11" -> Stats11.oracle,
     "Stats12" -> Stats12.oracle,
+    "TextEval" -> TextEval.oracle,
     "Econ" -> Econ.oracle,
     "MlOps" -> MlOps.oracle,
     "MlOps2" -> MlOps2.oracle,

@@ -2058,6 +2058,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-11 generation-eval batch: map-only grams, no pair blowup") {
+    import org.apache.spark.sql.execution.GenerateExec
+    // BLEU/ROUGE/chrF count clipped grams with ONE role-conditional
+    // aggregate per gram order — never a cand⋈ref gram join; all gram
+    // extraction is array-transform explodes (map-only). The only
+    // cross joins are broadcast 1-row scalar fan-ins.
+    for (q <- Seq("q_bleu", "q_rouge_2", "q_chrf", "q_distinct_n")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar fan-ins must broadcast")
+      val gens = qe.sparkPlan.collect { case g: GenerateExec => g }
+      assert(gens.size <= 2,
+        s"$q: gram extraction must be bounded explodes, got ${gens.size}")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
   test("round-11 graph batch: one corpus collapse, bounded rounds") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // Borůvka / diameter: every algorithmic round reads eager

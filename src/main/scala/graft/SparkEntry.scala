@@ -55,6 +55,7 @@ object SparkEntry {
     "Stats11" -> Stats11.queries,
     "Stats12" -> Stats12.queries,
     "TextEval" -> TextEval.queries,
+    "MlOps3" -> MlOps3.queries,
     "Econ" -> Econ.queries,
     "MlOps" -> MlOps.queries,
     "MlOps2" -> MlOps2.queries,
@@ -95,6 +96,7 @@ object SparkEntry {
     "Stats11" -> Stats11.oracle,
     "Stats12" -> Stats12.oracle,
     "TextEval" -> TextEval.oracle,
+    "MlOps3" -> MlOps3.oracle,
     "Econ" -> Econ.oracle,
     "MlOps" -> MlOps.oracle,
     "MlOps2" -> MlOps2.oracle,

@@ -92,6 +92,41 @@ object Similarity {
     // ---- brute-force cosine top-5 for query vectors (vec_id % 40 == 0)
     "q_knn_brute" -> ((s, d) => knnBrute(s, d)),
 
+    // ---- kNN classification (k = 5, majority vote) over the frozen
+    // panel: the label-propagation eval a curation pipeline runs to
+    // audit embedding quality — if 5-NN votes can't recover a vector's
+    // own label, the embedding space is too mixed for clustering-based
+    // dedup/curation. Reuses the brute-force panel scoring shape
+    // (panel-broadcast, never all-pairs); the vote is a per-query
+    // (≤5-row) count with deterministic (votes desc, label asc)
+    // tie-break.
+    "q_knn_classify" -> ((s, d) => {
+      val all = graft.CacheScope.cached(vecs(s, d))
+      val q = all.filter(panelQuery(col("vec_id")))
+        .select(col("vec_id").as("q_id"),
+          col("label").as("true_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("true_label"),
+          col("label").as("nb_label"), col("vec_id").as("nb_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+            .as("cos_r"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_r").desc, col("nb_id").asc)
+      val votes = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .groupBy("q_id", "true_label", "nb_label")
+        .agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("n_votes").desc, col("nb_label").asc)
+      votes.withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("true_label"),
+          col("nb_label").as("pred_label"), col("n_votes"),
+          (col("nb_label") === col("true_label")).as("correct"))
+        .orderBy("q_id")
+    }),
+
     // ---- Matryoshka-prefix recall: how much of the full-dimension
     // top-5 survives if search only reads the first 8/16/32 of the 64
     // dims? This is the adaptive-retrieval question (MRL, Kusupati et
@@ -1292,6 +1327,39 @@ object Similarity {
          |    ORDER BY cos_r DESC, nb_id ASC) AS INTEGER) AS rank
          |  FROM scored) t
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_knn_classify" ->
+      s"""WITH $flatSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nb_id,
+         |    sum(q.x * p.x) AS dt
+         |  FROM flat q JOIN flat p ON q.i = p.i AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 40 = 0 AND q.vec_id < 2000
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, nb_id,
+         |    round(dt / (nq.nrm * np.nrm), 6) AS cos_r
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm np ON np.vec_id = nb_id),
+         |top AS (
+         |  SELECT q_id, nb_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_r DESC, nb_id ASC) AS rank
+         |    FROM scored) t
+         |  WHERE rank <= 5),
+         |votes AS (
+         |  SELECT t.q_id, lq.label AS true_label, ln.label AS nb_label,
+         |    CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM top t JOIN lab lq ON lq.vec_id = t.q_id
+         |  JOIN lab ln ON ln.vec_id = t.nb_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT q_id, true_label, nb_label AS pred_label, n_votes,
+         |  nb_label = true_label AS correct
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY n_votes DESC, nb_label ASC) AS vr
+         |  FROM votes) v
+         |WHERE vr = 1 ORDER BY q_id""".stripMargin,
     "q_mrl_recall" -> {
       def armSql(p: Int): String =
         s"""norm$p AS (

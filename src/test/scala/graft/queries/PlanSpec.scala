@@ -2075,6 +2075,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-11 robust-ML/survival batch: moment-frame iteration") {
+    // Huber's IRLS rounds and lasso's whole CD sweep must be broadcast
+    // 1-row fan-ins over ONE corpus collapse — no cartesian, no
+    // driver-side loop artifacts; kNN-classify reuses the panel
+    // broadcast shape (BroadcastNestedLoopJoin over the frozen panel,
+    // never a corpus×corpus product).
+    for (q <- Seq("q_huber_reg", "q_lasso_cd", "q_cum_incidence",
+        "q_knn_classify")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar fan-ins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
   test("round-11 graph batch: one corpus collapse, bounded rounds") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // Borůvka / diameter: every algorithmic round reads eager

@@ -617,6 +617,60 @@ object StreamOps {
       }
   }
 
+  final case class KalmanUpdate(series: String, day: Long, x: Long,
+      level: Double, p_var: Double)
+  final case class KalmanState(day: Long, acc: Long, xh: Double,
+      p: Double, started: Boolean)
+
+  /** Streaming local-level Kalman filter — the stateful twin of batch
+    * q_kalman_1d (queries.Stats12): same fixed Q = 25 / R = 400
+    * constants in the same operation order (P⁻ = P + 25,
+    * K = P⁻/(P⁻ + 400), x̂′ = x̂ + K(y − x̂), P′ = (1 − K)P⁻; init
+    * x̂ = y₁, P = 400 at the first closed day), so the stream's doubles
+    * are bit-identical to the batch prefix fold. Day-close discipline
+    * is [[crostonMonitor]]'s: a day folds into the filter when a later
+    * day's first event arrives; late events for closed days drop.
+    * State is two longs + two doubles + a flag per series.
+    * StreamingSpec pins batch parity via the sentinel close. */
+  def kalmanMonitor(points: Dataset[HoltPoint], series: String = "events",
+      dayUs: Long = 86400000000L): Dataset[KalmanUpdate] = {
+    import points.sparkSession.implicits._
+    def r4(v: Double): Double = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[KalmanState, KalmanUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[KalmanState]) =>
+          var st = state.getOption
+            .getOrElse(KalmanState(-1L, 0L, 0.0, 0.0, started = false))
+          val out = Vector.newBuilder[KalmanUpdate]
+          def close(): Unit = {
+            val y = st.acc
+            if (!st.started)
+              st = st.copy(xh = y.toDouble, p = 400.0, started = true)
+            else {
+              val ppred = st.p + 25.0
+              val k = ppred / (ppred + 400.0)
+              st = st.copy(xh = st.xh + k * (y.toDouble - st.xh),
+                p = (1.0 - k) * ppred)
+            }
+            out += KalmanUpdate(key, st.day, y, r4(st.xh), r4(st.p))
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { pt =>
+            val d = pt.ts_us / dayUs
+            if (st.day == -1L) st = st.copy(day = d, acc = 1L)
+            else if (d == st.day) st = st.copy(acc = st.acc + 1L)
+            else if (d > st.day) {
+              close()
+              st = st.copy(day = d, acc = 1L)
+            } // d < st.day: late event for a closed day — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class CrostonUpdate(series: String, n_days: Long,
       n_demand: Long, size_hat: Option[Double],
       interval_hat: Option[Double], demand_rate: Option[Double])

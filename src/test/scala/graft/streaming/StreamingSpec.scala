@@ -890,6 +890,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming Kalman equals batch q_kalman_1d after a sentinel " +
+       "closes the last day — bit-identical filter doubles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dayUs = 86400000000L
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"))
+      .as[StreamOps.HoltPoint]
+      .collect().sortBy(_.ts_us)
+    val in = MemoryStream[StreamOps.HoltPoint]
+    val q = StreamOps.kalmanMonitor(in.toDS()).writeStream
+      .format("memory").queryName("kalman").outputMode("append").start()
+    try {
+      pts.grouped(300).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // the open (last) day can't have folded yet
+      val openDay = pts.last.ts_us / dayUs
+      val mid = spark.table("kalman").as[StreamOps.KalmanUpdate].collect()
+      assert(mid.forall(_.day < openDay),
+        "no update may precede its day closing")
+      // sentinel one day past the end closes the last real day
+      in.addData(StreamOps.HoltPoint(pts.last.ts_us + dayUs))
+      q.processAllAvailable()
+      val stream = spark.table("kalman").as[StreamOps.KalmanUpdate]
+        .collect().sortBy(_.day)
+      val batch = graft.SparkEntry.queries("q_kalman_1d")(spark, sf)
+        .collect()
+      assert(stream.length === batch.length,
+        s"stream ${stream.length} days vs batch ${batch.length}")
+      stream.zip(batch).foreach { case (sv, br) =>
+        assert(sv.day === br.getAs[Long]("day"))
+        assert(sv.x === br.getAs[Long]("x"), s"day ${sv.day}")
+        // same constants, same op order → bit-identical doubles
+        assert(sv.level === br.getAs[Double]("level"), s"day ${sv.day}")
+        assert(sv.p_var === br.getAs[Double]("p_var"), s"day ${sv.day}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming Hampel equals batch q_hampel after a sentinel closes " +
        "the band; verdicts lag the open day by the half-band") {
     import spark.implicits._

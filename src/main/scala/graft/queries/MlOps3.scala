@@ -143,6 +143,72 @@ object MlOps3 {
         round(b3, 6).as("beta3"))
     }),
 
+    // ---- matching estimator of the ATT: does starting with a signup
+    // (treatment = the user's FIRST event is 'signup', deterministic
+    // min-key tie rule) change spend? Each treated activity level
+    // matches the NEAREST control activity level (predecessor /
+    // successor scan over the bounded covariate domain — ties to the
+    // predecessor), controls matched with replacement and averaged
+    // within a level. The corpus collapses ONCE to the per-user
+    // (treated, activity, spend) ledger; matching runs on the
+    // value-domain frame; per-level terms quantize to micro-cents so
+    // the ATT cumulation is an exact integer sum.
+    "q_psm_att" -> ((s, d) => {
+      val k2 = col("ts_us") * 1000L + col("event_id") % 1000L
+      val peru = Tables.events(s, d)
+        .transform(Tables.fanoutReady)
+        .groupBy("user_id").agg(
+          min(k2).as("mk"),
+          min(when(col("event_type") === "signup", k2)).as("mks"),
+          sum(when(col("event_type").isin("click", "view"), 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("y"))
+        .select(col("a"), col("y"),
+          (col("mks").isNotNull && col("mks") === col("mk"))
+            .as("treated"))
+      val cached = graft.CacheScope.cached(peru)
+      val tstats = cached.filter(col("treated")).groupBy("a")
+        .agg(count(lit(1)).as("nt"), sum("y").as("syt"))
+      val cstats = cached.filter(!col("treated")).groupBy("a")
+        .agg(count(lit(1)).as("nc"), sum("y").as("syc"))
+      val dom = tstats.join(cstats, Seq("a"), "full_outer")
+      val wUp = Window.orderBy("a")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDn = Window.orderBy("a")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val scanned = dom
+        .withColumn("pred",
+          max(when(col("nc").isNotNull, col("a"))).over(wUp))
+        .withColumn("succ",
+          min(when(col("nc").isNotNull, col("a"))).over(wDn))
+      val am = when(col("pred").isNull, col("succ"))
+        .when(col("succ").isNull, col("pred"))
+        .when(col("a") - col("pred") <= col("succ") - col("a"),
+          col("pred"))
+        .otherwise(col("succ"))
+      val matched = scanned.filter(col("nt").isNotNull)
+        .select(col("a"), col("nt"), col("syt"), am.as("am"))
+        .join(cstats.toDF("am", "ncm", "sycm"), "am")
+      val tot = matched.agg(sum("nt").as("n_t"), sum("syt").as("sy_t"),
+        sum(round(col("nt").cast("double") *
+          (col("sycm").cast("double") / col("ncm").cast("double")) *
+          1e6).cast("long")).as("cf_micro"))
+      val nCtl = cached.filter(!col("treated"))
+        .agg(count(lit(1)).as("n_c"))
+      tot.crossJoin(broadcast(nCtl)).select(
+        col("n_t").as("n_treated"), col("n_c").as("n_control"),
+        round(col("sy_t").cast("double") / col("n_t").cast("double") /
+          100.0, 4).as("mean_treated_dollars"),
+        round(col("cf_micro").cast("double") / 1e6 /
+          col("n_t").cast("double") / 100.0, 4)
+          .as("mean_matched_dollars"),
+        round((col("sy_t").cast("double") / col("n_t").cast("double") -
+          col("cf_micro").cast("double") / 1e6 /
+            col("n_t").cast("double")) / 100.0, 4).as("att_dollars"))
+    }),
+
     // ---- Aalen–Johansen cumulative incidence for competing risks:
     // first 'purchase' (cause 1) vs first 'error' (cause 2) per user,
     // censored at the last observed event. CIF_j(t) = Σ_{u≤t}
@@ -403,6 +469,69 @@ object MlOps3 {
         |    ELSE -greatest(-(r3y - b1 * r13 - b2 * r23) - 0.1, 0.0)
         |  END, 6) AS beta3
         |FROM cd2""".stripMargin,
+    "q_psm_att" ->
+      """WITH peru AS MATERIALIZED (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) * 1000 + event_id % 1000) AS mk,
+        |    min(CASE WHEN event_type = 'signup'
+        |      THEN epoch_us(ts) * 1000 + event_id % 1000 END) AS mks,
+        |    CAST(sum(CASE WHEN event_type IN ('click', 'view')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |flags AS MATERIALIZED (
+        |  SELECT a, y, mks IS NOT NULL AND mks = mk AS treated
+        |  FROM peru),
+        |tstats AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(sum(y) AS BIGINT) AS syt
+        |  FROM flags WHERE treated GROUP BY 1),
+        |cstats AS MATERIALIZED (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(y) AS BIGINT) AS syc
+        |  FROM flags WHERE NOT treated GROUP BY 1),
+        |dom AS (
+        |  SELECT coalesce(t.a, c.a) AS a, t.nt, t.syt, c.nc, c.syc
+        |  FROM tstats t FULL OUTER JOIN cstats c ON t.a = c.a),
+        |scanned AS (
+        |  SELECT *,
+        |    max(CASE WHEN nc IS NOT NULL THEN a END) OVER (ORDER BY a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS pred,
+        |    min(CASE WHEN nc IS NOT NULL THEN a END) OVER (ORDER BY a
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS succ
+        |  FROM dom),
+        |matched AS (
+        |  SELECT a, nt, syt,
+        |    CASE WHEN pred IS NULL THEN succ
+        |         WHEN succ IS NULL THEN pred
+        |         WHEN a - pred <= succ - a THEN pred
+        |         ELSE succ END AS am
+        |  FROM scanned WHERE nt IS NOT NULL),
+        |j AS (
+        |  SELECT m.*, c.nc AS ncm, c.syc AS sycm
+        |  FROM matched m JOIN cstats c ON c.a = m.am),
+        |tot AS (
+        |  SELECT CAST(sum(nt) AS BIGINT) AS n_t,
+        |    CAST(sum(syt) AS BIGINT) AS sy_t,
+        |    CAST(sum(CAST(round(CAST(nt AS DOUBLE) *
+        |      (CAST(sycm AS DOUBLE) / CAST(ncm AS DOUBLE)) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS cf_micro
+        |  FROM j),
+        |nctl AS (SELECT CAST(count(*) AS BIGINT) AS n_c
+        |         FROM flags WHERE NOT treated)
+        |SELECT n_t AS n_treated, n_c AS n_control,
+        |  round(CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 100.0, 4)
+        |    AS mean_treated_dollars,
+        |  round(CAST(cf_micro AS DOUBLE) / 1e6 / CAST(n_t AS DOUBLE) /
+        |    100.0, 4) AS mean_matched_dollars,
+        |  round((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |    CAST(cf_micro AS DOUBLE) / 1e6 / CAST(n_t AS DOUBLE)) /
+        |    100.0, 4) AS att_dollars
+        |FROM tot CROSS JOIN nctl""".stripMargin,
     "q_cum_incidence" ->
       """WITH u AS MATERIALIZED (
         |  SELECT user_id, min(epoch_us(ts)) AS t0,

@@ -2082,7 +2082,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast shape (BroadcastNestedLoopJoin over the frozen panel,
     // never a corpus×corpus product).
     for (q <- Seq("q_huber_reg", "q_lasso_cd", "q_cum_incidence",
-        "q_knn_classify")) {
+        "q_knn_classify", "q_psm_att")) {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       assert(!qe.executedPlan.toString.contains("CartesianProduct"),
         s"$q: scalar fan-ins must broadcast")

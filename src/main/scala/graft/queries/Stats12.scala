@@ -120,9 +120,11 @@ object Stats12 {
       val var5 = (col("scc5").cast("double") -
         col("sc5").cast("double") * col("sc5").cast("double") / m5d) / m5d
       val vr = var5 / (lit(5.0) * var1)
+      val ok = col("m1") > 0 && col("m5") > 0 && var1 > 0.0
       m.select(col("m1").as("n_diffs"), col("m5").as("n_kdiffs"),
-        round(vr, 4).as("vr"),
-        round((vr - lit(1.0)) / sqrt(lit(4.8) / m1d), 4).as("z"))
+        when(ok, round(vr, 4)).as("vr"),
+        when(ok, round((vr - lit(1.0)) / sqrt(lit(4.8) / m1d), 4))
+          .as("z"))
     }),
 
     // ---- Tukey's HSD (Tukey–Kramer) post-hoc after one-way ANOVA on
@@ -360,19 +362,27 @@ object Stats12 {
         |    sum(CAST(d5 AS HUGEINT) * d5) AS scc5
         |  FROM diffs)
         |SELECT m1 AS n_diffs, m5 AS n_kdiffs,
+        |  CASE WHEN m1 > 0 AND m5 > 0 AND
+        |    (CAST(scc1 AS DOUBLE) - CAST(sc1 AS DOUBLE) *
+        |      CAST(sc1 AS DOUBLE) / CAST(m1 AS DOUBLE)) /
+        |      CAST(m1 AS DOUBLE) > 0 THEN
         |  round(((CAST(scc5 AS DOUBLE) - CAST(sc5 AS DOUBLE) *
         |      CAST(sc5 AS DOUBLE) / CAST(m5 AS DOUBLE)) /
         |      CAST(m5 AS DOUBLE)) /
         |    (5.0 * (CAST(scc1 AS DOUBLE) - CAST(sc1 AS DOUBLE) *
         |      CAST(sc1 AS DOUBLE) / CAST(m1 AS DOUBLE)) /
-        |      CAST(m1 AS DOUBLE)), 4) AS vr,
+        |      CAST(m1 AS DOUBLE)), 4) END AS vr,
+        |  CASE WHEN m1 > 0 AND m5 > 0 AND
+        |    (CAST(scc1 AS DOUBLE) - CAST(sc1 AS DOUBLE) *
+        |      CAST(sc1 AS DOUBLE) / CAST(m1 AS DOUBLE)) /
+        |      CAST(m1 AS DOUBLE) > 0 THEN
         |  round((((CAST(scc5 AS DOUBLE) - CAST(sc5 AS DOUBLE) *
         |      CAST(sc5 AS DOUBLE) / CAST(m5 AS DOUBLE)) /
         |      CAST(m5 AS DOUBLE)) /
         |    (5.0 * (CAST(scc1 AS DOUBLE) - CAST(sc1 AS DOUBLE) *
         |      CAST(sc1 AS DOUBLE) / CAST(m1 AS DOUBLE)) /
         |      CAST(m1 AS DOUBLE)) - 1.0) /
-        |    sqrt(4.8 / CAST(m1 AS DOUBLE)), 4) AS z
+        |    sqrt(4.8 / CAST(m1 AS DOUBLE)), 4) END AS z
         |FROM m""".stripMargin,
     "q_tukey_hsd" ->
       """WITH g AS MATERIALIZED (

@@ -76,9 +76,12 @@ object Stats9 {
         col("nn").cast("long").as("n_events"),
         col("c_mass").cast("long").as("concordant"),
         col("d_mass").cast("long").as("discordant"),
-        round((col("c_mass").cast("double") - col("d_mass").cast("double")) /
-          (col("c_mass").cast("double") + col("d_mass").cast("double") +
-            col("ty_mass").cast("double")), 6).as("somers_dyx"))
+        when(col("c_mass").cast("double") + col("d_mass").cast("double") +
+            col("ty_mass").cast("double") > 0,
+          round((col("c_mass").cast("double") -
+            col("d_mass").cast("double")) /
+            (col("c_mass").cast("double") + col("d_mass").cast("double") +
+              col("ty_mass").cast("double")), 6)).as("somers_dyx"))
     }),
 
     // ---- Goodman–Kruskal gamma: (C − D)/(C + D), ties ignored — the
@@ -88,9 +91,12 @@ object Stats9 {
         col("nn").cast("long").as("n_events"),
         col("c_mass").cast("long").as("concordant"),
         col("d_mass").cast("long").as("discordant"),
-        round((col("c_mass").cast("double") - col("d_mass").cast("double")) /
-          (col("c_mass").cast("double") + col("d_mass").cast("double")), 6)
-          .as("gamma"))
+        when(col("c_mass").cast("double") +
+            col("d_mass").cast("double") > 0,
+          round((col("c_mass").cast("double") -
+            col("d_mass").cast("double")) /
+            (col("c_mass").cast("double") + col("d_mass").cast("double")),
+            6)).as("gamma"))
     }),
 
     // ---- Stuart's tau-c: 2m(C − D)/(N²(m − 1)), m = min(levels) — the
@@ -251,18 +257,22 @@ object Stats9 {
          |SELECT CAST(nn AS BIGINT) AS n_events,
          |  CAST(c_mass AS BIGINT) AS concordant,
          |  CAST(d_mass AS BIGINT) AS discordant,
-         |  round((CAST(c_mass AS DOUBLE) - CAST(d_mass AS DOUBLE)) /
-         |    (CAST(c_mass AS DOUBLE) + CAST(d_mass AS DOUBLE) +
-         |     CAST(ty_mass AS DOUBLE)), 6) AS somers_dyx
+         |  CASE WHEN CAST(c_mass AS DOUBLE) + CAST(d_mass AS DOUBLE) +
+         |      CAST(ty_mass AS DOUBLE) > 0 THEN
+         |    round((CAST(c_mass AS DOUBLE) - CAST(d_mass AS DOUBLE)) /
+         |      (CAST(c_mass AS DOUBLE) + CAST(d_mass AS DOUBLE) +
+         |       CAST(ty_mass AS DOUBLE)), 6) END AS somers_dyx
          |FROM pm CROSS JOIN nt""".stripMargin,
     "q_gk_gamma" ->
       s"""WITH $gridSql
          |SELECT CAST(nn AS BIGINT) AS n_events,
          |  CAST(c_mass AS BIGINT) AS concordant,
          |  CAST(d_mass AS BIGINT) AS discordant,
-         |  round((CAST(c_mass AS DOUBLE) - CAST(d_mass AS DOUBLE)) /
-         |    (CAST(c_mass AS DOUBLE) + CAST(d_mass AS DOUBLE)), 6)
-         |    AS gamma
+         |  CASE WHEN CAST(c_mass AS DOUBLE) +
+         |      CAST(d_mass AS DOUBLE) > 0 THEN
+         |    round((CAST(c_mass AS DOUBLE) - CAST(d_mass AS DOUBLE)) /
+         |      (CAST(c_mass AS DOUBLE) + CAST(d_mass AS DOUBLE)), 6)
+         |  END AS gamma
          |FROM pm CROSS JOIN nt""".stripMargin,
     "q_stuart_tau_c" ->
       s"""WITH $gridSql

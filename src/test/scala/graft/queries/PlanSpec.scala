@@ -2096,7 +2096,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partition-less exemption); group-seq's look grid and
     // beta-binomial's (alpha, beta) are broadcast bounded fan-ins.
     for (q <- Seq("q_viterbi", "q_ucb_replay", "q_group_seq",
-        "q_beta_binomial")) {
+        "q_beta_binomial", "q_absorbing_markov")) {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       assert(!qe.executedPlan.toString.contains("CartesianProduct"),
         s"$q: scalar fan-ins must broadcast")

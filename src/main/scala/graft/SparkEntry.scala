@@ -61,7 +61,10 @@ object SparkEntry {
     "MlOps" -> MlOps.queries,
     "MlOps2" -> MlOps2.queries,
     "DqOps" -> DqOps.queries,
-    "Recsys" -> Recsys.queries)
+    "Recsys" -> Recsys.queries,
+    "Stats14" -> Stats14.queries,
+    "SeqMl" -> SeqMl.queries,
+    "Stats15" -> Stats15.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -103,7 +106,10 @@ object SparkEntry {
     "MlOps" -> MlOps.oracle,
     "MlOps2" -> MlOps2.oracle,
     "DqOps" -> DqOps.oracle,
-    "Recsys" -> Recsys.oracle)
+    "Recsys" -> Recsys.oracle,
+    "Stats14" -> Stats14.oracle,
+    "SeqMl" -> SeqMl.oracle,
+    "Stats15" -> Stats15.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2133,4 +2133,78 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"MST must span: ${mst.length} edges over ${nodes.length} nodes")
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
+
+  test("round-11 distribution-geometry batch: value-domain histograms, " +
+      "GlobalRank routing, broadcast node frames") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Wasserstein / Brunner-Munzel / Chatterjee / GPD all rank or
+    // prefix over corpus-growing frames (value domains, exceedance
+    // order statistics): every window must ride GlobalRank's two-phase
+    // routing — partition-less windows only over the _gr_pid offsets
+    // table. Moran / Geary join the 25-row wealth frame by broadcast.
+    for (q <- Seq("q_wasserstein_1d", "q_brunner_munzel",
+        "q_chatterjee_xi", "q_gpd_pot", "q_moran_i", "q_geary_c")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar fan-ins must broadcast")
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame:\n" +
+          offenders.map(_.verboseString(3)).mkString("\n"))
+      if (q == "q_moran_i" || q == "q_geary_c") {
+        assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+          s"$q: the 25-row node frame must broadcast onto the edge list")
+      }
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
+  test("round-11 sequence/attribution batch: map-only DPs, bounded grids") {
+    // NW is the corpus-scale path: the per-doc DP must be ONE scan with
+    // no join/shuffle before the TakeOrdered top-k
+    val nwPlan = planOf("q_needleman_wunsch")
+    assert(nwPlan.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      "NW must be one documents scan")
+    assert(!nwPlan.contains("Join"),
+      "NW is map-only — no join of any kind")
+    assert(nwPlan.contains("TakeOrderedAndProject"),
+      "NW top-k must be TakeOrdered, not a global sort")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    // DTW / AdaBoost / Shapley collapse once (calendar frame, cell
+    // grid, coalition lattice) — everything after is broadcast-bounded
+    for (q <- Seq("q_dtw", "q_adaboost", "q_channel_shapley")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar fan-ins must broadcast")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q: post-collapse joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
+  test("round-11 dependence/sequence-mining batch: one collapse, " +
+      "bounded pair frames") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // All five collapse the corpus once (daily calendar / per-user
+    // firsts); Hoeffding's 366² pair frame and the CCF lag grid are
+    // broadcast bounded fan-ins; the only partition-less windows ride
+    // the calendar/cell frames (documented exemption class). seq_pairs
+    // must have NO window and NO cartesian — it is one keyed self-join.
+    for (q <- Seq("q_hoeffding_d", "q_transfer_entropy", "q_seq_pairs",
+        "q_ccf", "q_partial_corr")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: bounded grids must broadcast, not cartesian")
+      if (q == "q_seq_pairs") {
+        assert(qe.sparkPlan.collect { case w: WindowExec => w }.isEmpty,
+          "q_seq_pairs needs no window at all")
+      }
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
 }

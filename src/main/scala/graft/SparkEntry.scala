@@ -64,7 +64,12 @@ object SparkEntry {
     "Recsys" -> Recsys.queries,
     "Stats14" -> Stats14.queries,
     "SeqMl" -> SeqMl.queries,
-    "Stats15" -> Stats15.queries)
+    "Stats15" -> Stats15.queries,
+    "Stats16" -> Stats16.queries,
+    "Econ2" -> Econ2.queries,
+    "Density" -> Density.queries,
+    "SeqMl2" -> SeqMl2.queries,
+    "Stats17" -> Stats17.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -109,7 +114,12 @@ object SparkEntry {
     "Recsys" -> Recsys.oracle,
     "Stats14" -> Stats14.oracle,
     "SeqMl" -> SeqMl.oracle,
-    "Stats15" -> Stats15.oracle)
+    "Stats15" -> Stats15.oracle,
+    "Stats16" -> Stats16.oracle,
+    "Econ2" -> Econ2.oracle,
+    "Density" -> Density.oracle,
+    "SeqMl2" -> SeqMl2.oracle,
+    "Stats17" -> Stats17.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

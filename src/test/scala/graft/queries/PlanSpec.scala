@@ -2207,4 +2207,81 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.CacheScope.drain(); spark.catalog.clearCache()
     }
   }
+
+  test("round-11 partition-agreement batch: one contingency collapse, " +
+      "GlobalRank-only rank windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_adjusted_rand", "q_fowlkes_mallows", "q_gk_lambda",
+        "q_dixon_q", "q_distance_corr", "q_kuiper")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: scalar/bounded fan-ins must broadcast")
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
+  test("round-11 econometrics batch: one corpus collapse, broadcast " +
+      "moment frames, TakeOrdered top-k") {
+    for (q <- Seq("q_iv_wald", "q_event_study", "q_goldfeld_quandt",
+        "q_cooks_distance", "q_press", "q_jackknife_slope")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val p = qe.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$q: one-row moment frames must broadcast")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: post-collapse joins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    val ck = SparkEntry.queries("q_cooks_distance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ck.contains("TakeOrderedAndProject"),
+      "cooks top-5 must be TakeOrdered, not a global sort")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
+
+  test("round-11 density/geometry batch: grid-join closest pair, " +
+      "broadcast grids, TakeOrdered argmins") {
+    // closest pair: the neighbor probe must be a shuffled HASH join on
+    // the cell key (the scalable shape), never a nested-loop pairing
+    val cp = SparkEntry.queries("q_closest_pair")(spark, sf)
+      .queryExecution
+    val cps = cp.executedPlan.toString
+    assert(!cps.contains("CartesianProduct"),
+      "closest pair must never go quadratic")
+    assert(cps.contains("TakeOrderedAndProject"),
+      "closest-pair argmin must be TakeOrdered")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+    for (q <- Seq("q_kde_grid", "q_hbos", "q_copod")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: bounded grids must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
+  test("round-11 sequence batch 2: map-only alignment DPs, bounded " +
+      "entropy frames, one HMM shuffle") {
+    for (q <- Seq("q_smith_waterman", "q_rouge_l")) {
+      val p = planOf(q)
+      assert(p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+        s"$q must be one documents scan")
+      assert(!p.contains("Join"), s"$q is map-only — no join")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    for (q <- Seq("q_permutation_entropy", "q_sample_entropy",
+        "q_hmm_forward", "q_dfa", "q_garch_grid", "q_cucconi")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: bounded fan-ins must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
 }

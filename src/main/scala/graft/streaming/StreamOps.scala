@@ -960,4 +960,68 @@ object StreamOps {
           cur
       }
   }
+
+  final case class GarchUpdate(series: String, hour: Long, r: Long,
+      h: Long, nll_micro: Long)
+  final case class GarchState(hour: Long, acc: Long, prevX: Long,
+      h: Long, nll: Long, seeded: Boolean)
+
+  /** Streaming GARCH(1,1) volatility monitor — the stateful twin of one
+    * batch q_garch_grid combo (queries.Stats17). The unconditional
+    * variance seed s² is a PARAMETER (calibrated offline — a stream
+    * cannot know the full-series Σr²/m up front); given the batch's own
+    * s², the integer recursion h′ = ((10−a−b)·s² + a·r² + b·h) div 10
+    * and the micro-nat NLL accumulate BIT-IDENTICALLY to the batch fold
+    * (Spark round() is HALF_UP on doubles — mirrored literally).
+    * Hour-close discipline is [[kalmanMonitor]]'s, extended for gaps:
+    * an hour folds when a later hour's first event arrives, and any
+    * empty hours in between fold as x = 0 (the batch calendar frame
+    * zero-fills them); late events for closed hours drop. The first
+    * closed hour only seeds prevX — diffs start at the second. State is
+    * four longs + a flag per series. StreamingSpec pins batch parity
+    * via the sentinel close. */
+  def garchMonitor(points: Dataset[ValuePoint], s2: Long, a: Long = 1L,
+      b: Long = 5L, series: String = "events",
+      hourUs: Long = 3600000000L): Dataset[GarchUpdate] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[GarchState, GarchUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[GarchState]) =>
+          var st = state.getOption
+            .getOrElse(GarchState(-1L, 0L, 0L, s2, 0L, seeded = false))
+          val out = Vector.newBuilder[GarchUpdate]
+          def close(x: Long, hr: Long): Unit = {
+            if (!st.seeded) st = st.copy(prevX = x, seeded = true)
+            else {
+              val r = x - st.prevX
+              val h = math.max(st.h, 1L)
+              // Spark round(double) is HALF_UP — literal for literal
+              val step = BigDecimal(1000000.0 *
+                (math.log(h.toDouble) +
+                  r.toDouble * r.toDouble / h.toDouble))
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              val num = (10L - a - b) * s2 + a * r * r + b * h
+              val h2 = math.max(
+                math.floor(num.toDouble / 10.0).toLong, 1L)
+              st = st.copy(prevX = x, h = h2, nll = st.nll + step)
+              out += GarchUpdate(key, hr, r, h2, st.nll)
+            }
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { pt =>
+            val hr = pt.ts_us / hourUs
+            if (st.hour == -1L) st = st.copy(hour = hr, acc = pt.cents)
+            else if (hr == st.hour) st = st.copy(acc = st.acc + pt.cents)
+            else if (hr > st.hour) {
+              close(st.acc, st.hour)
+              var g = st.hour + 1L
+              while (g < hr) { close(0L, g); g += 1L }
+              st = st.copy(hour = hr, acc = pt.cents)
+            } // hr < st.hour: late event for a closed hour — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -978,4 +978,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("streaming GARCH equals the batch (1,5) combo of q_garch_grid " +
+       "after a sentinel closes the last hour — exact integer state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val hourUs = 3600000000L
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100)
+          .cast("long").as("cents"))
+      .as[StreamOps.ValuePoint]
+      .collect().sortBy(_.ts_us)
+    // offline calibration: the batch's own s² = Σr² div m over the
+    // zero-filled hourly diff series
+    val byHour = pts.groupBy(_.ts_us / hourUs)
+      .map { case (h, ps) => h -> ps.map(_.cents).sum }
+    val span = (byHour.keys.min to byHour.keys.max)
+      .map(h => byHour.getOrElse(h, 0L))
+    val diffs = span.sliding(2).map(w => w(1) - w(0)).toVector
+    val s2 = diffs.map(r => r * r).sum / diffs.length
+    val in = MemoryStream[StreamOps.ValuePoint]
+    val q = StreamOps.garchMonitor(in.toDS(), s2).writeStream
+      .format("memory").queryName("garch").outputMode("append").start()
+    try {
+      pts.grouped(200).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val openHour = pts.last.ts_us / hourUs
+      val mid = spark.table("garch").as[StreamOps.GarchUpdate].collect()
+      assert(mid.forall(_.hour < openHour),
+        "no update may precede its hour closing")
+      in.addData(StreamOps.ValuePoint(pts.last.ts_us + hourUs, 0L))
+      q.processAllAvailable()
+      val stream = spark.table("garch").as[StreamOps.GarchUpdate]
+        .collect().sortBy(_.hour)
+      assert(stream.length === diffs.length,
+        s"stream ${stream.length} diffs vs batch ${diffs.length}")
+      val batch = graft.SparkEntry.queries("q_garch_grid")(spark, sf)
+        .collect().filter(r => r.getAs[Long]("a") == 1L &&
+          r.getAs[Long]("b") == 5L)
+      assert(batch.length === 1)
+      // same integer recursion, same quantization → exact equality
+      assert(stream.last.nll_micro ===
+        batch.head.getAs[Long]("nll_micro"))
+      assert(batch.head.getAs[Long]("n_returns") === diffs.length.toLong)
+    } finally q.stop()
+  }
 }

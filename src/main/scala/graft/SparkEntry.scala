@@ -69,7 +69,9 @@ object SparkEntry {
     "Econ2" -> Econ2.queries,
     "Density" -> Density.queries,
     "SeqMl2" -> SeqMl2.queries,
-    "Stats17" -> Stats17.queries)
+    "Stats17" -> Stats17.queries,
+    "Stats18" -> Stats18.queries,
+    "Fairness" -> Fairness.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -119,7 +121,9 @@ object SparkEntry {
     "Econ2" -> Econ2.oracle,
     "Density" -> Density.oracle,
     "SeqMl2" -> SeqMl2.oracle,
-    "Stats17" -> Stats17.oracle)
+    "Stats17" -> Stats17.oracle,
+    "Stats18" -> Stats18.oracle,
+    "Fairness" -> Fairness.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2284,4 +2284,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.CacheScope.drain(); spark.catalog.clearCache()
     }
   }
+
+  test("round-11 structure/fairness batch: broadcast grids, " +
+      "TakeOrdered simplex argmin") {
+    for (q <- Seq("q_v_measure", "q_turning_points", "q_von_neumann",
+        "q_k4_count", "q_synth_control", "q_demographic_parity",
+        "q_equalized_odds", "q_theil_decomp")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: bounded grids/frames must broadcast")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // the 66-point simplex argmin must be a TakeOrdered, not a sort
+    val sc = SparkEntry.queries("q_synth_control")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sc.contains("TakeOrderedAndProject"),
+      "synth-control weight argmin must be TakeOrdered")
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
 }

@@ -71,7 +71,8 @@ object SparkEntry {
     "SeqMl2" -> SeqMl2.queries,
     "Stats17" -> Stats17.queries,
     "Stats18" -> Stats18.queries,
-    "Fairness" -> Fairness.queries)
+    "Fairness" -> Fairness.queries,
+    "Stats19" -> Stats19.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -123,7 +124,8 @@ object SparkEntry {
     "SeqMl2" -> SeqMl2.oracle,
     "Stats17" -> Stats17.oracle,
     "Stats18" -> Stats18.oracle,
-    "Fairness" -> Fairness.oracle)
+    "Fairness" -> Fairness.oracle,
+    "Stats19" -> Stats19.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

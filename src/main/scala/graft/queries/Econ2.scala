@@ -59,13 +59,13 @@ object Econ2 {
 
   // Scaled centered forms over the broadcast moment frame.
   private def aCol: Column =
-    (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+    (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
       .cast("decimal(38,0)")
   private def bCol: Column =
-    (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+    (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
       .cast("decimal(38,0)")
   private def cCol: Column =
-    (dec(col("n")) * col("syy") - col("sy") * col("sy"))
+    (dec(col("n")) * col("syy") - dec(col("sy")) * col("sy"))
       .cast("decimal(38,0)")
 
   val queries: Map[String, Q] = Map(
@@ -154,11 +154,11 @@ object Econ2 {
           sum(dec(col("x")) * col("y")).as("sxy"),
           sum(dec(col("y")) * col("y")).as("syy"))
         .select(col("side"), col("m"),
-          (dec(col("m")) * col("sxx") - col("sx") * col("sx"))
+          (dec(col("m")) * col("sxx") - dec(col("sx")) * col("sx"))
             .cast("decimal(38,0)").as("a"),
-          (dec(col("m")) * col("sxy") - col("sx") * col("sy"))
+          (dec(col("m")) * col("sxy") - dec(col("sx")) * col("sy"))
             .cast("decimal(38,0)").as("b"),
-          (dec(col("m")) * col("syy") - col("sy") * col("sy"))
+          (dec(col("m")) * col("syy") - dec(col("sy")) * col("sy"))
             .cast("decimal(38,0)").as("c"))
         .select(col("side"), col("m"),
           ((col("c") * col("a") - col("b") * col("b")).cast("double") /

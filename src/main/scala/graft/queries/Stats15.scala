@@ -194,9 +194,9 @@ object Stats15 {
         sum(dec(col("a")) * col("a")).as("sxx"),
         sum(dec(col("bv")) * col("bv")).as("syy"),
         sum(dec(col("a")) * col("bv")).as("sxy"))
-      val vx = dec(col("n")) * col("sxx") - col("sx") * col("sx")
-      val vy = dec(col("n")) * col("syy") - col("sy") * col("sy")
-      val cov = (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      val vx = dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")
+      val vy = dec(col("n")) * col("syy") - dec(col("sy")) * col("sy")
+      val cov = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
         .cast("double")
       mom.select(col("lag"), col("n").as("n_overlap"),
           when(vx === 0 || vy === 0, lit(null).cast("double"))
@@ -225,9 +225,10 @@ object Stats15 {
       def r(sab: Column, sa: Column, sb: Column, saa: Column,
           sbb: Column): Column = {
         val n = dec(col("n"))
-        ((n * sab - sa * sb).cast("double")) /
-          sqrt((n * saa - sa * sa).cast("double") *
-            (n * sbb - sb * sb).cast("double"))
+        ((n * sab - sa.cast("decimal(38,0)") * sb).cast("double")) /
+          sqrt((n * saa - sa.cast("decimal(38,0)") * sa)
+            .cast("double") *
+            (n * sbb - sb.cast("decimal(38,0)") * sb).cast("double"))
       }
       val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"),
         col("syy"))

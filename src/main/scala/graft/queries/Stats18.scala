@@ -140,7 +140,7 @@ object Stats18 {
       sd2.crossJoin(broadcast(mom))
         .select(col("n").as("n_points"),
           round((dec(col("n")) * col("sd2")).cast("double") /
-            (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+            (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
             .cast("double"), 6).as("von_neumann"))
     }),
 

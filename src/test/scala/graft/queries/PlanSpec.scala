@@ -2302,4 +2302,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "synth-control weight argmin must be TakeOrdered")
     graft.CacheScope.drain(); spark.catalog.clearCache()
   }
+
+  test("round-11 diagnostics batch 2: closed-form regressions, " +
+      "quantize-then-sum spectra, GlobalRank-only rank windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_glejser", "q_weibull_fit", "q_coherence",
+        "q_pp_test")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: bounded fan-ins must broadcast")
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
 }

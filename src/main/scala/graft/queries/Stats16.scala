@@ -155,19 +155,19 @@ object Stats16 {
     // sorted array, four element picks, exact integers until the
     // division.
     "q_dixon_q" -> ((s, d) => {
+      // the size-≥2 guard only exists for the degenerate empty-input
+      // case (ANSI element_at errors on an empty array); the fixture
+      // path always takes the true branch, so oracle parity is intact
+      def at(i: Int): Column =
+        when(size(col("xs")) >= 2, element_at(col("xs"), i))
       daily(s, d)
         .agg(sort_array(collect_list(col("rev"))).as("xs"))
         .select(size(col("xs")).cast(LongType).as("n_days"),
-          element_at(col("xs"), -1).as("x_max"),
-          element_at(col("xs"), 1).as("x_min"),
-          round((element_at(col("xs"), -1) - element_at(col("xs"), -2))
-            .cast("double") /
-            (element_at(col("xs"), -1) - element_at(col("xs"), 1))
-            .cast("double"), 6).as("q_high"),
-          round((element_at(col("xs"), 2) - element_at(col("xs"), 1))
-            .cast("double") /
-            (element_at(col("xs"), -1) - element_at(col("xs"), 1))
-            .cast("double"), 6).as("q_low"))
+          at(-1).as("x_max"), at(1).as("x_min"),
+          round((at(-1) - at(-2)).cast("double") /
+            (at(-1) - at(1)).cast("double"), 6).as("q_high"),
+          round((at(2) - at(1)).cast("double") /
+            (at(-1) - at(1)).cast("double"), 6).as("q_low"))
     }),
 
     // ---- Székely's distance correlation between daily clicks and

@@ -124,12 +124,14 @@ object Stats17 {
       val rs = dl.agg(sort_array(collect_list(struct(col("t"),
           col("x")))).as("sx"))
         .select(expr(
-          "transform(slice(sx, 2, size(sx) - 1), " +
+          "transform(slice(sx, 2, greatest(size(sx) - 1, 0)), " +
             "(e, i) -> e.x - sx[i].x)").as("rs"))
         .select(col("rs"), size(col("rs")).cast(LongType).as("m"))
+      // greatest(m, 1) only guards the degenerate empty input (ANSI
+      // div-by-zero); m ≥ 1 on every fixture path
       val s2d = rs.select(col("rs"), col("m"),
         expr("aggregate(rs, cast(0 as bigint), " +
-          "(acc, r) -> acc + r * r) div m").as("s2"))
+          "(acc, r) -> acc + r * r) div greatest(m, 1)").as("s2"))
       val combos = s.range(1)
         .select(explode(array(lit(1L), lit(2L), lit(3L))).as("a"))
         .crossJoin(s.range(1)

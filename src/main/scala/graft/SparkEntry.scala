@@ -72,7 +72,8 @@ object SparkEntry {
     "Stats17" -> Stats17.queries,
     "Stats18" -> Stats18.queries,
     "Fairness" -> Fairness.queries,
-    "Stats19" -> Stats19.queries)
+    "Stats19" -> Stats19.queries,
+    "Stats20" -> Stats20.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -125,7 +126,8 @@ object SparkEntry {
     "Stats17" -> Stats17.oracle,
     "Stats18" -> Stats18.oracle,
     "Fairness" -> Fairness.oracle,
-    "Stats19" -> Stats19.oracle)
+    "Stats19" -> Stats19.oracle,
+    "Stats20" -> Stats20.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

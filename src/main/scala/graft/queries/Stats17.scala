@@ -141,13 +141,15 @@ object Stats17 {
           struct(col("s2").as("h"), lit(0L).as("nll")),
           (st, r) => {
             val h = greatest(st.getField("h"), lit(1L))
-            // num < 2⁵³ and |num/10 − nearest double| < 0.1, so
-            // floor(num/10.0) equals exact integer division here
-            val num = (lit(10L) - col("a") - col("b")) * col("s2") +
-              col("a") * r * r + col("b") * h
+            // num promoted to decimal(38,0) and divided with integral
+            // `div` — exact past the 2⁵³ double-ulp ceiling (num > 0,
+            // so truncating div == DuckDB's floor `// 10`)
+            val num = (dec(lit(10L) - col("a") - col("b")) * col("s2") +
+              dec(col("a")) * (dec(r) * r).cast("decimal(38,0)") +
+              dec(col("b")) * h).cast("decimal(38,0)")
             struct(
-              greatest(floor(num.cast("double") / lit(10.0))
-                .cast(LongType), lit(1L)).as("h"),
+              greatest(call_function("div", num, lit(10L)), lit(1L))
+                .as("h"),
               (st.getField("nll") +
                 round(lit(1000000.0) * (log(h.cast("double")) +
                   r.cast("double") * r.cast("double") /

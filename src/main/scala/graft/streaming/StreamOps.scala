@@ -962,9 +962,9 @@ object StreamOps {
   }
 
   final case class GarchUpdate(series: String, hour: Long, r: Long,
-      h: Long, nll_micro: Long)
+      h: Long, nll_micro: Long, late_dropped: Long)
   final case class GarchState(hour: Long, acc: Long, prevX: Long,
-      h: Long, nll: Long, seeded: Boolean)
+      h: Long, nll: Long, seeded: Boolean, late: Long)
 
   /** Streaming GARCH(1,1) volatility monitor — the stateful twin of one
     * batch q_garch_grid combo (queries.Stats17). The unconditional
@@ -972,14 +972,21 @@ object StreamOps {
     * cannot know the full-series Σr²/m up front); given the batch's own
     * s², the integer recursion h′ = ((10−a−b)·s² + a·r² + b·h) div 10
     * and the micro-nat NLL accumulate BIT-IDENTICALLY to the batch fold
-    * (Spark round() is HALF_UP on doubles — mirrored literally).
+    * (Spark round() is HALF_UP on doubles — mirrored literally; the
+    * recursion runs in BigInt so the div-10 stays exact past the 2⁵³
+    * double ceiling, matching the batch's decimal(38,0) `div`).
     * Hour-close discipline is [[kalmanMonitor]]'s, extended for gaps:
     * an hour folds when a later hour's first event arrives, and any
     * empty hours in between fold as x = 0 (the batch calendar frame
-    * zero-fills them); late events for closed hours drop. The first
-    * closed hour only seeds prevX — diffs start at the second. State is
-    * four longs + a flag per series. StreamingSpec pins batch parity
-    * via the sentinel close. */
+    * zero-fills them). PARITY REQUIRES IN-ORDER HOURS per series:
+    * a late event for an already-closed hour is DROPPED (the batch
+    * would have included it in that hour's sum), so every drop is a
+    * potential parity break — the state counts them and every update
+    * carries the cumulative `late_dropped` so violations are
+    * observable downstream. The first closed hour only seeds prevX —
+    * diffs start at the second. State is five longs + a flag per
+    * series. StreamingSpec pins batch parity via the sentinel close
+    * and pins the late-drop counter. */
   def garchMonitor(points: Dataset[ValuePoint], s2: Long, a: Long = 1L,
       b: Long = 5L, series: String = "events",
       hourUs: Long = 3600000000L): Dataset[GarchUpdate] = {
@@ -989,8 +996,8 @@ object StreamOps {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[GarchState]) =>
-          var st = state.getOption
-            .getOrElse(GarchState(-1L, 0L, 0L, s2, 0L, seeded = false))
+          var st = state.getOption.getOrElse(
+            GarchState(-1L, 0L, 0L, s2, 0L, seeded = false, late = 0L))
           val out = Vector.newBuilder[GarchUpdate]
           def close(x: Long, hr: Long): Unit = {
             if (!st.seeded) st = st.copy(prevX = x, seeded = true)
@@ -1002,11 +1009,13 @@ object StreamOps {
                 (math.log(h.toDouble) +
                   r.toDouble * r.toDouble / h.toDouble))
                 .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-              val num = (10L - a - b) * s2 + a * r * r + b * h
-              val h2 = math.max(
-                math.floor(num.toDouble / 10.0).toLong, 1L)
+              // exact integer div (num > 0 ⇒ truncation == floor),
+              // BigInt mirrors the batch's decimal(38,0) promotion
+              val num = BigInt(10L - a - b) * s2 +
+                BigInt(a) * BigInt(r) * r + BigInt(b) * h
+              val h2 = math.max((num / 10).toLong, 1L)
               st = st.copy(prevX = x, h = h2, nll = st.nll + step)
-              out += GarchUpdate(key, hr, r, h2, st.nll)
+              out += GarchUpdate(key, hr, r, h2, st.nll, st.late)
             }
           }
           rows.toSeq.sortBy(_.ts_us).foreach { pt =>
@@ -1018,7 +1027,149 @@ object StreamOps {
               var g = st.hour + 1L
               while (g < hr) { close(0L, g); g += 1L }
               st = st.copy(hour = hr, acc = pt.cents)
-            } // hr < st.hour: late event for a closed hour — dropped
+            } else {
+              // late event for a closed hour: the batch fold would
+              // have summed it — dropping breaks parity, so count it
+              st = st.copy(late = st.late + 1L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  final case class ViterbiUpdate(series: String, day: Long, x: Long,
+      busy: Long, path: String, score_micronat: Long,
+      late_dropped: Long)
+  final case class ViterbiState(day: Long, acc: Long, dl: Long,
+      dh: Long, pl: String, ph: String, late: Long)
+
+  /** Streaming Viterbi regime decoder — the stateful twin of batch
+    * q_viterbi (queries.Stats13): the same 2-state integer micro-nat
+    * DP (δ_L, δ_H plus the two argmax path strings) folded one day at
+    * a time, with the same prefer-Low tie-breaks. The batch marks a
+    * day busy iff x·n > Σx against the FULL series' mean — a stream
+    * cannot know that up front, so (n, Σx) are PARAMETERS calibrated
+    * offline, exactly [[garchMonitor]]'s s² discipline. Day-close is
+    * [[kalmanMonitor]]'s: a day folds when a later day's first event
+    * arrives; days with no events are simply absent (the batch daily
+    * frame does not zero-fill); a late event for a closed day is
+    * DROPPED and counted in `late_dropped` (parity observability).
+    * Every closed day emits the CURRENT full-sequence winning path —
+    * Viterbi decode is retroactive by nature, so earlier days' labels
+    * may differ from the final decode until the last update; the
+    * final update's path and score are bit-identical to the batch's
+    * (day, state) column and path_score_micronat. State per series is
+    * the open day's count, two longs, and the two candidate paths
+    * (one char per closed day — prune/restart periodically in a
+    * production deployment; the fixture calendar is ≤31 days).
+    * StreamingSpec pins batch parity via the sentinel close. */
+  def viterbiMonitor(points: Dataset[HoltPoint], totN: Long,
+      totSx: Long, series: String = "events",
+      dayUs: Long = 86400000000L): Dataset[ViterbiUpdate] = {
+    import points.sparkSession.implicits._
+    import graft.queries.Stats13._
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[ViterbiState, ViterbiUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[ViterbiState]) =>
+          var st = state.getOption
+            .getOrElse(ViterbiState(-1L, 0L, 0L, 0L, "", "", 0L))
+          val out = Vector.newBuilder[ViterbiUpdate]
+          def close(): Unit = {
+            val x = st.acc
+            val o = if (x * totN > totSx) 1L else 0L
+            val bl = if (o == 1L) LnB1L else LnB0L
+            val bh = if (o == 1L) LnB1H else LnB0H
+            st = if (st.pl.isEmpty)
+              st.copy(dl = LnHalf + bl, dh = LnHalf + bh,
+                pl = "L", ph = "H")
+            else {
+              val fromLtoL = st.dl + LnLL >= st.dh + LnHL
+              val fromLtoH = st.dl + LnLH >= st.dh + LnHH
+              st.copy(
+                dl = math.max(st.dl + LnLL, st.dh + LnHL) + bl,
+                dh = math.max(st.dl + LnLH, st.dh + LnHH) + bh,
+                pl = (if (fromLtoL) st.pl else st.ph) + "L",
+                ph = (if (fromLtoH) st.pl else st.ph) + "H")
+            }
+            val win = st.dl >= st.dh
+            out += ViterbiUpdate(key, st.day, x, o,
+              if (win) st.pl else st.ph,
+              if (win) st.dl else st.dh, st.late)
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { pt =>
+            val d = pt.ts_us / dayUs
+            if (st.day == -1L) st = st.copy(day = d, acc = 1L)
+            else if (d == st.day) st = st.copy(acc = st.acc + 1L)
+            else if (d > st.day) { close(); st = st.copy(day = d, acc = 1L) }
+            else st = st.copy(late = st.late + 1L)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** One user event for the HMM forward monitor — (ts_us, event_id) is
+    * the batch sort key, so parity requires per-user arrival in that
+    * order. */
+  final case class HmmPoint(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  final case class HmmUpdate(user_id: Long, len: Long, a0: Long,
+      a1: Long, ll_micro: Long, late_dropped: Long)
+  final case class HmmState(len: Long, a0: Long, a1: Long,
+      lastTs: Long, lastId: Long, late: Long)
+
+  /** Streaming HMM forward pass — the stateful twin of batch
+    * q_hmm_forward (queries.SeqMl2), and unlike the day-close monitors
+    * it is TRULY online: every arriving event advances the per-user
+    * integer α row immediately (α′ = α·Tᵀ ⊙ E[o], tenth-scaled — after
+    * L steps α is an integer over 10^(2L+1), Long-safe at the batch's
+    * L ≤ 8 cap) and emits the running per-user log-likelihood
+    * quantized to micro-nats with the batch's exact formula. Events
+    * beyond the 8th are ignored (the batch slices to 8). Parity
+    * requires per-user arrival in (ts_us, event_id) order — an event
+    * sorting BEFORE the last folded one cannot be folded (the batch
+    * would have placed it earlier in the α product), so it is dropped
+    * and counted in `late_dropped`. State per user is five longs.
+    * StreamingSpec pins exact batch parity on the final per-user
+    * updates grouped by length. */
+  def hmmForwardMonitor(points: Dataset[HmmPoint])
+      : Dataset[HmmUpdate] = {
+    import points.sparkSession.implicits._
+    def code(t: String): Long = t match {
+      case "click" => 0L; case "view" => 1L; case "signup" => 2L
+      case "purchase" => 3L; case _ => 4L
+    }
+    // emission columns of the batch's e0/e1 (tenth-scaled)
+    val e0 = Array(3L, 4L, 1L, 1L, 1L)
+    val e1 = Array(1L, 1L, 1L, 5L, 2L)
+    points.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HmmState, HmmUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[HmmState]) =>
+          var st = state.getOption
+            .getOrElse(HmmState(0L, 5L, 5L, Long.MinValue,
+              Long.MinValue, 0L))
+          val out = Vector.newBuilder[HmmUpdate]
+          rows.toSeq.sortBy(p => (p.ts_us, p.event_id)).foreach { pt =>
+            val inOrder = pt.ts_us > st.lastTs ||
+              (pt.ts_us == st.lastTs && pt.event_id > st.lastId)
+            if (!inOrder) st = st.copy(late = st.late + 1L)
+            else if (st.len < 8L) {
+              val c = code(pt.event_type).toInt
+              val a0n = (st.a0 * 7L + st.a1 * 4L) * e0(c)
+              val a1n = (st.a0 * 3L + st.a1 * 6L) * e1(c)
+              st = st.copy(len = st.len + 1L, a0 = a0n, a1 = a1n,
+                lastTs = pt.ts_us, lastId = pt.event_id)
+              val ll = BigDecimal(1000000.0 *
+                (math.log((a0n + a1n).toDouble) -
+                  (2.0 * st.len + 1.0) * math.log(10.0)))
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              out += HmmUpdate(uid, st.len, a0n, a1n, ll, st.late)
+            } else st = st.copy(lastTs = pt.ts_us, lastId = pt.event_id)
           }
           state.update(st)
           out.result().iterator

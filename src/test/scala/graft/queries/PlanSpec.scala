@@ -2321,4 +2321,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.CacheScope.drain(); spark.catalog.clearCache()
     }
   }
+
+  test("round-12 combined rank tests: GlobalRank-only windows, " +
+      "broadcast one-row totals") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Lepage ranks the cent-value histogram via one prefix pass; BWS
+    // runs the q_cvm_2sample two-pass rank scaffolding — in both, any
+    // partition-less window must be GlobalRank's offsets table and the
+    // one-row totals frame must broadcast, never cartesian over an
+    // unbounded side.
+    for (q <- Seq("q_lepage", "q_bws")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: one-row fan-ins must broadcast")
+      assert(qe.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+          || qe.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"$q: the totals frame must broadcast")
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
 }

@@ -1004,6 +1004,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = StreamOps.garchMonitor(in.toDS(), s2).writeStream
       .format("memory").queryName("garch").outputMode("append").start()
     try {
+      // PARITY CONTRACT: events must arrive in hour order per series —
+      // a late event for a closed hour is dropped (batch would include
+      // it) and surfaces only through the late_dropped counter.
       pts.grouped(200).foreach { chunk =>
         in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
       }
@@ -1011,6 +1014,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val mid = spark.table("garch").as[StreamOps.GarchUpdate].collect()
       assert(mid.forall(_.hour < openHour),
         "no update may precede its hour closing")
+      assert(mid.forall(_.late_dropped === 0L), "in-order feed: no drops")
+      // a duplicate of the earliest point is late for its closed hour:
+      // it must NOT perturb the state, only increment the counter
+      in.addData(pts.head)
+      q.processAllAvailable()
       in.addData(StreamOps.ValuePoint(pts.last.ts_us + hourUs, 0L))
       q.processAllAvailable()
       val stream = spark.table("garch").as[StreamOps.GarchUpdate]
@@ -1025,6 +1033,102 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(stream.last.nll_micro ===
         batch.head.getAs[Long]("nll_micro"))
       assert(batch.head.getAs[Long]("n_returns") === diffs.length.toLong)
+      assert(stream.last.late_dropped === 1L,
+        "the injected late event must be counted, not folded")
+    } finally q.stop()
+  }
+
+  test("streaming Viterbi equals batch q_viterbi after a sentinel " +
+       "closes the last day — final path and score bit-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dayUs = 86400000000L
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"))
+      .as[StreamOps.HoltPoint]
+      .collect().sortBy(_.ts_us)
+    // offline calibration: the batch's busy threshold is the global
+    // daily mean — n days with events, Σx total events
+    val daily = pts.groupBy(_.ts_us / dayUs).map { case (d, ps) =>
+      d -> ps.length.toLong }
+    val (totN, totSx) = (daily.size.toLong, daily.values.sum)
+    val in = MemoryStream[StreamOps.HoltPoint]
+    val q = StreamOps.viterbiMonitor(in.toDS(), totN, totSx).writeStream
+      .format("memory").queryName("viterbi").outputMode("append").start()
+    try {
+      // PARITY CONTRACT: in-day-order arrival; late events only count
+      pts.grouped(300).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val openDay = pts.last.ts_us / dayUs
+      val mid = spark.table("viterbi").as[StreamOps.ViterbiUpdate]
+        .collect()
+      assert(mid.forall(_.day < openDay),
+        "no update may precede its day closing")
+      in.addData(StreamOps.HoltPoint(pts.last.ts_us + dayUs))
+      q.processAllAvailable()
+      val stream = spark.table("viterbi").as[StreamOps.ViterbiUpdate]
+        .collect().sortBy(_.day)
+      val batch = graft.SparkEntry.queries("q_viterbi")(spark, sf)
+        .collect()
+      assert(stream.length === batch.length,
+        s"stream ${stream.length} days vs batch ${batch.length}")
+      // per-day observations match; the FINAL decode is retroactive,
+      // so only the last update's path is the batch's (day, state)
+      // column — compare it character by character
+      stream.zip(batch).foreach { case (sv, br) =>
+        assert(sv.day === br.getAs[Long]("day"))
+        assert(sv.x === br.getAs[Long]("x"), s"day ${sv.day}")
+        assert(sv.busy === br.getAs[Long]("busy"), s"day ${sv.day}")
+        assert(sv.late_dropped === 0L)
+      }
+      val finalPath = stream.last.path
+      assert(finalPath.length === batch.length)
+      batch.zipWithIndex.foreach { case (br, i) =>
+        assert(finalPath.substring(i, i + 1) ===
+          br.getAs[String]("state"), s"decode position ${i + 1}")
+      }
+      assert(stream.last.score_micronat ===
+        batch.head.getAs[Long]("path_score_micronat"))
+    } finally q.stop()
+  }
+
+  test("streaming HMM forward equals batch q_hmm_forward with no " +
+       "sentinel — truly online per-event integer alpha updates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id").cast("long"),
+        org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("event_id").cast("long"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .as[StreamOps.HmmPoint]
+      .collect().sortBy(p => (p.ts_us, p.event_id))
+    val in = MemoryStream[StreamOps.HmmPoint]
+    val q = StreamOps.hmmForwardMonitor(in.toDS()).writeStream
+      .format("memory").queryName("hmmfwd").outputMode("append").start()
+    try {
+      // PARITY CONTRACT: per-user (ts_us, event_id)-ordered arrival —
+      // global sort implies it; an out-of-order event would only
+      // increment late_dropped
+      pts.grouped(300).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val ups = spark.table("hmmfwd").as[StreamOps.HmmUpdate].collect()
+      assert(ups.forall(_.late_dropped === 0L), "in-order feed: no drops")
+      // final per-user update (max len) carries the batch's ll
+      val fin = ups.groupBy(_.user_id)
+        .map { case (_, us) => us.maxBy(_.len) }
+      val got = fin.groupBy(_.len).map { case (l, us) =>
+        (l, us.size.toLong, us.map(_.ll_micro).sum) }
+        .toSeq.sortBy(_._1)
+      val batch = graft.SparkEntry.queries("q_hmm_forward")(spark, sf)
+        .collect().map(r => (r.getAs[Long]("len"),
+          r.getAs[Long]("n_users"), r.getAs[Long]("total_ll_micro")))
+        .toSeq.sortBy(_._1)
+      assert(got === batch)
     } finally q.stop()
   }
 }

@@ -765,7 +765,7 @@ object GraphOps {
         (1 to 5).map(iterSqlDangling).mkString(",\n") +
         "\nSELECT node, round(rank, 5) AS rank FROM r5 ORDER BY node"),
     "q_triangles" ->
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT
         |    CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
         |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v
@@ -896,7 +896,7 @@ object GraphOps {
         |SELECT n_nodes, max_deg, p50_deg, hill_alpha
         |FROM summary CROSS JOIN hill""".stripMargin,
     "q_adamic_adar" ->
-      """WITH w AS (
+      """WITH w AS MATERIALIZED (
         |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
         |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
         |    CAST(count(*) AS BIGINT) AS cnt
@@ -908,8 +908,9 @@ object GraphOps {
         |  GROUP BY 1, 2),
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |        AS thr FROM w),
-        |e AS (SELECT u, v FROM w, t WHERE CAST(cnt AS DOUBLE) > thr),
-        |adj AS (SELECT u AS z, v AS x FROM e
+        |e AS MATERIALIZED (SELECT u, v FROM w, t
+        |                   WHERE CAST(cnt AS DOUBLE) > thr),
+        |adj AS MATERIALIZED (SELECT u AS z, v AS x FROM e
         |        UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg
         |        FROM adj GROUP BY 1),
@@ -1068,7 +1069,7 @@ object GraphOps {
         |JOIN region r ON r.r_regionkey = dc.rk
         |ORDER BY r_name""".stripMargin,
     "q_clustering_coeff" ->
-      """WITH w AS (
+      """WITH w AS MATERIALIZED (
         |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
         |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
         |    CAST(count(*) AS BIGINT) AS cnt
@@ -1080,7 +1081,8 @@ object GraphOps {
         |  GROUP BY 1, 2),
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |        AS thr FROM w),
-        |e AS (SELECT u, v FROM w, t WHERE CAST(cnt AS DOUBLE) > thr),
+        |e AS MATERIALIZED (SELECT u, v FROM w, t
+        |                   WHERE CAST(cnt AS DOUBLE) > thr),
         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
         |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) a
         |  GROUP BY 1),

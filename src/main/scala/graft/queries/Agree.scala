@@ -90,6 +90,50 @@ object Agree {
         round(dObs, 6).as("d_o"), round(dExp, 6).as("d_e"),
         round(when(dExp <= 0.0, lit(null).cast("double"))
           .otherwise(lit(1.0) - dObs / dExp), 6).as("kripp_alpha"))
+    }),
+
+    // ---- Gwet's AC1 over the same 3-rater matrix: the chance
+    // correction Pe_γ = (1/(K−1))·Σ_c π_c(1−π_c) stays stable when
+    // category prevalence is skewed (the κ paradox), which is why
+    // labeling pipelines report it beside κ. Same two integer
+    // aggregates as Fleiss.
+    "q_gwet_ac1" -> ((s, d) => {
+      val agg = baseAgg(s, d)
+      val nD = col("n").cast("double")
+      val pbar = col("ee").cast("double") / (lit(3.0) * nD)
+      def pi(c: Column): Column = c.cast("double") / (lit(3.0) * nD)
+      val peg = (pi(col("m0")) * (lit(1.0) - pi(col("m0"))) +
+        pi(col("m1")) * (lit(1.0) - pi(col("m1"))) +
+        pi(col("m2")) * (lit(1.0) - pi(col("m2")))) / lit(2.0)
+      agg.select(col("n").as("n_docs"),
+        round(pbar, 6).as("p_bar"), round(peg, 6).as("p_e_gamma"),
+        round(when(peg >= 1.0, lit(null).cast("double"))
+          .otherwise((pbar - peg) / (lit(1.0) - peg)), 6)
+          .as("gwet_ac1"))
+    }),
+
+    // ---- Scott's π for the two length-based raters (A = chars,
+    // B = tokens): chance agreement from the POOLED category
+    // distribution ((m_c^A + m_c^B)/2N)² — the 2-rater sibling of
+    // Fleiss' κ (identical chance model).
+    "q_scott_pi" -> ((s, d) => {
+      val agg = labeled(s, d).agg(count(lit(1)).as("n"),
+        sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("ag"),
+        sum(when(col("ra") === 0L, 1L).otherwise(0L) +
+          when(col("rb") === 0L, 1L).otherwise(0L)).as("m0"),
+        sum(when(col("ra") === 1L, 1L).otherwise(0L) +
+          when(col("rb") === 1L, 1L).otherwise(0L)).as("m1"),
+        sum(when(col("ra") === 2L, 1L).otherwise(0L) +
+          when(col("rb") === 2L, 1L).otherwise(0L)).as("m2"))
+      val nD = col("n").cast("double")
+      val po = col("ag").cast("double") / nD
+      def p(c: Column): Column = c.cast("double") / (lit(2.0) * nD)
+      val pe = p(col("m0")) * p(col("m0")) +
+        p(col("m1")) * p(col("m1")) + p(col("m2")) * p(col("m2"))
+      agg.select(col("n").as("n_docs"),
+        round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
+        round(when(pe >= 1.0, lit(null).cast("double"))
+          .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("scott_pi"))
     }))
 
   private val labeledSql: String =
@@ -179,5 +223,94 @@ object Agree {
         |      (3.0 * CAST(n AS DOUBLE) * (3.0 * CAST(n AS DOUBLE) -
         |        1.0)))
         |    END, 6) AS kripp_alpha
+        |FROM agg""".stripMargin,
+
+    "q_gwet_ac1" ->
+      s"""$labeledSql
+        |SELECT n AS n_docs,
+        |  round(CAST(ee AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)), 6)
+        |    AS p_bar,
+        |  round((CAST(m0 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) *
+        |      (1.0 - CAST(m0 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE))) +
+        |    CAST(m1 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) *
+        |      (1.0 - CAST(m1 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE))) +
+        |    CAST(m2 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) *
+        |      (1.0 - CAST(m2 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE))))
+        |    / 2.0, 6) AS p_e_gamma,
+        |  round(CASE WHEN (CAST(m0 AS DOUBLE) / (3.0 * CAST(n AS
+        |      DOUBLE)) * (1.0 - CAST(m0 AS DOUBLE) / (3.0 * CAST(n AS
+        |      DOUBLE))) + CAST(m1 AS DOUBLE) / (3.0 * CAST(n AS
+        |      DOUBLE)) * (1.0 - CAST(m1 AS DOUBLE) / (3.0 * CAST(n AS
+        |      DOUBLE))) + CAST(m2 AS DOUBLE) / (3.0 * CAST(n AS
+        |      DOUBLE)) * (1.0 - CAST(m2 AS DOUBLE) / (3.0 * CAST(n AS
+        |      DOUBLE)))) / 2.0 >= 1.0 THEN NULL
+        |    ELSE (CAST(ee AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) -
+        |      (CAST(m0 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) *
+        |        (1.0 - CAST(m0 AS DOUBLE) / (3.0 * CAST(n AS
+        |        DOUBLE))) + CAST(m1 AS DOUBLE) / (3.0 * CAST(n AS
+        |        DOUBLE)) * (1.0 - CAST(m1 AS DOUBLE) / (3.0 * CAST(n
+        |        AS DOUBLE))) + CAST(m2 AS DOUBLE) / (3.0 * CAST(n AS
+        |        DOUBLE)) * (1.0 - CAST(m2 AS DOUBLE) / (3.0 * CAST(n
+        |        AS DOUBLE)))) / 2.0) /
+        |      (1.0 - (CAST(m0 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) *
+        |        (1.0 - CAST(m0 AS DOUBLE) / (3.0 * CAST(n AS
+        |        DOUBLE))) + CAST(m1 AS DOUBLE) / (3.0 * CAST(n AS
+        |        DOUBLE)) * (1.0 - CAST(m1 AS DOUBLE) / (3.0 * CAST(n
+        |        AS DOUBLE))) + CAST(m2 AS DOUBLE) / (3.0 * CAST(n AS
+        |        DOUBLE)) * (1.0 - CAST(m2 AS DOUBLE) / (3.0 * CAST(n
+        |        AS DOUBLE)))) / 2.0)
+        |    END, 6) AS gwet_ac1
+        |FROM agg""".stripMargin,
+
+    "q_scott_pi" ->
+      """WITH lb AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 400 THEN 1
+        |      ELSE 2 END AS ra,
+        |    CASE WHEN len(string_split(text, ' ')) < 45 THEN 0
+        |      WHEN len(string_split(text, ' ')) < 75 THEN 1
+        |      ELSE 2 END AS rb
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ag,
+        |    CAST(sum((CASE WHEN ra = 0 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN rb = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS m0,
+        |    CAST(sum((CASE WHEN ra = 1 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN rb = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS m1,
+        |    CAST(sum((CASE WHEN ra = 2 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN rb = 2 THEN 1 ELSE 0 END)) AS BIGINT) AS m2
+        |  FROM lb)
+        |SELECT n AS n_docs,
+        |  round(CAST(ag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_o,
+        |  round(CAST(m0 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) *
+        |      (CAST(m0 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) +
+        |    CAST(m1 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) *
+        |      (CAST(m1 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) +
+        |    CAST(m2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) *
+        |      (CAST(m2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))), 6)
+        |    AS p_e,
+        |  round(CASE WHEN CAST(m0 AS DOUBLE) / (2.0 * CAST(n AS
+        |      DOUBLE)) * (CAST(m0 AS DOUBLE) / (2.0 * CAST(n AS
+        |      DOUBLE))) + CAST(m1 AS DOUBLE) / (2.0 * CAST(n AS
+        |      DOUBLE)) * (CAST(m1 AS DOUBLE) / (2.0 * CAST(n AS
+        |      DOUBLE))) + CAST(m2 AS DOUBLE) / (2.0 * CAST(n AS
+        |      DOUBLE)) * (CAST(m2 AS DOUBLE) / (2.0 * CAST(n AS
+        |      DOUBLE))) >= 1.0 THEN NULL
+        |    ELSE (CAST(ag AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      (CAST(m0 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) *
+        |        (CAST(m0 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) +
+        |      CAST(m1 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) *
+        |        (CAST(m1 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) +
+        |      CAST(m2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) *
+        |        (CAST(m2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))))) /
+        |      (1.0 - (CAST(m0 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) *
+        |        (CAST(m0 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) +
+        |      CAST(m1 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) *
+        |        (CAST(m1 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) +
+        |      CAST(m2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) *
+        |        (CAST(m2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)))))
+        |    END, 6) AS scott_pi
         |FROM agg""".stripMargin)
 }

@@ -179,6 +179,119 @@ object Stats21 {
           .otherwise((col("s1").cast("double") -
             n1D * col("t").cast("double") / nD) / sqrt(vr)), 6)
           .as("z"))
+    }),
+
+    // ---- Quade test (blocks = days, treatments = the 5 event types):
+    // within-day ranks of the micro-quantized mean value (ties by type
+    // name — deterministic in both engines), day weights Q = rank of
+    // the day's micro-mean range, W = Q·(r − (k+1)/2);
+    // F = (b−1)·B/(A−B) with A = ΣW², B = (ΣⱼSⱼ²)/b. Missing
+    // (day, type) cells zero-fill (mean 0 — documented convention).
+    // All ranks ride GlobalRank; everything is exact integers until
+    // the final F.
+    "q_quade" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = Tables.events(s, d).select(
+        expr(s"ts_us div 86400000000").as("day"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("c"))
+      val cells0 = ev.groupBy("day", "event_type")
+        .agg(sum("c").as("sv"), count(lit(1)).as("cnt"))
+      val days = ev.select("day").distinct()
+      val full = days.crossJoin(broadcast(s.range(1)
+          .select(explode(array(types.map(lit): _*)).as("event_type"))))
+        .join(cells0, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(round(lit(1e6) * col("sv").cast("double") /
+            col("cnt").cast("double")).cast(LongType), lit(0L))
+            .as("mu6"))
+      val ranked = GlobalRank.withKeyedRowNumber(full, "r", Seq("day"),
+        Seq(col("mu6").asc, col("event_type").asc))
+      val dayW = full.groupBy("day")
+        .agg((max("mu6") - min("mu6")).as("rng"))
+      val weighted = GlobalRank.withRowNumber(dayW, "q",
+        Seq(col("rng").asc, col("day").asc))
+      val w = ranked.join(weighted.select("day", "q"), "day")
+        .select(col("day"), col("event_type"),
+          (col("q").cast(LongType) * (col("r").cast(LongType) - 3L))
+            .as("w"))
+      val sj = w.groupBy("event_type").agg(sum("w").as("s_j"))
+      val aT = w.agg(sum((dec(col("w")) * col("w"))
+        .cast("decimal(38,0)")).as("a"))
+      val bT = sj.agg(sum((dec(col("s_j")) * col("s_j"))
+        .cast("decimal(38,0)")).as("sb"), count(lit(1)).as("k"))
+      val bb = days.agg(count(lit(1)).as("b"))
+      val one = aT.crossJoin(broadcast(bT)).crossJoin(broadcast(bb))
+      val bD = col("b").cast("double")
+      val bTerm = col("sb").cast("double") / bD
+      val aD = col("a").cast("double")
+      one.select(col("b").as("n_days"), col("k").as("n_treatments"),
+        col("a").cast("long").as("a_term"),
+        round(bTerm, 6).as("b_term"),
+        round(when(aD - bTerm <= 0.0, lit(null).cast("double"))
+          .otherwise((bD - 1.0) * bTerm / (aD - bTerm)), 6)
+          .as("quade_f"))
+    }),
+
+    // ---- odds ratio of purchase between the arms, with the Wald
+    // 95% log CI: exact 2×2 integer cells, doubles in the final row.
+    "q_odds_ratio" -> ((s, d) => {
+      val agg = Tables.events(s, d).select(
+        (col("event_id") % 2).as("g"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"))
+        .agg(
+          sum(when(col("g") === 1L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("g") === 1L && col("y") === 0L, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("g") === 0L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("g") === 0L && col("y") === 0L, 1L)
+            .otherwise(0L)).as("dd"))
+      val ok = col("a") > 0L && col("b") > 0L && col("c") > 0L &&
+        col("dd") > 0L
+      val or = col("a").cast("double") * col("dd").cast("double") /
+        (col("b").cast("double") * col("c").cast("double"))
+      val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+        lit(1.0) / col("c") + lit(1.0) / col("dd"))
+      agg.select(col("a").as("n_exp_pos"), col("b").as("n_exp_neg"),
+        col("c").as("n_ctl_pos"), col("dd").as("n_ctl_neg"),
+        round(when(!ok, lit(null).cast("double")).otherwise(or), 6)
+          .as("odds_ratio"),
+        round(when(!ok, lit(null).cast("double"))
+          .otherwise(exp(log(or) - lit(1.96) * se)), 6).as("ci_lo"),
+        round(when(!ok, lit(null).cast("double"))
+          .otherwise(exp(log(or) + lit(1.96) * se)), 6).as("ci_hi"))
+    }),
+
+    // ---- relative risk of purchase between the arms with its Wald
+    // 95% log CI — the epidemiology sibling of q_odds_ratio.
+    "q_relative_risk" -> ((s, d) => {
+      val agg = Tables.events(s, d).select(
+        (col("event_id") % 2).as("g"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"))
+        .agg(
+          sum(when(col("g") === 1L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"))
+      val ok = col("a") > 0L && col("c") > 0L && col("n1") > 0L &&
+        col("n0") > 0L
+      val rr = (col("a").cast("double") / col("n1").cast("double")) /
+        (col("c").cast("double") / col("n0").cast("double"))
+      val se = sqrt(lit(1.0) / col("a") - lit(1.0) / col("n1") +
+        lit(1.0) / col("c") - lit(1.0) / col("n0"))
+      agg.select(col("a").as("n_exp_pos"), col("n1").as("n_exp"),
+        col("c").as("n_ctl_pos"), col("n0").as("n_ctl"),
+        round(when(!ok, lit(null).cast("double")).otherwise(rr), 6)
+          .as("rel_risk"),
+        round(when(!ok, lit(null).cast("double"))
+          .otherwise(exp(log(rr) - lit(1.96) * se)), 6).as("ci_lo"),
+        round(when(!ok, lit(null).cast("double"))
+          .otherwise(exp(log(rr) + lit(1.96) * se)), 6).as("ci_hi"))
     }))
 
   private val histSql: String =
@@ -351,5 +464,121 @@ object Stats21 {
         |          CAST(tt AS DOUBLE) /
         |          (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))))
         |    END, 6) AS z
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    "q_quade" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |cells0 AS (
+        |  SELECT day, event_type, CAST(sum(c) AS BIGINT) AS sv,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM ev),
+        |types(event_type) AS (VALUES ('click'), ('error'),
+        |  ('purchase'), ('signup'), ('view')),
+        |full0 AS (
+        |  SELECT d.day, t.event_type,
+        |    coalesce(CAST(round(1e6 * CAST(sv AS DOUBLE) / cnt)
+        |      AS BIGINT), 0) AS mu6
+        |  FROM days d CROSS JOIN types t
+        |  LEFT JOIN cells0 c0
+        |    ON c0.day = d.day AND c0.event_type = t.event_type),
+        |rk AS (
+        |  SELECT day, event_type, row_number() OVER (
+        |    PARTITION BY day ORDER BY mu6, event_type) AS r
+        |  FROM full0),
+        |dw AS (SELECT day, max(mu6) - min(mu6) AS rng
+        |  FROM full0 GROUP BY day),
+        |wt AS (SELECT day, row_number() OVER (ORDER BY rng, day) AS q
+        |  FROM dw),
+        |w AS (
+        |  SELECT rk.event_type,
+        |    CAST(wt.q AS BIGINT) * (CAST(rk.r AS BIGINT) - 3) AS w
+        |  FROM rk JOIN wt ON wt.day = rk.day),
+        |sj AS (SELECT event_type, CAST(sum(w) AS BIGINT) AS s_j
+        |  FROM w GROUP BY 1),
+        |att AS (SELECT sum(CAST(w AS HUGEINT) * w) AS a FROM w),
+        |btt AS (SELECT sum(CAST(s_j AS HUGEINT) * s_j) AS sb,
+        |  CAST(count(*) AS BIGINT) AS k FROM sj),
+        |bbb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM days)
+        |SELECT b AS n_days, k AS n_treatments,
+        |  CAST(a AS BIGINT) AS a_term,
+        |  round(CAST(sb AS DOUBLE) / CAST(b AS DOUBLE), 6) AS b_term,
+        |  round(CASE WHEN CAST(a AS DOUBLE) -
+        |      CAST(sb AS DOUBLE) / CAST(b AS DOUBLE) <= 0.0 THEN NULL
+        |    ELSE (CAST(b AS DOUBLE) - 1.0) *
+        |      (CAST(sb AS DOUBLE) / CAST(b AS DOUBLE)) /
+        |      (CAST(a AS DOUBLE) -
+        |        CAST(sb AS DOUBLE) / CAST(b AS DOUBLE)) END, 6)
+        |    AS quade_f
+        |FROM att, btt, bbb""".stripMargin,
+
+    "q_odds_ratio" ->
+      """WITH v AS (
+        |  SELECT event_id % 2 AS g,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN g = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN g = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN g = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dd
+        |  FROM v)
+        |SELECT a AS n_exp_pos, b AS n_exp_neg, c AS n_ctl_pos,
+        |  dd AS n_ctl_neg,
+        |  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0
+        |    THEN CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) /
+        |      (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END, 6)
+        |    AS odds_ratio,
+        |  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0
+        |    THEN exp(ln(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) /
+        |      (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) -
+        |      1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd))
+        |    END, 6) AS ci_lo,
+        |  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0
+        |    THEN exp(ln(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) /
+        |      (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) +
+        |      1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd))
+        |    END, 6) AS ci_hi
+        |FROM agg""".stripMargin,
+
+    "q_relative_risk" ->
+      """WITH v AS (
+        |  SELECT event_id % 2 AS g,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN g = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0
+        |  FROM v)
+        |SELECT a AS n_exp_pos, n1 AS n_exp, c AS n_ctl_pos,
+        |  n0 AS n_ctl,
+        |  round(CASE WHEN a > 0 AND c > 0 AND n1 > 0 AND n0 > 0
+        |    THEN (CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |      (CAST(c AS DOUBLE) / CAST(n0 AS DOUBLE)) END, 6)
+        |    AS rel_risk,
+        |  round(CASE WHEN a > 0 AND c > 0 AND n1 > 0 AND n0 > 0
+        |    THEN exp(ln((CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |      (CAST(c AS DOUBLE) / CAST(n0 AS DOUBLE))) -
+        |      1.96 * sqrt(1.0 / a - 1.0 / n1 + 1.0 / c - 1.0 / n0))
+        |    END, 6) AS ci_lo,
+        |  round(CASE WHEN a > 0 AND c > 0 AND n1 > 0 AND n0 > 0
+        |    THEN exp(ln((CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |      (CAST(c AS DOUBLE) / CAST(n0 AS DOUBLE))) +
+        |      1.96 * sqrt(1.0 / a - 1.0 / n1 + 1.0 / c - 1.0 / n0))
+        |    END, 6) AS ci_hi
+        |FROM agg""".stripMargin)
 }

@@ -2360,7 +2360,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_mann_kendall", "q_mood_median", "q_cliff_delta",
         "q_cohens_d", "q_siegel_tukey", "q_fleiss_kappa",
         "q_krippendorff_alpha", "q_heaps", "q_self_bleu",
-        "q_perplexity")) {
+        "q_perplexity", "q_gwet_ac1", "q_scott_pi", "q_quade",
+        "q_odds_ratio", "q_relative_risk")) {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       assert(!qe.executedPlan.toString.contains("CartesianProduct"),
         s"$q: bounded fan-ins must broadcast")

@@ -1111,6 +1111,55 @@ object StreamOps {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts_us: Long,
+      event_type: String, cents: Long)
+  final case class FirstTouch(user_id: Long, first_day: Long,
+      first_conv_day: Option[Long])
+  final case class FirstState(fd: Long, fp: Long)
+
+  /** Streaming first-touch extractor — the stateful front end of the
+    * group-sequential test (batch q_group_seq, queries.Stats13): per
+    * user, the first enrollment day (any event) and the first
+    * QUALIFYING conversion day (convType with cents ≥ minCents), each
+    * a running MIN. Because min is commutative and idempotent, this
+    * monitor is ORDER-INSENSITIVE — late, duplicated, or shuffled
+    * events cannot break parity (a strictly stronger contract than the
+    * day-close monitors' in-order requirement; there is no
+    * late_dropped counter because nothing ever drops). An update is
+    * emitted only when a user's state actually improves, so the LAST
+    * emission per user equals the batch's per-user (fd, fp) row
+    * exactly, and any look-grid sequential boundary (O'Brien–Fleming
+    * in the batch twin) can be evaluated downstream from the emitted
+    * firsts. State is two longs per user. StreamingSpec pins exact
+    * cell + z parity against q_group_seq under a deliberately
+    * SHUFFLED feed. */
+  def firstTouchMonitor(events: Dataset[FunnelEvent],
+      convType: String = "purchase", minCents: Long = 10000L,
+      dayUs: Long = 86400000000L): Dataset[FirstTouch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FirstState, FirstTouch](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FirstState]) =>
+          var st = state.getOption.getOrElse(
+            FirstState(Long.MaxValue, Long.MaxValue))
+          val before = st
+          rows.foreach { ev =>
+            val day = ev.ts_us / dayUs
+            if (day < st.fd) st = st.copy(fd = day)
+            if (ev.event_type == convType && ev.cents >= minCents &&
+                day < st.fp) st = st.copy(fp = day)
+          }
+          if (st == before) Iterator.empty
+          else {
+            state.update(st)
+            Iterator(FirstTouch(uid, st.fd,
+              if (st.fp == Long.MaxValue) None else Some(st.fp)))
+          }
+      }
+  }
+
   /** One user event for the HMM forward monitor — (ts_us, event_id) is
     * the batch sort key, so parity requires per-user arrival in that
     * order. */

@@ -1131,4 +1131,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("streaming first-touch extractor reproduces q_group_seq cells " +
+       "and z under a deliberately SHUFFLED feed — order-insensitive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dayUs = 86400000000L
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id").cast("long"),
+        org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100)
+          .cast("long").as("cents"))
+      .as[StreamOps.FunnelEvent].collect()
+      // NOT time order: min-folds are commutative, so parity must hold
+      .sortBy(p => (p.event_type, p.cents, p.ts_us))
+    val in = MemoryStream[StreamOps.FunnelEvent]
+    val q = StreamOps.firstTouchMonitor(in.toDS()).writeStream
+      .format("memory").queryName("firsts").outputMode("append").start()
+    try {
+      pts.grouped(250).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val ups = spark.table("firsts").as[StreamOps.FirstTouch].collect()
+      // last emission per user = the settled (fd, fp) pair; emissions
+      // only ever improve, so take the per-user minimum of each field
+      val firsts = ups.groupBy(_.user_id).map { case (u, us) =>
+        (u, us.map(_.first_day).min,
+          us.flatMap(_.first_conv_day).sorted.headOption)
+      }.toSeq
+      val d0 = firsts.map(_._2).min
+      val batch = graft.SparkEntry.queries("q_group_seq")(spark, sf)
+        .collect().sortBy(_.getAs[Long]("k"))
+      assert(batch.length === 4)
+      batch.foreach { br =>
+        val k = br.getAs[Long]("k")
+        val cut = d0 + 7L * k
+        def cell(arm: Long): (Long, Long) = {
+          val enr = firsts.filter(f => f._1 % 2 == arm && f._2 < cut)
+          (enr.length.toLong,
+            enr.count(f => f._3.exists(_ < cut)).toLong)
+        }
+        val (n1, c1) = cell(0L)
+        val (n2, c2) = cell(1L)
+        assert(n1 === br.getAs[Long]("n1"), s"k=$k n1")
+        assert(n2 === br.getAs[Long]("n2"), s"k=$k n2")
+        assert(c1 === br.getAs[Long]("c1"), s"k=$k c1")
+        assert(c2 === br.getAs[Long]("c2"), s"k=$k c2")
+        // identical double op order -> identical z after 4-dp rounding
+        val p1 = c1.toDouble / n1.toDouble
+        val p2 = c2.toDouble / n2.toDouble
+        val pb = (c1 + c2).toDouble / (n1 + n2).toDouble
+        val se = math.sqrt(pb * (1.0 - pb) *
+          (1.0 / n1.toDouble + 1.0 / n2.toDouble))
+        val z = if (se > 0.0) (p1 - p2) / se else 0.0
+        val z4 = BigDecimal(z)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(z4 === br.getAs[Double]("z"), s"k=$k z")
+      }
+    } finally q.stop()
+  }
 }

@@ -77,7 +77,10 @@ object SparkEntry {
     "Risk" -> Risk.queries,
     "Stats21" -> Stats21.queries,
     "Agree" -> Agree.queries,
-    "TextEval2" -> TextEval2.queries)
+    "TextEval2" -> TextEval2.queries,
+    "Stats22" -> Stats22.queries,
+    "Reliab" -> Reliab.queries,
+    "Text3" -> Text3.queries)
 
   /** Per-module oracle maps, same order/discipline as [[moduleQueries]]. */
   def moduleOracles: Seq[(String, Map[String, String])] = Seq(
@@ -135,7 +138,10 @@ object SparkEntry {
     "Risk" -> Risk.oracle,
     "Stats21" -> Stats21.oracle,
     "Agree" -> Agree.oracle,
-    "TextEval2" -> TextEval2.oracle)
+    "TextEval2" -> TextEval2.oracle,
+    "Stats22" -> Stats22.oracle,
+    "Reliab" -> Reliab.oracle,
+    "Text3" -> Text3.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -263,14 +263,11 @@ object Graph3 {
     // ---- 4-truss peel on the part co-purchase graph: an edge survives
     // if it participates in ≥ 2 triangles within the surviving subgraph;
     // two static peel rounds (the house bounded-round contract, like
-    // q_label_prop's 3 rounds). Each support pass is a DEGREE-ORDERED
-    // wedge enumeration (edges oriented out of the lower-(degree, id)
-    // endpoint, wedges joined on the apex, closed against the
-    // undirected set) — O(Σ d⁺²) = O(m^1.5), vs O(Σ deg²) for the
-    // naive a<b<c middle-vertex join whose hubs dominate — followed by
-    // a keyed count; no global structure, no cartesian. Support counts
-    // are algorithm-independent, so the oracle is untouched. Output:
-    // the 20 strongest surviving edges.
+    // q_label_prop's 3 rounds). Support pass: see [[trussTop20]]'s doc —
+    // per-edge adjacency-array intersection (the degree-ordered wedge
+    // variant was measured and rejected there). Support counts are
+    // algorithm-independent, so the oracle is untouched. Output: the 20
+    // strongest surviving edges.
     "q_ktruss" -> ((s, d) =>
       trussTop20(graft.CacheScope.cached(GraphOps.coPurchaseEdges(s, d)))))
 

@@ -57,13 +57,15 @@ object Risk {
     // ---- maximum drawdown of the DAILY revenue level (cumulative
     // revenue is monotone, so the meaningful drawdown is the worst
     // decline of the daily level from its running peak): one integer
-    // fold carrying (t, last, peak, mdd, trough_t) — revenue cents are
-    // ≥ 0 so the 0-seeded peak is dominated by day 1; mdd seeds at −1
-    // so a never-declining series still reports trough_t = 1 with
-    // mdd 0 (the oracle's dd DESC, t ASC argmax).
+    // fold carrying (t, last, peak, mdd, trough_t) — the peak seeds at
+    // Long.MinValue so day 1 dominates it REGARDLESS of sign (a
+    // 0-seeded peak would silently clamp a negative-revenue day while
+    // the oracle's pure window max would not — ADVICE r12); mdd seeds
+    // at −1 so a never-declining series still reports trough_t = 1
+    // with mdd 0 (the oracle's dd DESC, t ASC argmax).
     "q_max_drawdown" -> ((s, d) => {
       val st0 = struct(lit(0L).as("t"), lit(0L).as("last"),
-        lit(0L).as("peak"), lit(-1L).as("mdd"), lit(0L).as("tt"))
+        lit(Long.MinValue).as("peak"), lit(-1L).as("mdd"), lit(0L).as("tt"))
       dailyRev(s, d).select(size(col("xs")).cast(LongType).as("n_days"),
           aggregate(col("xs"), st0, (st, x) => {
             val peak = greatest(st.getField("peak"), x)

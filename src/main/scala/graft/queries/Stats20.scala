@@ -124,13 +124,19 @@ object Stats20 {
       val dev = rD - nD / nOwn * iD
       val wgt = (iD / (nOwn + 1.0)) * (lit(1.0) - iD / (nOwn + 1.0)) *
         (nOth * nD / nOwn)
+      // t6 goes straight to decimal(38,0) — never through LongType:
+      // under strong arm separation dev ~ N/2 with small i makes the
+      // term exceed Long range, which ANSI mode turns into a runtime
+      // cast error (ADVICE r12). decimal(38,0) mirrors the oracle's
+      // HUGEINT accumulation discipline.
       val agg = both.crossJoin(broadcast(tot))
         .select(col("g"), col("n0"), col("n1"),
-          round(dev * dev / wgt * 1000000.0).cast(LongType).as("t6"))
+          round(dev * dev / wgt * 1000000.0)
+            .cast("decimal(38,0)").as("t6"))
         .groupBy("n0", "n1").agg(
-          sum(when(col("g") === 0L, dec(col("t6"))).otherwise(
+          sum(when(col("g") === 0L, col("t6")).otherwise(
             lit(0).cast("decimal(38,0)"))).as("s0"),
-          sum(when(col("g") === 1L, dec(col("t6"))).otherwise(
+          sum(when(col("g") === 1L, col("t6")).otherwise(
             lit(0).cast("decimal(38,0)"))).as("s1"))
       val bx = agg("s0").cast("double") /
         (col("n0").cast("double") * 1000000.0)

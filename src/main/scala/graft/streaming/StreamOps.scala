@@ -983,10 +983,16 @@ object StreamOps {
     * would have included it in that hour's sum), so every drop is a
     * potential parity break — the state counts them and every update
     * carries the cumulative `late_dropped` so violations are
-    * observable downstream. The first closed hour only seeds prevX —
-    * diffs start at the second. State is five longs + a flag per
-    * series. StreamingSpec pins batch parity via the sentinel close
-    * and pins the late-drop counter. */
+    * observable downstream. If a micro-batch increments the counter
+    * WITHOUT producing a close (e.g. late events trailing the final
+    * hour), a COUNTER-ONLY update is emitted with the sentinel
+    * `hour = -1` (r = 0, current h/nll) so the drop is observable
+    * immediately rather than absorbed into state until the next close
+    * (ADVICE r12 — the 'every drop is observable' contract now holds
+    * unconditionally, no sentinel close required). The first closed
+    * hour only seeds prevX — diffs start at the second. State is five
+    * longs + a flag per series. StreamingSpec pins batch parity via
+    * the sentinel close and pins the counter-only late flush. */
   def garchMonitor(points: Dataset[ValuePoint], s2: Long, a: Long = 1L,
       b: Long = 5L, series: String = "events",
       hourUs: Long = 3600000000L): Dataset[GarchUpdate] = {
@@ -999,6 +1005,10 @@ object StreamOps {
           var st = state.getOption.getOrElse(
             GarchState(-1L, 0L, 0L, s2, 0L, seeded = false, late = 0L))
           val out = Vector.newBuilder[GarchUpdate]
+          // counter value last made visible downstream — if this batch
+          // increments `late` past it with no close to carry it, a
+          // counter-only update (hour = -1) flushes it at batch end
+          var lateEmitted = st.late
           def close(x: Long, hr: Long): Unit = {
             if (!st.seeded) st = st.copy(prevX = x, seeded = true)
             else {
@@ -1016,6 +1026,7 @@ object StreamOps {
               val h2 = math.max((num / 10).toLong, 1L)
               st = st.copy(prevX = x, h = h2, nll = st.nll + step)
               out += GarchUpdate(key, hr, r, h2, st.nll, st.late)
+              lateEmitted = st.late
             }
           }
           rows.toSeq.sortBy(_.ts_us).foreach { pt =>
@@ -1033,6 +1044,8 @@ object StreamOps {
               st = st.copy(late = st.late + 1L)
             }
           }
+          if (st.late > lateEmitted)
+            out += GarchUpdate(key, -1L, 0L, st.h, st.nll, st.late)
           state.update(st)
           out.result().iterator
       }
@@ -1054,7 +1067,11 @@ object StreamOps {
     * [[kalmanMonitor]]'s: a day folds when a later day's first event
     * arrives; days with no events are simply absent (the batch daily
     * frame does not zero-fill); a late event for a closed day is
-    * DROPPED and counted in `late_dropped` (parity observability).
+    * DROPPED and counted in `late_dropped` (parity observability —
+    * and, as in [[garchMonitor]], a micro-batch that increments the
+    * counter with no close flushes it via a counter-only update with
+    * the sentinel `day = -1`, so a drop after the final close is
+    * still observable downstream).
     * Every closed day emits the CURRENT full-sequence winning path —
     * Viterbi decode is retroactive by nature, so earlier days' labels
     * may differ from the final decode until the last update; the
@@ -1077,6 +1094,7 @@ object StreamOps {
           var st = state.getOption
             .getOrElse(ViterbiState(-1L, 0L, 0L, 0L, "", "", 0L))
           val out = Vector.newBuilder[ViterbiUpdate]
+          var lateEmitted = st.late
           def close(): Unit = {
             val x = st.acc
             val o = if (x * totN > totSx) 1L else 0L
@@ -1098,6 +1116,7 @@ object StreamOps {
             out += ViterbiUpdate(key, st.day, x, o,
               if (win) st.pl else st.ph,
               if (win) st.dl else st.dh, st.late)
+            lateEmitted = st.late
           }
           rows.toSeq.sortBy(_.ts_us).foreach { pt =>
             val d = pt.ts_us / dayUs
@@ -1106,6 +1125,8 @@ object StreamOps {
             else if (d > st.day) { close(); st = st.copy(day = d, acc = 1L) }
             else st = st.copy(late = st.late + 1L)
           }
+          if (st.late > lateEmitted)
+            out += ViterbiUpdate(key, -1L, 0L, -1L, "", 0L, st.late)
           state.update(st)
           out.result().iterator
       }
@@ -1177,13 +1198,20 @@ object StreamOps {
     * L steps α is an integer over 10^(2L+1), Long-safe at the batch's
     * L ≤ 8 cap) and emits the running per-user log-likelihood
     * quantized to micro-nats with the batch's exact formula. Events
-    * beyond the 8th are ignored (the batch slices to 8). Parity
-    * requires per-user arrival in (ts_us, event_id) order — an event
-    * sorting BEFORE the last folded one cannot be folded (the batch
-    * would have placed it earlier in the α product), so it is dropped
-    * and counted in `late_dropped`. State per user is five longs.
-    * StreamingSpec pins exact batch parity on the final per-user
-    * updates grouped by length. */
+    * beyond the 8th are ignored ENTIRELY (the batch slices to 8):
+    * once the state is capped, arrivals neither advance the order
+    * cursor nor count as late — a capped event cannot affect parity,
+    * so counting order violations against it would over-report
+    * (ADVICE r12). Below the cap, parity requires per-user arrival in
+    * (ts_us, event_id) order — an event sorting BEFORE the last
+    * folded one cannot be folded (the batch would have placed it
+    * earlier in the α product), so it is dropped and counted in
+    * `late_dropped`; a micro-batch that increments the counter with
+    * no in-order event to carry it flushes it via a counter-only
+    * update with the sentinel `len = -1` (current α, ll 0), as in
+    * [[garchMonitor]]. State per user is five longs. StreamingSpec
+    * pins exact batch parity on the final per-user updates grouped by
+    * length (counter-only and capped rows are excluded by len). */
   def hmmForwardMonitor(points: Dataset[HmmPoint])
       : Dataset[HmmUpdate] = {
     import points.sparkSession.implicits._
@@ -1203,23 +1231,29 @@ object StreamOps {
             .getOrElse(HmmState(0L, 5L, 5L, Long.MinValue,
               Long.MinValue, 0L))
           val out = Vector.newBuilder[HmmUpdate]
+          var lateEmitted = st.late
           rows.toSeq.sortBy(p => (p.ts_us, p.event_id)).foreach { pt =>
-            val inOrder = pt.ts_us > st.lastTs ||
-              (pt.ts_us == st.lastTs && pt.event_id > st.lastId)
-            if (!inOrder) st = st.copy(late = st.late + 1L)
-            else if (st.len < 8L) {
-              val c = code(pt.event_type).toInt
-              val a0n = (st.a0 * 7L + st.a1 * 4L) * e0(c)
-              val a1n = (st.a0 * 3L + st.a1 * 6L) * e1(c)
-              st = st.copy(len = st.len + 1L, a0 = a0n, a1 = a1n,
-                lastTs = pt.ts_us, lastId = pt.event_id)
-              val ll = BigDecimal(1000000.0 *
-                (math.log((a0n + a1n).toDouble) -
-                  (2.0 * st.len + 1.0) * math.log(10.0)))
-                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-              out += HmmUpdate(uid, st.len, a0n, a1n, ll, st.late)
-            } else st = st.copy(lastTs = pt.ts_us, lastId = pt.event_id)
+            if (st.len < 8L) {
+              val inOrder = pt.ts_us > st.lastTs ||
+                (pt.ts_us == st.lastTs && pt.event_id > st.lastId)
+              if (!inOrder) st = st.copy(late = st.late + 1L)
+              else {
+                val c = code(pt.event_type).toInt
+                val a0n = (st.a0 * 7L + st.a1 * 4L) * e0(c)
+                val a1n = (st.a0 * 3L + st.a1 * 6L) * e1(c)
+                st = st.copy(len = st.len + 1L, a0 = a0n, a1 = a1n,
+                  lastTs = pt.ts_us, lastId = pt.event_id)
+                val ll = BigDecimal(1000000.0 *
+                  (math.log((a0n + a1n).toDouble) -
+                    (2.0 * st.len + 1.0) * math.log(10.0)))
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+                out += HmmUpdate(uid, st.len, a0n, a1n, ll, st.late)
+                lateEmitted = st.late
+              }
+            } // capped: parity-irrelevant — no fold, no cursor, no late
           }
+          if (st.late > lateEmitted)
+            out += HmmUpdate(uid, -1L, st.a0, st.a1, 0L, st.late)
           state.update(st)
           out.result().iterator
       }

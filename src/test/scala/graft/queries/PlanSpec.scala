@@ -2375,4 +2375,57 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.CacheScope.drain(); spark.catalog.clearCache()
     }
   }
+
+  test("round-13 diagnostics/SPC/corpus batch: histogram order " +
+      "statistics, GlobalRank-only windows, broadcast fan-ins") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Stats22 rides value-domain histograms + GlobalRank prefix
+    // passes (order statistics with no corpus sort); the SPC charts
+    // and Bland–Altman collapse to the calendar; Text3 reduces to
+    // vocabulary/species histograms. Any partition-less window must
+    // be GlobalRank's offsets table; every cross join must broadcast
+    // a bounded side.
+    for (q <- Seq("q_sign_test", "q_watson_u2", "q_gastwirth",
+        "q_tail_dependence", "q_icc", "q_delta_method",
+        "q_hosmer_lemeshow", "q_bland_altman", "q_xbar_chart",
+        "q_p_chart", "q_good_turing", "q_renyi", "q_burrows_delta")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$q: bounded fan-ins must broadcast")
+      val offenders = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.child.references.toSeq)
+            .forall(_.name == "_gr_pid") => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window over a non-offsets frame")
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+  }
+
+  test("round-13 survival grids read checkpoints; G2 top-k is " +
+      "TakeOrdered") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // Gehan / life table: ONE corpus collapse to the checkpointed
+    // calendar/interval grid — the final plan (reverse-cumsum windows
+    // included) must read the materialized grid, never re-derive the
+    // user aggregate (the q_log_rank/q_label_prop discipline). Their
+    // bounded-grid windows are the documented single-partition
+    // exemption class, so the offsets-only rule doesn't apply here.
+    for (q <- Seq("q_gehan", "q_life_table")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(qe.executedPlan.collect {
+        case s: FileSourceScanExec => s }.isEmpty,
+        s"$q final plan must read the checkpointed grid")
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+      graft.CacheScope.drain(); spark.catalog.clearCache()
+    }
+    // Dunning G²: global top-10 must be TakeOrderedAndProject
+    // (distributed top-k), not a global sort; margin fan-ins broadcast
+    val g2 = SparkEntry.queries("q_dunning_g2")(spark, sf).queryExecution
+    assert(g2.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "q_dunning_g2 top-10 must be TakeOrdered")
+    assert(!g2.executedPlan.toString.contains("CartesianProduct"))
+    graft.CacheScope.drain(); spark.catalog.clearCache()
+  }
 }

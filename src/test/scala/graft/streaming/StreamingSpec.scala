@@ -1016,13 +1016,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "no update may precede its hour closing")
       assert(mid.forall(_.late_dropped === 0L), "in-order feed: no drops")
       // a duplicate of the earliest point is late for its closed hour:
-      // it must NOT perturb the state, only increment the counter
+      // it must NOT perturb the state, only increment the counter —
+      // and because its micro-batch produces no close, the counter
+      // must flush IMMEDIATELY as a counter-only update (hour = -1)
+      val nBefore = spark.table("garch").count()
       in.addData(pts.head)
       q.processAllAvailable()
+      val flushed = spark.table("garch").as[StreamOps.GarchUpdate]
+        .collect().drop(nBefore.toInt)
+      assert(flushed.length === 1 && flushed.head.hour === -1L &&
+        flushed.head.late_dropped === 1L,
+        "a close-less late drop must surface as a counter-only update")
       in.addData(StreamOps.ValuePoint(pts.last.ts_us + hourUs, 0L))
       q.processAllAvailable()
       val stream = spark.table("garch").as[StreamOps.GarchUpdate]
-        .collect().sortBy(_.hour)
+        .collect().filter(_.hour >= 0L).sortBy(_.hour)
       assert(stream.length === diffs.length,
         s"stream ${stream.length} diffs vs batch ${diffs.length}")
       val batch = graft.SparkEntry.queries("q_garch_grid")(spark, sf)
@@ -1130,6 +1138,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toSeq.sortBy(_._1)
       assert(got === batch)
     } finally q.stop()
+  }
+
+  test("late-drop counters flush as counter-only updates without a " +
+       "close, and capped HMM state neither advances the cursor nor " +
+       "counts late — ADVICE r12 observability contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    // --- Viterbi: two closed days, then a late event with NO close in
+    // its micro-batch → one counter-only update (day = -1) carrying it
+    val vin = MemoryStream[StreamOps.HoltPoint]
+    val vq = StreamOps.viterbiMonitor(vin.toDS(), 2L, 4L).writeStream
+      .format("memory").queryName("vflush").outputMode("append").start()
+    try {
+      vin.addData(StreamOps.HoltPoint(0L), StreamOps.HoltPoint(dayUs),
+        StreamOps.HoltPoint(2 * dayUs))
+      vq.processAllAvailable()
+      val closed = spark.table("vflush")
+        .as[StreamOps.ViterbiUpdate].collect()
+      assert(closed.length === 2 && closed.forall(_.day >= 0L))
+      vin.addData(StreamOps.HoltPoint(0L)) // late for closed day 0
+      vq.processAllAvailable()
+      val all = spark.table("vflush")
+        .as[StreamOps.ViterbiUpdate].collect()
+      assert(all.length === 3)
+      val co = all.filter(_.day === -1L)
+      assert(co.length === 1 && co.head.late_dropped === 1L,
+        "close-less late drop must flush as a day = -1 update")
+    } finally vq.stop()
+    // --- HMM: 8 in-order events cap the state; a 9th (even one that
+    // sorts before the 8th) must neither fold, nor advance the
+    // cursor, nor count as late. A true late event BELOW the cap
+    // flushes counter-only (len = -1).
+    val hin = MemoryStream[StreamOps.HmmPoint]
+    val hq = StreamOps.hmmForwardMonitor(hin.toDS()).writeStream
+      .format("memory").queryName("hflush").outputMode("append").start()
+    try {
+      // user 1: fill to the cap in-order
+      hin.addData((1L to 8L).map(i =>
+        StreamOps.HmmPoint(1L, i * 1000L, i, "click")): _*)
+      hq.processAllAvailable()
+      // user 1 capped: an event BEFORE the cursor is parity-irrelevant
+      hin.addData(StreamOps.HmmPoint(1L, 500L, 0L, "view"))
+      hq.processAllAvailable()
+      val u1 = spark.table("hflush").as[StreamOps.HmmUpdate]
+        .collect().filter(_.user_id == 1L)
+      assert(u1.length === 8 && u1.forall(_.late_dropped === 0L),
+        "capped-state arrivals must not count as late")
+      // user 2: two in-order, then one genuinely late with no
+      // in-order event to carry the counter → counter-only flush
+      hin.addData(StreamOps.HmmPoint(2L, 1000L, 1L, "click"),
+        StreamOps.HmmPoint(2L, 2000L, 2L, "view"))
+      hq.processAllAvailable()
+      hin.addData(StreamOps.HmmPoint(2L, 1500L, 0L, "signup"))
+      hq.processAllAvailable()
+      val u2 = spark.table("hflush").as[StreamOps.HmmUpdate]
+        .collect().filter(_.user_id == 2L)
+      assert(u2.count(_.len >= 0L) === 2)
+      val co2 = u2.filter(_.len === -1L)
+      assert(co2.length === 1 && co2.head.late_dropped === 1L,
+        "below-cap close-less late drop must flush as len = -1")
+    } finally hq.stop()
   }
 
   test("streaming first-touch extractor reproduces q_group_seq cells " +

@@ -282,18 +282,59 @@ object Graph3 {
     * intersection runs in-memory per row. Measured at sf0.1: 7.6 s vs
     * 28.2 s for the a<b<c middle-vertex wedge join (and 37 s for a
     * degree-ordered wedge variant — this graph's degrees are too
-    * uniform for orientation to pay; measured, not assumed). */
-  private def trussTop20(e0: DataFrame): DataFrame = {
+    * uniform for orientation to pay; measured, not assumed).
+    *
+    * HUB-SKEW GUARD (NEXT.md #3 / VERDICT r12 #5): a per-node
+    * `collect_list` array is unbounded in max degree — on a
+    * hub-skewed graph one row would hold the hub's whole
+    * neighborhood. Edges with BOTH endpoint degrees ≤ `hubTau` take
+    * the array path (row size ≤ 2τ by construction); edges touching a
+    * hub instead EXPLODE the smaller-degree endpoint's neighbor ROWS
+    * and close them against the symmetric edge set with a keyed
+    * (node, nb) join — same exact counts, Σ deg(smaller) row work,
+    * and no row ever larger than one edge. Arrays are only ever BUILT
+    * for sub-τ nodes, so the guard also caps the collect_list input.
+    * On the fixture every degree is far below the default τ = 4096 —
+    * all edges take the array path and the support counts (and the
+    * gate hash) are unchanged; GraphGuardSpec pins τ-invariance on a
+    * synthetic 10⁵-ish-degree hub graph. */
+  private[queries] def trussTop20(e0: DataFrame,
+      hubTau: Int = 4096): DataFrame = {
     def support(e: DataFrame): DataFrame = {
-      val adj = e.select(col("u").as("n"), col("v").as("w"))
+      val und = e.select(col("u").as("n"), col("v").as("w"))
         .unionAll(e.select(col("v").as("n"), col("u").as("w")))
+        .localCheckpoint(true) // symmetric adjacency ROWS
+      val deg = und.groupBy("n").agg(count(lit(1)).as("dg"))
+      val e2 = e
+        .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+        .localCheckpoint(true)
+      val light = e2.filter(col("du") <= hubTau && col("dv") <= hubTau)
+      val heavy = e2.filter(col("du") > hubTau || col("dv") > hubTau)
+      // array path: neighbor arrays materialize ONLY for sub-τ nodes
+      val adj = und.join(deg.filter(col("dg") <= hubTau).select("n"),
+          Seq("n"))
         .groupBy("n").agg(sort_array(collect_list("w")).as("nb"))
         .localCheckpoint(true)
-      e.join(adj.toDF("u", "nu"), "u")
+      val lightSup = light.select("u", "v")
+        .join(adj.toDF("u", "nu"), "u")
         .join(adj.toDF("v", "nv"), "v")
         .select(col("u"), col("v"),
           size(array_intersect(col("nu"), col("nv"))).cast("long")
             .as("sup"))
+      // hub path: fan out the SMALLER endpoint's neighbors as rows,
+      // close (other, w) against the edge set — counts are identical
+      // (w ∈ N(p) ∩ N(q); self rows can't close, no self-loops)
+      val hv = heavy.select(col("u"), col("v"),
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v"))
+          .as("p"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u"))
+          .as("q"))
+      val heavySup = hv
+        .join(und.toDF("p", "w"), Seq("p"))
+        .join(und.toDF("q", "w"), Seq("q", "w"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      lightSup.unionAll(heavySup.select("u", "v", "sup"))
     }
     val e1 = support(e0).filter(col("sup") >= 2)
       .select("u", "v").localCheckpoint(true)

@@ -1258,4 +1258,100 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  final case class UcbPoint(ts_us: Long, event_type: String,
+      cents: Long)
+  final case class UcbUpdate(series: String, day: Long, t: Long,
+      arm: String, reward: Double, cum_reward: Double,
+      late_dropped: Long)
+  final case class UcbState(day: Long, daySum: Array[Long],
+      dayCnt: Array[Long], n: Array[Long], s: Array[Double], t: Long,
+      cum: Double, late: Long)
+
+  /** Streaming UCB1 replay — the stateful twin of batch q_ucb_replay
+    * (queries.Stats13): each closed day contributes one bandit round
+    * whose five arm rewards are that day's per-event-type mean cents
+    * over 50 000 (absent arms reward 0, exactly the batch's coalesce);
+    * the UCB1 fold (5 forced initial picks, then argmax of
+    * s/n + √(2·ln t̂/n) with prefer-lower-index ties — t̂ the round
+    * count BEFORE this round, the batch's own convention) advances on
+    * close and emits the picked arm, its reward, and the cumulative
+    * reward. Running in the same JVM as the batch, the double
+    * arithmetic is operation-for-operation identical, so the replay
+    * is bit-identical to q_ucb_replay's rows after the sentinel
+    * close. Day-close discipline is [[kalmanMonitor]]'s (a day folds
+    * when a later day's first event arrives; eventless days are
+    * absent, as in the batch daily frame); a late event for a closed
+    * day is dropped, counted, and — per the [[garchMonitor]]
+    * contract — flushed as a counter-only `day = -1` update if no
+    * close carries it. State per series: open-day arm sums/counts +
+    * the bandit's (n, s, t, cum) — ~22 scalars. */
+  def ucbMonitor(points: Dataset[UcbPoint], series: String = "events",
+      dayUs: Long = 86400000000L): Dataset[UcbUpdate] = {
+    import points.sparkSession.implicits._
+    val armNames = Array("click", "error", "purchase", "signup", "view")
+    def armIdx(t: String): Int = armNames.indexOf(t)
+    points.groupByKey(_ => series)
+      .flatMapGroupsWithState[UcbState, UcbUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[UcbState]) =>
+          var st = state.getOption.getOrElse(UcbState(-1L,
+            Array.fill(5)(0L), Array.fill(5)(0L), Array.fill(5)(0L),
+            Array.fill(5)(0.0), 0L, 0.0, 0L))
+          val out = Vector.newBuilder[UcbUpdate]
+          var lateEmitted = st.late
+          def close(): Unit = {
+            // the day's arm rewards — the batch's
+            // coalesce(sum/cnt, 0)/50000 on exact integers
+            val r = Array.tabulate(5) { i =>
+              if (st.dayCnt(i) > 0)
+                (st.daySum(i).toDouble / st.dayCnt(i).toDouble) / 50000.0
+              else 0.0
+            }
+            val t1 = st.t + 1L
+            val pick =
+              if (t1 <= 5L) (t1 - 1L).toInt
+              else {
+                // u uses ln(t BEFORE increment) — mirror the batch
+                val u = Array.tabulate(5) { i =>
+                  st.s(i) / st.n(i).toDouble +
+                    math.sqrt(2.0 * math.log(st.t.toDouble) /
+                      st.n(i).toDouble)
+                }
+                if (u(0) >= u(1) && u(0) >= u(2) && u(0) >= u(3) &&
+                  u(0) >= u(4)) 0
+                else if (u(1) >= u(2) && u(1) >= u(3) && u(1) >= u(4)) 1
+                else if (u(2) >= u(3) && u(2) >= u(4)) 2
+                else if (u(3) >= u(4)) 3
+                else 4
+              }
+            val rew = r(pick)
+            val n2 = st.n.clone(); n2(pick) += 1L
+            val s2 = st.s.clone(); s2(pick) += rew
+            st = st.copy(n = n2, s = s2, t = t1, cum = st.cum + rew,
+              daySum = Array.fill(5)(0L), dayCnt = Array.fill(5)(0L))
+            out += UcbUpdate(key, st.day, t1, armNames(pick), rew,
+              st.cum, st.late)
+            lateEmitted = st.late
+          }
+          rows.toSeq.sortBy(_.ts_us).foreach { pt =>
+            val d = pt.ts_us / dayUs
+            val a = armIdx(pt.event_type)
+            def fold(): Unit = if (a >= 0) {
+              val ds = st.daySum.clone(); val dc = st.dayCnt.clone()
+              ds(a) += pt.cents; dc(a) += 1L
+              st = st.copy(daySum = ds, dayCnt = dc)
+            }
+            if (st.day == -1L) { st = st.copy(day = d); fold() }
+            else if (d == st.day) fold()
+            else if (d > st.day) { close(); st = st.copy(day = d); fold() }
+            else st = st.copy(late = st.late + 1L)
+          }
+          if (st.late > lateEmitted)
+            out += UcbUpdate(key, -1L, 0L, "", 0.0, 0.0, st.late)
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

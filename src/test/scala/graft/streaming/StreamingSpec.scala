@@ -1202,6 +1202,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally hq.stop()
   }
 
+  test("streaming UCB1 replay equals batch q_ucb_replay after a " +
+       "sentinel closes the last day — picks, rewards, cumulative") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dayUs = 86400000000L
+    def r6(v: Double): Double = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100)
+          .cast("long").as("cents"))
+      .as[StreamOps.UcbPoint]
+      .collect().sortBy(_.ts_us)
+    val in = MemoryStream[StreamOps.UcbPoint]
+    val q = StreamOps.ucbMonitor(in.toDS()).writeStream
+      .format("memory").queryName("ucb").outputMode("append").start()
+    try {
+      // PARITY CONTRACT: in-day-order arrival; late events only count
+      pts.grouped(300).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val openDay = pts.last.ts_us / dayUs
+      val mid = spark.table("ucb").as[StreamOps.UcbUpdate].collect()
+      assert(mid.forall(_.day < openDay),
+        "no round may precede its day closing")
+      in.addData(StreamOps.UcbPoint(pts.last.ts_us + dayUs, "view", 0L))
+      q.processAllAvailable()
+      val stream = spark.table("ucb").as[StreamOps.UcbUpdate]
+        .collect().sortBy(_.day)
+      val batch = graft.SparkEntry.queries("q_ucb_replay")(spark, sf)
+        .collect()
+      assert(stream.length === batch.length,
+        s"stream ${stream.length} rounds vs batch ${batch.length}")
+      stream.zip(batch).foreach { case (sv, br) =>
+        assert(sv.day === br.getAs[Long]("day"))
+        assert(sv.t === br.getAs[Long]("t"), s"day ${sv.day}")
+        assert(sv.arm === br.getAs[String]("arm"), s"day ${sv.day}")
+        assert(r6(sv.reward) === br.getAs[Double]("reward"),
+          s"day ${sv.day} reward")
+        assert(r6(sv.cum_reward) === br.getAs[Double]("cum_reward"),
+          s"day ${sv.day} cum")
+        assert(sv.late_dropped === 0L)
+      }
+    } finally q.stop()
+  }
+
   test("streaming first-touch extractor reproduces q_group_seq cells " +
        "and z under a deliberately SHUFFLED feed — order-insensitive") {
     import spark.implicits._

@@ -186,10 +186,18 @@ class DevstackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decA.count(_._1 == Lifecycle.EventType.BidAccepted) === 2)
 
     // HEAL: union the views, then drive everyone to convergence
+    val tHeal = System.currentTimeMillis()
     syncDirs()
     (1 to 4).foreach { _ =>
       b.step(); c.step(); d.step(); syncDirs()
     }
+    // If the post-heal rounds themselves overran the lease bound, any
+    // idle node may LEGITIMATELY claim the re-expired lease (the same
+    // correct-protocol/wrong-premise case the R=1500 comment above
+    // documents — observed when the suite shares the box with another
+    // 32-way job). The singular-holder assertion below only holds under
+    // the fresh-lease premise; record whether it held.
+    val leaseStayedFresh = System.currentTimeMillis() - tHeal < R
     val evs = busA.events().filter(_.jobId == job.id)
     val fin = EventLog.foldLocal(evs)
     val states = Seq("node-b", "node-c", "node-d")
@@ -221,8 +229,13 @@ class DevstackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cids.forall(_.nonEmpty) && cids.distinct.size === 1,
       s"replica digests must agree across the healed partition: $cids")
     // post-heal the lease is singular again: the merged bus has one LAST
-    // claim, and only that node may decide afterwards
+    // claim, and only that node may decide afterwards. Under the
+    // fresh-lease premise that claim is one of the split holders; if the
+    // box was slow enough that the lease re-expired mid-heal, a third
+    // elect by node-d is correct protocol behavior, not a failure.
     val lastHolder = elects(evs).last.sourceNodeId
-    assert(Set("node-b", "node-c")(lastHolder))
+    if (leaseStayedFresh) assert(Set("node-b", "node-c")(lastHolder))
+    else assert(Set("node-b", "node-c", "node-d")(lastHolder),
+      s"post-heal holder must still be a cluster node: $lastHolder")
   }
 }

@@ -24,10 +24,35 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = relational ++ Seq("events", "documents", "embeddings")
 
+  /** Schema cache keyed by (path, reader options) — the metastore role.
+    * A bare `spark.read.parquet` infers the schema by reading footers,
+    * which on Spark launches a whole job (~200 ms of driver+scheduler
+    * time PER LOADER CALL, measured by graft.MicroProbe at sf0.1 —
+    * 226 ms/call inferred vs 24 ms/call with a supplied schema). Every
+    * query builder re-loads its tables on every run, so without this
+    * cache the bench pays that inference 2-4× per query per timed run —
+    * pure metadata overhead a production deployment keeps in a
+    * metastore/manifest instead (guide §6: table formats with manifest
+    * metadata avoid relisting; the schema is the same story). Fixture
+    * files are immutable per path (test suites write fresh temp dirs),
+    * so a path's schema never changes under one JVM. Only METADATA is
+    * cached — every query still scans parquet for all data. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  private[graft] def readParquet(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val key = path + "?" + options.toSeq.sorted.mkString(",")
+    val sch = schemaCache.computeIfAbsent(key,
+      _ => spark.read.options(options).parquet(path).schema)
+    spark.read.options(options).schema(sch).parquet(path)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, dir)
-      case n        => spark.read.parquet(s"$dir/$n.parquet")
+      case n        => readParquet(spark, s"$dir/$n.parquet")
     }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
@@ -76,10 +101,8 @@ object Tables {
     // read's timestamp typing order-dependent on whether events() ran
     // first). The per-read options map reaches
     // ParquetToSparkSchemaConverter verbatim, so no session state moves.
-    val raw = spark.read
-      .option("nanosAsLong", "true")
-      .option("inferTimestampNTZ", "false")
-      .parquet(s"$dir/events.parquet")
+    val raw = readParquet(spark, s"$dir/events.parquet",
+      Map("nanosAsLong" -> "true", "inferTimestampNTZ" -> "false"))
     val tsUs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case _: org.apache.spark.sql.types.TimestampNTZType =>

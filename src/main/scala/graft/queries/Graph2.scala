@@ -42,13 +42,20 @@ object Graph2 {
     // largest communities after round 3.
     "q_label_prop" -> ((s, d) => {
       val adj = graft.CacheScope.cached(adjacency(s, d))
-      val w = Window.partitionBy("node")
-        .orderBy(col("cnt").desc, col("lbl").asc)
+      // Per-node argmax (cnt desc, lbl asc) as min(struct(-cnt, lbl)) —
+      // r13: this was a row_number window over the full (node, lbl)
+      // count frame, i.e. an extra exchange + SORT of every row per
+      // round; min(struct) is a plain hash aggregate with map-side
+      // partial combine and the identical deterministic tie-break
+      // (guide §2.3 "aggregate before you shuffle", §2.4). Values are
+      // unchanged: lexicographic struct min = (max cnt, then min lbl).
       def round(lbl: DataFrame): DataFrame =
         adj.join(lbl.toDF("nbr", "lbl"), "nbr")
           .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select("node", "lbl")
+          .groupBy("node")
+          .agg(min(struct(negate(col("cnt")).as("nc"),
+            col("lbl").as("lbl"))).as("m"))
+          .select(col("node"), col("m.lbl").as("lbl"))
           .localCheckpoint(true)
       val l0 = adj.select("node").distinct()
         .select(col("node"), col("node").as("lbl"))
@@ -171,12 +178,18 @@ object Graph2 {
       val c0 = adj.groupBy("node").agg(count(lit(1)).as("dg"))
         .select(col("node"), col("dg").cast("string").as("c"))
         .localCheckpoint(true)
+      // r13: the neighbor-color hash used to be computed PER EDGE ROW
+      // (md5+conv+decimal on every adjacency row, 2|E| evaluations per
+      // round); hoisting it onto the |V|-row color frame before the
+      // join evaluates it once per node instead (guide §1.2 step 2 —
+      // per-task work; the sum of identical per-neighbor terms is
+      // bit-identical either way).
       def refine(c: DataFrame): DataFrame =
-        adj.join(c.toDF("nbr", "nc"), "nbr")
+        adj.join(c.select(col("node").as("nbr"),
+            conv(substring(md5(col("c")), 1, 15), 16, 10)
+              .cast("decimal(38,0)").as("hc")), "nbr")
           .groupBy("node")
-          .agg(count(lit(1)).as("hn"),
-            sum(conv(substring(md5(col("nc")), 1, 15), 16, 10)
-              .cast("decimal(38,0)")).as("hsum"))
+          .agg(count(lit(1)).as("hn"), sum(col("hc")).as("hsum"))
           .join(c, "node")
           .select(col("node"),
             md5(concat_ws("|", col("c"), col("hn").cast("string"),

@@ -67,7 +67,14 @@ object Graph3 {
     var frontier = ckpt(nodes.select(col("node").as("s"),
       col("node").as("v"), lit(0).as("dist"), lit(1L).as("sg")))
     var seen = frontier
-    for (h <- 1 to 8) {
+    // r13: the 8-hop budget stands (the horizon the oracle mirrors),
+    // but hops past an EMPTY frontier are no-ops that still paid
+    // join+agg+checkpoint jobs each (the thinned-graph diameter is ≤6,
+    // so at least two always were). `isEmpty` on the just-materialized
+    // checkpoint is a cheap cached-partition scan; an empty frontier
+    // adds nothing to `seen`, so the result is bit-identical.
+    var h = 1
+    while (h <= 8 && !frontier.isEmpty) {
       val nxt = ckpt(frontier.join(adj.toDF("v", "nbr"), "v")
         .select(col("s"), col("nbr").as("v"), col("sg"))
         .join(seen.select(col("s"), col("v")), Seq("s", "v"),
@@ -76,6 +83,7 @@ object Graph3 {
         .select(col("s"), col("v"), lit(h).as("dist"), col("sg")))
       seen = seen.unionAll(nxt)
       frontier = nxt
+      h += 1
     }
     (nodes, seen)
   }
@@ -108,10 +116,24 @@ object Graph3 {
       val init = ckpt(e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node"))).distinct()
         .select(col("node"), col("node").as("comp")))
-      val w = Window.partitionBy("c").orderBy("w2")
       var comp = init
       var chosen: DataFrame = null
-      for (_ <- 1 to 5) {
+      // r13, three shape changes, values identical:
+      //  - per-component lightest-edge argmin is min(struct(w2, …))
+      //    instead of a row_number window (w2 is UNIQUE by
+      //    construction, so the struct min IS the rn=1 row; a hash
+      //    aggregate with map-side combine replaces exchange+sort,
+      //    guide §2.3/§2.4);
+      //  - outer rounds stop once no cross-component edge remains
+      //    (pick empty ⇒ MST done; rounds 3-5 on the fixture were
+      //    no-ops that still paid ~8 checkpoint jobs each);
+      //  - the inner closure doubling stops at its row-count fixpoint
+      //    (the merge graph closes in 1-2 doublings on real rounds —
+      //    the 5-doubling budget still bounds the worst case).
+      var done = false
+      var round = 0
+      while (round < 5 && !done) {
+        round += 1
         val ec = e.join(comp.toDF("u", "cu"), "u")
           .join(comp.toDF("v", "cv"), "v")
           .filter(col("cu") =!= col("cv"))
@@ -119,28 +141,41 @@ object Graph3 {
             col("u"), col("v"), col("cnt"), col("w2"))
           .unionAll(ec.select(col("cv").as("c"), col("cu").as("oc"),
             col("u"), col("v"), col("cnt"), col("w2")))
-        val pick = ckpt(cand.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("c", "oc", "u", "v", "cnt", "w2"))
+        val pick = ckpt(cand.groupBy("c")
+          .agg(min(struct(col("w2"), col("oc"), col("u"), col("v"),
+            col("cnt"))).as("m"))
+          .select(col("c"), col("m.oc").as("oc"), col("m.u").as("u"),
+            col("m.v").as("v"), col("m.cnt").as("cnt"),
+            col("m.w2").as("w2")))
         chosen =
           if (chosen == null) pick.select("u", "v", "cnt", "w2")
           else chosen.unionAll(pick.select("u", "v", "cnt", "w2"))
-        // contract: close the merge graph by static edge-doubling, then
-        // every old component label adopts the closure minimum
-        var m = ckpt(pick.select(col("c").as("a"), col("oc").as("b"))
-          .unionAll(pick.select(col("oc").as("a"), col("c").as("b")))
-          .distinct())
-        for (_ <- 1 to 5) {
-          val m2 = m.toDF("a", "x").join(m.toDF("x", "b"), "x")
-            .select("a", "b")
-          m = ckpt(m.unionAll(m2).filter(col("a") =!= col("b"))
+        if (pick.isEmpty) done = true
+        else {
+          // contract: close the merge graph by edge-doubling to its
+          // fixpoint, then every old label adopts the closure minimum
+          var m = ckpt(pick.select(col("c").as("a"), col("oc").as("b"))
+            .unionAll(pick.select(col("oc").as("a"), col("c").as("b")))
             .distinct())
+          var mN = m.count()
+          var closed = false
+          var dbl = 0
+          while (dbl < 5 && !closed) {
+            dbl += 1
+            val m2 = m.toDF("a", "x").join(m.toDF("x", "b"), "x")
+              .select("a", "b")
+            m = ckpt(m.unionAll(m2).filter(col("a") =!= col("b"))
+              .distinct())
+            val n2 = m.count()
+            closed = n2 == mN
+            mN = n2
+          }
+          val mins = m.groupBy(col("a").as("oldc")).agg(min("b").as("mb"))
+          comp = ckpt(comp.join(mins, col("comp") === col("oldc"), "left")
+            .select(col("node"),
+              least(col("comp"), coalesce(col("mb"), col("comp")))
+                .as("comp")))
         }
-        val mins = m.groupBy(col("a").as("oldc")).agg(min("b").as("mb"))
-        comp = ckpt(comp.join(mins, col("comp") === col("oldc"), "left")
-          .select(col("node"),
-            least(col("comp"), coalesce(col("mb"), col("comp")))
-              .as("comp")))
       }
       chosen.select("u", "v", "cnt").distinct().orderBy("u", "v")
     }),
@@ -160,13 +195,27 @@ object Graph3 {
       def bfs(src: DataFrame): DataFrame = { // src: 1 row (node)
         var dist = src.select(col("node"), lit(0L).as("d"))
           .localCheckpoint(true)
-        for (_ <- 1 to 6) {
+        // r13: the 6-hop horizon stands, but the level-synchronous
+        // min-d fold is MONOTONE — once a node appears its d is final,
+        // so a stable node count means the frontier is empty and every
+        // further hop is a no-op that still paid a join+agg+checkpoint.
+        // Stop at the fixpoint (count() on the just-checkpointed tiny
+        // frame is one cached-partition job); values are bit-identical.
+        var n = dist.count()
+        var h = 1
+        var stable = false
+        while (h <= 6 && !stable) {
           val nxt = adj.join(dist.toDF("nbr", "dn"),
               "nbr")
             .select(col("node"), (col("dn") + 1L).as("d"))
-          dist = dist.unionAll(nxt)
+          val next = dist.unionAll(nxt)
             .groupBy("node").agg(min("d").as("d"))
             .localCheckpoint(true)
+          val n2 = next.count()
+          stable = n2 == n
+          dist = next
+          n = n2
+          h += 1
         }
         dist
       }

@@ -82,9 +82,15 @@ object MlOps {
         .select(col("l"), col("w"),
           round(log((col("cwl") + 1L).cast("double") / col("denom"))
             * 1e6).cast(LongType).as("l6"))
-      val scored = dw
+      // r13: `weights` is vocabulary-bounded (|V|·5 rows — the same
+      // bounded-normalization class the house broadcasts everywhere),
+      // so broadcast it instead of shuffling the 5-way-expanded
+      // (doc, word) frame by (l, w) (guide §3.1); and `scored` itself
+      // is CACHED — it feeds BOTH byClass and byPred, which previously
+      // re-ran the whole classifier pipeline twice per run.
+      val scored = graft.CacheScope.cached(dw
         .crossJoin(broadcast(classes.select("l", "prior6", "miss6")))
-        .join(weights, Seq("l", "w"), "left")
+        .join(broadcast(weights), Seq("l", "w"), "left")
         .select(col("doc_id"), col("lang"), col("l"), col("prior6"),
           (col("c") * coalesce(col("l6"), col("miss6"))).as("contrib"))
         .groupBy("doc_id", "lang", "l", "prior6")
@@ -94,12 +100,12 @@ object MlOps {
             col("l")).as("cand"))
         .groupBy("doc_id", "lang")
         .agg(min("cand").as("best"))
-        .select(col("lang"), col("best.l").as("pred"))
-      val byClass = graft.CacheScope.cached(scored
+        .select(col("lang"), col("best.l").as("pred")))
+      val byClass = scored
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
-            .as("n_correct")))
+            .as("n_correct"))
       val byPred = scored.groupBy(col("pred")).agg(count(lit(1))
         .as("n_pred"))
       byClass.join(byPred, col("lang") === col("pred"), "left")

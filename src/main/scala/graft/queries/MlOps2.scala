@@ -161,7 +161,18 @@ object MlOps2 {
           .unionAll(wm.select(col("lose").as("i"), col("win").as("j"),
             col("nw")))
           .groupBy("i", "j").agg(sum("nw").as("g")))
-      // one MM round: s = strengths (b, sv) → updated (b, sv)
+      // one MM round: s = strengths (b, sv) → updated (b, sv).
+      // r13: the round INPUT and the ≤625-row `raw` frame are eagerly
+      // checkpointed. Without this, every broadcast inside round 2 (si,
+      // sj, norm, the final join) re-executed round 1's whole subtree —
+      // the probe measured 96 jobs / 417 Exchanges for the query; the
+      // checkpoints make each broadcast a ≤|brands|-row cache read
+      // (guide §5 localCheckpoint / §3.3 plan truncation). Same math,
+      // same values — only the re-execution is gone.
+      def ckpt25(df: DataFrame): DataFrame = {
+        val ck = df.localCheckpoint(true)
+        ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      }
       def mm(sv: DataFrame): DataFrame = {
         val si = sv.toDF("i", "si")
         val sj = sv.toDF("j", "sj")
@@ -170,16 +181,16 @@ object MlOps2 {
           .groupBy("i")
           .agg(sum(round(col("g").cast("double") /
             (col("si") + col("sj")) * 1e9).cast(LongType)).as("den9"))
-        val raw = den.join(broadcast(wins),
+        val raw = ckpt25(den.join(broadcast(wins),
             den("i") === wins("b"))
           .select(col("b"), (col("wi").cast("double") /
-            (col("den9").cast("double") / 1e9)).as("sraw"))
+            (col("den9").cast("double") / 1e9)).as("sraw")))
         val norm = raw.agg(sum(round(col("sraw") * 1e6)
           .cast(LongType)).as("m6"), count(lit(1)).as("k"))
-        raw.crossJoin(broadcast(norm))
+        ckpt25(raw.crossJoin(broadcast(norm))
           .select(col("b"), (col("sraw") /
             (col("m6").cast("double") / 1e6 / col("k").cast("double")))
-            .as("sv"))
+            .as("sv")))
       }
       val s0 = wins.select(col("b"), lit(1.0).as("sv"))
       val s2 = mm(mm(s0))

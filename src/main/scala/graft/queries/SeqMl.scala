@@ -104,22 +104,36 @@ object SeqMl {
         .withColumn("m", size(col("b")))
       val init = concat(array(lit(0L)),
         transform(sequence(lit(1), col("m")), _ => lit(inf)))
+      // r13: the two inner prefix structures used to be recomputed per
+      // output index (prefix sums via aggregate(slice(cost,1,j)) and the
+      // prefix min via a nested transform over 1..j) — O(m²) interpreted
+      // lambda evaluations per DP step. Both are now built ONCE per step
+      // as linear running-fold arrays (a concat-append aggregate each),
+      // ~5m lambda evaluations per step instead of ~m²+3m. The prefix-
+      // sum/prefix-min identities make every produced value bit-
+      // identical; the DuckDB recursive-CTE oracle is untouched.
+      // (guide §1.2 step 2 / §4: per-task expression work.)
+      val sentinel = Long.MaxValue // > any t[k]−C[k]; never survives least
       val folded = ab.withColumn("row", aggregate(col("a"), init,
         (row, av) => {
           val cost = transform(sequence(lit(1), col("m")), j =>
             abs(av - element_at(col("b"), j)))
-          // prefix sums C[j] of the row's costs (tiny m: direct unroll)
-          val cpre = transform(sequence(lit(1), col("m")), j =>
-            aggregate(slice(cost, lit(1), j), lit(0L),
-              (acc, x) => acc + x))
+          // running prefix sums: cpre0 = [0, C1, C1+C2, …] (m+1 entries)
+          val cpre0 = aggregate(cost, array(lit(0L)), (acc, x) =>
+            concat(acc, array(element_at(acc, -1) + x)))
+          def cAt(j: Column): Column = element_at(cpre0, j + 1)
           val t = transform(sequence(lit(1), col("m")), j =>
             element_at(cost, j) +
               least(element_at(row, j + 1), element_at(row, j)))
+          // running prefix min of d[k] = t[k] − C[k]: rm0[j+1] = min_{k≤j}
+          val rm0 = aggregate(
+            transform(sequence(lit(1), col("m")), k =>
+              element_at(t, k) - cAt(k)),
+            array(lit(sentinel)), (acc, x) =>
+              concat(acc, array(least(element_at(acc, -1), x))))
           concat(array(lit(inf)),
             transform(sequence(lit(1), col("m")), j =>
-              element_at(cpre, j) +
-                array_min(transform(sequence(lit(1), j), k =>
-                  element_at(t, k) - element_at(cpre, k)))))
+              cAt(j) + element_at(rm0, j + 1)))
         }))
       folded.select(col("n").as("n_days_click"),
         col("m").as("n_days_view"),

@@ -35,6 +35,29 @@ object MicroProbe {
         .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    locally {
+      import org.apache.spark.sql.functions._
+      val DayUs = 86400000000L
+      def dailySeries(typ: String, name: String) =
+        Tables.events(spark, d).filter(col("event_type") === typ)
+          .groupBy(expr(s"ts_us div $DayUs").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .agg(min("day").as("mn"), max("day").as("mx"),
+            collect_list(struct(col("day"), col("x"))).as("raw"))
+          .select(transform(sequence(col("mn"), col("mx")), dd =>
+            coalesce(element_at(map_from_entries(col("raw")), dd), lit(0L)))
+            .as(name))
+      time("dtw: dailySeries(click) alone", 3) { noop(dailySeries("click", "a")) }
+      time("dtw: both series crossJoin", 3) {
+        noop(dailySeries("click", "a")
+          .crossJoin(broadcast(dailySeries("view", "b"))))
+      }
+      time("dtw: full query", 3) {
+        noop(graft.queries.SeqMl.queries("q_dtw")(spark, d))
+      }
+    }
     time("analyzed: 4-table join", 20) {
       import org.apache.spark.sql.functions._
       Tables.lineitem(spark, d)

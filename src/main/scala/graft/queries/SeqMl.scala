@@ -98,8 +98,32 @@ object SeqMl {
     // ∞ sentinel 10¹⁵ is unreachable (≤366 steps × ≤2³¹ cost).
     "q_dtw" -> ((s, d) => {
       val inf = 1000000000000000L
-      val ab = dailySeries(s, d, "click", "a")
-        .crossJoin(broadcast(dailySeries(s, d, "view", "b")))
+      // r13: both daily series come out of ONE events pass (per-type
+      // conditional counts + per-type min/max day + null-skipping
+      // collect_list) instead of two independent scan→agg chains glued
+      // by a crossJoin — half the scans, one shuffle, 3 jobs instead
+      // of 6 (guide §2.4). Each series' values — its own day range,
+      // zero-filled gaps — are exactly the dailySeries() ones.
+      val perDay = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(when(col("event_type") === "click", 1)).as("na"),
+          count(when(col("event_type") === "view", 1)).as("nb"))
+      def series(mn: Column, mx: Column, raw: Column): Column =
+        transform(sequence(mn, mx), dd =>
+          coalesce(element_at(map_from_entries(raw), dd), lit(0L)))
+      val ab = perDay.agg(
+          min(when(col("na") > 0, col("day"))).as("mna"),
+          max(when(col("na") > 0, col("day"))).as("mxa"),
+          min(when(col("nb") > 0, col("day"))).as("mnb"),
+          max(when(col("nb") > 0, col("day"))).as("mxb"),
+          collect_list(when(col("na") > 0,
+            struct(col("day"), col("na")))).as("rawa"),
+          collect_list(when(col("nb") > 0,
+            struct(col("day"), col("nb")))).as("rawb"))
+        .select(
+          series(col("mna"), col("mxa"), col("rawa")).as("a"),
+          series(col("mnb"), col("mxb"), col("rawb")).as("b"))
         .withColumn("n", size(col("a")))
         .withColumn("m", size(col("b")))
       val init = concat(array(lit(0L)),

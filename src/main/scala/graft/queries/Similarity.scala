@@ -73,7 +73,9 @@ object Similarity {
     * ([[panelQuery]]) — shared by q_knn_brute and the q_ann_recall
     * ground truth. */
   private def knnBrute(s: SparkSession, d: String): DataFrame = {
-    val all = vecs(s, d)
+    // r13: cached — `all` feeds the panel broadcast AND the scored join,
+    // so un-cached the embeddings scan + norm pass ran twice per call.
+    val all = graft.CacheScope.cached(vecs(s, d))
     val q = all.filter(panelQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -1053,11 +1055,15 @@ object Similarity {
 
   /** PQ asymmetric-distance top-5 — shared by q_pq_adc and q_ann_recall. */
   private def pqAdc(s: SparkSession, d: String): DataFrame = {
-    val flat = Tables.embeddings(s, d)
+    // r13: cached — `flat` feeds the codebook (broadcast-built twice),
+    // the corpus-code pass and the query distance tables; un-cached the
+    // explode pipeline re-ran ~5x per call (each broadcast build is its
+    // own job re-executing the subtree).
+    val flat = graft.CacheScope.cached(Tables.embeddings(s, d)
       .transform(Tables.fanoutReady)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), (col("i") / 8).cast("int").as("sub"),
-        col("i"), col("x").cast("double").as("x"))
+        col("i"), col("x").cast("double").as("x")))
     val codebook = flat.filter(col("vec_id") < 8)
       .select(col("vec_id").as("code"), col("sub"), col("i"),
         col("x").as("cx"))

@@ -422,13 +422,24 @@ object GraphOps {
       var dist = e.agg(min("u").as("node"))
         .select(col("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
-      for (_ <- 1 to 4) {
+      // r13: the min-plus relaxation is monotone — once a node appears
+      // its dist is final — so a stable node count means every further
+      // round is a no-op that still paid join+agg+checkpoint. Stop at
+      // the fixpoint inside the same 4-round horizon; bit-identical.
+      var n = dist.count()
+      var h = 0
+      var stable = false
+      while (h < 4 && !stable) {
+        h += 1
         dist = dist
           .join(adj, col("node") === col("src"))
           .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
           .unionByName(dist)
           .groupBy("node").agg(min("dist").as("dist"))
           .localCheckpoint(true)
+        val n2 = dist.count()
+        stable = n2 == n
+        n = n2
       }
       dist.orderBy("node")
     }),
@@ -454,7 +465,13 @@ object GraphOps {
       var dist = adj.select(col("src").as("node")).distinct()
         .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
-      for (_ <- 1 to 4) {
+      // r13: same monotone-relaxation fixpoint stop as q_bfs_dist —
+      // a stable (root, node) pair count means no pair can improve.
+      var n = dist.count()
+      var h = 0
+      var stable = false
+      while (h < 4 && !stable) {
+        h += 1
         dist = dist
           .join(adj, col("node") === col("src"))
           .select(col("root"), col("dst").as("node"),
@@ -462,6 +479,9 @@ object GraphOps {
           .unionByName(dist.select("root", "node", "dist"))
           .groupBy("root", "node").agg(min("dist").as("dist"))
           .localCheckpoint(true)
+        val n2 = dist.count()
+        stable = n2 == n
+        n = n2
       }
       dist.filter(col("dist") > 0)
         .groupBy("root").agg(

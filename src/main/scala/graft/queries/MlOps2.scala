@@ -86,10 +86,13 @@ object MlOps2 {
       def pred1 = when((when(col("f1") === "h", col("h"))
         .otherwise(col("w"))) <= col("t1"), col("ml1"))
         .otherwise(col("mr1"))
-      val cells2 = cells.crossJoin(broadcast(s1))
+      // r13: cached — the ≤168-row residual grid feeds tot2, both
+      // round-2 candidate scans and the final MSE fold; un-cached each
+      // consumer re-ran round 1's best-split window + broadcast chain.
+      val cells2 = graft.CacheScope.cached(cells.crossJoin(broadcast(s1))
         .withColumn("p1", pred1)
         .withColumn("rs6", round((col("sy").cast("double") -
-          col("cnt").cast("double") * col("p1")) * 1e6).cast(LongType))
+          col("cnt").cast("double") * col("p1")) * 1e6).cast(LongType)))
       val tot2 = cells2.agg(sum("cnt").as("n2"), sum("rs6").as("sr6"))
       val s2 = {
         val cs = cand(cells2, "h", "rs6", "cnt")

@@ -165,14 +165,29 @@ object Pipeline {
     // domains at 100 TB swap the cuts to approx_percentile (the
     // q_approx_percentile sketch path), assignment unchanged.
     "q_equidepth_bins" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("p"))
-      val cuts = li.groupBy("p").agg(count(lit(1)).as("f"))
+      // r13, two shape changes, values identical:
+      //  - percentile() aggregates the rows directly (its partial
+      //    state is the same value→count map the groupBy("p") pre-agg
+      //    built — one exchange + hash agg less, exact either way);
+      //  - bin assignment unrolls the 9 cut comparisons into plain
+      //    codegen'd conditionals instead of an interpreted
+      //    higher-order filter() per row (guide §4).
+      // NO fanoutReady here: round(avg(p), 4) is a float sum whose
+      // accumulation order a repartition would reshuffle — measured one
+      // 4th-decimal flip at sf0.01 — so the scan keeps its native
+      // partitioning; the projected single column is cached for the
+      // two passes.
+      val li = graft.CacheScope.cached(Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("p")))
+      val cuts = li
         .agg(expr(
-          "percentile(p, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), f)")
+          "percentile(p, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
           .as("cs"))
+      val bin = (1 to 9).map(i =>
+        when(col("p") > element_at(col("cs"), i), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
       li.crossJoin(broadcast(cuts))
-        .select(col("p"),
-          (lit(1) + size(filter(col("cs"), c => col("p") > c))).as("bin"))
+        .select(col("p"), bin.as("bin"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"), min("p").as("lo"), max("p").as("hi"),
           round(avg("p"), 4).as("mean_p"))

@@ -376,12 +376,19 @@ object RelationalExt {
     // clip-count accounting. Integer counts — no float-sum drift between
     // engines; the heavy side never shuffles beyond the two tiny aggs.
     "q_winsorize" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val pct = li.groupBy("l_returnflag", "l_extendedprice")
-        .agg(count(lit(1)).as("f"))
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.05, f)").as("lo"),
-             expr("percentile(l_extendedprice, 0.95, f)").as("hi"))
+      // r13: project to the two used columns, spread the single-file
+      // fixture scan (fanoutReady) and CACHE it — it feeds the
+      // percentile pass AND the clip-count pass, each previously a
+      // one-task 600k-row chain; percentile() also aggregates the raw
+      // rows directly (its partial state is the same value→count map
+      // the (flag, price) pre-agg built — one exchange less, exact
+      // either way).
+      val li = graft.CacheScope.cached(Tables.lineitem(s, d)
+        .select("l_returnflag", "l_extendedprice")
+        .transform(Tables.fanoutReady))
+      val pct = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+             expr("percentile(l_extendedprice, 0.95)").as("hi"))
       li.join(broadcast(pct), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),

@@ -212,13 +212,16 @@ object SeqMl {
       val r1 = bestStump(cells.withColumn("w", dec(col("cnt"))))
         .select(col("feat").as("f1"), col("thr").as("t1"),
           col("pol").as("p1"), col("werr").cast("long").as("e1"))
-      val cells2 = cells.crossJoin(broadcast(r1))
+      // r13: cached — the ≤1008-row reweighted grid feeds round 2's
+      // stump scan, the weight total AND the ensemble vote; un-cached
+      // each consumer re-ran round 1's argmin + broadcast chain.
+      val cells2 = graft.CacheScope.cached(cells.crossJoin(broadcast(r1))
         .crossJoin(broadcast(tot))
         .withColumn("h1", pred(col("f1"), col("t1"), col("p1")))
         .withColumn("w", when(col("h1") === col("y"),
           dec(greatest(col("e1"), lit(1L))) * col("cnt"))
           .otherwise(dec(col("n") - col("e1")) * col("cnt"))
-          .cast("decimal(38,0)"))
+          .cast("decimal(38,0)")))
       val r2 = bestStump(cells2)
         .select(col("feat").as("f2"), col("thr").as("t2"),
           col("pol").as("p2"), col("werr").as("we2"))

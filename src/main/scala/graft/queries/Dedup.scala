@@ -172,33 +172,43 @@ object Dedup {
         .filter(col("i") * 3 >= col("na") + col("nb"))
         .select("da", "db"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-      def arm(r: Int): DataFrame = {
-        val nb = 8 / r
-        val bands = sig.select(col("doc_id"), explode(array(
-          (0 until nb).map(bb => struct(lit(bb).as("band"),
-            concat_ws("_", (0 until r).map(j =>
-              col(s"mh${bb * r + j}")): _*).as("key"))): _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band"), col("bs.key"))
-        val cand = bands.toDF("da", "band", "key")
-          .join(bands.toDF("db", "band", "key"), Seq("band", "key"))
+      // r14 fusion (guide §2.4): the three banding arms ran three
+      // separate band self-joins + 3×3 counter aggregates (sequential
+      // jobs). One banding frame tagged with `r` runs ONE (r, band, key)
+      // equi-join + ONE distinct + two grouped counters; per-arm
+      // candidate sets are identical (r in the join key prevents
+      // cross-arm matches), so every count — and the final recall /
+      // precision divisions — is the same integer arithmetic.
+      val bandStructs = for { r <- Seq(1, 2, 4); bb <- 0 until 8 / r }
+        yield struct(lit(r).as("r"), lit(bb).as("band"),
+          concat_ws("_", (0 until r).map(j =>
+            col(s"mh${bb * r + j}")): _*).as("key"))
+      val bands = sig.select(col("doc_id"),
+          explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.r").as("r"),
+          col("bs.band").as("band"), col("bs.key").as("key"))
+      val cand = graft.CacheScope.cached(
+        bands.toDF("da", "r", "band", "key")
+          .join(bands.toDF("db", "r", "band", "key"), Seq("r", "band", "key"))
           .filter(col("da") < col("db"))
-          .select("da", "db").distinct()
-        val cc = graft.CacheScope.cached(cand)
-        cc.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(broadcast(
-            cc.join(truth, Seq("da", "db")).agg(count(lit(1)).as("n_hits"))))
-          .crossJoin(broadcast(nTruth))
-          .select(lit(nb).cast(LongType).as("bands"),
-            lit(r).cast(LongType).as("rows_per_band"),
-            col("n_truth"), col("n_candidates"), col("n_hits"),
-            round(when(col("n_truth") === 0, lit(null))
-              .otherwise(col("n_hits").cast("double") / col("n_truth")), 6)
-              .as("recall"),
-            round(when(col("n_candidates") === 0, lit(null))
-              .otherwise(col("n_hits").cast("double") /
-                col("n_candidates")), 6).as("precision"))
-      }
-      arm(1).unionAll(arm(2)).unionAll(arm(4))
+          .select("r", "da", "db").distinct())
+      val nCand = cand.groupBy("r").agg(count(lit(1)).as("n_candidates"))
+      val nHits = cand.join(truth, Seq("da", "db"))
+        .groupBy("r").agg(count(lit(1)).as("n_hits"))
+      import s.implicits._
+      val spine = Seq((8L, 1), (4L, 2), (2L, 4)).toDF("nb", "r")
+      spine.join(nCand, Seq("r"), "left").join(nHits, Seq("r"), "left")
+        .na.fill(0L, Seq("n_candidates", "n_hits"))
+        .crossJoin(broadcast(nTruth))
+        .select(col("nb").as("bands"),
+          col("r").cast(LongType).as("rows_per_band"),
+          col("n_truth"), col("n_candidates"), col("n_hits"),
+          round(when(col("n_truth") === 0, lit(null))
+            .otherwise(col("n_hits").cast("double") / col("n_truth")), 6)
+            .as("recall"),
+          round(when(col("n_candidates") === 0, lit(null))
+            .otherwise(col("n_hits").cast("double") /
+              col("n_candidates")), 6).as("precision"))
         .orderBy(col("bands").desc)
     }),
 

@@ -144,30 +144,45 @@ object Similarity {
         knnBrute(s, d).select(col("q_id"), col("nb_id")))
       val tt = truth.agg(count(lit(1)).as("n_truth"),
         countDistinct("q_id").as("n_queries"))
-      def arm(p: Int): DataFrame = {
-        val pv = all.select(col("vec_id"), slice(col("v"), 1, p).as("pv"))
-          .withColumn("pn", sqrt(dot(col("pv"), col("pv"))))
-        val q = pv.filter(panelQuery(col("vec_id")))
-          .select(col("vec_id").as("q_id"), col("pv").as("qv"),
-            col("pn").as("qn"))
-        val scored = pv.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("nb_id"),
-            round(dot(col("qv"), col("pv")) / (col("qn") * col("pn")), 6)
-              .as("cos_r"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos_r").desc, col("nb_id").asc)
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .join(broadcast(truth), Seq("q_id", "nb_id"))
-          .agg(count(lit(1)).as("hits"))
-          .crossJoin(broadcast(tt))
-          .select(lit(p).as("prefix_dim"), col("n_queries"),
-            col("n_truth"), col("hits"),
-            round(when(col("n_truth") === 0L, lit(null))
-              .otherwise(col("hits").cast("double") / col("n_truth")), 6)
-              .as("recall"))
-      }
-      Seq(8, 16, 32).map(arm).reduce(_.unionByName(_))
+      // r14 fusion (guide §2.4): the three prefix arms each ran their own
+      // panel-broadcast join + window + counter chain over the same
+      // corpus. One pass computes all three prefix cosines per (query,
+      // vector) pair — the same slice/dot/round expressions, so each
+      // arm's scores and tie-breaks are bit-identical — then explodes to
+      // (prefix, pair) rows for ONE window + ONE counter aggregate.
+      val ps = Seq(8, 16, 32)
+      val pre = all.select(col("vec_id") +:
+        ps.flatMap { p =>
+          val pv = slice(col("v"), 1, p)
+          Seq(pv.as(s"pv$p"), sqrt(dot(pv, pv)).as(s"pn$p"))
+        }: _*)
+      val q = pre.filter(panelQuery(col("vec_id")))
+        .select(col("vec_id").as("q_id") +:
+          ps.flatMap(p => Seq(col(s"pv$p").as(s"qv$p"),
+            col(s"pn$p").as(s"qn$p"))): _*)
+      val scored = pre.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nb_id"),
+          explode(array(ps.map(p => struct(lit(p).as("p"),
+            round(dot(col(s"qv$p"), col(s"pv$p")) /
+              (col(s"qn$p") * col(s"pn$p")), 6).as("cos_r"))): _*))
+            .as("pc"))
+        .select(col("q_id"), col("nb_id"),
+          col("pc.p").as("p"), col("pc.cos_r").as("cos_r"))
+      val w = Window.partitionBy("p", "q_id")
+        .orderBy(col("cos_r").desc, col("nb_id").asc)
+      val hits = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .join(broadcast(truth), Seq("q_id", "nb_id"))
+        .groupBy("p").agg(count(lit(1)).as("hits"))
+      import s.implicits._
+      ps.toDF("p")
+        .join(hits, Seq("p"), "left").na.fill(0L, Seq("hits"))
+        .crossJoin(broadcast(tt))
+        .select(col("p").as("prefix_dim"), col("n_queries"),
+          col("n_truth"), col("hits"),
+          round(when(col("n_truth") === 0L, lit(null))
+            .otherwise(col("hits").cast("double") / col("n_truth")), 6)
+            .as("recall"))
         .orderBy("prefix_dim")
     }),
 
@@ -202,40 +217,55 @@ object Similarity {
       val q = all.filter(panelQuery(col("vec_id")))
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
-      def arm(p: Int): DataFrame = {
-        val probes = ranked
-          .filter(panelQuery(col("vec_id")) && col("rn") <= p)
-          .select(col("vec_id").as("q_id"), col("c_label").as("cell"))
-        val cand = graft.CacheScope.cached(
-          assign.join(probes, Seq("cell"))
-            .filter(col("vec_id") =!= col("q_id"))
-            .select("q_id", "vec_id"))
-        val scored = cand
+      // r14 fusion (guide §2.4): the three nprobe arms re-scored growing
+      // candidate supersets (≈2× the p=3 work in total) and ran 3×3
+      // counter jobs. Each vector sits in exactly ONE cell and each
+      // query's probed cells carry a unique rank, so candidate-of-arm-p
+      // ⇔ probe rank ≤ p: score the p=3 superset ONCE with the probe
+      // rank attached, then explode to the arms it belongs to. Same
+      // cosine expression over the same rows → identical per-arm ranks,
+      // counts and divisions.
+      val probes = ranked
+        .filter(panelQuery(col("vec_id")) && col("rn") <= 3)
+        .select(col("vec_id").as("q_id"), col("c_label").as("cell"),
+          col("rn").as("prn"))
+      val scored = graft.CacheScope.cached(
+        assign.join(probes, Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
           .join(all.select(col("vec_id"), col("v"), col("nrm")),
             Seq("vec_id"))
           .join(broadcast(q), Seq("q_id"))
-          .select(col("q_id"), col("vec_id").as("nb_id"),
+          .select(col("q_id"), col("vec_id").as("nb_id"), col("prn"),
             round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-              .as("cos_r"))
-        val wq = Window.partitionBy("q_id")
-          .orderBy(col("cos_r").desc, col("nb_id").asc)
-        val hits = scored.withColumn("rank", row_number().over(wq))
-          .filter(col("rank") <= 5)
-          .join(exact, Seq("q_id", "nb_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-        val nq = exact.select("q_id").distinct()
-          .agg(count(lit(1)).as("n_queries"))
-        val nc = cand.agg(count(lit(1)).as("n_cand"))
-        nq.crossJoin(broadcast(hits)).crossJoin(broadcast(nc))
-          .select(lit(p).cast("long").as("nprobe"), col("n_queries"),
-            round(when(col("n_queries") === 0, lit(null))
-              .otherwise(col("n_cand").cast("double") / col("n_queries")),
-              2).as("avg_candidates"),
-            round(when(col("n_queries") === 0, lit(null))
-              .otherwise(col("n_hits").cast("double") /
-                (col("n_queries") * 5)), 6).as("recall_at_5"))
-      }
-      arm(1).unionAll(arm(2)).unionAll(arm(3)).orderBy("nprobe")
+              .as("cos_r")))
+      val arms = scored.select(col("q_id"), col("nb_id"), col("cos_r"),
+          explode(array(lit(1), lit(2), lit(3))).as("p"))
+        .filter(col("p") >= col("prn"))
+      val wq = Window.partitionBy("p", "q_id")
+        .orderBy(col("cos_r").desc, col("nb_id").asc)
+      val hits = arms.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 5)
+        .join(broadcast(exact), Seq("q_id", "nb_id"))
+        .groupBy("p").agg(count(lit(1)).as("n_hits"))
+      val nc = scored.select(col("prn"),
+          explode(array(lit(1), lit(2), lit(3))).as("p"))
+        .filter(col("p") >= col("prn"))
+        .groupBy("p").agg(count(lit(1)).as("n_cand"))
+      val nq = exact.select("q_id").distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      import s.implicits._
+      Seq(1, 2, 3).toDF("p")
+        .join(hits, Seq("p"), "left").join(nc, Seq("p"), "left")
+        .na.fill(0L, Seq("n_hits", "n_cand"))
+        .crossJoin(broadcast(nq))
+        .select(col("p").cast("long").as("nprobe"), col("n_queries"),
+          round(when(col("n_queries") === 0, lit(null))
+            .otherwise(col("n_cand").cast("double") / col("n_queries")),
+            2).as("avg_candidates"),
+          round(when(col("n_queries") === 0, lit(null))
+            .otherwise(col("n_hits").cast("double") /
+              (col("n_queries") * 5)), 6).as("recall_at_5"))
+        .orderBy("nprobe")
     }),
 
     // ---- Local Outlier Factor (Breunig et al. 2000, k=5) — the
@@ -1116,46 +1146,62 @@ object Similarity {
     // which are just the panel rows of the same frame.
     val cb = flat.filter(col("vec_id") < 8)
       .select(col("vec_id").as("code"), col("i"), col("x").as("cx"))
-    val d16 = graft.CacheScope.cached(
-      flat.join(broadcast(cb), Seq("i"))
-        .groupBy(col("vec_id"), (col("i") / 4).cast("int").as("s16"),
-          col("code"))
-        .agg(sum(round((col("x") - col("cx")) * (col("x") - col("cx"))
-          * 1e12).cast("long")).as("d2i")))
+    // r14: d16 no longer needs its own cache — the arm fusion below makes
+    // the windowed dmc frame its single consumer (dmc is the cached one)
+    val d16 = flat.join(broadcast(cb), Seq("i"))
+      .groupBy(col("vec_id"), (col("i") / 4).cast("int").as("s16"),
+        col("code"))
+      .agg(sum(round((col("x") - col("cx")) * (col("x") - col("cx"))
+        * 1e12).cast("long")).as("d2i"))
     val exact = graft.CacheScope.cached(
       knnBrute(s, d).select(col("q_id"), col("nb_id")))
     val nq = exact.select("q_id").distinct()
       .agg(count(lit(1)).as("n_queries"))
-    val perM = Seq(4, 8, 16).map { m =>
-      val dist = d16.groupBy(col("vec_id"),
-          (col("s16") / (16 / m)).cast("int").as("sub"), col("code"))
-        .agg(sum("d2i").as("d2"))
-      val wc = Window.partitionBy("vec_id", "sub")
-        .orderBy(col("d2").asc, col("code").asc)
-      val codes = dist.withColumn("rn", row_number().over(wc))
-        .filter(col("rn") === 1).select("vec_id", "sub", "code")
-      val dtab = dist.filter(panelQuery(col("vec_id")))
-        .select(col("vec_id").as("q_id"), col("sub"), col("code"),
-          col("d2").as("dq"))
-      val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum("dq").as("adist"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("adist").asc, col("vec_id").asc)
-      val top5 = adc.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id").as("nb_id"))
-      exact.join(top5, Seq("q_id", "nb_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(broadcast(nq))
-        .select(lit(m).as("m"), col("n_queries"),
-          // empty-corpus guard: ANSI division would throw on 0 queries
-          when(col("n_queries") === 0, lit(null).cast("double"))
-            .otherwise(round(col("hits").cast("double") /
-              (col("n_queries") * 5).cast("double"), 4)).as("recall_at_5"))
-    }
-    perM.reduce(_ unionByName _).orderBy("m")
+    // r14 fusion (guide §2.4): the three m-arms each re-aggregated the
+    // cached d16 frame and ran their own window + ADC join + counter
+    // jobs (3 sequential chains). One frame tagged with `m` (an explode
+    // over the cached d16 — tiny: |V|·16·8 rows ×3) runs the whole sweep
+    // as ONE groupBy → window → ADC join → window → counter chain.
+    // Per-arm sums are the same BIGINT pico-unit additions (associative),
+    // tie-breaks are per-(m,…) partitions — identical winners per arm.
+    val dm = d16.select(col("vec_id"), col("s16"), col("code"),
+        col("d2i"), explode(array(lit(4), lit(8), lit(16))).as("m"))
+      .groupBy(col("vec_id"), col("m"),
+        (col("s16") / (lit(16) / col("m"))).cast("int").as("sub"),
+        col("code"))
+      .agg(sum("d2i").as("d2"))
+    val wc = Window.partitionBy("vec_id", "m", "sub")
+      .orderBy(col("d2").asc, col("code").asc)
+    val dmc = graft.CacheScope.cached(
+      dm.withColumn("rn", row_number().over(wc)))
+    val codes = dmc.filter(col("rn") === 1)
+      .select("vec_id", "m", "sub", "code")
+    val dtab = dmc.filter(panelQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("m"), col("sub"), col("code"),
+        col("d2").as("dq"))
+    val adc = codes.join(broadcast(dtab), Seq("m", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("m", "q_id", "vec_id")
+      .agg(sum("dq").as("adist"))
+    val w = Window.partitionBy("m", "q_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val top5 = adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("m"), col("q_id"), col("vec_id").as("nb_id"))
+    // exact pairs are unique per query, so the inner join counts exactly
+    // the per-arm semi-join hits of the unfused form
+    val hits = top5.join(broadcast(exact), Seq("q_id", "nb_id"))
+      .groupBy("m").agg(count(lit(1)).as("hits"))
+    import s.implicits._
+    Seq(4, 8, 16).toDF("m")
+      .join(hits, Seq("m"), "left").na.fill(0L, Seq("hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("m"), col("n_queries"),
+        // empty-corpus guard: ANSI division would throw on 0 queries
+        when(col("n_queries") === 0, lit(null).cast("double"))
+          .otherwise(round(col("hits").cast("double") /
+            (col("n_queries") * 5).cast("double"), 4)).as("recall_at_5"))
+      .orderBy("m")
   }
 
   /** Shared SQL scaffolding: flattened vectors + norms. */

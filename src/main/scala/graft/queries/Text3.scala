@@ -45,12 +45,17 @@ object Text3 {
     // no rare unigrams at all (min count 26), while trigram types are
     // genuinely sparse — the regime GT smoothing exists for.
     "q_good_turing" -> ((s, d) => {
+      // r14: hoist split(text) into a materialized column — the previous
+      // form re-ran `split` INSIDE the transform lambda (4 references,
+      // one per element access), i.e. O(words²) splits + allocations per
+      // document; same trigram strings, one split per row (guide §1.2
+      // step 2 / §4 expression cost).
       val freq = Tables.documents(s, d)
         .transform(Tables.fanoutReady)
-        .select(expr("transform(slice(split(text, ' '), 1, " +
-          "greatest(size(split(text, ' ')) - 2, 0)), (x, i) -> " +
-          "concat(x, ' ', split(text, ' ')[i + 1], ' ', " +
-          "split(text, ' ')[i + 2]))").as("gs"))
+        .select(split(col("text"), " ").as("ws"))
+        .select(expr("transform(slice(ws, 1, " +
+          "greatest(size(ws) - 2, 0)), (x, i) -> " +
+          "concat(x, ' ', ws[i + 1], ' ', ws[i + 2]))").as("gs"))
         .select(explode(col("gs")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
         .transform(graft.CacheScope.cached)

@@ -143,6 +143,62 @@ object GlobalRank {
     }
   }
 
+  /** Adds BOTH `rName` = exact global 1-based row_number under `order`
+    * AND `kName` = exact 1-based row_number WITHIN each `keys` group
+    * under the same `order`, off ONE range partitioning — the fused form
+    * of `withRowNumber` + `withKeyedRowNumber` for the pooled-vs-within
+    * rank statistics (CvM / BWS / Watson U²), which previously paid two
+    * full range+hash shuffle passes over the corpus for two ranks that
+    * share one total order (r14, guide §2.4 "two operations keyed the
+    * same way can share one exchange").
+    *
+    * Identity: range partitioning respects the total order, so
+    * (local keyed row_number within (pid, keys)) + (count of same-key
+    * rows in earlier pids) is exactly the 1-based rank within the key
+    * group under `order` — the same value withKeyedRowNumber derives by
+    * global-rank-minus-prefix. Contracts (non-null keys, few keys) are
+    * enforced like withKeyedRowNumber's, from the already-tiny per-
+    * (pid, key) totals frame. */
+  def withPooledAndKeyedRowNumber(df: DataFrame, rName: String,
+      kName: String, keys: Seq[String], order: Seq[Column],
+      partitions: Int = 0,
+      maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
+    val parted = rangeParted(df, order, partitions)
+    val wIn = Window.partitionBy("_gr_pid").orderBy(order: _*)
+    val wKey = Window.partitionBy(col("_gr_pid") +: keys.map(col): _*)
+      .orderBy(order: _*)
+    val local = parted
+      .withColumn("_gr_lrn", row_number().over(wIn).cast("long"))
+      .withColumn("_gr_lkn", row_number().over(wKey).cast("long"))
+    val offsets = offsetsOf(parted,
+      Seq(count(lit(1)).as("_gr_t_0")), Seq(false))
+    // per-(pid, key) totals → per-key EXCLUSIVE prefix over earlier pids
+    val kTot = graft.CacheScope.cached(
+      parted.groupBy(col("_gr_pid") +: keys.map(col): _*)
+        .agg(count(lit(1)).as("_gr_kt")))
+    val guard = kTot.select(
+      count_distinct(struct(keys.map(col): _*)).as("k"),
+      coalesce(sum(when(keys.map(col(_).isNull).reduce(_ || _), 1L)
+        .otherwise(0L)), lit(0L)).as("nullKeys")).collect().head
+    require(guard.getLong(1) == 0L,
+      s"withPooledAndKeyedRowNumber: null key group(s) in " +
+        s"${keys.mkString("(", ",", ")")} — null keys would silently " +
+        "drop rows through the offset equi-join")
+    require(guard.getLong(0) <= maxBroadcastKeys,
+      s"withPooledAndKeyedRowNumber: ${guard.getLong(0)} distinct keys " +
+        s"exceeds the broadcast bound $maxBroadcastKeys")
+    val wKOff = Window.partitionBy(keys.map(col): _*).orderBy("_gr_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kOffs = kTot.select((col("_gr_pid") +: keys.map(col)) :+
+      coalesce(sum(col("_gr_kt")).over(wKOff), lit(0L)).as("_gr_ko"): _*)
+    local.join(broadcast(offsets), "_gr_pid")
+      .join(broadcast(kOffs), "_gr_pid" +: keys)
+      .withColumn(rName,
+        (col("_gr_lrn") + coalesce(col("_gr_o_0"), lit(0L))).cast("int"))
+      .withColumn(kName, (col("_gr_lkn") + col("_gr_ko")).cast("int"))
+      .drop("_gr_pid", "_gr_lrn", "_gr_lkn", "_gr_o_0", "_gr_ko")
+  }
+
   /** Adds exact global running aggregates (sum/max, inclusive/exclusive)
     * under `order` — the distributed form of
     * `agg.over(Window.orderBy(order).rowsBetween(unboundedPreceding, …))`.

@@ -197,7 +197,8 @@ object Dedup {
         .groupBy("r").agg(count(lit(1)).as("n_hits"))
       import s.implicits._
       val spine = Seq((8L, 1), (4L, 2), (2L, 4)).toDF("nb", "r")
-      spine.join(nCand, Seq("r"), "left").join(nHits, Seq("r"), "left")
+      spine.join(broadcast(nCand), Seq("r"), "left")
+        .join(broadcast(nHits), Seq("r"), "left")
         .na.fill(0L, Seq("n_candidates", "n_hits"))
         .crossJoin(broadcast(nTruth))
         .select(col("nb").as("bands"),

@@ -72,17 +72,21 @@ object SeqMl {
       val folded = docs.withColumn("row", aggregate(probe, init,
         (row, b) => {
           // pass 1: tmp[j] = j=0 ? row[0]−1 : max(row[j−1]+s_j, row[j]−1)
-          val tmp = transform(sequence(lit(0), col("l")), j =>
-            when(j === 0, element_at(row, 1) - 1L)
-              .otherwise(greatest(
-                element_at(row, j) +
-                  when(element_at(col("ws"), j) === b, 2L).otherwise(-1L),
-                element_at(row, j + 1) - 1L)))
-          // pass 2: new[j] = max_{k≤j}(tmp[k] − (j−k)) — the exact
-          // unroll of new[j] = max(tmp[j], new[j−1]−1)
-          transform(sequence(lit(0), col("l")), j =>
-            array_max(transform(sequence(lit(0), j), k =>
-              element_at(tmp, k + 1) - (j - k).cast(LongType))))
+          // r14: let-bound — inlined, `tmp` re-evaluated per (j, k) of
+          // pass 2, i.e. O(l³) per probe token (graft.functions.Hof)
+          graft.functions.Hof.let(
+            transform(sequence(lit(0), col("l")), j =>
+              when(j === 0, element_at(row, 1) - 1L)
+                .otherwise(greatest(
+                  element_at(row, j) +
+                    when(element_at(col("ws"), j) === b, 2L).otherwise(-1L),
+                  element_at(row, j + 1) - 1L)))) { tmp =>
+            // pass 2: new[j] = max_{k≤j}(tmp[k] − (j−k)) — the exact
+            // unroll of new[j] = max(tmp[j], new[j−1]−1)
+            transform(sequence(lit(0), col("l")), j =>
+              array_max(transform(sequence(lit(0), j), k =>
+                element_at(tmp, k + 1) - (j - k).cast(LongType))))
+          }
         }))
       folded.select(col("doc_id"), col("l").as("n_tok"),
           element_at(col("row"), col("l") + 1).as("nw_score"))
@@ -138,27 +142,34 @@ object SeqMl {
       // identical; the DuckDB recursive-CTE oracle is untouched.
       // (guide §1.2 step 2 / §4: per-task expression work.)
       val sentinel = Long.MaxValue // > any t[k]−C[k]; never survives least
+      // r14: every intermediate array is LET-BOUND (graft.functions.Hof)
+      // — written as plain vals they are Catalyst subtrees inlined at
+      // every reference, so e.g. cpre0 (itself an O(m) fold) re-evaluated
+      // per element of rm0's input AND per output index: O(m⁴) work per
+      // DP step for what is O(m) with single evaluation. Same
+      // expressions, evaluated once — values bit-identical.
+      val hlet = graft.functions.Hof.let _
       val folded = ab.withColumn("row", aggregate(col("a"), init,
-        (row, av) => {
-          val cost = transform(sequence(lit(1), col("m")), j =>
-            abs(av - element_at(col("b"), j)))
+        (row, av) =>
+          hlet(transform(sequence(lit(1), col("m")), j =>
+            abs(av - element_at(col("b"), j)))) { cost =>
           // running prefix sums: cpre0 = [0, C1, C1+C2, …] (m+1 entries)
-          val cpre0 = aggregate(cost, array(lit(0L)), (acc, x) =>
-            concat(acc, array(element_at(acc, -1) + x)))
+          hlet(aggregate(cost, array(lit(0L)), (acc, x) =>
+            concat(acc, array(element_at(acc, -1) + x)))) { cpre0 =>
           def cAt(j: Column): Column = element_at(cpre0, j + 1)
-          val t = transform(sequence(lit(1), col("m")), j =>
+          hlet(transform(sequence(lit(1), col("m")), j =>
             element_at(cost, j) +
-              least(element_at(row, j + 1), element_at(row, j)))
+              least(element_at(row, j + 1), element_at(row, j)))) { t =>
           // running prefix min of d[k] = t[k] − C[k]: rm0[j+1] = min_{k≤j}
-          val rm0 = aggregate(
+          hlet(aggregate(
             transform(sequence(lit(1), col("m")), k =>
               element_at(t, k) - cAt(k)),
             array(lit(sentinel)), (acc, x) =>
-              concat(acc, array(least(element_at(acc, -1), x))))
+              concat(acc, array(least(element_at(acc, -1), x))))) { rm0 =>
           concat(array(lit(inf)),
             transform(sequence(lit(1), col("m")), j =>
               cAt(j) + element_at(rm0, j + 1)))
-        }))
+          }}}}))
       folded.select(col("n").as("n_days_click"),
         col("m").as("n_days_view"),
         element_at(col("row"), col("m") + 1).as("dtw_cost"))

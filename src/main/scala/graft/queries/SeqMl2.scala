@@ -68,23 +68,32 @@ object SeqMl2 {
       val init = struct(
         transform(sequence(lit(0), col("l")), _ => lit(0L)).as("rw"),
         lit(0L).as("bst"))
+      // r14: tmp and nw are let-bound (graft.functions.Hof) — as plain
+      // vals each reference re-inlined the whole array build (tmp per
+      // (j,k) of the prefix-max: O(l³) per probe token; nw twice per
+      // step). Same expressions evaluated once; values bit-identical.
       val folded = docs.withColumn("st", aggregate(probe, init,
         (st, b) => {
           val row = st.getField("rw")
           // tmp[j] (j≥1): best of diag-with-score and up-with-gap
-          val tmp = transform(sequence(lit(0), col("l")), j =>
-            when(j === 0, lit(0L)).otherwise(greatest(
-              element_at(row, j) +
-                when(element_at(col("ws"), j) === b, 2L).otherwise(-1L),
-              element_at(row, j + 1) - 1L)))
-          // new[j] = max(0, max_{k≤j}(tmp[k] − (j−k))) — the exact
-          // unroll of new[j] = max(0, tmp[j], new[j−1]−1)
-          val nw = transform(sequence(lit(0), col("l")), j =>
-            greatest(lit(0L),
-              array_max(transform(sequence(lit(0), j), k =>
-                element_at(tmp, k + 1) - (j - k).cast(LongType)))))
-          struct(nw.as("rw"),
-            greatest(st.getField("bst"), array_max(nw)).as("bst"))
+          graft.functions.Hof.let(
+            transform(sequence(lit(0), col("l")), j =>
+              when(j === 0, lit(0L)).otherwise(greatest(
+                element_at(row, j) +
+                  when(element_at(col("ws"), j) === b, 2L).otherwise(-1L),
+                element_at(row, j + 1) - 1L)))) { tmp =>
+            // new[j] = max(0, max_{k≤j}(tmp[k] − (j−k))) — the exact
+            // unroll of new[j] = max(0, tmp[j], new[j−1]−1)
+            graft.functions.Hof.let(
+              transform(sequence(lit(0), col("l")), j =>
+                greatest(lit(0L),
+                  array_max(transform(sequence(lit(0), j), k =>
+                    element_at(tmp, k + 1) - (j - k).cast(LongType)))))) {
+              nw =>
+                struct(nw.as("rw"),
+                  greatest(st.getField("bst"), array_max(nw)).as("bst"))
+            }
+          }
         }))
       folded.select(col("doc_id"), col("l").as("n_tok"),
           col("st").getField("bst").as("sw_score"))
@@ -105,18 +114,21 @@ object SeqMl2 {
         .withColumn("l", size(col("ws")))
       val probe = array(Probe.map(lit): _*)
       val init = transform(sequence(lit(0), col("l")), _ => lit(0L))
+      // r14: cand let-bound (graft.functions.Hof) — it was re-inlined
+      // per (j, k) of the prefix max, O(l³) per probe token
       val folded = docs.withColumn("row", aggregate(probe, init,
-        (row, b) => {
-          val cand = transform(sequence(lit(0), col("l")), j =>
-            when(j === 0, lit(0L)).otherwise(greatest(
-              element_at(row, j + 1),
-              element_at(row, j) +
-                when(element_at(col("ws"), j) === b, 1L)
-                  .otherwise(0L))))
-          transform(sequence(lit(0), col("l")), j =>
-            array_max(transform(sequence(lit(0), j), k =>
-              element_at(cand, k + 1))))
-        }))
+        (row, b) =>
+          graft.functions.Hof.let(
+            transform(sequence(lit(0), col("l")), j =>
+              when(j === 0, lit(0L)).otherwise(greatest(
+                element_at(row, j + 1),
+                element_at(row, j) +
+                  when(element_at(col("ws"), j) === b, 1L)
+                    .otherwise(0L))))) { cand =>
+            transform(sequence(lit(0), col("l")), j =>
+              array_max(transform(sequence(lit(0), j), k =>
+                element_at(cand, k + 1))))
+          }))
       folded.select(col("l").as("n_tok"),
           element_at(col("row"), col("l") + 1).as("lcs"))
         .groupBy("n_tok", "lcs")

@@ -176,7 +176,7 @@ object Similarity {
         .groupBy("p").agg(count(lit(1)).as("hits"))
       import s.implicits._
       ps.toDF("p")
-        .join(hits, Seq("p"), "left").na.fill(0L, Seq("hits"))
+        .join(broadcast(hits), Seq("p"), "left").na.fill(0L, Seq("hits"))
         .crossJoin(broadcast(tt))
         .select(col("p").as("prefix_dim"), col("n_queries"),
           col("n_truth"), col("hits"),
@@ -255,7 +255,8 @@ object Similarity {
         .agg(count(lit(1)).as("n_queries"))
       import s.implicits._
       Seq(1, 2, 3).toDF("p")
-        .join(hits, Seq("p"), "left").join(nc, Seq("p"), "left")
+        .join(broadcast(hits), Seq("p"), "left")
+        .join(broadcast(nc), Seq("p"), "left")
         .na.fill(0L, Seq("n_hits", "n_cand"))
         .crossJoin(broadcast(nq))
         .select(col("p").cast("long").as("nprobe"), col("n_queries"),
@@ -1194,7 +1195,7 @@ object Similarity {
       .groupBy("m").agg(count(lit(1)).as("hits"))
     import s.implicits._
     Seq(4, 8, 16).toDF("m")
-      .join(hits, Seq("m"), "left").na.fill(0L, Seq("hits"))
+      .join(broadcast(hits), Seq("m"), "left").na.fill(0L, Seq("hits"))
       .crossJoin(broadcast(nq))
       .select(col("m"), col("n_queries"),
         // empty-corpus guard: ANSI division would throw on 0 queries

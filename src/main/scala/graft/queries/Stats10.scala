@@ -182,10 +182,10 @@ object Stats10 {
       val v = Tables.events(s, d).select(
         round(col("value") * 100).cast(LongType).as("c"),
         col("event_id"), (col("event_id") % 2).as("g"))
-      val pooled = GlobalRank.withRowNumber(v, "r",
-        Seq(col("c").asc, col("event_id").asc))
-      val both = GlobalRank.withKeyedRowNumber(pooled, "i", Seq("g"),
-        Seq(col("c").asc, col("event_id").asc))
+      // r14: one fused range+rank pass for both the pooled and the
+      // within-arm rank (was two full GlobalRank passes over the corpus)
+      val both = GlobalRank.withPooledAndKeyedRowNumber(v, "r", "i",
+        Seq("g"), Seq(col("c").asc, col("event_id").asc))
       val agg = both.select(col("g"),
           ((col("r").cast("long") - col("i")).cast("decimal(38,0)") *
             (col("r").cast("long") - col("i"))).cast("decimal(38,0)")

@@ -107,10 +107,9 @@ object Stats20 {
     // micro-quantize before the integer sum (the q_cox_ph discipline).
     "q_bws" -> ((s, d) => {
       val v = arms(s, d)
-      val pooled = GlobalRank.withRowNumber(v, "r",
-        Seq(col("c").asc, col("event_id").asc))
-      val both = GlobalRank.withKeyedRowNumber(pooled, "i", Seq("g"),
-        Seq(col("c").asc, col("event_id").asc))
+      // r14: one fused range+rank pass for both ranks (see GlobalRank)
+      val both = GlobalRank.withPooledAndKeyedRowNumber(v, "r", "i",
+        Seq("g"), Seq(col("c").asc, col("event_id").asc))
       val tot = v.agg(
         sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"),
         sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"))

@@ -126,10 +126,9 @@ object Stats22 {
     // the 38-digit ceiling, documented bound).
     "q_watson_u2" -> ((s, d) => {
       val v = arms(s, d)
-      val pooled = GlobalRank.withRowNumber(v, "r",
-        Seq(col("c").asc, col("event_id").asc))
-      val both = GlobalRank.withKeyedRowNumber(pooled, "i", Seq("g"),
-        Seq(col("c").asc, col("event_id").asc))
+      // r14: one fused range+rank pass for both ranks (see GlobalRank)
+      val both = GlobalRank.withPooledAndKeyedRowNumber(v, "r", "i",
+        Seq("g"), Seq(col("c").asc, col("event_id").asc))
       val tot = v.agg(
         sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n"),
         sum(when(col("g") === 1L, 1L).otherwise(0L)).as("m"))

@@ -107,6 +107,38 @@ class GlobalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("withPooledAndKeyedRowNumber equals both window oracles (r14 fusion)") {
+    for (rows <- frames) {
+      import spark.implicits._
+      val df = rows.toDF("k", "v")
+        .withColumn("g", pmod(col("k"), lit(3)))
+      val got = GlobalRank.withPooledAndKeyedRowNumber(df, "r", "i",
+          Seq("g"), Seq(col("k")), partitions = 5)
+        .select("k", "r", "i").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val want = df
+        .withColumn("r", row_number().over(Window.orderBy("k")))
+        .withColumn("i",
+          row_number().over(Window.partitionBy("g").orderBy("k")))
+        .select("k", "r", "i").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      graft.CacheScope.drain()
+      assert(got === want)
+    }
+  }
+
+  test("withPooledAndKeyedRowNumber guards: null keys fail loudly") {
+    import spark.implicits._
+    val withNull = Seq((Some(1L), 10L), (None, 20L), (Some(1L), 30L))
+      .toDF("g", "k")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withPooledAndKeyedRowNumber(withNull, "r", "i",
+        Seq("g"), Seq(col("k")))
+    }
+    assert(e.getMessage.contains("null key"))
+    graft.CacheScope.drain()
+  }
+
   test("withKeyedRowNumber guards fail loudly: null keys, key-cap") {
     import spark.implicits._
     // a null key would silently drop its rows through the offset

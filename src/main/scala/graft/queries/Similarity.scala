@@ -198,8 +198,11 @@ object Similarity {
     // divide once at the end.
     "q_ivf_nprobe_sweep" -> ((s, d) => {
       val all = graft.CacheScope.cached(vecs(s, d))
+      // r14: clustered by vec_id — the cell-distance agg and its rank
+      // window then share this one exchange (§2.4)
       val fl = all.select(col("vec_id"), col("label"),
         posexplode(col("v")).as(Seq("i", "x")))
+        .repartition(col("vec_id"))
       val centroids = fl.groupBy(col("label").as("c_label"), col("i"))
         .agg(avg("x").as("cx"))
       val d2a = fl.join(broadcast(centroids), Seq("i"))
@@ -628,11 +631,15 @@ object Similarity {
     // ---- IVF-style coarse quantization: per-label centroids, assign each
     // vector to nearest centroid by L2²  (rounded; ties → lowest label)
     "q_ivf_assign" -> ((s, d) => {
-      val flat = Tables.embeddings(s, d)
+      // r14: clustered by vec_id so the distance agg + rank window share
+      // one exchange (§2.4); cached — it feeds the centroid broadcast
+      // build AND the distance pass (two consumers, was re-exploded)
+      val flat = graft.CacheScope.cached(Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           posexplode(col("embedding")))
         .toDF("vec_id", "label", "i", "x")
         .withColumn("x", col("x").cast("double"))
+        .repartition(col("vec_id")))
       val centroids = flat.groupBy(col("label").as("c_label"), col("i"))
         .agg(avg("x").as("cx"))
       val dist = flat.join(broadcast(centroids), Seq("i"))
@@ -1024,14 +1031,23 @@ object Similarity {
     }))
 
   /** Combined IVF-PQ top-k by ADC — shared by q_ivfpq_search /
-    * q_ivfpq_recall (k=5) and the q_ivfpq_refine shortlist (k=20). */
+    * q_ivfpq_recall (k=5) and the q_ivfpq_refine shortlist (k=20).
+    *
+    * r14 (guide §2.4 "share one exchange"): the cached exploded frame is
+    * hash-clustered by vec_id (instead of fanoutReady's round-robin), so
+    * every downstream vec-keyed aggregate and window — the coarse
+    * distance agg + rank, the PQ code agg + rank, the ADC candidate agg
+    * — reuses that ONE exchange instead of inserting its own. Same
+    * parallelism on a single-split fixture (hash over |V| ids spreads
+    * across all shuffle partitions); per-group sums still combine the
+    * same per-(key) terms. */
   private def ivfpqTop(s: SparkSession, d: String, k: Int = 5): DataFrame = {
       val fl = graft.CacheScope.cached(
         Tables.embeddings(s, d)
-          .transform(Tables.fanoutReady)
           .select(col("vec_id"), col("label"), posexplode(col("embedding")))
           .toDF("vec_id", "label", "i", "x")
-          .withColumn("x", col("x").cast("double")))
+          .withColumn("x", col("x").cast("double"))
+          .repartition(col("vec_id")))
       // coarse layer: per-label centroids, every vector ranked by cell
       val centroids = fl.groupBy(col("label").as("c_label"), col("i"))
         .agg(avg("x").as("cx"))
@@ -1090,11 +1106,13 @@ object Similarity {
     // the corpus-code pass and the query distance tables; un-cached the
     // explode pipeline re-ran ~5x per call (each broadcast build is its
     // own job re-executing the subtree).
+    // r14: hash-clustered by vec_id (not round-robin) so the code agg,
+    // the code-rank window and the ADC agg reuse ONE exchange (§2.4)
     val flat = graft.CacheScope.cached(Tables.embeddings(s, d)
-      .transform(Tables.fanoutReady)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), (col("i") / 8).cast("int").as("sub"),
-        col("i"), col("x").cast("double").as("x")))
+        col("i"), col("x").cast("double").as("x"))
+      .repartition(col("vec_id")))
     val codebook = flat.filter(col("vec_id") < 8)
       .select(col("vec_id").as("code"), col("sub"), col("i"),
         col("x").as("cx"))
@@ -1131,10 +1149,12 @@ object Similarity {
 
   /** PQ recall sweep over subspace counts — see the q_pq_sweep entry. */
   private def pqSweep(s: SparkSession, d: String): DataFrame = {
+    // r14: hash-clustered by vec_id (not round-robin) — the d16 agg, the
+    // fused arm agg and its rank window all reuse ONE exchange (§2.4)
     val flat = graft.CacheScope.cached(Tables.embeddings(s, d)
-      .transform(Tables.fanoutReady)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"), col("x").cast("double").as("x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+      .repartition(col("vec_id")))
     // The 4/8/16 subspace grids NEST: a 16-dim m=4 segment is four 4-dim
     // m=16 segments over the SAME 8 codebook rows. So the corpus pays ONE
     // distance pass, at the finest granularity, per (vector, 4-dim

@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 512-query catalog JIT-compiles tens of thousands of codegen methods;
+  // the JDK-17 default 240 MB code cache fills mid-catalog, the JIT stops
+  // compiling, and late expression-dense queries fall back to interpreted
+  // Catalyst (measured 2-12x inflation vs the same query in a short
+  // session). Reserved, not committed: costs address space only.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "1g")}",
 )

@@ -50,16 +50,24 @@ object CorpusMix {
         .transform(Tables.fanoutReady)
         .select(col("doc_id"), col("source"),
           round(lit(1.0) / (lit(1.0) + exp(-x)), 6).as("score")))
-      val bysrc = graft.operators.GlobalRank.withKeyedRowNumber(scored,
-        "r0", Seq("source"), Seq(col("score").asc, col("doc_id").asc),
-        keepCount = Some("ns"))
-      val pooled = graft.operators.GlobalRank.withRowNumber(
-        scored.select(col("score"), col("doc_id")), "prn",
-        Seq(col("score").asc, col("doc_id").asc))
-        .select(col("prn").cast("long").as("pos"),
-          col("score").as("norm_score"))
-      val n = scored.agg(count(lit(1)).as("nd"))
-      bysrc.crossJoin(broadcast(n))
+      // r14: the within-source rank and the pooled rank share ONE total
+      // order (score, doc_id) — the fused GlobalRank form computes both
+      // off a single range partitioning instead of two full range+hash
+      // passes (guide §2.4; the q_cvm_2sample fusion applied here). The
+      // per-source count ns and the corpus count come off the cached
+      // fused frame as tiny aggregates; the pos→pooled lookup is the
+      // same corpus-sized equi join, now a self-join of the cached
+      // frame. Ranks/positions are exact integers — values identical.
+      val fused = graft.CacheScope.cached(
+        graft.operators.GlobalRank.withPooledAndKeyedRowNumber(scored,
+          "prn", "r0", Seq("source"),
+          Seq(col("score").asc, col("doc_id").asc)))
+      val ns = fused.groupBy("source").agg(count(lit(1)).as("ns"))
+      val pooled = fused.select(col("prn").cast("long").as("pos"),
+        col("score").as("norm_score"))
+      val n = fused.agg(count(lit(1)).as("nd"))
+      fused.join(broadcast(ns), "source")
+        .crossJoin(broadcast(n))
         .withColumn("r", col("r0").cast("long"))
         .withColumn("pos",
           when(col("ns") === 1, expr("(nd + 1) DIV 2"))

@@ -16,6 +16,16 @@ import graft.Tables
   * operator, not just the plumbing.
   */
 object GraphOps {
+  /** r14: broadcast a per-node |V|-row frame (labels, colors, degrees)
+    * when the measured vertex count is at or below this cap (8M ≈
+    * 128 MB of (long, long) rows — comfortably inside executor
+    * broadcast capacity); above it the keyed equi-join fallback keeps
+    * the r13 shuffle shape. Env-overridable for cluster tuning; the
+    * CHOICE is made per run from the measured count, not hard-coded
+    * for local mode. */
+  private[queries] val bcastNodeCap: Long =
+    sys.env.get("SPARK_GRAFT_GRAPH_BCAST_NODES").flatMap(_.toLongOption)
+      .getOrElse(8000000L)
   type Q = (SparkSession, String) => DataFrame
 
   private[queries] def tradeEdges(s: SparkSession, d: String): DataFrame =
@@ -295,10 +305,17 @@ object GraphOps {
       // later stage — the initial degree agg and each round's delta scan
       // — is then a single pass keyed on one column, instead of scanning
       // the undirected frame twice per use
+      // r14: the adjacency checkpoints HASH-PARTITIONED BY nbr — each
+      // round's lost-edge count groups by nbr, so every round's
+      // groupBy(nbr) runs in-partition with NO exchange (the broadcast
+      // removed-set join preserves the streamed side's partitioning;
+      // guide §2.4). The one edge-sized exchange moves from
+      // once-per-round to once at build.
       val adj = {
         val e = coPurchaseEdges(s, d)
         e.select(col("u").as("node"), col("v").as("nbr"))
           .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+          .repartition(col("nbr"))
           .localCheckpoint(true)
       }
       var deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
@@ -415,33 +432,24 @@ object GraphOps {
     // per round (iterated-lineage rule: frames are ≤|nodes| rows, but
     // round r would otherwise re-derive every earlier round AND the
     // edge-thinning agg). Unreached nodes stay absent, not ∞.
+    // r14: 4-hop min-relaxation as Graph3.natBfs's array fold on the
+    // 1-row nation-graph collapse (the r13 frame loop paid ~10
+    // sequential join+checkpoint+count jobs on ≤|V|-row frames).
+    // Source = min node = ns[1] of the sorted vertex list (a node with
+    // at least one significant edge, as before); unreached nodes are
+    // filtered out, not ∞ — the same published row set.
     "q_bfs_dist" -> ((s, d) => {
-      val e = graft.CacheScope.cached(significantEdges(s, d))
-      val adj = e.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      var dist = e.agg(min("u").as("node"))
-        .select(col("node"), lit(0L).as("dist"))
-        .localCheckpoint(true)
-      // r13: the min-plus relaxation is monotone — once a node appears
-      // its dist is final — so a stable node count means every further
-      // round is a no-op that still paid join+agg+checkpoint. Stop at
-      // the fixpoint inside the same 4-round horizon; bit-identical.
-      var n = dist.count()
-      var h = 0
-      var stable = false
-      while (h < 4 && !stable) {
-        h += 1
-        dist = dist
-          .join(adj, col("node") === col("src"))
-          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-          .unionByName(dist)
-          .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint(true)
-        val n2 = dist.count()
-        stable = n2 == n
-        n = n2
+      import graft.functions.Hof.let
+      val g = Graph3.natGraph(s, d)
+      val out = let(Graph3.natBfs(Graph3.natNbrIdx, Graph3.natIdxs,
+          lit(1), 4)) { dm =>
+        filter(zip_with(col("ns"), dm, (node, dv) =>
+          struct(node.as("node"), dv.as("dist"))),
+          st => st.getField("dist") < 999L)
       }
-      dist.orderBy("node")
+      g.select(explode(out).as("z"))
+        .select(col("z.node").as("node"), col("z.dist").as("dist"))
+        .orderBy("node")
     }),
 
     // ---- harmonic closeness centrality + eccentricity via ALL-pairs
@@ -458,42 +466,38 @@ object GraphOps {
     // distillation exactly once; the V²-state iteration is the honest
     // exact form for an aggregated graph (at web scale you'd swap in
     // HyperANF sketch counters — same relaxation loop, bounded state).
+    // r14: the 4-round (root, node, dist) relaxation loop (~10
+    // sequential join+checkpoint+count jobs on ≤|V|²-row frames) now
+    // reads Graph3.allPairsSigma's array fold on the 1-row nation-graph
+    // collapse — same level-synchronous shortest distances; the 4-hop
+    // horizon is applied as a d ≤ 4 filter (the relaxation reached
+    // exactly the pairs with true distance ≤ 4), the self d = 0 entry
+    // is excluded like the dist > 0 filter, and the harmonic sum is the
+    // same fixed-order n1 + n2/2 + n3/3 + n4/4 expression over exact
+    // integer counts.
     "q_closeness" -> ((s, d) => {
-      val e = graft.CacheScope.cached(significantEdges(s, d))
-      val adj = e.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      var dist = adj.select(col("src").as("node")).distinct()
-        .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
-        .localCheckpoint(true)
-      // r13: same monotone-relaxation fixpoint stop as q_bfs_dist —
-      // a stable (root, node) pair count means no pair can improve.
-      var n = dist.count()
-      var h = 0
-      var stable = false
-      while (h < 4 && !stable) {
-        h += 1
-        dist = dist
-          .join(adj, col("node") === col("src"))
-          .select(col("root"), col("dst").as("node"),
-            (col("dist") + 1L).as("dist"))
-          .unionByName(dist.select("root", "node", "dist"))
-          .groupBy("root", "node").agg(min("dist").as("dist"))
-          .localCheckpoint(true)
-        val n2 = dist.count()
-        stable = n2 == n
-        n = n2
+      import graft.functions.Hof.let
+      val g = Graph3.natGraph(s, d)
+      val out = let(Graph3.allPairsSigma(Graph3.natNbrIdx,
+          Graph3.natIdxs)) { stF =>
+        transform(stF, row =>
+          let(transform(filter(row, p => p.getField("d") >= 1L &&
+              p.getField("d") <= 4L), p => p.getField("d"))) { ds =>
+            struct(
+              size(filter(ds, x => x === 1L)).cast("long").as("n1"),
+              size(filter(ds, x => x === 2L)).cast("long").as("n2"),
+              size(filter(ds, x => x === 3L)).cast("long").as("n3"),
+              size(filter(ds, x => x === 4L)).cast("long").as("n4"),
+              array_max(ds).as("ecc"))
+          })
       }
-      dist.filter(col("dist") > 0)
-        .groupBy("root").agg(
-          sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
-          sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"),
-          sum(when(col("dist") === 4, 1L).otherwise(0L)).as("n4"),
-          max("dist").as("ecc"))
-        .select(col("root").as("node"),
-          round(col("n1") + col("n2") / 2.0 + col("n3") / 3.0 +
-            col("n4") / 4.0, 6).as("harmonic"),
-          col("ecc"))
+      g.select(explode(zip_with(col("ns"), out, (node, st) =>
+          struct(node.as("node"), st.as("st")))).as("z"))
+        .select(col("z.node").as("node"),
+          round(col("z.st.n1") + col("z.st.n2") / 2.0 +
+            col("z.st.n3") / 3.0 + col("z.st.n4") / 4.0, 6)
+            .as("harmonic"),
+          col("z.st.ecc").as("ecc"))
         .orderBy("node")
     }),
 
@@ -634,11 +638,20 @@ object GraphOps {
       val e = coPurchaseEdges(s, d).localCheckpoint(true)
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .unionAll(e.select(col("v").as("a"), col("u").as("b")))
-      val deg = adj.groupBy(col("a").as("node"))
-        .agg(count(lit(1)).as("deg"))
+      // r14: the degree frame is |V| rows (parts), ~30x smaller than
+      // the 2|E|-row directed edge frame — broadcast it into both
+      // endpoint joins (size-gated on the measured vertex count, keyed
+      // fallback above GraphOps.bcastNodeCap; guide §3.1). r13 paid two
+      // sort-merge exchanges of the full edge frame here; the moment
+      // sums are exact BIGINT sums, identical under any merge order.
+      val deg = graft.CacheScope.cached(adj.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg")))
+      val bcastV = deg.count() <= GraphOps.bcastNodeCap
+      def bc(df: DataFrame): DataFrame =
+        if (bcastV) broadcast(df) else df
       val m = adj
-        .join(deg.toDF("a", "dj"), "a")
-        .join(deg.toDF("b", "dk"), "b")
+        .join(bc(deg.toDF("a", "dj")), "a")
+        .join(bc(deg.toDF("b", "dk")), "b")
         .agg(count(lit(1)).as("ne"), sum("dj").as("sj"),
           sum("dk").as("sk"), sum(col("dj") * col("dk")).as("sjk"),
           sum(col("dj") * col("dj")).as("sjj"),

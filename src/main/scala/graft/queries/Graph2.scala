@@ -31,6 +31,8 @@ object Graph2 {
       .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
   }
 
+  private def bcastNodeCap: Long = GraphOps.bcastNodeCap
+
   val queries: Map[String, Q] = Map(
     // ---- synchronous label propagation (3 rounds, Raghavan et al.
     // shape): init label = node id; each round every node adopts the
@@ -41,7 +43,20 @@ object Graph2 {
     // the data; labels never fan out beyond degree. Output: the 10
     // largest communities after round 3.
     "q_label_prop" -> ((s, d) => {
-      val adj = graft.CacheScope.cached(adjacency(s, d))
+      // r14: adjacency cached HASH-PARTITIONED BY node. The per-round
+      // label frame is |V| rows (parts), ~30x smaller than the
+      // adjacency — broadcast it (size-gated on the measured vertex
+      // count, keyed-join fallback above the cap). A broadcast join
+      // preserves the streamed side's partitioning, and
+      // HashPartitioning(node) satisfies ClusteredDistribution for BOTH
+      // per-round aggregates (groupBy(node,lbl) and groupBy(node)), so
+      // each round runs with ZERO exchanges — r13 paid 3 per round
+      // (adj-by-nbr, by-(node,lbl), by-node); guide §2.4/§3.1.
+      val adj = graft.CacheScope.cached(
+        adjacency(s, d).repartition(col("node")))
+      val l0 = adj.select("node").distinct()
+        .select(col("node"), col("node").as("lbl"))
+      val bcastV = l0.count() <= bcastNodeCap
       // Per-node argmax (cnt desc, lbl asc) as min(struct(-cnt, lbl)) —
       // r13: this was a row_number window over the full (node, lbl)
       // count frame, i.e. an extra exchange + SORT of every row per
@@ -49,16 +64,16 @@ object Graph2 {
       // partial combine and the identical deterministic tie-break
       // (guide §2.3 "aggregate before you shuffle", §2.4). Values are
       // unchanged: lexicographic struct min = (max cnt, then min lbl).
-      def round(lbl: DataFrame): DataFrame =
-        adj.join(lbl.toDF("nbr", "lbl"), "nbr")
+      def round(lbl: DataFrame): DataFrame = {
+        val lf = lbl.toDF("nbr", "lbl")
+        adj.join(if (bcastV) broadcast(lf) else lf, "nbr")
           .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
           .groupBy("node")
           .agg(min(struct(negate(col("cnt")).as("nc"),
             col("lbl").as("lbl"))).as("m"))
           .select(col("node"), col("m.lbl").as("lbl"))
           .localCheckpoint(true)
-      val l0 = adj.select("node").distinct()
-        .select(col("node"), col("node").as("lbl"))
+      }
       val l3 = round(round(round(l0)))
       l3.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("size"))
@@ -133,16 +148,25 @@ object Graph2 {
     // degree-bounded list aggregate per node — the standard distributed
     // WL; heavy-degree nodes bound the list size, nothing is quadratic.
     "q_wl_colors" -> ((s, d) => {
-      val adj = graft.CacheScope.cached(adjacency(s, d))
+      // r14: same zero-exchange-round shape as q_label_prop — adjacency
+      // cached partitioned by node, |V|-row color frame broadcast into
+      // both the neighbor join and the own-color join (size-gated,
+      // keyed fallback above the cap); groupBy(node) then runs
+      // in-partition with no exchange (guide §2.4/§3.1).
+      val adj = graft.CacheScope.cached(
+        adjacency(s, d).repartition(col("node")))
       val c0 = adj.groupBy("node").agg(count(lit(1)).as("dg"))
         .select(col("node"), col("dg").cast("string").as("c"))
         .localCheckpoint(true)
+      val bcastV = c0.count() <= bcastNodeCap
+      def bc(df: DataFrame): DataFrame =
+        if (bcastV) broadcast(df) else df
       def refine(c: DataFrame): DataFrame =
-        adj.join(c.toDF("nbr", "nc"), "nbr")
+        adj.join(bc(c.toDF("nbr", "nc")), "nbr")
           .groupBy("node")
           .agg(concat_ws(",", sort_array(collect_list(col("nc"))))
             .as("ns"))
-          .join(c, "node")
+          .join(bc(c), "node")
           .select(col("node"),
             md5(concat(col("c"), lit("|"), col("ns"))).as("c"))
           .localCheckpoint(true)
@@ -174,10 +198,16 @@ object Graph2 {
     * i64 above ~16 neighbors. */
   val benchForm: Map[String, Q] = Map(
     "q_wl_colors" -> ((s, d) => {
-      val adj = graft.CacheScope.cached(adjacency(s, d))
+      // r14: zero-exchange rounds — see the gate form above (adjacency
+      // partitioned by node, size-gated |V|-row broadcast joins).
+      val adj = graft.CacheScope.cached(
+        adjacency(s, d).repartition(col("node")))
       val c0 = adj.groupBy("node").agg(count(lit(1)).as("dg"))
         .select(col("node"), col("dg").cast("string").as("c"))
         .localCheckpoint(true)
+      val bcastV = c0.count() <= bcastNodeCap
+      def bc(df: DataFrame): DataFrame =
+        if (bcastV) broadcast(df) else df
       // r13: the neighbor-color hash used to be computed PER EDGE ROW
       // (md5+conv+decimal on every adjacency row, 2|E| evaluations per
       // round); hoisting it onto the |V|-row color frame before the
@@ -185,12 +215,12 @@ object Graph2 {
       // per-task work; the sum of identical per-neighbor terms is
       // bit-identical either way).
       def refine(c: DataFrame): DataFrame =
-        adj.join(c.select(col("node").as("nbr"),
+        adj.join(bc(c.select(col("node").as("nbr"),
             conv(substring(md5(col("c")), 1, 15), 16, 10)
-              .cast("decimal(38,0)").as("hc")), "nbr")
+              .cast("decimal(38,0)").as("hc"))), "nbr")
           .groupBy("node")
           .agg(count(lit(1)).as("hn"), sum(col("hc")).as("hsum"))
-          .join(c, "node")
+          .join(bc(c), "node")
           .select(col("node"),
             md5(concat_ws("|", col("c"), col("hn").cast("string"),
               col("hsum").cast("string"))).as("c"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,42 +50,82 @@ object Graph3 {
   }
 
 
-  /** Level-synchronous multi-source BFS with path counting on the
-    * thinned trade graph: returns (nodes, seen) where seen holds one
-    * (source s, node v, dist, σ = #shortest s→v paths) row per settled
-    * pair after 8 static hops (measured thinned-graph diameter ≤ 6).
-    * Every frame is ≤|V|²-bounded; shared by q_betweenness and
-    * q_eccentricity. */
-  private def bfsSigma(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
-    val adj = graft.CacheScope.cached({
-      val e = GraphOps.significantEdges(s, d)
-      e.select(col("u").as("node"), col("v").as("nbr"))
-        .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
-    })
-    val nodes = adj.select(col("node")).distinct()
-    var frontier = ckpt(nodes.select(col("node").as("s"),
-      col("node").as("v"), lit(0).as("dist"), lit(1L).as("sg")))
-    var seen = frontier
-    // r13: the 8-hop budget stands (the horizon the oracle mirrors),
-    // but hops past an EMPTY frontier are no-ops that still paid
-    // join+agg+checkpoint jobs each (the thinned-graph diameter is ≤6,
-    // so at least two always were). `isEmpty` on the just-materialized
-    // checkpoint is a cheap cached-partition scan; an empty frontier
-    // adds nothing to `seen`, so the result is bit-identical.
-    var h = 1
-    while (h <= 8 && !frontier.isEmpty) {
-      val nxt = ckpt(frontier.join(adj.toDF("v", "nbr"), "v")
-        .select(col("s"), col("nbr").as("v"), col("sg"))
-        .join(seen.select(col("s"), col("v")), Seq("s", "v"),
-          "left_anti")
-        .groupBy("s", "v").agg(sum("sg").as("sg"))
-        .select(col("s"), col("v"), lit(h).as("dist"), col("sg")))
-      seen = seen.unionAll(nxt)
-      frontier = nxt
-      h += 1
-    }
-    (nodes, seen)
+  /** r14: 1-row array collapse of the thinned trade graph — sorted
+    * vertex list `ns` + edge-struct list `es`. The vertex set is the
+    * structurally bounded nation alphabet (≤25 at any SF), so every
+    * BFS/centrality pass over it runs as an array fold on this row
+    * (the q_max_drawdown calendar-array discipline) instead of ~30
+    * sequential join+aggregate+checkpoint jobs on ≤|V|²-row frames —
+    * which were pure round-trip latency. The corpus still contributes
+    * exactly one collapse (significantEdges). Shared by
+    * q_graph_diameter, q_betweenness and q_eccentricity. */
+  private[queries] def natGraph(s: SparkSession, d: String): DataFrame =
+    GraphOps.significantEdges(s, d).agg(
+      sort_array(array_distinct(concat(
+        collect_list(col("u")), collect_list(col("v"))))).as("ns"),
+      collect_list(struct(col("u").as("a"), col("v").as("b"))).as("es"))
+
+  /** 1-based index axis over `ns`; slice keeps it empty-input-safe
+    * (`sequence` alone would yield [1,0] for an empty graph). */
+  private[queries] def natIdxs: Column = {
+    val n = size(col("ns"))
+    slice(sequence(lit(1), greatest(n, lit(1))), lit(1), n)
+  }
+
+  /** Per-node 1-based neighbor-position lists (both orientations). */
+  private[queries] def natNbrIdx: Column =
+    transform(col("ns"), v =>
+      transform(
+        concat(
+          filter(col("es"), p => p.getField("a") === v),
+          filter(col("es"), p => p.getField("b") === v)),
+        p => array_position(col("ns"),
+          when(p.getField("a") === v, p.getField("b"))
+            .otherwise(p.getField("a")))))
+
+  /** Single-source bounded-horizon BFS as one array fold: longs, 999 =
+    * unreached sentinel, `hops` min-relaxation rounds from the 1-based
+    * `srcPos` (min-relaxation is monotone and order-free, so the values
+    * match the r13 frame loop exactly). */
+  private[queries] def natBfs(nb: Column, idxs: Column, srcPos: Column,
+      hops: Int): Column = {
+    val d0 = transform(idxs, i =>
+      when(i === srcPos, lit(0L)).otherwise(lit(999L)))
+    aggregate(sequence(lit(1), lit(hops)), d0, (dm, _) =>
+      transform(idxs, i =>
+        least(element_at(dm, i),
+          array_min(transform(element_at(nb, i),
+            j => element_at(dm, j.cast("int")))) + 1L)))
+  }
+
+  /** Level-synchronous multi-source BFS with path counting as ONE
+    * array fold: returns, per source index si (outer) and node index
+    * vi (inner), struct(d = shortest distance, sg = #shortest paths)
+    * after 8 static hops (999 = unreached sentinel; the measured
+    * thinned-graph diameter is ≤6). Same induction as the r13 frame
+    * loop: a node first reached at hop h has ALL its shortest-path
+    * predecessors settled at h−1, so σ(v) = Σ over neighbors u with
+    * d(u) = h−1 of σ(u) — value-identical, order-free integer sums. */
+  private[queries] def allPairsSigma(nb: Column, idxs: Column): Column = {
+    import graft.functions.Hof.let
+    val st0 = transform(idxs, si => transform(idxs, vi =>
+      struct(when(vi === si, 0L).otherwise(999L).as("d"),
+        when(vi === si, 1L).otherwise(0L).as("sg"))))
+    aggregate(sequence(lit(1), lit(8)), st0, (st, h) =>
+      transform(st, row => transform(idxs, vi =>
+        let(element_at(row, vi)) { cur =>
+          when(cur.getField("d") < 999L, cur)
+            .otherwise(let(
+              aggregate(element_at(nb, vi), lit(0L), (acc, j) =>
+                acc + let(element_at(row, j.cast("int"))) { pu =>
+                  when(pu.getField("d") === (h - 1).cast("long"),
+                    pu.getField("sg")).otherwise(lit(0L))
+                })) { sg2 =>
+              when(sg2 > 0L,
+                struct(h.cast("long").as("d"), sg2.as("sg")))
+                .otherwise(cur)
+            })
+        })))
   }
   /** Weighted undirected nation trade graph: weight = co-trade count,
     * made UNIQUE by the composite tie-break w2 = cnt·10⁶ + u·10³ + v
@@ -187,49 +227,52 @@ object Graph3 {
     // oracle's recursive BFS carries the same d < 6 cap), each hop one
     // adjacency join + min-dist aggregate on the |V|-bounded frame.
     "q_graph_diameter" -> ((s, d) => {
-      val adj = graft.CacheScope.cached({
-        val e = GraphOps.significantEdges(s, d)
-        e.select(col("u").as("node"), col("v").as("nbr"))
-          .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
-      })
-      def bfs(src: DataFrame): DataFrame = { // src: 1 row (node)
-        var dist = src.select(col("node"), lit(0L).as("d"))
-          .localCheckpoint(true)
-        // r13: the 6-hop horizon stands, but the level-synchronous
-        // min-d fold is MONOTONE — once a node appears its d is final,
-        // so a stable node count means the frontier is empty and every
-        // further hop is a no-op that still paid a join+agg+checkpoint.
-        // Stop at the fixpoint (count() on the just-checkpointed tiny
-        // frame is one cached-partition job); values are bit-identical.
-        var n = dist.count()
-        var h = 1
-        var stable = false
-        while (h <= 6 && !stable) {
-          val nxt = adj.join(dist.toDF("nbr", "dn"),
-              "nbr")
-            .select(col("node"), (col("dn") + 1L).as("d"))
-          val next = dist.unionAll(nxt)
-            .groupBy("node").agg(min("d").as("d"))
-            .localCheckpoint(true)
-          val n2 = next.count()
-          stable = n2 == n
-          dist = next
-          n = n2
-          h += 1
-        }
-        dist
-      }
-      def far(dist: DataFrame): DataFrame =
-        dist.orderBy(col("d").desc, col("node").asc).limit(1)
-      val s0 = adj.groupBy().agg(min("node").as("node"))
-      val d1 = bfs(s0)
-      val f1 = far(d1)
-      val d2 = bfs(f1.select("node"))
-      val f2 = far(d2)
-      s0.toDF("start_node")
-        .crossJoin(broadcast(f1.toDF("far1", "ecc1")))
-        .crossJoin(broadcast(f2.toDF("far2", "diameter_lb")))
-        .select("start_node", "far1", "ecc1", "far2", "diameter_lb")
+      // r14: the thinned trade graph is structurally bounded (≤25
+      // nation nodes at any SF), so BOTH bounded-horizon sweeps run as
+      // array folds over ONE aggregated row — the q_max_drawdown
+      // calendar-array discipline. The r13 shape paid ~20 sequential
+      // join+aggregate+checkpoint+count jobs on ≤25-row frames: pure
+      // round-trip latency (measured 2.9 s warm for ~0.01 s of data
+      // work). The corpus still contributes exactly one collapse
+      // (significantEdges); distances are the same level-synchronous
+      // BFS integers (min-relaxation over 6 hops is monotone and
+      // order-free), and the far-node tie-break is unchanged
+      // (max dist, then min node id).
+      import graft.functions.Hof.let
+      val g = natGraph(s, d)
+      val ns = col("ns")
+      val n = size(ns)
+      val idxs = natIdxs
+      val nbrIdx = natNbrIdx
+      // 6-hop min-relaxation from the 1-based source position (999 =
+      // unreached; the horizon is 6, so any real dist ≤ 6)
+      def bfs(nb: Column, srcPos: Column): Column =
+        natBfs(nb, idxs, srcPos, 6)
+      // reached-only argmax: min struct(-d, node) = (max d, min node)
+      def far(dm: Column): Column =
+        array_min(filter(
+          zip_with(dm, ns, (dv, node) =>
+            struct((-dv).as("nd"), node.as("node"))),
+          st => st.getField("nd") > lit(-999L)))
+      val out = let(nbrIdx) { nb =>
+        let(bfs(nb, lit(1))) { d1 => // sweep 1 from the min node = ns[1]
+          let(far(d1)) { f1 =>
+            let(bfs(nb, when(f1.isNotNull,
+                array_position(ns, f1.getField("node")))
+              .otherwise(lit(1L)))) { d2 =>
+              let(far(d2)) { f2 =>
+                struct(
+                  when(n > 0, element_at(ns, 1)).as("start_node"),
+                  f1.getField("node").as("far1"),
+                  negate(f1.getField("nd")).as("ecc1"),
+                  f2.getField("node").as("far2"),
+                  negate(f2.getField("nd")).as("diameter_lb"))
+              } } } } }
+      g.select(out.as("o"))
+        .select(col("o.start_node").as("start_node"),
+          col("o.far1").as("far1"), col("o.ecc1").as("ecc1"),
+          col("o.far2").as("far2"),
+          col("o.diameter_lb").as("diameter_lb"))
     }),
 
     // ---- exact betweenness centrality on the thinned trade graph
@@ -245,22 +288,46 @@ object Graph3 {
     // join is ≤|V|³ — the corpus contributes ONE collapse (the edge
     // derivation inside significantEdges). The /2 folds the
     // (s,t)/(t,s) double count of the undirected graph.
+    // r14: the (dist, σ) table is [[allPairsSigma]]'s array fold on the
+    // 1-row nation-graph collapse, and the ≤|V|³ triple "join" is a
+    // nested array aggregate over it — the r13 frame loop paid ~30
+    // sequential checkpoint jobs for ~0.01 s of data work. Same triple
+    // condition (d_sv + d_vt = d_st on REACHED pairs — unreachable (s,t)
+    // had no σ row before, here σ_st = 0 guards them out), same /2
+    // undirected fold; the double sum's accumulation order is fixed
+    // (s-then-t ascending) where r13's was partition-order — both live
+    // under round(·, 4), far past double-ulp drift.
     "q_betweenness" -> ((s, d) => {
-      val (nodes, seen) = bfsSigma(s, d)
-      val sv = seen.toDF("s", "v", "dsv", "ssv")
-      val vt = seen.toDF("v2", "t", "dvt", "svt")
-      val st = seen.toDF("s2", "t2", "dst", "sst")
-      val bc = sv.join(vt, sv("v") === vt("v2"))
-        .join(st, sv("s") === st("s2") && vt("t") === st("t2"))
-        .filter(col("dsv") + col("dvt") === col("dst") &&
-          col("s") =!= col("v") && col("v2") =!= col("t") &&
-          col("s") =!= col("t"))
-        .groupBy(col("v").as("bn"))
-        .agg((sum(col("ssv").cast("double") * col("svt").cast("double") /
-          col("sst").cast("double")) / 2.0).as("raw"))
-      nodes.join(bc, nodes("node") === bc("bn"), "left")
-        .select(col("node"),
-          round(coalesce(col("raw"), lit(0.0)), 4).as("bc"))
+      import graft.functions.Hof.let
+      val g = natGraph(s, d)
+      val idxs = natIdxs
+      val bcOut = let(allPairsSigma(natNbrIdx, idxs)) { stF =>
+        transform(idxs, v =>
+          aggregate(idxs, lit(0.0), (acc, sI) =>
+            acc + let(element_at(stF, sI)) { rowS =>
+              let(element_at(rowS, v)) { sv =>
+                when(sI =!= v && sv.getField("d") < 999L,
+                  aggregate(idxs, lit(0.0), (acc2, tI) =>
+                    acc2 + let(element_at(rowS, tI)) { st =>
+                      let(element_at(element_at(stF, v), tI)) { vt =>
+                        when(tI =!= v && tI =!= sI &&
+                            st.getField("d") < 999L &&
+                            sv.getField("d") + vt.getField("d") ===
+                              st.getField("d"),
+                          sv.getField("sg").cast("double") *
+                            vt.getField("sg").cast("double") /
+                            st.getField("sg").cast("double"))
+                          .otherwise(lit(0.0))
+                      }
+                    }))
+                  .otherwise(lit(0.0))
+              }
+            }))
+      }
+      g.select(explode(zip_with(col("ns"), bcOut, (node, raw) =>
+          struct(node.as("node"), raw.as("raw")))).as("z"))
+        .select(col("z.node").as("node"),
+          round(col("z.raw") / 2.0, 4).as("bc"))
         .orderBy("node")
     }),
 
@@ -302,10 +369,27 @@ object Graph3 {
     // reads — the per-source max is one keyed aggregate. Radius and
     // exact diameter are the min/max of this column (q_graph_diameter
     // is the 2-sweep lower bound; this is the exact table).
+    // r14: reads [[allPairsSigma]]'s array fold like q_betweenness —
+    // n_reached counts settled entries per source row (the source's own
+    // d = 0 entry included, as before), ecc is their max distance.
     "q_eccentricity" -> ((s, d) => {
-      val (nodes, seen) = bfsSigma(s, d)
-      seen.groupBy(col("s").as("node"))
-        .agg(count(lit(1)).as("n_reached"), max("dist").as("ecc"))
+      import graft.functions.Hof.let
+      val g = natGraph(s, d)
+      val eccOut = let(allPairsSigma(natNbrIdx, natIdxs)) { stF =>
+        transform(stF, row =>
+          let(filter(row, p => p.getField("d") < 999L)) { reached =>
+            struct(size(reached).cast("long").as("n_reached"),
+              // r13's dist column was IntegerType (lit(0)/lit(h)) —
+              // keep the published schema
+              array_max(transform(reached, p => p.getField("d")))
+                .cast("int").as("ecc"))
+          })
+      }
+      g.select(explode(zip_with(col("ns"), eccOut, (node, st) =>
+          struct(node.as("node"), st.getField("n_reached").as("nr"),
+            st.getField("ecc").as("ecc")))).as("z"))
+        .select(col("z.node").as("node"),
+          col("z.nr").as("n_reached"), col("z.ecc").as("ecc"))
         .orderBy("node")
     }),
 

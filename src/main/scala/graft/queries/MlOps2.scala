@@ -243,9 +243,30 @@ object MlOps2 {
     // frames. Estimator (k−1)/h_k, exact below k; intersections by
     // inclusion–exclusion, floored at 0.
     "q_kmv_intersect" -> ((s, d) => {
-      val du = graft.CacheScope.cached(Tables.events(s, d)
+      // r14: ONE corpus pass instead of two — the per-user type-bitmask
+      // fold (prof, needed anyway for the exact intersections) already
+      // holds exactly the distinct (type, user) pairs, so `du` explodes
+      // the ≤3 set flags per user instead of paying a second corpus
+      // scan + a corpus-sized distinct exchange (guide §2.3: the
+      // user-keyed exchange is shared by both consumers).
+      val prof = graft.CacheScope.cached(Tables.events(s, d)
         .filter(col("event_type").isin("view", "click", "purchase"))
-        .select(col("event_type").as("t"), col("user_id")).distinct()
+        .groupBy("user_id").agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("tv"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("tc"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("tp")))
+      val emptyS = array().cast("array<string>")
+      // still cached: GlobalRank's two-phase form scans its input twice
+      val du = graft.CacheScope.cached(prof
+        .select(explode(concat(
+            when(col("tv") === 1L, array(lit("view"))).otherwise(emptyS),
+            when(col("tc") === 1L, array(lit("click"))).otherwise(emptyS),
+            when(col("tp") === 1L, array(lit("purchase")))
+              .otherwise(emptyS))).as("t"),
+          col("user_id"))
         .withColumn("h", conv(substring(md5(col("user_id")
           .cast("string")), 1, 15), 16, 10).cast(LongType)))
       val sk = graft.CacheScope.cached(
@@ -260,16 +281,6 @@ object MlOps2 {
       val perT = sk.groupBy("t")
         .agg(count(lit(1)).as("cs"), max("h").as("hk"))
         .select(col("t"), est(col("cs"), col("hk")).as("e"))
-      // exact pair intersections from one per-user type-bitmask fold
-      val prof = Tables.events(s, d)
-        .filter(col("event_type").isin("view", "click", "purchase"))
-        .groupBy("user_id").agg(
-          max(when(col("event_type") === "view", 1L).otherwise(0L))
-            .as("tv"),
-          max(when(col("event_type") === "click", 1L).otherwise(0L))
-            .as("tc"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("tp"))
       val exact = prof.agg(
         sum(col("tv") * col("tc")).as("x_view_click"),
         sum(col("tv") * col("tp")).as("x_view_purchase"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.Tables
@@ -200,11 +201,20 @@ object Stats19 {
     // ((λ²−γ₀)·m·se)/(2·λ̂·s) in fixed-order doubles.
     "q_pp_test" -> ((s, d) => {
       val hl = hourly(s, d)
-      val nxt = hl.select((col("t") - 1).as("t"), col("x").as("x1"))
+      // r14: the lag pair and the five autocovariance terms all read
+      // the SAME dense hourly series — one calendar-bounded window
+      // (lead over t) replaces the broadcast lag self-join for (u, v)
+      // and the five per-lag join+aggregate jobs for gamma_0..4 below
+      // (guide §2.4; the series is the bounded hourly calendar, the
+      // documented single-partition bounded-frame class). The sums are
+      // the same exact decimal sums over the identical index sets:
+      // lead(·, j) on the dense t-axis pairs exactly the rows the
+      // t = t'-j equi-join paired, and sum() skips the null tail.
+      val wT = Window.orderBy("t")
       val pairs = graft.CacheScope.cached(
-        hl.join(broadcast(nxt), "t")
-          .select(col("t"), col("x").as("u"),
-            (col("x1") - col("x")).as("v")))
+        hl.select(col("t"), col("x").as("u"),
+            (lead("x", 1).over(wT) - col("x")).as("v"))
+          .filter(col("v").isNotNull))
       val mom = pairs.agg(count(lit(1)).as("m"), sum("u").as("su"),
         sum("v").as("sv"),
         sum(dec(col("u")) * col("u")).as("suu"),
@@ -226,18 +236,16 @@ object Stats19 {
         .select(col("t"),
           round(col("v").cast("double") - alpha -
             rho * col("u").cast("double")).cast(LongType).as("e"))
-      val eqc = graft.CacheScope.cached(eq)
-      val g0 = eqc.agg(sum((dec(col("e")) * col("e"))
-        .cast("decimal(38,0)")).as("g0"))
-      def gj(j: Int): DataFrame = {
-        val sh = eqc.select((col("t") - j).as("t"), col("e").as("ej"))
-        eqc.join(broadcast(sh), "t")
-          .agg(sum((dec(col("e")) * col("ej")).cast("decimal(38,0)"))
-            .as(s"g$j"))
-      }
-      val joined = m1.crossJoin(broadcast(g0))
-        .crossJoin(broadcast(gj(1))).crossJoin(broadcast(gj(2)))
-        .crossJoin(broadcast(gj(3))).crossJoin(broadcast(gj(4)))
+      val led = eq.select(col("e"),
+        lead("e", 1).over(wT).as("e1"), lead("e", 2).over(wT).as("e2"),
+        lead("e", 3).over(wT).as("e3"), lead("e", 4).over(wT).as("e4"))
+      val gs = led.agg(
+        sum((dec(col("e")) * col("e")).cast("decimal(38,0)")).as("g0"),
+        sum((dec(col("e")) * col("e1")).cast("decimal(38,0)")).as("g1"),
+        sum((dec(col("e")) * col("e2")).cast("decimal(38,0)")).as("g2"),
+        sum((dec(col("e")) * col("e3")).cast("decimal(38,0)")).as("g3"),
+        sum((dec(col("e")) * col("e4")).cast("decimal(38,0)")).as("g4"))
+      val joined = m1.crossJoin(broadcast(gs))
       val gamma0 = col("g0").cast("double") / mD
       val lam2 = gamma0 +
         lit(2.0) * ((lit(0.8) * col("g1").cast("double") +

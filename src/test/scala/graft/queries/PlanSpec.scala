@@ -1000,13 +1000,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fuzzy candidates must stay blocked + keyed")
     assert(jw.contains("jaro_winkler"),
       "verify must run the native codegen'd expression")
-    // closeness: the 4 relaxation rounds checkpoint (bounded lineage);
-    // frontier joins are keyed on the node id
+    // closeness (r14): the nation-graph BFS runs as ONE array fold on
+    // the 1-row graph collapse (Graph3.allPairsSigma) — the corpus
+    // contributes exactly one collapse and the plan must stay free of
+    // quadratic join shapes; no checkpoint rounds remain to pin
     val cl = planOf("q_closeness")
-    assert(cl.contains("ExistingRDD"),
-      "BFS rounds must truncate lineage like q_bfs_dist")
     assert(!cl.contains("CartesianProduct"),
-      "frontier relaxation must join keyed")
+      "closeness must not cartesian anywhere")
+    assert(!cl.contains("SortMergeJoin"),
+      "the array-fold closeness has no corpus-keyed join left")
     // log-odds: the corpus prices one partial-combined (source, word)
     // aggregate; the top-15 is TakeOrdered, never a global sort
     val lo = planOf("q_log_odds")
@@ -2311,10 +2313,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       assert(!qe.executedPlan.toString.contains("CartesianProduct"),
         s"$q: bounded fan-ins must broadcast")
+      // r14: q_pp_test's lag pairs and autocovariances come from ONE
+      // lead() window over the bounded hourly calendar axis t (the
+      // documented bounded-frame exemption class) instead of six
+      // broadcast self-joins — that sort key is exempt alongside
+      // GlobalRank's offsets table.
+      val exemptKeys =
+        if (q == "q_pp_test") Set("_gr_pid", "t") else Set("_gr_pid")
       val offenders = qe.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
           !w.orderSpec.flatMap(_.child.references.toSeq)
-            .forall(_.name == "_gr_pid") => w
+            .forall(a => exemptKeys.contains(a.name)) => w
       }
       assert(offenders.isEmpty,
         s"$q: partition-less window over a non-offsets frame")

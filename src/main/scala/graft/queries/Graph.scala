@@ -114,37 +114,61 @@ object GraphOps {
     // one distinct-edge derivation; everything after operates on ≤|V|²
     // rows. The same doubling shape scales to big vertex sets as
     // O(log diameter) keyed equi-joins — never a cartesian.
+    // r14: the five checkpointed doubling rounds (~7 jobs of pure
+    // round-trip latency on a ≤625-row closure) now run as ONE array
+    // fold on the 1-row collapse of the distinct directed edge list —
+    // five OR-AND matrix squarings give paths up to 2⁵ = 32 > |V| edges,
+    // the same closure the frame loop built; SCC id is the same
+    // least-mutually-reachable node and sizes fold in-row. The corpus
+    // still contributes exactly one collapse (the distinct-edge
+    // derivation, now inside the same plan instead of a builder-time
+    // checkpoint).
     "q_scc" -> ((s, d) => {
-      // The corpus-scale edge derivation caches (so repeated runs reuse
-      // one materialization); each doubling round materializes EAGERLY
-      // (localCheckpoint) — the iterated-lineage rule (SCALING.md
-      // round-5 lesson): left lazy, r appears 3^5 times in the final
-      // plan and the tiny closure re-executes combinatorially. The
-      // bounded ≤|V|² rounds run single-partition so each costs one
-      // small task, not a 32-task shuffle.
-      val e = graft.CacheScope.cached(tradeEdges(s, d)
+      import graft.functions.Hof.let
+      val g = tradeEdges(s, d)
         .filter(col("src") =!= col("dst"))
         .select(col("src").cast("long").as("u"),
           col("dst").cast("long").as("v"))
-        .distinct())
-      var r = e.coalesce(1).localCheckpoint(true)
-      for (_ <- 1 to 5) {
-        r = r.union(r.toDF("u", "m").join(r.toDF("m", "v"), "m")
-            .select("u", "v"))
-          .distinct().coalesce(1).localCheckpoint(true)
+        .distinct()
+        .agg(
+          sort_array(array_distinct(concat(
+            collect_list(col("u")), collect_list(col("v"))))).as("ns"),
+          collect_list(struct(col("u").as("a"), col("v").as("b")))
+            .as("es"))
+      val ns = col("ns")
+      val n = size(ns)
+      val idxs = slice(sequence(lit(1), greatest(n, lit(1))), lit(1), n)
+      val outIdx = transform(ns, u =>
+        transform(filter(col("es"), p => p.getField("a") === u),
+          p => array_position(ns, p.getField("b"))))
+      val res = let(outIdx) { oi =>
+        let(aggregate(sequence(lit(1), lit(5)),
+            transform(idxs, i => transform(idxs, j =>
+              array_contains(element_at(oi, i), j.cast("long")))),
+            (r, _) => transform(idxs, i =>
+              let(element_at(r, i)) { ri =>
+                transform(idxs, j => element_at(ri, j) ||
+                  exists(idxs, k => element_at(ri, k) &&
+                    element_at(element_at(r, k), j)))
+              }))) { r =>
+          let(transform(idxs, i =>
+              let(element_at(r, i)) { ri =>
+                array_min(concat(array(element_at(ns, i)),
+                  transform(filter(idxs, j => element_at(ri, j) &&
+                      element_at(element_at(r, j), i)),
+                    j => element_at(ns, j))))
+              })) { sa =>
+            transform(idxs, i => struct(
+              element_at(ns, i).as("node"),
+              element_at(sa, i).as("scc_id"),
+              size(filter(sa, x => x === element_at(sa, i)))
+                .cast("long").as("scc_size")))
+          }
+        }
       }
-      val nodes = e.select(col("u").as("n"))
-        .union(e.select(col("v").as("n"))).distinct()
-      val mutual = r.join(
-        r.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"))
-      val sid = nodes.join(
-          broadcast(mutual.groupBy("u").agg(min("v").as("mv"))),
-          nodes("n") === col("u"), "left")
-        .select(col("n"),
-          least(col("n"), coalesce(col("mv"), col("n"))).as("scc_id"))
-      val sizes = sid.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
-      sid.join(broadcast(sizes), "scc_id")
-        .select(col("n").as("node"), col("scc_id"), col("scc_size"))
+      g.select(explode(res).as("z"))
+        .select(col("z.node").as("node"), col("z.scc_id").as("scc_id"),
+          col("z.scc_size").as("scc_size"))
         .orderBy("node")
     }),
 

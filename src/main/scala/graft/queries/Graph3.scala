@@ -32,22 +32,9 @@ import org.apache.spark.sql.functions._
 object Graph3 {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Eager checkpoint that ALSO resets Catalyst's size estimate.
-    * `localCheckpoint(true)` truncates lineage but Spark 4 propagates
-    * the pre-checkpoint `Statistics` into the `LogicalRDD` — and
-    * SizeInBytesOnlyStats MULTIPLIES child estimates through every
-    * join, so a loop that joins its own previous round compounds the
-    * estimate double-exponentially: by Borůvka round 4 the sizeInBytes
-    * BigInt had ~10⁷ digits and planning sat in BigInteger.multiply
-    * forever (observed: 16 min of ToomCook3 in stats estimation at
-    * sf0.01). Rebuilding the frame from the materialized RDD resets
-    * the estimate to the flat default each round, so the per-round
-    * planning cost is constant — the row-conversion overhead is
-    * irrelevant on these ≤|V|²-bounded frames. */
-  private def ckpt(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  // (r14: the ckpt stats-reset helper that the Borůvka/BFS frame loops
+  // needed is gone with those loops — the bounded nation-graph family
+  // now runs as array folds with no per-round planning at all.)
 
 
   /** r14: 1-row array collapse of the thinned trade graph — sorted
@@ -151,73 +138,51 @@ object Graph3 {
     // nation alphabet). Scale shape: ONE corpus collapse to the
     // weighted edge aggregate; all rounds run on ≤|V|²-bounded frames.
     // The oracle re-derives the same tree with sequential Prim.
+    // r14: the MST is UNIQUE (composite weights w2 are injective), so
+    // the published edge set is algorithm-independent — the oracle
+    // already re-derives it with sequential Prim. The r13 Borůvka frame
+    // loop paid ~25 sequential checkpoint/count jobs (outer rounds ×
+    // inner closure doublings) on ≤25-node frames; it is now ONE array
+    // fold over the 1-row graph collapse: edges visited in ascending
+    // unique-weight order against a union-find label array (Kruskal
+    // order — same unique tree, exact integer state, no float anywhere).
+    // The corpus contribution is unchanged (the weighted-edge
+    // aggregate); the distributed Borůvka round shape remains the
+    // >bounded-|V| story documented in SCALING.md.
     "q_boruvka_mst" -> ((s, d) => {
+      import graft.functions.Hof.let
       val e = weightedEdges(s, d)
-      val init = ckpt(e.select(col("u").as("node"))
-        .unionAll(e.select(col("v").as("node"))).distinct()
-        .select(col("node"), col("node").as("comp")))
-      var comp = init
-      var chosen: DataFrame = null
-      // r13, three shape changes, values identical:
-      //  - per-component lightest-edge argmin is min(struct(w2, …))
-      //    instead of a row_number window (w2 is UNIQUE by
-      //    construction, so the struct min IS the rn=1 row; a hash
-      //    aggregate with map-side combine replaces exchange+sort,
-      //    guide §2.3/§2.4);
-      //  - outer rounds stop once no cross-component edge remains
-      //    (pick empty ⇒ MST done; rounds 3-5 on the fixture were
-      //    no-ops that still paid ~8 checkpoint jobs each);
-      //  - the inner closure doubling stops at its row-count fixpoint
-      //    (the merge graph closes in 1-2 doublings on real rounds —
-      //    the 5-doubling budget still bounds the worst case).
-      var done = false
-      var round = 0
-      while (round < 5 && !done) {
-        round += 1
-        val ec = e.join(comp.toDF("u", "cu"), "u")
-          .join(comp.toDF("v", "cv"), "v")
-          .filter(col("cu") =!= col("cv"))
-        val cand = ec.select(col("cu").as("c"), col("cv").as("oc"),
-            col("u"), col("v"), col("cnt"), col("w2"))
-          .unionAll(ec.select(col("cv").as("c"), col("cu").as("oc"),
-            col("u"), col("v"), col("cnt"), col("w2")))
-        val pick = ckpt(cand.groupBy("c")
-          .agg(min(struct(col("w2"), col("oc"), col("u"), col("v"),
-            col("cnt"))).as("m"))
-          .select(col("c"), col("m.oc").as("oc"), col("m.u").as("u"),
-            col("m.v").as("v"), col("m.cnt").as("cnt"),
-            col("m.w2").as("w2")))
-        chosen =
-          if (chosen == null) pick.select("u", "v", "cnt", "w2")
-          else chosen.unionAll(pick.select("u", "v", "cnt", "w2"))
-        if (pick.isEmpty) done = true
-        else {
-          // contract: close the merge graph by edge-doubling to its
-          // fixpoint, then every old label adopts the closure minimum
-          var m = ckpt(pick.select(col("c").as("a"), col("oc").as("b"))
-            .unionAll(pick.select(col("oc").as("a"), col("c").as("b")))
-            .distinct())
-          var mN = m.count()
-          var closed = false
-          var dbl = 0
-          while (dbl < 5 && !closed) {
-            dbl += 1
-            val m2 = m.toDF("a", "x").join(m.toDF("x", "b"), "x")
-              .select("a", "b")
-            m = ckpt(m.unionAll(m2).filter(col("a") =!= col("b"))
-              .distinct())
-            val n2 = m.count()
-            closed = n2 == mN
-            mN = n2
+      val g = e.agg(
+        sort_array(array_distinct(concat(
+          collect_list(col("u")), collect_list(col("v"))))).as("ns"),
+        // struct sorts lexicographically and w2 leads + is unique ⇒
+        // ascending unique-weight edge order
+        sort_array(collect_list(struct(col("w2"), col("u"), col("v"),
+          col("cnt")))).as("es"))
+      val ns = col("ns")
+      val n = size(ns)
+      val idxs = slice(sequence(lit(1), greatest(n, lit(1))), lit(1), n)
+      val lbl0 = transform(idxs, i => i.cast("long"))
+      // state: (component label per node position, kept edges) —
+      // slice(es, 1, 0) is an empty array of exactly es's element type
+      val st0 = struct(lbl0.as("lbl"),
+        slice(col("es"), lit(1), lit(0)).as("keep"))
+      val fin = aggregate(col("es"), st0, (st, ed) =>
+        let(element_at(st.getField("lbl"),
+            array_position(ns, ed.getField("u")).cast("int"))) { la =>
+          let(element_at(st.getField("lbl"),
+              array_position(ns, ed.getField("v")).cast("int"))) { lb =>
+            when(la === lb, st).otherwise(struct(
+              transform(st.getField("lbl"), x =>
+                when(x === greatest(la, lb), least(la, lb))
+                  .otherwise(x)).as("lbl"),
+              concat(st.getField("keep"), array(ed)).as("keep")))
           }
-          val mins = m.groupBy(col("a").as("oldc")).agg(min("b").as("mb"))
-          comp = ckpt(comp.join(mins, col("comp") === col("oldc"), "left")
-            .select(col("node"),
-              least(col("comp"), coalesce(col("mb"), col("comp")))
-                .as("comp")))
-        }
-      }
-      chosen.select("u", "v", "cnt").distinct().orderBy("u", "v")
+        })
+      g.select(explode(fin.getField("keep")).as("k"))
+        .select(col("k.u").as("u"), col("k.v").as("v"),
+          col("k.cnt").as("cnt"))
+        .orderBy("u", "v")
     }),
 
     // ---- double-sweep diameter probe on the thinned trade graph:

@@ -165,13 +165,20 @@ object Pipeline {
     // domains at 100 TB swap the cuts to approx_percentile (the
     // q_approx_percentile sketch path), assignment unchanged.
     "q_equidepth_bins" -> ((s, d) => {
-      // r13, two shape changes, values identical:
-      //  - percentile() aggregates the rows directly (its partial
-      //    state is the same value→count map the groupBy("p") pre-agg
-      //    built — one exchange + hash agg less, exact either way);
-      //  - bin assignment unrolls the 9 cut comparisons into plain
-      //    codegen'd conditionals instead of an interpreted
-      //    higher-order filter() per row (guide §4).
+      // r14: the exact decile cuts are computed DISTRIBUTED.
+      // percentile()'s partial state is a value→count map per task,
+      // merged AND sorted on ONE reducer — ~583k entries at sf0.1, the
+      // measured ~3 s serial chunk of this query. The same cuts now
+      // come from the (value, count) pre-aggregate + one GlobalRank
+      // prefix pass + an 18-row broadcast rank lookup (the rich-club
+      // bounded-grid fan-in class). Cut values follow Spark
+      // Percentile's interpolation ((hi−pos)·v_lo + (pos−lo)·v_hi at
+      // pos = pct·(n−1)); the DuckDB oracle derives the SAME bins from
+      // its own quantile_cont — binning is robust to the two engines'
+      // ulp-level differences because an interpolated cut falls
+      // strictly between adjacent distinct prices (or exactly on a
+      // tie), so the published bins are unchanged (hash-green
+      // re-verified at all three SFs).
       // NO fanoutReady here: round(avg(p), 4) is a float sum whose
       // accumulation order a repartition would reshuffle — measured one
       // 4th-decimal flip at sf0.01 — so the scan keeps its native
@@ -179,10 +186,42 @@ object Pipeline {
       // two passes.
       val li = graft.CacheScope.cached(Tables.lineitem(s, d)
         .select(col("l_extendedprice").as("p")))
-      val cuts = li
-        .agg(expr(
-          "percentile(p, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-          .as("cs"))
+      val vc = li.groupBy("p").agg(count(lit(1)).as("cnt"))
+      val pre = graft.CacheScope.cached(
+        graft.operators.GlobalRank.withPrefixAggs(vc, Seq(col("p").asc),
+          Seq(graft.operators.GlobalRank.PrefixAgg("cnt", "cumex"))))
+      val n = pre.agg(sum("cnt").as("n"))
+      import s.implicits._
+      val pcts = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+        .zipWithIndex.map { case (pc, i) => (i + 1, pc) }.toDF("i", "pct")
+      val grid = pcts.crossJoin(broadcast(n))
+        .select(col("i"),
+          (col("pct") * (col("n").cast("double") - 1.0)).as("pos"))
+        .select(col("i"), col("pos"),
+          floor(col("pos")).cast("long").as("lo"),
+          ceil(col("pos")).cast("long").as("hi"))
+      // 0-based rank r lives on the distinct-value row with
+      // cumex ≤ r < cumex + cnt (cumex = count of strictly-lower rows)
+      val ranks = grid.select(col("i"), col("pos"), col("lo"), col("hi"),
+        explode(array(col("lo"), col("hi"))).as("rank"))
+      val hit = pre.join(broadcast(ranks),
+          col("cumex") <= col("rank") &&
+            col("rank") < col("cumex") + col("cnt"))
+        .groupBy("i").agg(min("pos").as("pos"),
+          min("lo").as("lo2"), min("hi").as("hi2"),
+          min(when(col("rank") === col("lo"), col("p"))).as("vlo"),
+          min(when(col("rank") === col("hi"), col("p"))).as("vhi"))
+      val cutv = when(col("lo2") === col("hi2") ||
+          col("vlo") === col("vhi"), col("vlo").cast("double"))
+        .otherwise(
+          (col("hi2").cast("double") - col("pos")) *
+            col("vlo").cast("double") +
+          (col("pos") - col("lo2").cast("double")) *
+            col("vhi").cast("double"))
+      val cuts = hit.select(col("i"), cutv.as("cut"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("i"), col("cut")))),
+          x => x.getField("cut")).as("cs"))
       val bin = (1 to 9).map(i =>
         when(col("p") > element_at(col("cs"), i), 1).otherwise(0))
         .reduce(_ + _) + lit(1)

@@ -1393,11 +1393,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cached relation's child plan inside the InMemoryRelation detail
     // section, so a string count can never be 0 for a CacheScope-cached
     // input even when the live plan only reads checkpoints + cache.
+    // r14: q_scc's closure is one array fold on the 1-row graph
+    // collapse — the corpus contributes exactly ONE distinct-edge
+    // derivation in the same plan (≤4 dimension/fact scans), and the
+    // combinatorial re-derivation the old checkpoint pin guarded
+    // against cannot occur (there is no iterated frame left).
     import org.apache.spark.sql.execution.FileSourceScanExec
     val sQe = SparkEntry.queries("q_scc")(spark, sf).queryExecution
     val sccScans = sQe.executedPlan.collect { case s: FileSourceScanExec => s }
-    assert(sccScans.isEmpty,
-      s"q_scc's final plan must read checkpoints, got ${sccScans.size} corpus scans")
+    assert(sccScans.size <= 4,
+      s"q_scc must derive the edge list once, got ${sccScans.size} corpus scans")
     assert(!sQe.executedPlan.toString.contains("CartesianProduct"))
     graft.CacheScope.drain(); spark.catalog.clearCache()
     // Gini stump: prefix counts via GlobalRank (only its bounded offsets
